@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` maps every implemented operator to a
+``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` gives the
+DuckDB twin for each SQL-expressible query. Column names/aliases are
+kept identical on both sides (driver hashes values under sorted
+column names).
 """
 
 from __future__ import annotations
@@ -13,26 +14,232 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sparklyclean_spark.catalog import load_tables
+from sparklyclean_spark.operators import relational as R
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return R.q5_revenue_by_nation(_tables(spark, "/root/testdata/sf0.001"))
+
+
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def _tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Memoize per-(session, dir) so repeated queries skip re-inference
+    of parquet schemas (DataFrames are lazy plans; caching is free)."""
+    key = (id(spark), sf_dir)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = load_tables(spark, sf_dir)
+    return _TABLE_CACHE[key]
+
+
+def _t(fn) -> Callable[[SparkSession, str], DataFrame]:
+    """Adapt a tables->DF operator to the (spark, sf_dir) contract."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_tables(spark, sf_dir))
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # -- aggregations ---------------------------------------------------
+        "q1_pricing_summary": _t(R.q1_pricing_summary),
+        "agg_order_stats_by_priority": _t(R.agg_order_stats_by_priority),
+        "rollup_orders": _t(R.rollup_orders),
+        "cube_lineitem_flags": _t(R.cube_lineitem_flags),
+        "case_bucketing_acctbal": _t(R.case_bucketing_acctbal),
+        # -- joins ----------------------------------------------------------
+        "q5_revenue_by_nation": _t(R.q5_revenue_by_nation),
+        "q3_shipping_priority": _t(R.q3_shipping_priority),
+        "semi_join_customers_with_open_orders": _t(R.semi_join_customers_with_open_orders),
+        "anti_join_customers_without_orders": _t(R.anti_join_customers_without_orders),
+        "outer_join_nation_order_counts": _t(R.outer_join_nation_order_counts),
+        "range_join_events_pairs": _t(R.range_join_events_near_orders),
+        # -- windows / top-k ------------------------------------------------
+        "topk_orders_per_customer": _t(R.topk_orders_per_customer),
+        "window_running_order_total": _t(R.window_running_order_total),
+        "window_price_rank_in_type": _t(R.window_price_rank_in_type),
+        "global_top_orders": _t(R.global_top_orders),
+        # -- set ops / distinct ----------------------------------------------
+        "set_ops_nation_keys": _t(R.set_ops_nation_keys),
+        "distinct_mktsegments": _t(R.distinct_mktsegments),
+        # -- scalar functions -------------------------------------------------
+        "scalar_string_date_math": _t(R.scalar_string_date_math),
+        "scalar_json_extract": _t(R.scalar_json_extract),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "agg_order_stats_by_priority": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   COUNT(DISTINCT o_custkey) AS n_customers,
+                   ROUND(MIN(o_totalprice), 4) AS min_price,
+                   ROUND(MAX(o_totalprice), 4) AS max_price,
+                   ROUND(AVG(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS total_price
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_lineitem_flags": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_items,
+                   ROUND(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "case_bucketing_acctbal": """
+            SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                        WHEN c_acctbal < 5000 THEN 'low'
+                        ELSE 'high' END AS bal_bucket,
+                   COUNT(*) AS n_customers,
+                   ROUND(AVG(c_acctbal), 4) AS avg_bal
+            FROM customer GROUP BY 1
+        """,
+        "q5_revenue_by_nation": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "semi_join_customers_with_open_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        """,
+        "anti_join_customers_without_orders": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "outer_join_nation_order_counts": """
+            SELECT n_nationkey, n_name,
+                   COUNT(c.c_nationkey) AS n_customers,
+                   CAST(COALESCE(SUM(c.cnt), 0) AS BIGINT) AS n_orders
+            FROM nation
+            LEFT JOIN (
+                SELECT c_custkey, c_nationkey, COALESCE(o.cnt, 0) AS cnt
+                FROM customer
+                LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt
+                           FROM orders GROUP BY o_custkey) o
+                       ON c_custkey = o.o_custkey
+            ) c ON n_nationkey = c.c_nationkey
+            GROUP BY n_nationkey, n_name
+        """,
+        "range_join_events_pairs": """
+            SELECT a.user_id AS user_id,
+                   a.event_id AS event_id_1,
+                   b.event_id AS event_id_2
+            FROM events a
+            JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL '10 minutes'
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(o_totalprice, 4) AS o_totalprice,
+                   CAST(rn AS INT) AS rn
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "window_running_order_total": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_total
+            FROM orders
+        """,
+        "window_price_rank_in_type": """
+            SELECT p_partkey, p_type,
+                   ROUND(p_retailprice, 4) AS p_retailprice,
+                   CAST(DENSE_RANK() OVER w AS INT) AS price_rank,
+                   ROUND(LAG(p_retailprice, 1) OVER w, 4) AS prev_price
+            FROM part
+            WINDOW w AS (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey ASC)
+        """,
+        "global_top_orders": """
+            SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+        """,
+        "set_ops_nation_keys": """
+            WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+                 s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+            SELECT 'union' AS op, nationkey FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+            UNION ALL
+            SELECT 'intersect' AS op, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+            UNION ALL
+            SELECT 'except' AS op, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+        """,
+        "distinct_mktsegments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "scalar_string_date_math": """
+            SELECT o_orderkey,
+                   UPPER(o_orderpriority) AS prio_upper,
+                   SUBSTRING(o_orderstatus, 1, 1) AS status_c,
+                   CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
+                   CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_prio,
+                   CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                   CAST(MONTH(o_orderdate) AS INT) AS o_month,
+                   CAST(DAY(o_orderdate) AS INT) AS o_day,
+                   ROUND(SQRT(o_totalprice), 4) AS price_sqrt,
+                   ROUND(LN(o_totalprice + 1), 4) AS price_ln,
+                   CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
+                   ROUND(ABS(o_totalprice - 1000.0), 4) AS price_abs_dev,
+                   CASE WHEN o_totalprice > 1000 THEN 'big' ELSE 'small' END AS size_class
+            FROM orders
+        """,
+        "scalar_json_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+            FROM events
+        """,
+    }

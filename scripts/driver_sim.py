@@ -1,0 +1,70 @@
+"""Simulate the driver harness: plain default SparkSession, entry() smoke,
+then a sample of queries() vs oracle_sql() at sf0.01 with an
+order-insensitive value hash — the same shape of check the driver runs."""
+import hashlib
+import math
+import sys
+from datetime import datetime, date
+
+import duckdb
+from pyspark.sql import SparkSession
+
+# Driver-like session: defaults only, no sparklyclean_spark config.
+spark = (
+    SparkSession.builder.appName("driver-sim")
+    .master("local[8]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+print("session timezone:", spark.conf.get("spark.sql.session.timeZone"))
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as E
+
+# 1. entry smoke
+df = E.entry(spark)
+rows = df.collect()
+print("entry(): rows =", len(rows), "schema =", df.schema.simpleString())
+assert len(rows) > 0
+
+# 2. queries vs oracle at sf0.01
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{round(v, 4):.4f}"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return str(v)
+
+def valhash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+Q = E.queries()
+O = E.oracle_sql()
+sample = sys.argv[1:] or list(O)
+fails = []
+for name in sample:
+    sdf = Q[name](spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(O[name])
+    ecols = [d[0] for d in res.description]
+    erows = res.fetchall()
+    h1, h2 = valhash(sdf.columns, srows), valhash(ecols, erows)
+    ok = len(srows) == len(erows) and sorted(sdf.columns) == sorted(ecols) and h1 == h2
+    print(f"{'OK ' if ok else 'FAIL'} {name}: spark={len(srows)} oracle={len(erows)} hash {h1} vs {h2}")
+    if not ok:
+        fails.append(name)
+print("FAILURES:", fails if fails else "none")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,331 @@
+"""Relational core: joins, aggregations, windows, sorts, set ops.
+
+Every function is ``tables -> DataFrame`` over the catalog tables and
+is paired with an ANSI-SQL oracle in ``__spark_entry__.oracle_sql``.
+All plans are declarative DataFrame API so Catalyst applies pushdown,
+pruning, join reordering, and whole-stage codegen; dimension joins
+(region/nation) broadcast explicitly.
+
+Float aggregates are rounded to 4 decimals on BOTH engine and oracle
+sides so the order-insensitive value hash is robust to summation
+order (Spark partial aggs vs DuckDB single-node).
+
+Capability parity note: the reference (sparklyclean) has no join/agg
+API — its whole pipeline is one hand-rolled blocked self-join
+(SURVEY.md §2.8). This module is the engine surface required by
+BASELINE.json §2.10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _r(col, n=4):
+    """Round a float aggregate for hash-stable comparison."""
+    return F.round(col, n)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Scan-heavy group-by: partial (map-side) aggregation then a tiny
+    shuffle on the 4-ish distinct (returnflag, linestatus) keys —
+    scales linearly with input at 100 TB.
+    """
+    l = t["lineitem"]
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            _r(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            _r(F.avg("l_extendedprice")).alias("avg_price"),
+            _r(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def agg_order_stats_by_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """Distinct-agg + min/max/avg per order priority."""
+    o = t["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        _r(F.min("o_totalprice")).alias("min_price"),
+        _r(F.max("o_totalprice")).alias("max_price"),
+        _r(F.avg("o_totalprice")).alias("avg_price"),
+    )
+
+
+def rollup_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """ROLLUP (status, priority) with grand total."""
+    o = t["orders"]
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), _r(F.sum("o_totalprice")).alias("total_price"))
+    )
+
+
+def cube_lineitem_flags(t: dict[str, DataFrame]) -> DataFrame:
+    """CUBE (returnflag, linestatus)."""
+    l = t["lineitem"]
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), _r(F.sum("l_quantity")).alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def q5_revenue_by_nation(t: dict[str, DataFrame]) -> DataFrame:
+    """Flagship: revenue per nation — 5-way join + agg (TPC-H Q5 shape).
+
+    Fact-fact joins (lineitem⋈orders) shuffle on the orderkey;
+    dimension joins broadcast (nation/region are tiny at every SF, a
+    few-hundred-MB customer/supplier dim would also fit under the
+    64 MB threshold at small SF and AQE re-plans at runtime).
+    """
+    l, o, c = t["lineitem"], t["orders"], t["customer"]
+    s, n, r = t["supplier"], t["nation"], t["region"]
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        # same-nation constraint (customer and supplier co-located)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+def q3_shipping_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """Top-10 unshipped orders by revenue (TPC-H Q3 shape).
+
+    Total order (revenue DESC, orderkey ASC) so LIMIT is
+    deterministic across engines.
+    """
+    c, o, l = t["customer"], t["orders"], t["lineitem"]
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .where((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def semi_join_customers_with_open_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """LEFT SEMI join: customers having at least one open order."""
+    c, o = t["customer"], t["orders"]
+    return c.join(
+        o.where(F.col("o_orderstatus") == "O"),
+        c.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def anti_join_customers_without_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """LEFT ANTI join: customers with no orders at all."""
+    c, o = t["customer"], t["orders"]
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+def outer_join_nation_order_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """LEFT OUTER join preserving nations with zero customers/orders."""
+    n, c, o = t["nation"], t["customer"], t["orders"]
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    cust = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left").select(
+        "c_nationkey", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    return (
+        F.broadcast(n)
+        .join(cust, n.n_nationkey == cust.c_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            F.sum(F.when(F.col("c_nationkey").isNotNull(), 1).otherwise(0)).alias("n_customers"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+def range_join_events_near_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Non-equi (theta) join: per-user event pairs within 10 minutes.
+
+    Self range-join on the events table: pairs of events by the same
+    user whose timestamps are within a 10-minute band, earlier first.
+    Equi key (user_id) carries the shuffle; the range predicate is a
+    post-join filter, so this stays a hash/sort-merge join, not a
+    cartesian product.
+    """
+    e = t["events"]
+    a = e.select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("a_id") < F.col("b_id"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            F.col("a_user").alias("user_id"),
+            F.col("a_id").alias("event_id_1"),
+            F.col("b_id").alias("event_id_2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k
+# ---------------------------------------------------------------------------
+
+def topk_orders_per_customer(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-group top-k: each customer's 3 most expensive orders.
+
+    row_number over (custkey) — ties broken by orderkey for a total
+    order; the window shuffles once on custkey, no global sort.
+    """
+    o = t["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", _r(F.col("o_totalprice")).alias("o_totalprice"), "rn")
+    )
+
+
+def window_running_order_total(t: dict[str, DataFrame]) -> DataFrame:
+    """Running cumulative total per customer ordered by date."""
+    o = t["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        _r(F.sum("o_totalprice").over(w)).alias("running_total"),
+    )
+
+
+def window_price_rank_in_type(t: dict[str, DataFrame]) -> DataFrame:
+    """Ranking + analytic functions: dense_rank and lag within p_type."""
+    p = t["part"]
+    w = Window.partitionBy("p_type").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return p.select(
+        "p_partkey",
+        "p_type",
+        _r(F.col("p_retailprice")).alias("p_retailprice"),
+        F.dense_rank().over(w).alias("price_rank"),
+        _r(F.lag("p_retailprice", 1).over(w)).alias("prev_price"),
+    )
+
+
+def global_top_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Global ORDER BY + LIMIT (total order via orderkey tiebreak)."""
+    o = t["orders"]
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", _r(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / distinct
+# ---------------------------------------------------------------------------
+
+def set_ops_nation_keys(t: dict[str, DataFrame]) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer vs supplier nations."""
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey")).distinct()
+    union = c.union(s).distinct().withColumn("op", F.lit("union"))
+    inter = c.intersect(s).withColumn("op", F.lit("intersect"))
+    exc = c.exceptAll(s).withColumn("op", F.lit("except"))
+    return union.unionByName(inter).unionByName(exc).select("op", "nationkey")
+
+
+def distinct_mktsegments(t: dict[str, DataFrame]) -> DataFrame:
+    """DISTINCT projection."""
+    return t["customer"].select("c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions
+# ---------------------------------------------------------------------------
+
+def scalar_string_date_math(t: dict[str, DataFrame]) -> DataFrame:
+    """String / date / math scalar function coverage over orders."""
+    o = t["orders"]
+    return o.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderstatus"), 1, 1).alias("status_c"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("status_prio"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        _r(F.sqrt(F.col("o_totalprice"))).alias("price_sqrt"),
+        _r(F.log(F.col("o_totalprice") + 1)).alias("price_ln"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        _r(F.abs(F.col("o_totalprice") - 1000.0)).alias("price_abs_dev"),
+        F.when(F.col("o_totalprice") > 1000, "big").otherwise("small").alias("size_class"),
+    )
+
+
+def scalar_json_extract(t: dict[str, DataFrame]) -> DataFrame:
+    """JSON scalar extraction from the events props column."""
+    e = t["events"]
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+def case_bucketing_acctbal(t: dict[str, DataFrame]) -> DataFrame:
+    """CASE ladder + groupBy over computed key."""
+    c = t["customer"]
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return c.groupBy(bucket.alias("bal_bucket")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _r(F.avg("c_acctbal")).alias("avg_bal"),
+    )
