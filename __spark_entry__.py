@@ -14,8 +14,53 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from sparklyclean_spark.catalog import load_tables
 from sparklyclean_spark.operators import relational as R
+from sparklyclean_spark.operators.dedup.blocking import BlockingRule
+from sparklyclean_spark.operators.dedup.compare import FieldComparator, select_pair_features
+from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
+from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
+
+# Customer-table blocking used by the dedup driver-gate queries:
+# function 1 = nation, function 2 = market segment (overlapping, so the
+# exactly-once lowest-common-block guard is exercised).
+_CUST_RULES = [BlockingRule(1, "c_nationkey"), BlockingRule(2, "c_mktsegment")]
+
+
+def _dedup_pairs_naive_customer(t: dict[str, DataFrame]) -> DataFrame:
+    return candidate_pairs_naive(t["customer"], _CUST_RULES, "c_custkey").select(
+        "bk", "id1", "id2"
+    )
+
+
+def _dedup_pairs_disdedup_customer(t: dict[str, DataFrame]) -> DataFrame:
+    """Load-balanced path must produce the same pair set as the naive
+    oracle — this entry hash-checks the flagship operator end-to-end."""
+    return candidate_pairs_disdedup(
+        t["customer"], _CUST_RULES, "c_custkey", k=49
+    ).select("bk", "id1", "id2")
+
+
+def _dedup_pair_features_customer(t: dict[str, DataFrame]) -> DataFrame:
+    pairs = candidate_pairs_naive(
+        t["customer"],
+        [BlockingRule(1, "c_nationkey")],
+        "c_custkey",
+        payload_cols=["c_name", "c_acctbal"],
+    )
+    spec = [
+        FieldComparator("c_name", "levenshtein"),
+        FieldComparator("c_acctbal", "abs_diff", {"mode": "sane"}),
+    ]
+    feat = select_pair_features(pairs, spec)
+    return feat.select(
+        "id1",
+        "id2",
+        F.round("f_c_name", 4).alias("f_c_name"),
+        F.round("f_c_acctbal", 4).alias("f_c_acctbal"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -70,6 +115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- scalar functions -------------------------------------------------
         "scalar_string_date_math": _t(R.scalar_string_date_math),
         "scalar_json_extract": _t(R.scalar_json_extract),
+        # -- dedup (flagship Dis-Dedup pipeline) ------------------------------
+        "dedup_pairs_naive_customer": _t(_dedup_pairs_naive_customer),
+        "dedup_pairs_disdedup_customer": _t(_dedup_pairs_disdedup_customer),
+        "dedup_pair_features_customer": _t(_dedup_pair_features_customer),
     }
 
 
@@ -242,4 +291,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
             FROM events
         """,
+        # Intra-block pairs, exactly once: a pair sharing BOTH blocking
+        # keys is attributed to the lower-numbered function (nation).
+        "dedup_pairs_naive_customer": _DEDUP_PAIRS_SQL,
+        "dedup_pairs_disdedup_customer": _DEDUP_PAIRS_SQL,
+        "dedup_pair_features_customer": """
+            SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+                   ROUND(1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+                         / GREATEST(LENGTH(a.c_name), LENGTH(b.c_name), 1), 4) AS f_c_name,
+                   ROUND(ABS(a.c_acctbal - b.c_acctbal), 4) AS f_c_acctbal
+            FROM customer a
+            JOIN customer b
+              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        """,
     }
+
+
+_DEDUP_PAIRS_SQL = """
+    SELECT CAST(1 AS INT) AS bk, a.c_custkey AS id1, b.c_custkey AS id2
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    UNION ALL
+    SELECT CAST(2 AS INT), a.c_custkey, b.c_custkey
+    FROM customer a
+    JOIN customer b
+      ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+     AND a.c_nationkey <> b.c_nationkey
+"""
