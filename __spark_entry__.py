@@ -89,6 +89,22 @@ def _t(fn) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup→ML flow on the Febrl-shaped generator: blocked
+    load-balanced pairs → features → GBT train → holdout confusion
+    matrix. Not SQL-expressible (iterative ML) → rows-only check."""
+    from sparklyclean_spark.datagen import people_df
+    from sparklyclean_spark.ml.dup_classifier import train_dup_classifier
+    from sparklyclean_spark.operators.dedup.pipeline import generate_labeled_points
+
+    labeled = generate_labeled_points(people_df(spark, n_originals=120), k=49, mode="sane")
+    _, m = train_dup_classifier(labeled, max_iter=10)
+    return spark.createDataFrame(
+        [(m.tn, m.fp, m.fn, m.tp, round(m.precision, 4), round(m.recall, 4))],
+        schema="tn bigint, fp bigint, fn bigint, tp bigint, precision double, recall double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- aggregations ---------------------------------------------------
@@ -119,6 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pairs_naive_customer": _t(_dedup_pairs_naive_customer),
         "dedup_pairs_disdedup_customer": _t(_dedup_pairs_disdedup_customer),
         "dedup_pair_features_customer": _t(_dedup_pair_features_customer),
+        # -- ML (rows-only: no oracle_sql entry) ------------------------------
+        "ml_dedup_confusion": _ml_dedup_confusion,
     }
 
 

@@ -58,6 +58,10 @@ fails = []
 for name in sample:
     sdf = Q[name](spark, SF)
     srows = [tuple(r) for r in sdf.collect()]
+    if name not in O:
+        # rows-only check (non-SQL-expressible op), like the driver's
+        print(f"OK  {name}: rows-only, spark={len(srows)} schema={sdf.schema.simpleString()}")
+        continue
     res = con.execute(O[name])
     ecols = [d[0] for d in res.description]
     erows = res.fetchall()

@@ -16,7 +16,7 @@ from sparklyclean_spark.operators.dedup.disdedup import (
     plan_assignment,
     triangle_side,
 )
-from tests.febrl_fixture import people_df
+from sparklyclean_spark.datagen import people_df
 
 RULES = [
     BlockingRule(1, "blocking_number"),
