@@ -22,6 +22,8 @@ from sparklyclean_spark.operators.dedup.blocking import BlockingRule
 from sparklyclean_spark.operators.dedup.compare import FieldComparator, select_pair_features
 from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
+from sparklyclean_spark.operators import text_analysis as TA
+from sparklyclean_spark.operators.dedup import textdedup as TD
 
 # Customer-table blocking used by the dedup driver-gate queries:
 # function 1 = nation, function 2 = market segment (overlapping, so the
@@ -89,6 +91,30 @@ def _t(fn) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _q(fn, *args, **kwargs) -> Callable[[SparkSession, str], DataFrame]:
+    """Adapt an operator over one table: fn(table, *args) per sf_dir."""
+    table = kwargs.pop("table")
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_tables(spark, sf_dir)[table], *args, **kwargs)
+
+    return run
+
+
+def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklyclean_spark.operators.similarity.knn import brute_force_topk
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparklyclean_spark.operators.similarity.knn import lsh_bucketed_topk
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
 def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup→ML flow on the Febrl-shaped generator: blocked
     load-balanced pairs → features → GBT train → holdout confusion
@@ -137,6 +163,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pair_features_customer": _t(_dedup_pair_features_customer),
         # -- ML (rows-only: no oracle_sql entry) ------------------------------
         "ml_dedup_confusion": _ml_dedup_confusion,
+        # -- text analysis ----------------------------------------------------
+        "text_token_stats": _q(TA.token_stats, table="documents"),
+        "text_quality_scores": _q(TA.quality_scores, table="documents"),
+        "text_language_id": _q(TA.language_id, table="documents"),
+        "text_fingerprints": _q(TA.fingerprints, table="documents"),
+        "text_tfidf_top_terms": _q(TA.tfidf_top_terms, table="documents"),
+        # -- near-dup dedup over documents ------------------------------------
+        "dedup_exact_documents": _q(TD.exact_dedup, table="documents"),
+        "neardup_token_jaccard": _q(TD.token_jaccard_pairs, 0.9, table="documents"),
+        "neardup_shingle_jaccard": _q(TD.shingle_jaccard_pairs, 0.3, table="documents"),
+        # hash-based candidates: rows-only (tests check recall vs exact)
+        "neardup_minhash_lsh": _q(TD.minhash_lsh_pairs, 0.3, table="documents"),
+        "neardup_simhash": _q(TD.simhash_pairs, 3, table="documents"),
+        # -- similarity search over embeddings ---------------------------------
+        "embedding_cosine_neardup": _q(TD.embedding_cosine_pairs, 0.3, table="embeddings"),
+        "knn_bruteforce_cosine": _knn_brute,
+        "knn_lsh_cosine": _knn_lsh,
     }
 
 
@@ -309,6 +352,123 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
             FROM events
         """,
+        # -- text analysis ----------------------------------------------------
+        "text_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS INT) AS n_uniq_tokens,
+                   ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                              / len(toks) END, 4) AS mean_tok_len
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+        """,
+        "text_quality_scores": f"""
+            SELECT doc_id,
+                   ROUND(swr, 4) AS stopword_ratio,
+                   ROUND(ar, 4) AS alpha_ratio,
+                   ROUND(LEAST(1.0, swr * 2.0) * 0.3 + ar * 0.5 +
+                         (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+                         4) AS quality
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(toks, w -> w IN
+                                 ('the','a','an','and','of','to','in','is','it','for'))) AS DOUBLE)
+                                 / len(toks) END AS swr,
+                       CASE WHEN len(text) = 0 THEN 0.0
+                            ELSE CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                                 / len(text) END AS ar,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                                 / len(toks) END AS mwl
+                FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+            )
+        """,
+        "text_language_id": f"""
+            SELECT doc_id,
+                   CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM (
+                SELECT doc_id,
+                       len(list_filter(toks, w -> w IN ('der','die','das','und','nicht','ist'))) AS s_de,
+                       len(list_filter(toks, w -> w IN ('the','and','of','to','a','in'))) AS s_en,
+                       len(list_filter(toks, w -> w IN ('el','la','los','que','y','es'))) AS s_es,
+                       len(list_filter(toks, w -> w IN ('le','la','les','et','est','une'))) AS s_fr
+                FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+            )
+        """,
+        "text_fingerprints": f"""
+            SELECT doc_id, {_FP_SQL} AS fp FROM documents
+        """,
+        "text_tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+                SELECT doc_id, term, tf,
+                       tf * (LN((n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, ROUND(tfidf, 4) AS tfidf, CAST(rank AS INT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, tf DESC, term ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 3
+        """,
+        # -- near-dup dedup ----------------------------------------------------
+        "dedup_exact_documents": f"""
+            SELECT fp, MIN(id) AS keep_id, COUNT(*) - 1 AS n_dups
+            FROM (SELECT doc_id AS id, {_FP_SQL} AS fp FROM documents)
+            GROUP BY fp
+        """,
+        "neardup_token_jaccard": f"""
+            WITH t AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents)
+            SELECT id1, id2, jaccard FROM (
+                SELECT a.doc_id AS id1, b.doc_id AS id2,
+                       ROUND(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0
+                             ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                                  / len(list_distinct(list_concat(a.toks, b.toks))) END, 4) AS jaccard
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.9
+        """,
+        "neardup_shingle_jaccard": f"""
+            WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+            s AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, GREATEST(len(w) - 2, 0) + 1),
+                                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                  FROM w)
+            SELECT id1, id2, jaccard FROM (
+                SELECT a.doc_id AS id1, b.doc_id AS id2,
+                       ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                                  / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.3
+        """,
+        # -- similarity search (float64 cosine, matches Spark exactly) --------
+        "embedding_cosine_neardup": f"""
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   ROUND({_COS_SQL}, 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_COS_SQL} >= 0.3
+        """,
+        "knn_bruteforce_cosine": f"""
+            SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cos, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       {_COS_SQL} AS cos_raw,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+                FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+                WHERE a.vec_id < 10
+            ) WHERE rank <= 5
+        """,
         # Intra-block pairs, exactly once: a pair sharing BOTH blocking
         # keys is attributed to the lower-numbered function (nation).
         "dedup_pairs_naive_customer": _DEDUP_PAIRS_SQL,
@@ -324,6 +484,22 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
 
+
+# Shared DuckDB fragments for the text/similarity oracles. Token
+# split and fingerprint normalization mirror functions/text.py; the
+# cosine computes in float64 with left-to-right accumulation, which is
+# bit-identical to Spark's aggregate() over double-cast floats
+# (DuckDB's built-in list_cosine_similarity is float32 — NOT usable).
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)"
+)
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+_COS_SQL = (
+    "(list_sum(list_transform(range(1, len(a.embedding) + 1),"
+    " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+)
 
 _DEDUP_PAIRS_SQL = """
     SELECT CAST(1 AS INT) AS bk, a.c_custkey AS id1, b.c_custkey AS id2

@@ -1,0 +1,80 @@
+"""Document-level text analysis over the ``documents`` table:
+token stats, quality scoring, language ID, fingerprints, TF-IDF.
+
+Every operator is oracle-checkable ANSI SQL (DuckDB list/lambda
+functions mirror the Spark higher-order functions 1:1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.functions import text as T
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts and mean token length."""
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.distinct_token_count("text").alias("n_uniq_tokens"),
+        F.round(T.mean_word_length("text"), 4).alias("mean_tok_len"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc quality heuristics + composite score."""
+    return docs.select(
+        "doc_id",
+        F.round(T.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(T.alpha_ratio("text"), 4).alias("alpha_ratio"),
+        F.round(T.quality_score("text"), 4).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-token heuristic language ID (n-gram-profile style)."""
+    return docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprint per doc (md5 of normalized text)."""
+    return docs.select("doc_id", T.fingerprint_md5("text").alias("fp"))
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Explode → two hash aggregations (term frequency per doc, document
+    frequency per term) → window top-k. All shuffles are on low-card
+    keys (doc_id, term); at scale this is the classic two-pass
+    TF-IDF, no driver involvement. idf = ln((N+1)/(df+1)) + 1.
+    Deterministic tie-break: higher tf first, then term ASC.
+    """
+    n_docs = docs.count()  # one count job; the value is a plan literal
+    terms = docs.select(
+        "doc_id", F.explode(T.words("text")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "tfidf",
+        F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round("tfidf", 4).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1,0 +1,93 @@
+"""Text-analysis & near-dup operators: hash-path recall vs exact paths,
+shingle edge cases, LSH ANN recall vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.catalog import load_table
+from sparklyclean_spark.operators.dedup import textdedup as TD
+from sparklyclean_spark.operators.similarity.knn import brute_force_topk, lsh_bucketed_topk
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def test_shingles_short_doc(spark):
+    """Docs shorter than the shingle width yield an empty set (the
+    sequence() guard), not an error."""
+    from sparklyclean_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [("a",), ("a b",), ("a b c",), ("",)], "text string"
+    ).select(word_shingles("text", 3).alias("sh"))
+    rows = [r["sh"] for r in df.collect()]
+    assert rows == [[], [], ["a b c"], []]
+
+
+def test_minhash_lsh_recall_and_precision(docs):
+    """LSH candidates verified by exact Jaccard ⇒ precision 1.0
+    (subset of the exact quadratic result); recall should be high at
+    j≥0.5 given 8 bands × 4 rows."""
+    exact = {
+        (r["id1"], r["id2"])
+        for r in TD.shingle_jaccard_pairs(docs, 0.5).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in TD.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    assert lsh <= exact, f"LSH produced non-exact pairs: {lsh - exact}"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"recall {recall} ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_pairs_sane(docs):
+    """SimHash near-dups must share high token overlap: every pair at
+    hamming ≤ 3 should also clear a loose exact-Jaccard bar."""
+    sim = TD.simhash_pairs(docs, max_hamming=3)
+    joined = sim.join(
+        TD.token_jaccard_pairs(docs, 0.0).select("id1", "id2", "jaccard"),
+        ["id1", "id2"],
+        "left",
+    )
+    rows = joined.collect()
+    if rows:
+        low = [r for r in rows if (r["jaccard"] or 0.0) < 0.5]
+        assert len(low) <= max(1, len(rows) // 10), (
+            f"{len(low)}/{len(rows)} simhash pairs have jaccard < 0.5"
+        )
+
+
+def test_knn_lsh_recall(emb):
+    """ANN top-5 should recover a solid fraction of brute-force top-5
+    (near-orthogonal synthetic embeddings are the hard case; we bound
+    recall loosely but require overlap)."""
+    q = emb.where(F.col("vec_id") < 20)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(emb, q, k=5, n_planes=16, bands=8).collect()
+    }
+    recall = len(ann & bf) / len(bf)
+    assert recall >= 0.3, f"ANN recall {recall}"
+
+
+def test_exact_dedup_idempotent(docs):
+    d = TD.exact_dedup(docs)
+    assert d.count() == d.select("fp").distinct().count()
+    # no dups in this corpus: every group has n_dups = 0
+    assert d.where(F.col("n_dups") > 0).count() == 0
