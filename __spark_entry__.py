@@ -24,6 +24,8 @@ from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
 from sparklyclean_spark.operators import text_analysis as TA
 from sparklyclean_spark.operators.dedup import textdedup as TD
+from sparklyclean_spark.operators import multimodal as MM
+from sparklyclean_spark.streaming import windows as W
 
 # Customer-table blocking used by the dedup driver-gate queries:
 # function 1 = nation, function 2 = market segment (overlapping, so the
@@ -180,6 +182,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_neardup": _q(TD.embedding_cosine_pairs, 0.3, table="embeddings"),
         "knn_bruteforce_cosine": _knn_brute,
         "knn_lsh_cosine": _knn_lsh,
+        # -- event-time windowing (batch semantics == streaming plan) ---------
+        "events_tumbling_hourly": _q(W.tumbling_counts, table="events"),
+        "events_sliding_users": _q(W.sliding_user_activity, table="events"),
+        "events_session_windows": _q(W.session_windows, table="events"),
+        # -- multimodal plumbing (mapInPandas decode; deterministic stub) -----
+        "multimodal_decode_meta": lambda spark, sf_dir: MM.decode_metadata(
+            MM.make_media_table(_tables(spark, sf_dir)["documents"])
+        ),
+        "multimodal_features": lambda spark, sf_dir: MM.extract_features(
+            MM.make_media_table(_tables(spark, sf_dir)["documents"])
+        ).select("media_id", F.round(F.element_at("feat", 1), 4).alias("f0")),
     }
 
 
@@ -468,6 +481,67 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
                 WHERE a.vec_id < 10
             ) WHERE rank <= 5
+        """,
+        # -- event-time windowing ---------------------------------------------
+        "events_tumbling_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "events_sliding_users": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       unnest([time_bucket(INTERVAL '30 minutes', ts),
+                               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                       AS window_start
+                FROM events
+            )
+            SELECT window_start,
+                   window_start + INTERVAL '1 hour' AS window_end,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM e
+            WHERE ts >= window_start AND ts < window_start + INTERVAL '1 hour'
+            GROUP BY 1, 2
+        """,
+        # Session semantics (verified against Spark on a boundary
+        # fixture): an event EXACTLY gap after the previous one still
+        # merges; a new session needs a strictly larger silence.
+        # Window end = last event + gap.
+        "events_session_windows": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR ts - LAG(ts) OVER w > INTERVAL '15 minutes'
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM o
+            )
+            SELECT MIN(ts) AS window_start,
+                   MAX(ts) + INTERVAL '15 minutes' AS window_end,
+                   user_id,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sess_id
+        """,
+        # -- multimodal decode stub (length-derived fake dims are
+        #    deliberately SQL-visible so the pandas path is checkable)
+        "multimodal_decode_meta": """
+            SELECT doc_id AS media_id,
+                   'image/fake' AS kind,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(strlen(text) % 64 + 16 AS INT) AS width,
+                   CAST(strlen(text) % 48 + 16 AS INT) AS height,
+                   TRUE AS ok
+            FROM documents
         """,
         # Intra-block pairs, exactly once: a pair sharing BOTH blocking
         # keys is attributed to the lower-numbered function (nation).

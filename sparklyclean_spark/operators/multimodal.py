@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with
+a ``kind`` tag and a metadata struct. Decode / feature-extraction run
+as Arrow-batched ``mapInPandas`` stages — the ONLY place Python
+belongs in this engine, because codec work is inherently
+per-byte-buffer. The Spark-side contract (schemas, batch iteration,
+partition preservation) is real and tested; the codec itself is a
+STUB in this container (no image/audio libraries available): real
+deployments drop in Pillow/torchaudio/pyav inside ``_decode_real``.
+
+Scale shape: mapInPandas streams Arrow batches, so a 100 TB media
+table decodes partition-parallel with constant memory per task;
+metadata-only consumers never touch ``payload`` thanks to parquet
+column pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, src_chars bigint"
+)
+DECODED_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, width int, height int, ok boolean"
+)
+FEATURE_DIM = 16
+FEATURES_SCHEMA = f"media_id bigint, feat array<double>"
+
+
+def make_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic media table: each document's UTF-8 bytes
+    stand in for an encoded payload (the container has no codecs, so
+    tests exercise the plumbing with fake payloads)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/fake").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("n_chars").alias("src_chars"),
+    )
+
+
+def _decode_real(payload: bytes, kind: str) -> tuple[int, int]:
+    """Real codec hook — intentionally unimplemented here.
+
+    STUB: in production, dispatch on ``kind`` to Pillow / pyav /
+    soundfile and return true dimensions.
+    """
+    raise NotImplementedError("no codec libraries in this container")
+
+
+def _decode_fake(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake dimensions derived from payload length —
+    keeps the pipeline end-to-end testable (and oracle-checkable,
+    since length is visible to SQL)."""
+    n = len(payload)
+    return (n % 64 + 16, n % 48 + 16)
+
+
+def decode_metadata(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Arrow-batched decode: (media_id, kind, n_bytes, width, height, ok)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                try:
+                    w, h = (
+                        _decode_real(payload, kind)
+                        if use_real_codec
+                        else _decode_fake(payload)
+                    )
+                    dims.append((len(payload), w, h, True))
+                except NotImplementedError:
+                    dims.append((len(payload), None, None, False))
+            out = pd.DataFrame(
+                dims, columns=["n_bytes", "width", "height", "ok"]
+            )
+            out.insert(0, "kind", pdf["kind"].values)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Arrow-batched feature extraction: byte-histogram folded to
+    ``dim`` buckets, L1-normalized — a deterministic stand-in for a
+    real visual/audio embedding model (same UDF signature and batch
+    shape a model-serving stage would use)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                buckets = [0] * dim
+                for byte in payload:
+                    buckets[byte % dim] += 1
+                total = sum(buckets) or 1
+                feats.append([b / total for b in buckets])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values, "feat": feats}
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)

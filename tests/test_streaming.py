@@ -1,0 +1,80 @@
+"""Structured Streaming wrapper smoke: the watermarked streaming plan
+must produce the same result as the batch window over the same data,
+and session-window boundary semantics must match the SQL oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.streaming.windows import (
+    session_windows,
+    streaming_tumbling_counts,
+    tumbling_counts,
+)
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, event_type string, value double"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Small deterministic event set written as a streamable directory."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    rows = [
+        (i, f"2024-01-01 {i % 24:02d}:{(i * 7) % 60:02d}:00", ["click", "view"][i % 2], float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts string, event_type string, value double")
+    df.withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_streaming_matches_batch(spark, event_dir):
+    batch = tumbling_counts(spark.read.parquet(event_dir))
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+
+    stream_df = streaming_tumbling_counts(spark, event_dir, EVENTS_SCHEMA)
+    assert stream_df.isStreaming
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName("tumbling_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_smoke").collect()
+    }
+    assert got == expected
+
+
+def test_session_window_gap_boundary(spark):
+    """Boundary semantics pinned empirically: an event EXACTLY `gap`
+    after the previous one still MERGES into the session; one
+    microsecond beyond starts a new session. The DuckDB oracle uses
+    strict `>` to match."""
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),        # merges (10 min < gap)
+        (1, "2024-01-01 10:25:00"),        # exactly gap after -> merges
+        (1, "2024-01-01 10:40:00.000001"), # gap + 1us -> NEW session
+        (2, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), F.lit(1.0).alias("value")
+    )
+    sessions = session_windows(df, "15 minutes").collect()
+    per_user = {}
+    for r in sessions:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[2]) == 1
+    assert len(per_user[1]) == 2, per_user[1]
+    first = min(per_user[1], key=lambda r: r["window_start"])
+    assert first["n_events"] == 3
