@@ -17,9 +17,18 @@ def _c(c: Column | str) -> Column:
 
 
 def words(text: Column | str) -> Column:
-    """Lower-cased whitespace tokens (empty strings removed)."""
-    return F.filter(
-        F.split(F.lower(_c(text)), r"\s+"), lambda w: F.length(w) > 0
+    """Lower-cased whitespace tokens (empty strings removed).
+
+    trim+split instead of a filter() higher-order function: HOFs are
+    interpreted per row (and their shared eval call-sites are
+    vulnerable to JVM profile pollution from other large queries);
+    trim/split/when stay inside whole-stage codegen. Semantics are
+    identical: \\s+ splitting only yields empty tokens at the ends,
+    which trim removes; all-whitespace text is guarded to [].
+    """
+    t = F.trim(F.lower(_c(text)))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
     )
 
 

@@ -1,15 +1,25 @@
-"""Dense-vector column math over ``array<float|double>`` embeddings.
+"""Dense-vector math over ``array<float|double>`` embeddings.
 
-Pure Column expressions (``aggregate``/``zip_with``) — no UDF, no
-Python per row; at 100 TB the dot products run inside codegen next to
-the scan. Values are computed in double precision, matching DuckDB's
-``list_cosine_similarity`` promotion semantics.
+Two tiers:
+
+* Column expressions (``aggregate``/``zip_with``) — zero-dependency,
+  exactly sequential float64 (bit-matches a sequential SQL oracle).
+  Higher-order functions are INTERPRETED per element in Spark, so
+  this tier is for small/verification workloads only (~1 ms/row).
+* ``cosine_pandas`` — Arrow-batched pandas UDF over numpy float64:
+  the hot-path implementation (vectorized BLAS, ~100× faster). Sum
+  order differs from sequential by ~1e-15, far inside the 4-decimal
+  rounding used for oracle comparison.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _c(c: Column | str) -> Column:
@@ -39,6 +49,22 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     d = dot(a, b)
     na, nb = norm(a), norm(b)
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(d / (na * nb))
+
+
+def _cosine_pd_impl(a: pd.Series, b: pd.Series) -> pd.Series:
+    va = np.asarray(a.tolist(), dtype=np.float64)
+    vb = np.asarray(b.tolist(), dtype=np.float64)
+    num = np.einsum("ij,ij->i", va, vb)
+    den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+    return pd.Series(np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)))
+
+
+def cosine_pandas(a: Column | str, b: Column | str) -> Column:
+    """Vectorized cosine (Arrow → numpy float64 → BLAS). Use this in
+    every hot path; see module docstring for precision notes. The UDF
+    is created lazily — decorating at import time requires an active
+    SparkSession and breaks plain imports."""
+    return pandas_udf(_cosine_pd_impl, "double")(_c(a), _c(b))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

@@ -53,11 +53,25 @@ def with_block_keys(df: DataFrame, rules: list[BlockingRule]) -> DataFrame:
 
 
 def explode_blocks(df: DataFrame, rules: list[BlockingRule]) -> DataFrame:
-    """One output row per (record, blocking function): adds ``bkvs``
-    (kept for the exactly-once guard) plus exploded ``bk``/``bv``."""
+    """One output row per (record, blocking function): adds the scalar
+    ``_bv<k>`` columns (for the exactly-once guard) plus exploded
+    ``bk``/``bv``."""
     return (
-        with_block_keys(df, rules)
-        .withColumn("_bkv", F.explode("bkvs"))
+        with_block_value_columns(df, rules)
+        .withColumn(
+            "_bkv",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r.priority).cast("int").alias("k"),
+                            F.col(bv_col(r.priority)).alias("v"),
+                        )
+                        for r in sorted(rules, key=lambda r: r.priority)
+                    ]
+                )
+            ),
+        )
         .withColumn("bk", F.col("_bkv.k"))
         .withColumn("bv", F.col("_bkv.v"))
         .drop("_bkv")
@@ -67,5 +81,41 @@ def explode_blocks(df: DataFrame, rules: list[BlockingRule]) -> DataFrame:
 def lowest_common_block(bkvs1: Column, bkvs2: Column) -> Column:
     """Smallest blocking-function number under which two records
     co-block — the pair is compared only there (``Util.scala:70-83``,
-    ``Compare.scala:94,106``)."""
+    ``Compare.scala:94,106``). Array form (higher-order functions are
+    interpreted per pair — use the unrolled scalar guard below in hot
+    paths)."""
     return F.array_min(F.transform(F.array_intersect(bkvs1, bkvs2), lambda x: x["k"]))
+
+
+def bv_col(priority: int) -> str:
+    """Name of the per-rule scalar block-value column."""
+    return f"_bv{priority}"
+
+
+def with_block_value_columns(df: DataFrame, rules: list[BlockingRule]) -> DataFrame:
+    """One scalar string column per blocking rule (``_bv<k>``) — the
+    codegen-friendly representation the pair guards use."""
+    for r in rules:
+        df = df.withColumn(bv_col(r.priority), r.value())
+    return df
+
+
+_NO_COMMON = 1 << 30
+
+
+def lowest_common_block_scalar(
+    rules: list[BlockingRule], t1: str = "t1_", t2: str = "t2_"
+) -> Column:
+    """Unrolled lowest-common-block over the ``_bv<k>`` columns of both
+    sides: LEAST over rules of (k if values equal else sentinel).
+    Plain when/least — stays inside whole-stage codegen (the array
+    form costs ~0.1 ms/pair interpreted, which dominates pair
+    generation)."""
+    terms = [
+        F.when(
+            F.col(f"{t1}{bv_col(r.priority)}") == F.col(f"{t2}{bv_col(r.priority)}"),
+            F.lit(r.priority),
+        ).otherwise(F.lit(_NO_COMMON))
+        for r in rules
+    ]
+    return terms[0] if len(terms) == 1 else F.least(*terms)

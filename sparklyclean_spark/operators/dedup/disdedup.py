@@ -42,11 +42,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from sparklyclean_spark.operators.dedup.blocking import (
     BlockingRule,
+    bv_col,
     explode_blocks,
-    lowest_common_block,
+    lowest_common_block_scalar,
 )
 
 DEFAULT_SEED = 647  # the reference's fixed seed (GenerateLabeledPoints.scala:71)
@@ -183,8 +185,14 @@ def candidate_pairs_disdedup(
     if k is None:
         k = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
-    base = explode_blocks(df, rules).select(
-        F.col(id_col).alias("id_"), *payload_cols, "bkvs", "bk", "bv"
+    bv_cols = [bv_col(r.priority) for r in rules]
+    # base feeds the stats job AND the fan-out; the fan-out feeds three
+    # role filters (L/R/S) — persist both so the scan+explode chain is
+    # materialized once, like the reference's single shuffle does.
+    base = (
+        explode_blocks(df, rules)
+        .select(F.col(id_col).alias("id_"), *payload_cols, *bv_cols, "bk", "bv")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # --- stats job: block sizes; only heavy blocks reach the driver.
@@ -219,13 +227,22 @@ def candidate_pairs_disdedup(
     blocked = blocked.withColumn("l_", F.coalesce("l_", F.lit(1)))
 
     fan = _fanout(blocked, seed)
-    fan = fan.withColumn(
-        "rid",
-        F.coalesce(
-            F.element_at("rids", F.col("cell") + 1),
-            (F.pmod(F.xxhash64("bk", "bv", F.lit(seed)), F.lit(k)) + 1).cast("int"),
-        ),
-    ).drop("rids", "l_")
+    fan = (
+        fan.withColumn(
+            "rid",
+            F.coalesce(
+                F.element_at("rids", F.col("cell") + 1),
+                (F.pmod(F.xxhash64("bk", "bv", F.lit(seed)), F.lit(k)) + 1).cast("int"),
+            ),
+        )
+        .drop("rids", "l_")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # materialize: the three role filters (L/R/S) below would each
+    # recompute the fan-out inside one job before the cache fills
+    fan.count()
+
+    carry = payload_cols + bv_cols
 
     def side(tag: str, role: str) -> DataFrame:
         cols = [
@@ -234,8 +251,7 @@ def candidate_pairs_disdedup(
             F.col("cell"),
             F.col("rid"),
             F.col("id_").alias(f"{tag}_id"),
-            F.col("bkvs").alias(f"{tag}_bkvs"),
-        ] + [F.col(c).alias(f"{tag}_{c}") for c in payload_cols]
+        ] + [F.col(c).alias(f"{tag}_{c}") for c in carry]
         return fan.where(F.col("role") == role).select(*cols)
 
     join_keys = ["bk", "bv", "cell"]
@@ -249,11 +265,9 @@ def candidate_pairs_disdedup(
     sel += [
         F.when(swap, F.col("t2_id")).otherwise(F.col("t1_id")).alias("id1"),
         F.when(swap, F.col("t1_id")).otherwise(F.col("t2_id")).alias("id2"),
-        F.when(swap, F.col("t2_bkvs")).otherwise(F.col("t1_bkvs")).alias("t1_bkvs"),
-        F.when(swap, F.col("t1_bkvs")).otherwise(F.col("t2_bkvs")).alias("t2_bkvs"),
         F.col("cell"),
     ]
-    for c in payload_cols:
+    for c in carry:
         sel += [
             F.when(swap, F.col(f"t2_{c}")).otherwise(F.col(f"t1_{c}")).alias(f"t1_{c}"),
             F.when(swap, F.col(f"t1_{c}")).otherwise(F.col(f"t2_{c}")).alias(f"t2_{c}"),
@@ -272,17 +286,14 @@ def candidate_pairs_disdedup(
             "rid",
             F.col("t1_id").alias("id1"),
             F.col("t2_id").alias("id2"),
-            "t1_bkvs",
-            "t2_bkvs",
             "cell",
-            *[F.col(f"t1_{c}") for c in payload_cols],
-            *[F.col(f"t2_{c}") for c in payload_cols],
+            *[F.col(f"t1_{c}") for c in carry],
+            *[F.col(f"t2_{c}") for c in carry],
         )
     )
 
-    pairs = lr.unionByName(ss).where(
-        F.col("bk") == lowest_common_block(F.col("t1_bkvs"), F.col("t2_bkvs"))
-    )
+    # exactly-once guard, codegen form (no array ops per pair)
+    pairs = lr.unionByName(ss).where(F.col("bk") == lowest_common_block_scalar(rules))
     out = ["bk", "id1", "id2"]
     out += [f"t1_{c}" for c in payload_cols] + [f"t2_{c}" for c in payload_cols]
     if with_cell_stats:

@@ -21,8 +21,9 @@ from pyspark.sql import functions as F
 
 from sparklyclean_spark.operators.dedup.blocking import (
     BlockingRule,
+    bv_col,
     explode_blocks,
-    lowest_common_block,
+    lowest_common_block_scalar,
 )
 
 
@@ -40,17 +41,19 @@ def candidate_pairs_naive(
     reference shuffles entire CSV lines, SURVEY.md §4).
     """
     payload_cols = payload_cols or []
+    bv_cols = [bv_col(r.priority) for r in rules]
     # Block keys are computed from the full row, THEN columns are pruned
     # to id + payload + keys so only needed data shuffles.
-    base = explode_blocks(df, rules).select(id_col, *payload_cols, "bkvs", "bk", "bv")
+    base = explode_blocks(df, rules).select(
+        id_col, *payload_cols, *bv_cols, "bk", "bv"
+    )
 
     def side(tag: str) -> DataFrame:
         cols = [
             F.col(id_col).alias(f"{tag}_id"),
-            F.col("bkvs").alias(f"{tag}_bkvs"),
             F.col("bk").alias(f"{tag}_bk"),
             F.col("bv").alias(f"{tag}_bv"),
-        ] + [F.col(c).alias(f"{tag}_{c}") for c in payload_cols]
+        ] + [F.col(c).alias(f"{tag}_{c}") for c in payload_cols + bv_cols]
         return base.select(*cols)
 
     a, b = side("t1"), side("t2")
@@ -60,9 +63,8 @@ def candidate_pairs_naive(
         & (F.col("t1_bv") == F.col("t2_bv"))
         & (F.col("t1_id") < F.col("t2_id")),
     )
-    guarded = joined.where(
-        F.col("t1_bk") == lowest_common_block(F.col("t1_bkvs"), F.col("t2_bkvs"))
-    )
+    # exactly-once guard, codegen form (no array ops per pair)
+    guarded = joined.where(F.col("t1_bk") == lowest_common_block_scalar(rules))
     out_cols = [
         F.col("t1_bk").alias("bk"),
         F.col("t1_id").alias("id1"),

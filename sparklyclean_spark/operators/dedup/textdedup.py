@@ -21,9 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from sparklyclean_spark.functions import text as T
-from sparklyclean_spark.functions.vectors import cosine
+from sparklyclean_spark.functions.vectors import cosine_pandas
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -87,14 +88,46 @@ def shingle_jaccard_pairs(
     )
 
 
-def minhash_signature(shingles, num_hashes: int = 32) -> F.Column:
-    """array<bigint> minhash signature: sig[i] = min(xxhash64(s, i))."""
+def _seeded_mix(i: int):
+    # captured via closure — a two-arg lambda would be misread by
+    # transform() as an (element, index) lambda and the seed ignored
+    return lambda h: F.xxhash64(h, F.lit(i))
+
+
+def minhash_signature(shingle_hashes, num_hashes: int = 32) -> F.Column:
+    """array<bigint> signature over PRE-HASHED shingles (bigints):
+    sig[i] = min(xxhash64(h, i)). Hashing the string shingles once and
+    re-mixing the 64-bit values per seed cuts the per-seed work from
+    string hashing to integer hashing (~10× on long shingles)."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(shingle_hashes, _seeded_mix(i)))
             for i in range(num_hashes)
         ]
     )
+
+
+def shingle_hash_table(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, h): distinct 64-bit shingle hashes per document, built with
+    explode + window lead — every operator whole-stage-codegen, no
+    higher-order functions (HOFs are interpreted per row and their
+    shared eval paths degrade under JVM profile pollution; an
+    explode/agg pipeline is also the natural shape at 100 TB)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(T.words(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)]
+    shingled = toks.select("id", *parts).where(
+        F.lit(True) if n == 1 else F.col(f"t{n-1}").isNotNull()
+    )
+    shingle = F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+    return shingled.select("id", F.xxhash64(shingle).alias("h")).distinct()
 
 
 def minhash_lsh_pairs(
@@ -109,23 +142,36 @@ def minhash_lsh_pairs(
     """Scale path: shingle → minhash → LSH band buckets → bucket join →
     exact-Jaccard verification.
 
-    Cost is linear in corpus + colliding candidate pairs: each doc
-    emits ``bands`` bucket keys; the equi-join on (band, bucket-hash)
-    is an ordinary shuffled hash join that AQE can skew-split. With
-    32 hashes / 8 bands (r=4), collision prob at j=0.3 is
-    1-(1-0.3^4)^8 ≈ 6% per band set — tune bands/hashes per corpus.
-    Returned pairs are verified exact, so precision is 1.0 vs the
-    quadratic path; only recall depends on the banding.
+    Array-expression implementation: few stages (scan → persist →
+    band join → verify join), which wins whenever per-stage latency
+    matters; signatures re-mix PRE-HASHED shingles so string hashing
+    happens once, and the band self-join carries only (band, bucket,
+    id). For clusters where per-row CPU dominates instead, see
+    ``minhash_lsh_pairs_exploded`` (same result, explode/agg shape).
+    With 32 hashes / 8 bands (r=4), candidate prob at j=0.3 is
+    1-(1-0.3^4)^8 ≈ 6%; precision is 1.0 (exact verify), recall
+    depends on banding.
     """
     rows_per_band = num_hashes // bands
-    t = docs.select(
-        F.col(id_col).alias("id"),
-        T.word_shingles(text_col, n).alias("sh"),
-    ).where(F.size("sh") > 0)
-    sig = t.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # Shingle/signature tables feed both join sides plus verification —
+    # persist AND materialize (a persist only helps jobs that start
+    # after it fills; concurrent branches would recompute the chain).
+    t = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            T.word_shingles(text_col, n).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hashed = t.withColumn("hs", F.transform("sh", lambda s: F.xxhash64(s)))
+    sig = hashed.select(
+        "id", minhash_signature(F.col("hs"), num_hashes).alias("sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    # band join carries ONLY (band, bucket, id)
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -142,20 +188,97 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.select("band", "bucket", F.col("id").alias("id1"), F.col("sh").alias("s1"))
-    b = banded.select("band", "bucket", F.col("id").alias("id2"), F.col("sh").alias("s2"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select("band", "bucket", F.col("id").alias("id1"))
+    b = banded.select("band", "bucket", F.col("id").alias("id2"))
     cands = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "s1", "s2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
-    return (
-        cands.withColumn("jaccard", F.round(_jaccard(F.col("s1"), F.col("s2")), 4))
+    sets = t.select("id", "sh")
+    verified = (
+        cands.join(sets.select(F.col("id").alias("id1"), F.col("sh").alias("s1")), "id1")
+        .join(sets.select(F.col("id").alias("id2"), F.col("sh").alias("s2")), "id2")
+        .withColumn("jaccard", F.round(_jaccard(F.col("s1"), F.col("s2")), 4))
         .where(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
     )
+    return verified.select("id1", "id2", "jaccard")
+
+
+def minhash_lsh_pairs_exploded(
+    docs: DataFrame,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode/aggregate variant of ``minhash_lsh_pairs`` — identical
+    semantics, different physical shape: signatures via (id, seed) →
+    min(hash) aggregation, verification via intersection counting on
+    the shingle-hash table. No per-row array expressions, so per-row
+    CPU is lower and every operator is a vanilla shuffle/agg AQE can
+    rebalance — the preferred plan on a large cluster where stage
+    startup is amortized (it carries ~3× the stages, which loses on
+    latency-bound local runs).
+    """
+    rows_per_band = num_hashes // bands
+    # feeds signatures AND verification — materialize once
+    sh = shingle_hash_table(docs, n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh.count()
+
+    # sig(id, seed) = min over shingles of xxhash64(h, seed)
+    seeded = sh.select(
+        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    )
+    sig = seeded.groupBy("id", "seed").agg(F.min(F.xxhash64("h", "seed")).alias("mh"))
+    # bucket per (id, band) = hash of the band's r min-values in seed order
+    band_vals = sig.groupBy("id", (F.col("seed") / rows_per_band).cast("int").alias("band")).agg(
+        *[
+            F.min(F.when(F.col("seed") % rows_per_band == r, F.col("mh"))).alias(f"m{r}")
+            for r in range(rows_per_band)
+        ]
+    )
+    banded = band_vals.select(
+        "id", "band", F.xxhash64(*[f"m{r}" for r in range(rows_per_band)]).alias("bucket")
+    )
+    a = banded.select("band", "bucket", F.col("id").alias("id1"))
+    b = banded.select("band", "bucket", F.col("id").alias("id2"))
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # exact Jaccard via intersection counting on the shingle-hash table
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cands.join(sh.select(F.col("id").alias("id1"), "h"), "id1")
+        .join(sh.select(F.col("id").alias("id2"), "h"), ["id2", "h"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    verified = (
+        cands.join(inter, ["id1", "id2"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id1", "id2", "jaccard")
 
 
 def simhash64_table(
@@ -197,7 +320,11 @@ def simhash_pairs(
     """SimHash near-dups: candidates share at least one of 4 16-bit
     bands (guarantees recall for hamming ≤ 3), verified by exact
     hamming distance ≤ max_hamming via bit_count(xor)."""
-    t = simhash64_table(docs, id_col, text_col)
+    # both join sides derive from the simhash table — persist (tiny:
+    # id + one bigint per doc) and materialize so the 64-vote
+    # aggregation runs once, not once per join branch
+    t = simhash64_table(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    t.count()
     banded = t.select(
         "id",
         "sh64",
@@ -240,7 +367,7 @@ def embedding_cosine_pairs(
     b = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("cos", cosine(F.col("v1"), F.col("v2")))
+        .withColumn("cos", cosine_pandas(F.col("v1"), F.col("v2")))
         .where(F.col("cos") >= threshold)
         .select("id1", "id2", F.round("cos", 4).alias("cos"))
     )

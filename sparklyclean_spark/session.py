@@ -34,7 +34,11 @@ _DEFAULTS = {
     # Deterministic timestamp semantics across JVMs.
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # Local mode runs driver+executor in ONE JVM with up to 32
+    # concurrent tasks (sort/shuffle buffers) plus persisted blocks —
+    # an undersized heap turns heavy operators into GC storms. On a
+    # real cluster spark-submit overrides this per-site.
+    "spark.driver.memory": "48g",
 }
 
 
