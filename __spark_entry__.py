@@ -141,12 +141,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": _t(R.rollup_orders),
         "cube_lineitem_flags": _t(R.cube_lineitem_flags),
         "case_bucketing_acctbal": _t(R.case_bucketing_acctbal),
+        "grouping_sets_order_stats": _t(R.grouping_sets_order_stats),
+        "approx_distinct_parts_per_brand": _t(R.approx_distinct_parts_per_brand),
         # -- joins ----------------------------------------------------------
         "q5_revenue_by_nation": _t(R.q5_revenue_by_nation),
         "q3_shipping_priority": _t(R.q3_shipping_priority),
         "semi_join_customers_with_open_orders": _t(R.semi_join_customers_with_open_orders),
         "anti_join_customers_without_orders": _t(R.anti_join_customers_without_orders),
         "outer_join_nation_order_counts": _t(R.outer_join_nation_order_counts),
+        "full_outer_nation_presence": _t(R.full_outer_nation_presence),
         "range_join_events_pairs": _t(R.range_join_events_near_orders),
         # -- windows / top-k ------------------------------------------------
         "topk_orders_per_customer": _t(R.topk_orders_per_customer),
@@ -240,6 +243,34 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_customers,
                    ROUND(AVG(c_acctbal), 4) AS avg_bal
             FROM customer GROUP BY 1
+        """,
+        "grouping_sets_order_stats": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+        # HLL++ at rsd=0.01 is empirically exact at these cardinalities
+        # (≤ ~50 distinct per group), so the oracle can demand exact
+        # COUNT(DISTINCT) — verified at sf0.01/sf0.001.
+        "approx_distinct_parts_per_brand": """
+            SELECT p_brand,
+                   COUNT(DISTINCT p_type) AS approx_types,
+                   COUNT(DISTINCT p_size) AS approx_sizes,
+                   COUNT(*) AS n_parts
+            FROM part GROUP BY p_brand
+        """,
+        "full_outer_nation_presence": """
+            SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+                   COALESCE(cn.n_customers, 0) AS n_customers,
+                   COALESCE(sn.n_suppliers, 0) AS n_suppliers
+            FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+                  FROM customer GROUP BY 1) cn
+            FULL OUTER JOIN
+                 (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+                  FROM supplier GROUP BY 1) sn
+              ON cn.nk = sn.nk
         """,
         "q5_revenue_by_nation": """
             SELECT n_name,

@@ -329,3 +329,49 @@ def case_bucketing_acctbal(t: dict[str, DataFrame]) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         _r(F.avg("c_acctbal")).alias("avg_bal"),
     )
+
+
+def grouping_sets_order_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """GROUPING SETS ((status), (priority)) — two independent
+    breakdowns in one pass over orders (one shuffle, not two)."""
+    o = t["orders"]
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _r(F.sum("o_totalprice")).alias("total_price"),
+    )
+
+
+def approx_distinct_parts_per_brand(t: dict[str, DataFrame]) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). At 100 TB this replaces
+    an exact distinct's full shuffle with a fixed-size mergeable
+    sketch. Cardinalities here (≤ ~50 types/sizes per brand) stay in
+    HLL++'s exact sparse regime, so the oracle can use exact
+    COUNT(DISTINCT) — the driver hash-check proves the sketch path
+    end-to-end without tolerating error bands."""
+    p = t["part"]
+    return p.groupBy("p_brand").agg(
+        F.approx_count_distinct("p_type", 0.01).alias("approx_types"),
+        F.approx_count_distinct("p_size", 0.01).alias("approx_sizes"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+def full_outer_nation_presence(t: dict[str, DataFrame]) -> DataFrame:
+    """FULL OUTER join: customer-count per nation vs supplier-count
+    per nation, keeping nations present on either side only."""
+    c, s = t["customer"], t["supplier"]
+    cn = c.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    sn = s.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return cn.join(sn, cn.nk_c == sn.nk_s, "full").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )

@@ -1,0 +1,27 @@
+"""Sources & sinks: schema'd CSV scans (incl. the reference's Febrl
+dataset layout), the labeled-points text interchange format, and
+overwrite-mode writers. Reference operators S1-S5 (SURVEY.md §2.1)."""
+
+from sparklyclean_spark.sources.csv import FEBRL_SCHEMA, read_csv, read_febrl
+from sparklyclean_spark.sources.points import (
+    read_labeled_points,
+    read_unlabeled_points,
+    write_labeled_points,
+)
+from sparklyclean_spark.sources.writers import (
+    write_csv,
+    write_parquet,
+    write_text,
+)
+
+__all__ = [
+    "FEBRL_SCHEMA",
+    "read_csv",
+    "read_febrl",
+    "read_labeled_points",
+    "read_unlabeled_points",
+    "write_labeled_points",
+    "write_csv",
+    "write_parquet",
+    "write_text",
+]

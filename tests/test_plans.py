@@ -1,0 +1,51 @@
+"""Physical-plan audits: lock in the scale properties (pushdown,
+pruning, broadcast, bounded shuffles) that make a plan survive a
+100× scale-up. A refactor that silently loses one of these should
+fail here, not in production."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparklyclean_spark import plans as P
+from sparklyclean_spark.operators import relational as R
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    from sparklyclean_spark.catalog import load_tables
+    from tests.conftest import SF_DIR
+
+    return load_tables(spark, SF_DIR)
+
+
+def test_q1_pushdown_and_pruning(t):
+    df = R.q1_pricing_summary(t)
+    # the shipdate filter must reach the parquet scan...
+    assert P.has_pushed_filters(df, "l_shipdate")
+    # ...and the scan must read only the 7 referenced columns of 16
+    (cols,) = P.read_schema_columns(df)
+    assert len(cols) == 7 and "l_comment" not in cols
+
+
+def test_q5_broadcasts_dims(t):
+    df = R.q5_revenue_by_nation(t)
+    assert P.has_broadcast_hash_join(df)
+    # shuffles: the big-side joins + final agg; must not exceed 5
+    assert P.count_exchanges(df) <= 5
+    assert P.whole_stage_codegen_spans(df) >= 1
+
+
+def test_naive_pairs_bounded_shuffles(t):
+    from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
+    from __spark_entry__ import _CUST_RULES
+
+    df = candidate_pairs_naive(t["customer"], _CUST_RULES, "c_custkey")
+    # one self-join on (bk, bv): both sides shuffle once, nothing else
+    assert P.count_exchanges(df) <= 2
+
+
+def test_topk_single_shuffle(t):
+    df = R.topk_orders_per_customer(t)
+    # window per customer = exactly one hash exchange
+    assert P.count_exchanges(df) == 1

@@ -1,0 +1,109 @@
+"""Sources & sinks: Febrl CSV scan, labeled-points text round-trip,
+overwrite writers (reference S1-S5, SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sparklyclean_spark.sources import (
+    FEBRL_SCHEMA,
+    read_csv,
+    read_febrl,
+    read_labeled_points,
+    read_unlabeled_points,
+    write_labeled_points,
+    write_csv,
+    write_parquet,
+)
+
+FEBRL_CSV = """rec_id, given_name, surname, street_number, address_1, address_2, suburb, postcode, state, date_of_birth, age, phone_number, soc_sec_id, blocking_number
+rec-1-org,   ruby, stigant, 142, allan street, eventide homes, tweed heads south, 3350, , 19520707, , 04 44507895, 2629656, 2
+rec-1-dup-0,   ruby, stigand, 142, allan street, , tweed heads south, 3350, , 19520707, , 04 44507895, 2629656, 2
+rec-2-org,   april, kokkotos, 95, feint street, homestead caravan park, kirribilli, 2630, , , 28, 04 49934213, 5751775, 0
+"""
+
+
+@pytest.fixture(scope="module")
+def febrl_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("febrl") / "people.csv"
+    p.write_text(FEBRL_CSV)
+    return str(p)
+
+
+def test_febrl_scan_schema_and_trim(spark, febrl_path):
+    df = read_febrl(spark, febrl_path)
+    assert [f.name for f in df.schema.fields] == [f.name for f in FEBRL_SCHEMA.fields]
+    rows = {r.rec_id: r for r in df.collect()}
+    assert len(rows) == 3
+    # header skipped, fields trimmed, empty strings preserved (not NULL)
+    assert rows["rec-1-org"].given_name == "ruby"
+    assert rows["rec-2-org"].date_of_birth == ""
+    assert rows["rec-2-org"].age == "28"
+
+
+def test_febrl_scan_parity_mode_keeps_padding(spark, febrl_path):
+    df = read_febrl(spark, febrl_path, trim_fields=False)
+    r = {x.rec_id: x for x in df.collect()}["rec-1-org"]
+    # reference keeps the Febrl field padding (Util.scala:14-18) but
+    # always trims the id (Util.scala:20-24)
+    assert r.given_name.lstrip() != r.given_name
+    assert r.rec_id == "rec-1-org"
+
+
+def test_generic_csv_infer(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, str(p))
+    assert dict(df.dtypes)["a"] == "int"
+    assert df.count() == 2
+
+
+def test_labeled_points_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame(
+        [
+            ("rec-1-org", "rec-1-dup-0", 1.0, [0.5, 1.0, 0.25]),
+            ("rec-1-org", "rec-2-org", 0.0, [0.0, 0.125, 1.0]),
+            ("rec-2-org", "rec-3-org", None, [1.0, 0.0, 0.75]),
+        ],
+        schema="id1 string, id2 string, label double, features array<double>",
+    )
+    path = os.path.join(str(tmp_path), "pts")
+    write_labeled_points(src, path)
+
+    # on-disk format is the reference's CSV line shape (Compare.scala:96)
+    line = spark.read.text(path).orderBy("value").collect()[0].value
+    assert line.startswith("rec-1-org, rec-1-dup-0, 1, 0.5, 1.0, 0.25")
+
+    back = read_labeled_points(spark, path, n_features=3)
+    got = {(r.id1, r.id2): (r.label, r.features) for r in back.collect()}
+    assert got[("rec-1-org", "rec-1-dup-0")] == (1.0, [0.5, 1.0, 0.25])
+    assert got[("rec-2-org", "rec-3-org")][0] is None  # "" sentinel -> NULL
+
+    unlabeled = read_unlabeled_points(spark, path, n_features=0)
+    assert unlabeled.columns == ["id1", "id2", "features"]
+
+
+def test_overwrite_writers(spark, tmp_path):
+    df = spark.range(5).withColumnRenamed("id", "x")
+    pq = os.path.join(str(tmp_path), "pq")
+    write_parquet(df, pq)
+    write_parquet(df, pq)  # second write must not fail or double data
+    assert spark.read.parquet(pq).count() == 5
+    cs = os.path.join(str(tmp_path), "cs")
+    write_csv(df, cs)
+    assert read_csv(spark, cs).count() == 5
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    from sparklyclean_spark.plans import explain_formatted
+
+    df = spark.range(100).selectExpr("id", "id % 4 AS part_key")
+    pq = os.path.join(str(tmp_path), "part_pq")
+    write_parquet(df, pq, partition_by=["part_key"])
+    scan = spark.read.parquet(pq).where("part_key = 2")
+    assert scan.count() == 25
+    # directory-partitioned write + filter on the partition column ->
+    # partition pruning at the source
+    assert "PartitionFilters: [isnotnull(part_key" in explain_formatted(scan)
