@@ -281,34 +281,59 @@ def minhash_lsh_pairs_exploded(
     return verified.select("id1", "id2", "jaccard")
 
 
+def _simhash_pack_impl(hs):
+    """Vectorized SimHash over per-doc token-hash lists: for each doc,
+    every 64-bit token hash votes ±1 per bit position; the packed sign
+    bits are the signature. numpy does the whole Arrow batch at once
+    (segment-sum via np.add.at), chunked so the T×64 bit matrix stays
+    ~64 MB regardless of batch size."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(hs)
+    lengths = np.fromiter((len(x) for x in hs), dtype=np.int64, count=n)
+    votes = np.zeros((n, 64), dtype=np.int64)
+    if lengths.sum() > 0:
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs])
+        seg = np.repeat(np.arange(n), lengths)
+        shifts = np.arange(64, dtype=np.uint64)
+        CHUNK = 1 << 18
+        for i in range(0, len(flat), CHUNK):
+            f = flat[i : i + CHUNK].astype(np.uint64)
+            bits = ((f[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            np.add.at(votes, seg[i : i + CHUNK], 2 * bits - 1)
+    packed = (
+        ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :])
+        .sum(axis=1, dtype=np.uint64)
+        .view(np.int64)
+    )
+    return pd.Series(packed)
+
+
 def simhash64_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, sh64): 64-bit SimHash per document.
 
-    Explode distinct tokens, then ONE hash aggregation computing all
-    64 bit-votes as sum columns (map-side partial agg → tiny shuffle
-    on doc id), then pack sign bits into a bigint. Entirely JVM-side;
-    this is the scan-shaped plan you want at 100 TB.
+    Token hashing stays JVM-side (xxhash64 after tokenize+distinct);
+    the 64 bit-vote sums + sign packing run in ONE Arrow-batched
+    pandas UDF. A pure-SQL formulation needs a 64-column sum aggregate
+    whose generated code blows past JIT method limits — measured: it
+    runs slow itself AND deoptimizes shared codegen call sites for
+    every later query in the session (bench.py ordering note). The
+    Arrow path is faster at every scale and side-effect-free; rows
+    with no tokens are dropped, matching the explode-based plan.
     """
-    toks = docs.select(
+    from pyspark.sql.functions import pandas_udf
+
+    hashed = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(T.words(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
-    )
-    packed = F.lit(0).cast("bigint")
-    for b in range(64):
-        packed = packed.bitwiseOR(
-            F.shiftleft((F.col(f"b{b}") > 0).cast("bigint"), b)
-        )
-    return votes.select("id", packed.alias("sh64"))
+        F.transform(
+            F.array_distinct(T.words(text_col)), lambda s: F.xxhash64(s)
+        ).alias("hs"),
+    ).where(F.size("hs") > 0)
+    pack = pandas_udf(_simhash_pack_impl, "long")
+    return hashed.select("id", pack(F.col("hs")).alias("sh64"))
 
 
 def simhash_pairs(
