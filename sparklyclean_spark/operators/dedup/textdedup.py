@@ -130,6 +130,64 @@ def shingle_hash_table(
     return shingled.select("id", F.xxhash64(shingle).alias("h")).distinct()
 
 
+def _splitmix64(x):
+    """splitmix64 finalizer over uint64 numpy arrays — the seedable,
+    vectorizable stand-in for xxhash64 in Python-side mixing (JVM and
+    numpy can't share xxhash64; determinism is what matters, the
+    hash family doesn't)."""
+    import numpy as np
+
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _make_shingle_sig_udf(n: int, num_hashes: int):
+    """Pandas UDF: per-doc token-hash array -> (distinct shingle
+    hashes, minhash signature). All numpy, one pass per Arrow batch:
+    shingle hash = chained splitmix64 over n consecutive token hashes;
+    sig[i] = min over shingles of splitmix64(sh ^ seed_i). Python-side
+    loops are over seeds (32) and rows only for final list packing."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: Series->DataFrame annotations trip pandas_udf's
+    # hint-based eval-type inference; the explicit returnType governs
+    def impl(hs):
+        nrows = len(hs)
+        arrs = [np.asarray(x, dtype=np.int64).view(np.uint64) for x in hs]
+        sh_lists: list[np.ndarray] = []
+        for a in arrs:
+            if len(a) < n:
+                sh_lists.append(np.empty(0, dtype=np.uint64))
+                continue
+            acc = np.full(len(a) - n + 1, 0x9E3779B97F4A7C15, dtype=np.uint64)
+            for j in range(n):
+                acc = _splitmix64(acc ^ a[j : len(a) - n + 1 + j])
+            sh_lists.append(np.unique(acc))
+        lengths = np.fromiter((len(x) for x in sh_lists), dtype=np.int64, count=nrows)
+        sig = np.zeros((nrows, num_hashes), dtype=np.uint64)
+        nz = lengths > 0
+        if nz.any():
+            flat = np.concatenate([x for x in sh_lists if len(x)])
+            offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lengths[nz][:-1], out=offsets[1:])
+            seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+            for i, s in enumerate(seeds):
+                sig[nz, i] = np.minimum.reduceat(_splitmix64(flat ^ s), offsets)
+        sig_i = sig.view(np.int64)
+        return pd.DataFrame(
+            {
+                "hs": [x.view(np.int64) for x in sh_lists],
+                "sig": list(sig_i),
+            }
+        )
+
+    return pandas_udf(impl, "struct<hs: array<bigint>, sig: array<bigint>>")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,
@@ -142,35 +200,37 @@ def minhash_lsh_pairs(
     """Scale path: shingle → minhash → LSH band buckets → bucket join →
     exact-Jaccard verification.
 
-    Array-expression implementation: few stages (scan → persist →
-    band join → verify join), which wins whenever per-stage latency
-    matters; signatures re-mix PRE-HASHED shingles so string hashing
-    happens once, and the band self-join carries only (band, bucket,
-    id). For clusters where per-row CPU dominates instead, see
-    ``minhash_lsh_pairs_exploded`` (same result, explode/agg shape).
-    With 32 hashes / 8 bands (r=4), candidate prob at j=0.3 is
-    1-(1-0.3^4)^8 ≈ 6%; precision is 1.0 (exact verify), recall
-    depends on banding.
+    Tokenizing + token hashing stay JVM-side; shingle construction and
+    the num_hashes-way min-hash run in ONE Arrow-batched pandas UDF
+    (higher-order array expressions are interpreted per element in
+    Spark — measured ~17 s for 5k docs vs <1 s vectorized). The band
+    self-join carries only (band, bucket, id); verification computes
+    exact Jaccard on the distinct shingle-HASH sets (64-bit, so
+    collision effect on Jaccard is negligible). With 32 hashes /
+    8 bands (r=4), candidate prob at j=0.3 is 1-(1-0.3^4)^8 ≈ 6%;
+    precision is exact-verified, recall depends on banding. For an
+    all-builtin explode/agg shape, see ``minhash_lsh_pairs_exploded``.
     """
     rows_per_band = num_hashes // bands
-    # Shingle/signature tables feed both join sides plus verification —
-    # persist AND materialize (a persist only helps jobs that start
-    # after it fills; concurrent branches would recompute the chain).
+    sig_udf = _make_shingle_sig_udf(n, num_hashes)
+    # token hashes JVM-side (xxhash64 — shared with every other text
+    # operator), heavy mixing Python-side; feeds both join sides plus
+    # verification — persist AND materialize (a persist only helps
+    # jobs that start after it fills).
     t = (
         docs.select(
             F.col(id_col).alias("id"),
-            T.word_shingles(text_col, n).alias("sh"),
+            sig_udf(
+                F.transform(T.words(text_col), lambda s: F.xxhash64(s))
+            ).alias("ss"),
         )
+        .select("id", F.col("ss.hs").alias("sh"), F.col("ss.sig").alias("sig"))
         .where(F.size("sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    hashed = t.withColumn("hs", F.transform("sh", lambda s: F.xxhash64(s)))
-    sig = hashed.select(
-        "id", minhash_signature(F.col("hs"), num_hashes).alias("sig")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig.count()
+    t.count()
     # band join carries ONLY (band, bucket, id)
-    banded = sig.select(
+    banded = t.select(
         "id",
         F.explode(
             F.array(
@@ -282,26 +342,29 @@ def minhash_lsh_pairs_exploded(
 
 
 def _simhash_pack_impl(hs):
-    """Vectorized SimHash over per-doc token-hash lists: for each doc,
-    every 64-bit token hash votes ±1 per bit position; the packed sign
-    bits are the signature. numpy does the whole Arrow batch at once
-    (segment-sum via np.add.at), chunked so the T×64 bit matrix stays
-    ~64 MB regardless of batch size."""
+    """Vectorized SimHash over per-doc token-hash lists: every 64-bit
+    token hash votes ±1 per bit position; packed sign bits are the
+    signature. Bits come from np.unpackbits on the little-endian byte
+    view (bit b of the int64 == column b), per-doc sums from
+    np.add.reduceat over the contiguous per-row segments — no
+    scattered writes (np.add.at was ~10 s for 1.5M tokens; this is
+    ~0.1 s)."""
     import numpy as np
     import pandas as pd
 
-    n = len(hs)
-    lengths = np.fromiter((len(x) for x in hs), dtype=np.int64, count=n)
-    votes = np.zeros((n, 64), dtype=np.int64)
-    if lengths.sum() > 0:
+    nrows = len(hs)
+    lengths = np.fromiter((len(x) for x in hs), dtype=np.int64, count=nrows)
+    votes = np.zeros((nrows, 64), dtype=np.int64)
+    nz = lengths > 0
+    if nz.any():
         flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs])
-        seg = np.repeat(np.arange(n), lengths)
-        shifts = np.arange(64, dtype=np.uint64)
-        CHUNK = 1 << 18
-        for i in range(0, len(flat), CHUNK):
-            f = flat[i : i + CHUNK].astype(np.uint64)
-            bits = ((f[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            np.add.at(votes, seg[i : i + CHUNK], 2 * bits - 1)
+        bits = np.unpackbits(
+            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)
+        offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+        np.cumsum(lengths[nz][:-1], out=offsets[1:])
+        ones = np.add.reduceat(bits, offsets, axis=0)
+        votes[nz] = 2 * ones - lengths[nz][:, None]
     packed = (
         ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :])
         .sum(axis=1, dtype=np.uint64)
