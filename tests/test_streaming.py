@@ -78,3 +78,56 @@ def test_session_window_gap_boundary(spark):
     assert len(per_user[1]) == 2, per_user[1]
     first = min(per_user[1], key=lambda r: r["window_start"])
     assert first["n_events"] == 3
+
+
+def test_stateful_sessionize_closes_on_watermark(spark, tmp_path_factory):
+    """applyInPandasWithState sessionizer: sessions are emitted exactly
+    once, when the watermark passes last_event + gap. Two files ->
+    two micro-batches (maxFilesPerTrigger=1); the second batch's
+    late-hour events push the watermark past batch 1's sessions."""
+    from sparklyclean_spark.streaming.sessionize import streaming_sessionize
+
+    path = str(tmp_path_factory.mktemp("sess_stream"))
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    # batch 1: user 1 has two sessions (09:00-09:20, 10:00), user 2 one
+    write_file("f1", [
+        (1, "2024-01-01 09:00:00", 1, 1.0),
+        (2, "2024-01-01 09:10:00", 1, 2.0),
+        (3, "2024-01-01 09:20:00", 1, 3.0),
+        (4, "2024-01-01 10:00:00", 1, 4.0),
+        (5, "2024-01-01 09:05:00", 2, 5.0),
+    ])
+    # batch 2: far-future event advances watermark (12:00 - 30min wm
+    # >> all batch-1 sessions' last+gap), closing everything prior
+    write_file("f2", [(6, "2024-01-01 12:00:00", 2, 6.0)])
+
+    out = streaming_sessionize(spark, path, schema, gap_seconds=900)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("sessionize_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    rows = {
+        (r.user_id, str(r.window_start), str(r.window_end)): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sessionize_smoke").collect()
+    }
+    # user 1 session A: 09:00-09:20 merged (gaps of 10 min < 15 min),
+    # end = 09:20 + 15 min
+    assert rows[(1, "2024-01-01 09:00:00", "2024-01-01 09:35:00")] == (3, 6.0)
+    # user 1 session B: the 10:00 singleton
+    assert rows[(1, "2024-01-01 10:00:00", "2024-01-01 10:15:00")] == (1, 4.0)
+    # user 2 batch-1 singleton
+    assert rows[(2, "2024-01-01 09:05:00", "2024-01-01 09:20:00")] == (1, 5.0)
+    # the 12:00 event's own session stays OPEN (watermark never passes
+    # 12:15) -> exactly 3 closed sessions
+    assert len(rows) == 3
