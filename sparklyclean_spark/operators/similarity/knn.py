@@ -19,7 +19,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sparklyclean_spark.functions.vectors import cosine_pandas
+from sparklyclean_spark.functions.vectors import _c, cosine_pandas
 
 
 def brute_force_topk(
@@ -59,28 +59,37 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec, plane: int, dim: int) -> F.Column:
-    """Sign of <v, h_plane> where h_plane[d] is a deterministic
-    pseudo-random ±1/scaled value from xxhash64(plane, d). A ±1
-    Rademacher hyperplane is a valid random-projection family."""
-    proj = F.aggregate(
-        F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda x, d: x.cast("double")
-            * F.when(
-                F.pmod(F.xxhash64(F.lit(plane), d), F.lit(2)) == 0, F.lit(1.0)
-            ).otherwise(F.lit(-1.0)),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (proj >= 0).cast("int")
+def _rademacher_planes(n_planes: int, dim: int):
+    """Deterministic ±1 hyperplane matrix (dim × n_planes) derived
+    from a splitmix64 stream — a valid random-projection family,
+    reproducible across runs/workers with no stored model."""
+    import numpy as np
+
+    x = np.arange(1, n_planes * dim + 1, dtype=np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (2.0 * (x & np.uint64(1)).astype(np.float64) - 1.0).reshape(dim, n_planes)
 
 
 def signature_bits(vec, n_planes: int, dim: int) -> F.Column:
-    """array<int> of hyperplane signs — the sign sketch."""
-    return F.array(*[_hyperplane_sign(vec, p, dim) for p in range(n_planes)])
+    """array<int> of hyperplane signs — the sign sketch. One Arrow
+    batch = one (rows × dim) @ (dim × n_planes) matmul; the per-plane
+    higher-order-function formulation is interpreted per element and
+    ~100× slower."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _rademacher_planes(n_planes, dim)
+
+    def impl(vs):
+        m = np.asarray(vs.tolist(), dtype=np.float64)
+        bits = (m @ planes >= 0).astype(np.int32)
+        return pd.Series(list(bits))
+
+    return pandas_udf(impl, "array<int>")(_c(vec))
 
 
 def lsh_bucketed_topk(
