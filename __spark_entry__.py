@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_lineitem_flags": _t(R.cube_lineitem_flags),
         "case_bucketing_acctbal": _t(R.case_bucketing_acctbal),
         "grouping_sets_order_stats": _t(R.grouping_sets_order_stats),
+        "pivot_order_counts": _t(R.pivot_order_counts),
         "approx_distinct_parts_per_brand": _t(R.approx_distinct_parts_per_brand),
         # -- joins ----------------------------------------------------------
         "q5_revenue_by_nation": _t(R.q5_revenue_by_nation),
@@ -158,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_top_orders": _t(R.global_top_orders),
         # -- set ops / distinct ----------------------------------------------
         "set_ops_nation_keys": _t(R.set_ops_nation_keys),
+        "bag_ops_nation_keys": _t(R.bag_ops_nation_keys),
         "distinct_mktsegments": _t(R.distinct_mktsegments),
         # -- scalar functions -------------------------------------------------
         "scalar_string_date_math": _t(R.scalar_string_date_math),
@@ -250,6 +252,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS total_price
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+        "pivot_order_counts": """
+            SELECT o_orderstatus,
+                   COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+                   COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+                   COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+                   COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+                   COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "bag_ops_nation_keys": """
+            SELECT 'intersect_all' AS op, nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                INTERSECT ALL
+                SELECT s_nationkey FROM supplier
+            )
+            UNION ALL
+            SELECT 'except_all' AS op, nationkey FROM (
+                SELECT s_nationkey AS nationkey FROM supplier
+                EXCEPT ALL
+                SELECT c_nationkey FROM customer WHERE c_custkey <= 500
+            )
         """,
         # HLL++ at rsd=0.01 is empirically exact at these cardinalities
         # (≤ ~50 distinct per group), so the oracle can demand exact

@@ -375,3 +375,40 @@ def full_outer_nation_presence(t: dict[str, DataFrame]) -> DataFrame:
         F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
         F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
     )
+
+
+_ORDER_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def pivot_order_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """status × priority count matrix. The pivot values are given
+    explicitly — Spark then skips the extra distinct-scan job, and at
+    100 TB that's one full pass saved. Missing combos become 0 (Spark
+    pivots yield NULL; filled for parity with COUNT FILTER oracles)."""
+    o = t["orders"]
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _ORDER_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _ORDER_PRIORITIES)
+    )
+
+
+def bag_ops_nation_keys(t: dict[str, DataFrame]) -> DataFrame:
+    """Multiset set-ops (INTERSECT ALL / EXCEPT ALL) over customer vs
+    supplier nation keys — duplicates preserved, unlike §set_ops'
+    distinct forms."""
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    # deterministic small customer subset so EXCEPT ALL is non-empty
+    # (suppliers per nation usually outnumber a 500-key customer slice)
+    c_small = (
+        t["customer"]
+        .where(F.col("c_custkey") <= 500)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.intersectAll(s).withColumn("op", F.lit("intersect_all"))
+        .unionByName(s.exceptAll(c_small).withColumn("op", F.lit("except_all")))
+        .select("op", "nationkey")
+    )
