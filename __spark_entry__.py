@@ -195,6 +195,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_meta": lambda spark, sf_dir: MM.decode_metadata(
             MM.make_media_table(_tables(spark, sf_dir)["documents"])
         ),
+        # rows-only: frame windows are byte-stride logic, not SQL
+        "multimodal_frame_sample": lambda spark, sf_dir: MM.frame_sample(
+            MM.make_media_table(_tables(spark, sf_dir)["documents"])
+        ).select("media_id", "frame_idx", F.length("frame").alias("n_bytes")),
         "multimodal_features": lambda spark, sf_dir: MM.extract_features(
             MM.make_media_table(_tables(spark, sf_dir)["documents"])
         ).select("media_id", F.round(F.element_at("feat", 1), 4).alias("f0")),

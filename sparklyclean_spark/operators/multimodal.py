@@ -109,3 +109,72 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id bigint, kind string, payload binary, width int, height int"
+)
+FRAMES_SCHEMA = "media_id bigint, frame_idx int, frame binary"
+
+
+def resize(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Arrow-batched resize stage. The transform here is a
+    deterministic byte resample (stride-sampled payload truncated/
+    padded to width*height) standing in for a real scaler — the
+    production swap-in is Pillow's ``Image.resize`` in the same loop.
+    Output schema/batching match what a GPU preprocessing stage
+    consumes: fixed-size payload per row."""
+
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if len(b) >= target:
+                    step = len(b) // target
+                    b = b[:: step][:target]
+                b = b.ljust(target, b"\0")
+                out_payloads.append(b)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload": out_payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame, n_frames: int = 4, frame_bytes: int = 256
+) -> DataFrame:
+    """Arrow-batched frame sampler: one output row per sampled frame
+    (media_id, frame_idx, frame) — the row-explosion shape a video
+    pipeline feeds to per-frame models. Frames are evenly spaced
+    byte windows of the payload (pyav keyframe extraction is the
+    production swap-in); payloads too short for ``n_frames`` windows
+    yield fewer frames, never padding rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = min(n_frames, max(len(b) // frame_bytes, 1 if b else 0))
+                for i in range(n):
+                    start = (
+                        (len(b) - frame_bytes) * i // (n - 1) if n > 1 else 0
+                    )
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(b[start : start + frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -48,3 +48,30 @@ def test_features_shape_and_norm(media):
     assert all(len(r["feat"]) == MM.FEATURE_DIM for r in feats)
     for r in feats[:20]:
         assert abs(sum(r["feat"]) - 1.0) < 1e-9
+
+
+def test_resize_fixed_payload(spark, media):
+    from sparklyclean_spark.operators.multimodal import resize
+
+    out = resize(media, width=8, height=4).collect()
+    assert len(out) == media.count()
+    assert all(len(r.payload) == 32 for r in out)
+    assert all((r.width, r.height) == (8, 4) for r in out)
+    # deterministic: same input -> same bytes
+    again = {r.media_id: bytes(r.payload) for r in resize(media, 8, 4).collect()}
+    assert all(bytes(r.payload) == again[r.media_id] for r in out)
+
+
+def test_frame_sample_explodes_rows(spark, media):
+    from sparklyclean_spark.operators.multimodal import frame_sample
+
+    out = frame_sample(media, n_frames=3, frame_bytes=16).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    for media_id, frames in by_media.items():
+        assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == list(
+            range(len(frames))
+        )
+        assert all(len(f.frame) <= 16 for f in frames)
+        assert len(frames) <= 3
