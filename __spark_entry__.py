@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- scalar functions -------------------------------------------------
         "scalar_string_date_math": _t(R.scalar_string_date_math),
         "scalar_json_extract": _t(R.scalar_json_extract),
+        "scalar_array_map_funcs": _t(R.scalar_array_map_funcs),
         # -- dedup (flagship Dis-Dedup pipeline) ------------------------------
         "dedup_pairs_naive_customer": _t(_dedup_pairs_naive_customer),
         "dedup_pairs_disdedup_customer": _t(_dedup_pairs_disdedup_customer),
@@ -423,6 +424,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
             FROM events
+        """,
+        "scalar_array_map_funcs": """
+            SELECT o_orderkey,
+                   CAST(len(arr) AS INT) AS arr_len,
+                   list_contains(arr, 'O') AS has_open,
+                   list_sort(arr)[1] AS arr_min,
+                   array_to_string(list_reverse_sort(arr)[1:2], '|') AS top2,
+                   o_orderpriority AS prio_val,
+                   CAST(2 AS INT) AS n_keys
+            FROM (SELECT o_orderkey, o_orderpriority,
+                         [o_orderstatus, o_orderpriority, CAST(o_orderkey % 10 AS VARCHAR)] AS arr
+                  FROM orders)
         """,
         # -- text analysis ----------------------------------------------------
         "text_token_stats": f"""

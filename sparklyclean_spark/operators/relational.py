@@ -412,3 +412,28 @@ def bag_ops_nation_keys(t: dict[str, DataFrame]) -> DataFrame:
         .unionByName(s.exceptAll(c_small).withColumn("op", F.lit("except_all")))
         .select("op", "nationkey")
     )
+
+
+def scalar_array_map_funcs(t: dict[str, DataFrame]) -> DataFrame:
+    """Array/map scalar functions: construct, sort, slice, membership,
+    keyed lookup — emitted as primitives so the oracle hash is
+    engine-neutral (array/map binary layouts differ across engines)."""
+    o = t["orders"]
+    arr = F.array(
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        (F.col("o_orderkey") % 10).cast("string"),
+    )
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.size(arr).alias("arr_len"),
+        F.array_contains(arr, "O").alias("has_open"),
+        F.element_at(F.sort_array(arr), 1).alias("arr_min"),
+        F.array_join(F.slice(F.sort_array(arr, asc=False), 1, 2), "|").alias("top2"),
+        F.element_at(m, F.lit("prio")).alias("prio_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
