@@ -47,6 +47,16 @@ def _dedup_pairs_disdedup_customer(t: dict[str, DataFrame]) -> DataFrame:
     ).select("bk", "id1", "id2")
 
 
+def _dedup_pairs_naive_documents(t: dict[str, DataFrame]) -> DataFrame:
+    """Same dedup API on a second domain (documents, text-typed keys)
+    — blocking by language then source; the overlapping rules exercise
+    the exactly-once guard on a non-TPC-H table."""
+    rules = [BlockingRule(1, "lang"), BlockingRule(2, "source")]
+    return candidate_pairs_naive(t["documents"], rules, "doc_id").select(
+        "bk", "id1", "id2"
+    )
+
+
 def _dedup_pair_features_customer(t: dict[str, DataFrame]) -> DataFrame:
     pairs = candidate_pairs_naive(
         t["customer"],
@@ -167,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_array_map_funcs": _t(R.scalar_array_map_funcs),
         # -- dedup (flagship Dis-Dedup pipeline) ------------------------------
         "dedup_pairs_naive_customer": _t(_dedup_pairs_naive_customer),
+        "dedup_pairs_naive_documents": _t(_dedup_pairs_naive_documents),
         "dedup_pairs_disdedup_customer": _t(_dedup_pairs_disdedup_customer),
         "dedup_pair_features_customer": _t(_dedup_pair_features_customer),
         # -- ML (rows-only: no oracle_sql entry) ------------------------------
@@ -618,6 +629,20 @@ def oracle_sql() -> dict[str, str]:
         # Intra-block pairs, exactly once: a pair sharing BOTH blocking
         # keys is attributed to the lower-numbered function (nation).
         "dedup_pairs_naive_customer": _DEDUP_PAIRS_SQL,
+        "dedup_pairs_naive_documents": """
+            SELECT CAST(1 AS INT) AS bk, a.doc_id AS id1, b.doc_id AS id2
+            FROM documents a
+            JOIN documents b
+              ON COALESCE(a.lang, '') = COALESCE(b.lang, '')
+             AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT CAST(2 AS INT), a.doc_id, b.doc_id
+            FROM documents a
+            JOIN documents b
+              ON COALESCE(a.source, '') = COALESCE(b.source, '')
+             AND a.doc_id < b.doc_id
+             AND COALESCE(a.lang, '') <> COALESCE(b.lang, '')
+        """,
         "dedup_pairs_disdedup_customer": _DEDUP_PAIRS_SQL,
         "dedup_pair_features_customer": """
             SELECT a.c_custkey AS id1, b.c_custkey AS id2,
