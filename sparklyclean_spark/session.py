@@ -39,6 +39,12 @@ _DEFAULTS = {
     # an undersized heap turns heavy operators into GC storms. On a
     # real cluster spark-submit overrides this per-site.
     "spark.driver.memory": "48g",
+    # Whole-stage codegen emits a new class per plan; a session running
+    # many distinct queries can fill the JIT's default 240 MB code
+    # cache, after which compilation stops and hot loops run
+    # INTERPRETED. Reserve more. -Xms keeps early heap growth out of
+    # the first heavy query's critical path.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g -Xms8g",
 }
 
 
