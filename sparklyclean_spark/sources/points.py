@@ -19,20 +19,22 @@ from pyspark.sql import functions as F
 
 
 def _split_line(n_features: int, with_label: bool):
+    # The on-disk format ALWAYS carries the label slot — Compare.scala:96
+    # writes it unconditionally, as "" for unlabeled pairs — so features
+    # start at index 3 either way; with_label only controls whether the
+    # slot surfaces as a column.
     parts = F.split(F.col("value"), r",\s*")
     base = {
         "id1": F.trim(parts[0]),
         "id2": F.trim(parts[1]),
     }
-    off = 2
     if with_label:
         # "" (unlabeled sentinel) -> NULL, else 0.0/1.0
         base["label"] = F.when(F.trim(parts[2]) == "", None).otherwise(
             F.trim(parts[2]).cast("double")
         )
-        off = 3
     base["features"] = F.array(
-        *[parts[off + i].cast("double") for i in range(n_features)]
+        *[parts[3 + i].cast("double") for i in range(n_features)]
     )
     return [v.alias(k) for k, v in base.items()]
 
