@@ -82,13 +82,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return R.q5_revenue_by_nation(_tables(spark, "/root/testdata/sf0.001"))
 
 
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def _tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Memoize per-(session, dir) so repeated queries skip re-inference
-    of parquet schemas (DataFrames are lazy plans; caching is free)."""
-    key = (id(spark), sf_dir)
+    of parquet schemas (DataFrames are lazy plans; caching is free).
+    Keyed on applicationId — stable per SparkContext, never reused by
+    a successor session the way id(spark) can be after GC."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = load_tables(spark, sf_dir)
     return _TABLE_CACHE[key]
@@ -111,6 +113,14 @@ def _q(fn, *args, **kwargs) -> Callable[[SparkSession, str], DataFrame]:
         return fn(_tables(spark, sf_dir)[table], *args, **kwargs)
 
     return run
+
+
+def _embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: sign-sketch band self-join +
+    hamming prefilter + exact-cosine verify (no all-pairs join)."""
+    from sparklyclean_spark.operators.similarity.knn import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(_tables(spark, sf_dir)["embeddings"], 0.3)
 
 
 def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _t(R.q3_shipping_priority),
         "semi_join_customers_with_open_orders": _t(R.semi_join_customers_with_open_orders),
         "anti_join_customers_without_orders": _t(R.anti_join_customers_without_orders),
+        "anti_join_customers_no_open_orders": _t(R.anti_join_customers_no_open_orders),
         "outer_join_nation_order_counts": _t(R.outer_join_nation_order_counts),
         "full_outer_nation_presence": _t(R.full_outer_nation_presence),
         "range_join_events_pairs": _t(R.range_join_events_near_orders),
@@ -194,9 +205,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_shingle_jaccard": _q(TD.shingle_jaccard_pairs, 0.3, table="documents"),
         # hash-based candidates: rows-only (tests check recall vs exact)
         "neardup_minhash_lsh": _q(TD.minhash_lsh_pairs, 0.3, table="documents"),
+        # A/B physical shape: explode/agg (cluster-shaped) variant
+        "neardup_minhash_lsh_exploded": _q(
+            TD.minhash_lsh_pairs_exploded, 0.3, table="documents"
+        ),
         "neardup_simhash": _q(TD.simhash_pairs, 3, table="documents"),
         # -- similarity search over embeddings ---------------------------------
         "embedding_cosine_neardup": _q(TD.embedding_cosine_pairs, 0.3, table="embeddings"),
+        # ANN pairs path (rows-only: banding recall < 1 by design;
+        # tests assert LSH ⊆ exact with recall ≥ 0.8)
+        "embedding_lsh_pairs": _embedding_lsh_pairs,
         "knn_bruteforce_cosine": _knn_brute,
         "knn_lsh_cosine": _knn_lsh,
         # -- event-time windowing (batch semantics == streaming plan) ---------
@@ -347,6 +365,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_nationkey
             FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "anti_join_customers_no_open_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         """,
         "outer_join_nation_order_counts": """
             SELECT n_nationkey, n_name,

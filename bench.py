@@ -71,9 +71,14 @@ def main() -> None:
         "topk_orders_per_customer",
         "range_join_events_pairs",
         "neardup_minhash_lsh",
+        # A/B: same semantics, explode/agg physical shape (the
+        # cluster-shaped plan) — numbers decide which wins per scale
+        "neardup_minhash_lsh_exploded",
         "neardup_simhash",
         "knn_bruteforce_cosine",
-        "embedding_cosine_neardup",
+        # ANN pairs path replaced the quadratic all-pairs cosine join
+        # (embedding_cosine_neardup stays registered as the oracle)
+        "embedding_lsh_pairs",
         "text_tfidf_top_terms",
         "events_session_windows",
         "dedup_pairs_disdedup_customer",
@@ -97,27 +102,37 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    from sparklyclean_spark.cache import release_caches
+
     timings: dict[str, float] = {}
+    retried: dict[str, list[float]] = {}
     for name in headline:
         elapsed = run_once(name)
         if elapsed > STALL_SEC:
             print(f"  {name}: {elapsed:.1f}s > stall threshold, retrying", file=sys.stderr)
-            elapsed = min(elapsed, run_once(name))
+            release_caches()
+            second = run_once(name)
+            retried[name] = [round(elapsed, 3), round(second, 3)]
+            elapsed = min(elapsed, second)
         timings[name] = round(elapsed, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        # drop operator-internal caches so queries don't pressure each
+        # other's executor memory (long-lived-driver hygiene)
+        release_caches()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+    result = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    if retried:
+        # both raw timings per stall-retried query, so consumers can
+        # tell stall-corrected numbers from single-run ones
+        result["retried"] = retried
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -44,9 +44,20 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    # Runtime-settable read conf; required for TIMESTAMP(NANOS) columns.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns need this runtime read conf, but only
+    # during the (eager) schema analysis of the read call — the scan
+    # captures it into the plan. Scope it: set, read, restore, so the
+    # session-wide parquet behavior outside this call is untouched.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     dtypes = dict(df.dtypes)
     for col in _NANO_TS_COLS.get(name, ()):
         if dtypes.get(col) == "bigint":

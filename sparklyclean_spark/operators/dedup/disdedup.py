@@ -42,8 +42,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from sparklyclean_spark.cache import tracked_persist
 from sparklyclean_spark.operators.dedup.blocking import (
     BlockingRule,
     bv_col,
@@ -189,10 +189,9 @@ def candidate_pairs_disdedup(
     # base feeds the stats job AND the fan-out; the fan-out feeds three
     # role filters (L/R/S) — persist both so the scan+explode chain is
     # materialized once, like the reference's single shuffle does.
-    base = (
+    base = tracked_persist(
         explode_blocks(df, rules)
         .select(F.col(id_col).alias("id_"), *payload_cols, *bv_cols, "bk", "bv")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # --- stats job: block sizes; only heavy blocks reach the driver.
@@ -202,8 +201,32 @@ def candidate_pairs_disdedup(
     ).collect()[0]
     total_w = int(totals["w"] or 0)
     if total_w == 0:
-        empty = spark.createDataFrame([], schema="bk int, id1 string, id2 string")
-        return empty
+        # Schema-faithful empty result: column types derived from the
+        # input (id/payload keep their real types, cell-stats columns
+        # match the full plan), so duplicate-free inputs still satisfy
+        # the documented output contract and union cleanly.
+        z = df.limit(0)
+        t1 = z.select(
+            F.lit(1).cast("int").alias("bk"),
+            F.col(id_col).alias("id1"),
+            *[F.col(c).alias(f"t1_{c}") for c in payload_cols],
+        )
+        t2 = z.select(
+            F.col(id_col).alias("id2"),
+            *[F.col(c).alias(f"t2_{c}") for c in payload_cols],
+        )
+        empty = t1.crossJoin(t2)
+        if with_cell_stats:
+            empty = (
+                empty.withColumn("rid", F.lit(None).cast("int"))
+                .withColumn("cell", F.lit(None).cast("int"))
+                .withColumn("bv", F.lit(None).cast("string"))
+            )
+        out = ["bk", "id1", "id2"]
+        out += [f"t1_{c}" for c in payload_cols] + [f"t2_{c}" for c in payload_cols]
+        if with_cell_stats:
+            out += ["rid", "cell", "bv"]
+        return empty.select(*out)
     w_per_reducer = total_w / k
     tau = total_w / (3.0 * k * math.log(k)) if k >= 3 else w_per_reducer
     heavy = [
@@ -236,8 +259,8 @@ def candidate_pairs_disdedup(
             ),
         )
         .drop("rids", "l_")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    fan = tracked_persist(fan)
     # materialize: the three role filters (L/R/S) below would each
     # recompute the fan-out inside one job before the cache fills
     fan.count()

@@ -21,8 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from sparklyclean_spark.cache import tracked_persist
 from sparklyclean_spark.functions import text as T
 from sparklyclean_spark.functions.vectors import cosine_pandas
 
@@ -217,7 +217,7 @@ def minhash_lsh_pairs(
     # operator), heavy mixing Python-side; feeds both join sides plus
     # verification — persist AND materialize (a persist only helps
     # jobs that start after it fills).
-    t = (
+    t = tracked_persist(
         docs.select(
             F.col(id_col).alias("id"),
             sig_udf(
@@ -226,7 +226,6 @@ def minhash_lsh_pairs(
         )
         .select("id", F.col("ss.hs").alias("sh"), F.col("ss.sig").alias("sig"))
         .where(F.size("sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     t.count()
     # band join carries ONLY (band, bucket, id)
@@ -287,9 +286,7 @@ def minhash_lsh_pairs_exploded(
     """
     rows_per_band = num_hashes // bands
     # feeds signatures AND verification — materialize once
-    sh = shingle_hash_table(docs, n, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = tracked_persist(shingle_hash_table(docs, n, id_col, text_col))
     sh.count()
 
     # sig(id, seed) = min over shingles of xxhash64(h, seed)
@@ -314,8 +311,8 @@ def minhash_lsh_pairs_exploded(
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cands = tracked_persist(cands)
 
     # exact Jaccard via intersection counting on the shingle-hash table
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -411,7 +408,7 @@ def simhash_pairs(
     # both join sides derive from the simhash table — persist (tiny:
     # id + one bigint per doc) and materialize so the 64-vote
     # aggregation runs once, not once per join branch
-    t = simhash64_table(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    t = tracked_persist(simhash64_table(docs, id_col, text_col))
     t.count()
     banded = t.select(
         "id",

@@ -154,6 +154,19 @@ def anti_join_customers_without_orders(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def anti_join_customers_no_open_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """LEFT ANTI against a filtered build side: customers with no OPEN
+    order. Non-empty at every SF (unlike the no-orders-at-all shape,
+    where TPC-H-style generators give every customer an order), so the
+    correctness hash actually discriminates."""
+    c, o = t["customer"], t["orders"]
+    return c.join(
+        o.where(F.col("o_orderstatus") == "O"),
+        c.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
 def outer_join_nation_order_counts(t: dict[str, DataFrame]) -> DataFrame:
     """LEFT OUTER join preserving nations with zero customers/orders."""
     n, c, o = t["nation"], t["customer"], t["orders"]

@@ -10,6 +10,10 @@
   (dimension, plane) — no stored model, reproducible across runs.
   Candidates = same-bucket in any band, then exact cosine re-rank.
   Linear candidate generation; recall tunable via planes/bands.
+* ``lsh_cosine_pairs`` — ANN near-dup PAIRS over one table (the
+  self-join form): band self-join for candidates → JVM-side Hamming
+  prefilter on the full packed signature → exact-cosine verify on the
+  survivors. Replaces the all-pairs quadratic join as the scale path.
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparklyclean_spark.cache import tracked_persist
 from sparklyclean_spark.functions.vectors import _c, cosine_pandas
 
 
@@ -90,6 +95,139 @@ def signature_bits(vec, n_planes: int, dim: int) -> F.Column:
         return pd.Series(list(bits))
 
     return pandas_udf(impl, "array<int>")(_c(vec))
+
+
+def signature_words(vec, n_planes: int, dim: int) -> F.Column:
+    """array<bigint> of packed sign bits (n_planes/64 words, little-
+    endian bit order). One Arrow batch = one (rows × dim) @
+    (dim × n_planes) matmul + a packbits — same plane family as
+    ``signature_bits`` but 64× denser, so the band join and the
+    Hamming prefilter both stay JVM-cheap."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _rademacher_planes(n_planes, dim)
+
+    def impl(vs):
+        m = np.asarray(vs.tolist(), dtype=np.float64)
+        bits = (m @ planes >= 0).astype(np.uint8)
+        words = (
+            np.packbits(bits, axis=1, bitorder="little")
+            .view(np.int64)
+        )
+        return pd.Series(list(words))
+
+    return pandas_udf(impl, "array<bigint>")(_c(vec))
+
+
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int = 768,
+    bands: int = 96,
+    dim: int = 64,
+    hamming_slack: float = 3.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN near-dup pairs: all (id1 < id2) with cosine ≥ threshold,
+    found WITHOUT the quadratic all-pairs join.
+
+    Three-stage plan, every stage linear-ish in corpus size:
+
+    1. **Sign sketch** — one pandas-UDF matmul per Arrow batch packs
+       n_planes hyperplane signs into n_planes/64 bigints.
+    2. **Band self-join** — each vector explodes to ``bands`` rows of
+       (band, r-bit bucket, id); candidates are same-bucket pairs.
+       The join carries only (band, bucket, id) — no payload.
+    3. **Hamming prefilter, then exact verify** — candidates join the
+       packed signatures and are filtered JVM-side by
+       ``sum(bit_count(xor(word_i)))`` ≤ cutoff, where cutoff =
+       E[hamming at cos=threshold] + slack·σ. Sign-bit agreement
+       concentrates (Binomial, σ = √n_planes/2), so the prefilter
+       passes ~all true pairs and kills most band-collision noise
+       before the (Python-side) exact cosine runs. Only survivors pay
+       the vector join + cosine.
+
+    Recall < 1 by construction (banding); precision is exact (every
+    emitted pair is cosine-verified). Defaults (r=8, B=96) measure
+    recall ≈ 0.83 at threshold 0.3 on the synthetic embeddings — the
+    hardest regime, matches barely above the null cosine
+    distribution; real near-dup corpora (cos ≥ 0.8) need far fewer
+    planes. ``embedding_cosine_pairs`` (textdedup.py) remains the
+    exact oracle path at verification scale.
+    """
+    if n_planes % bands != 0:
+        raise ValueError("n_planes must be divisible by bands")
+    r = n_planes // bands
+    if 64 % r != 0:
+        raise ValueError("rows-per-band must divide 64 (word-aligned buckets)")
+    n_words = (n_planes + 63) // 64
+
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # signatures feed the band explode AND the hamming join — persist
+    # and materialize once (see cache.release_caches for cleanup).
+    sig = tracked_persist(
+        e.select("id", signature_words(F.col("v"), n_planes, dim).alias("w"))
+    )
+    sig.count()
+
+    def bucket(b: int) -> F.Column:
+        word, shift = (b * r) // 64, (b * r) % 64
+        return (
+            F.shiftrightunsigned(F.element_at("w", word + 1), shift)
+            .bitwiseAND(F.lit((1 << r) - 1))
+            .cast("int")
+        )
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cands = (
+        banded.select("band", "bucket", F.col("id").alias("id1"))
+        .join(banded.select("band", "bucket", F.col("id").alias("id2")), ["band", "bucket"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+
+    # Hamming prefilter: pure codegen (element_at + xor + bit_count),
+    # carries n_planes/8 bytes per side — no vectors, no Python.
+    cutoff = math.ceil(
+        n_planes * (math.acos(threshold) / math.pi)
+        + hamming_slack * math.sqrt(n_planes) / 2.0
+    )
+    hamming = sum(
+        F.bit_count(
+            F.element_at("w1", i + 1).bitwiseXOR(F.element_at("w2", i + 1))
+        )
+        for i in range(n_words)
+    )
+    passed = (
+        cands.join(sig.select(F.col("id").alias("id1"), F.col("w").alias("w1")), "id1")
+        .join(sig.select(F.col("id").alias("id2"), F.col("w").alias("w2")), "id2")
+        .where(hamming <= F.lit(cutoff))
+        .select("id1", "id2")
+    )
+
+    # Exact verify on survivors only: vector join + Arrow-batched cosine.
+    verified = (
+        passed.join(e.select(F.col("id").alias("id1"), F.col("v").alias("v1")), "id1")
+        .join(e.select(F.col("id").alias("id2"), F.col("v").alias("v2")), "id2")
+        .withColumn("cos", cosine_pandas(F.col("v1"), F.col("v2")))
+        .where(F.col("cos") >= threshold)
+    )
+    return verified.select("id1", "id2", F.round("cos", 4).alias("cos"))
 
 
 def lsh_bucketed_topk(

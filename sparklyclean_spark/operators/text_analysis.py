@@ -52,17 +52,28 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     TF-IDF, no driver involvement. idf = ln((N+1)/(df+1)) + 1.
     Deterministic tie-break: higher tf first, then term ASC.
     """
-    n_docs = docs.count()  # one count job; the value is a plan literal
+    # N as a 1-row aggregate cross-joined (broadcast) into the scoring
+    # plan — no driver-side count() action, so one job end-to-end. The
+    # extra count(*) scan is column-pruned to row-group metadata on
+    # parquet; token-less docs still count (so it can't be derived
+    # from the exploded terms).
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n_docs"))
     terms = docs.select(
         "doc_id", F.explode(T.words("text")).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    scored = tf.join(df_, "term").withColumn(
-        "tfidf",
-        F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+    # df = docs containing the term = tf rows in the term partition —
+    # a window count over tf instead of a second scan + distinct +
+    # join: ONE corpus scan for the whole query, and no vocab-sized
+    # build side to broadcast/shuffle-join at 100 TB.
+    df_win = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(df_win))
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.desc("tf"), F.asc("term")

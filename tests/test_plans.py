@@ -49,3 +49,16 @@ def test_topk_single_shuffle(t):
     df = R.topk_orders_per_customer(t)
     # window per customer = exactly one hash exchange
     assert P.count_exchanges(df) == 1
+
+
+def test_tfidf_count_in_plan_not_driver(t):
+    """N must be computed inside the job (1-row broadcast aggregate),
+    not via a driver-side count() action: two scans of documents, the
+    N scan column-pruned to nothing (row-group-metadata count)."""
+    from sparklyclean_spark.operators import text_analysis as TA
+
+    df = TA.tfidf_top_terms(t["documents"])
+    scans = sorted(tuple(c) for c in P.read_schema_columns(df))
+    assert len(scans) == 2, f"expected 2 scans, saw {scans}"
+    assert scans[0] == (), f"N scan not pruned to metadata: {scans[0]}"
+    assert scans[1] == ("doc_id", "text")

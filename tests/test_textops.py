@@ -86,6 +86,27 @@ def test_knn_lsh_recall(emb):
     assert recall >= 0.3, f"ANN recall {recall}"
 
 
+def test_embedding_lsh_pairs_recall(emb):
+    """ANN pairs path: every emitted pair is cosine-verified (⊆ the
+    exact quadratic result, identical cos values) and banding recall
+    clears 0.8 on the hardest regime — matches barely above the null
+    cosine distribution (measured 0.833 with r=8, B=96)."""
+    from sparklyclean_spark.operators.similarity.knn import lsh_cosine_pairs
+
+    exact = {
+        (r["id1"], r["id2"]): r["cos"]
+        for r in TD.embedding_cosine_pairs(emb, 0.3).collect()
+    }
+    lsh = {
+        (r["id1"], r["id2"]): r["cos"]
+        for r in lsh_cosine_pairs(emb, 0.3).collect()
+    }
+    assert set(lsh) <= set(exact), f"non-exact pairs: {set(lsh) - set(exact)}"
+    assert all(lsh[k] == exact[k] for k in lsh), "cos values diverge from exact"
+    recall = len(set(lsh) & set(exact)) / len(exact)
+    assert recall >= 0.8, f"recall {recall} ({len(lsh)}/{len(exact)})"
+
+
 def test_exact_dedup_idempotent(docs):
     d = TD.exact_dedup(docs)
     assert d.count() == d.select("fp").distinct().count()
