@@ -36,6 +36,95 @@ def people(spark):
     return people_df(spark, n_originals=80)
 
 
+REF_DATA = "/root/reference/data"
+
+
+def test_febrl_reference_pair_count_parity(spark):
+    """Parity on the reference's OWN corpus (data/train.csv +
+    data/test.csv, the published Febrl generator runs).
+
+    Anchors from the reference README:
+    * TrainDupClassifier's confusion matrix sums to 15,186,913 — that
+      is the 30% holdout of the labeled points, so the full pair set
+      is ≈ 15.19M / 0.3 ≈ 50.6M. We assert our exact full-set count
+      (50,634,396; 0.3 × it = 15,190,319, within 0.03% of the
+      published holdout) — blocking + exactly-once semantics parity.
+    * ApplyDupClassifier's matrix sums to 129,718 with 756+23 = 779
+      actual duplicates; our test.csv pair set matches both EXACTLY.
+    """
+    from pyspark.sql import functions as F
+
+    from sparklyclean_spark.sources.csv import read_febrl
+
+    train = read_febrl(spark, os.path.join(REF_DATA, "train.csv"))
+    assert train.count() == 20000
+    lab = generate_labeled_points(train, k=49, mode="parity")
+    agg = lab.agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")).collect()[0]
+    assert agg["n"] == 50_634_396
+    assert int(agg["pos"]) == 21_621
+    published_holdout = 15_186_913
+    assert abs(0.3 * agg["n"] - published_holdout) / published_holdout < 0.005
+
+    test = read_febrl(spark, os.path.join(REF_DATA, "test.csv"))
+    lab_t = generate_labeled_points(test, k=49, mode="parity")
+    agg_t = lab_t.agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("pos")).collect()[0]
+    assert agg_t["n"] == 129_718  # = 128,939 + 23 + 0 + 756 (README apply matrix)
+    assert int(agg_t["pos"]) == 779  # = 756 TP + 23 FN
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARKLYCLEAN_FULL_PARITY"),
+    reason="several-minute GBT train on the 20k-record Febrl corpus; "
+    "set SPARKLYCLEAN_FULL_PARITY=1 to run",
+)
+def test_febrl_reference_ml_recall_parity(spark):
+    """Train on the reference's train.csv, apply to its test.csv, and
+    hit the published quality bar (README: holdout recall ≈ 97.7%,
+    apply recall ≈ 97%, soc_sec_id the top feature).
+
+    Negatives are downsampled 100× after labeling but BEFORE feature
+    computation (recall-focused rebalance — all 21,621 positives
+    kept); maxIter=15 vs the reference's 100. Measured on this exact
+    data: holdout recall 0.995, test-apply recall ≥ 0.95, precision
+    ≈ 1.0, f_soc_sec_id importance ≈ 0.87 (reference: 0.56, also #1).
+    """
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from sparklyclean_spark.operators.dedup.compare import with_features
+    from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
+    from sparklyclean_spark.operators.dedup.pipeline import (
+        FEBRL_FEATURE_NAMES,
+        FEBRL_RULES,
+        FEBRL_SPEC,
+        febrl_label,
+    )
+    from sparklyclean_spark.sources.csv import read_febrl
+
+    train = read_febrl(spark, os.path.join(REF_DATA, "train.csv"))
+    payload = sorted({fc.col for fc in FEBRL_SPEC})
+    pairs = candidate_pairs_disdedup(
+        train, FEBRL_RULES, "rec_id", payload_cols=payload, k=49
+    ).withColumn("label", febrl_label(F.col("id1"), F.col("id2")))
+    samp = pairs.sampleBy("label", {0.0: 0.01, 1.0: 1.0}, seed=647)
+    labeled = with_features(samp, FEBRL_SPEC, as_array=True).select(
+        "id1", "id2", "label", "features"
+    )
+    model, m = train_dup_classifier(labeled, max_iter=15)
+    assert m.recall >= 0.95, m
+    top = feature_importances(model, FEBRL_FEATURE_NAMES)[0]
+    assert top[0] == "f_soc_sec_id", top
+
+    test = read_febrl(spark, os.path.join(REF_DATA, "test.csv"))
+    lab_t = generate_labeled_points(test, k=49, mode="parity").withColumn(
+        "features_vec", array_to_vector("features")
+    )
+    mt = evaluate(model, lab_t)
+    assert mt.tp + mt.fn == 779 and mt.tn + mt.fp == 128_939
+    assert mt.recall >= 0.9, mt
+    assert mt.precision >= 0.95, mt
+
+
 def test_three_program_pipeline_via_disk(spark, people, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("refpipe"))
 
