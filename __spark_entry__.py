@@ -203,7 +203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": _q(TD.exact_dedup, table="documents"),
         "neardup_token_jaccard": _q(TD.token_jaccard_pairs, 0.9, table="documents"),
         "neardup_shingle_jaccard": _q(TD.shingle_jaccard_pairs, 0.3, table="documents"),
-        # hash-based candidates: rows-only (tests check recall vs exact)
+        # minhash: oracle-checked against the exact quadratic result
+        # (verification is exact; 16x4 banding miss prob ~2e-4 per pair)
         "neardup_minhash_lsh": _q(TD.minhash_lsh_pairs, 0.3, table="documents"),
         # A/B physical shape: explode/agg (cluster-shaped) variant
         "neardup_minhash_lsh_exploded": _q(
@@ -557,20 +558,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM t a JOIN t b ON a.doc_id < b.doc_id
             ) WHERE jaccard >= 0.9
         """,
-        "neardup_shingle_jaccard": f"""
-            WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
-            s AS (SELECT doc_id,
-                         list_distinct(list_transform(range(1, GREATEST(len(w) - 2, 0) + 1),
-                                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-                  FROM w)
-            SELECT id1, id2, jaccard FROM (
-                SELECT a.doc_id AS id1, b.doc_id AS id2,
-                       ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-                             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                                  / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
-                FROM s a JOIN s b ON a.doc_id < b.doc_id
-            ) WHERE jaccard >= 0.3
-        """,
+        "neardup_shingle_jaccard": _shingle_jaccard_sql(0.3),
+        # MinHash-LSH oracle: the exact quadratic shingle-Jaccard result.
+        # Valid because verification is exact (LSH output ⊆ exact always)
+        # and banding recall at this corpus's near-dup regime (true pairs
+        # sit at j ≥ 0.8; 16 bands × r=4 ⇒ per-pair miss ≈ 2e-4) makes
+        # equality overwhelmingly likely; a miss would show as a clean
+        # rows mismatch, not silent corruption.
+        "neardup_minhash_lsh": _shingle_jaccard_sql(0.3),
+        "neardup_minhash_lsh_exploded": _shingle_jaccard_sql(0.3),
         # -- similarity search (float64 cosine, matches Spark exactly) --------
         "embedding_cosine_neardup": f"""
             SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -689,6 +685,26 @@ _TOKS_SQL = (
     "list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)"
 )
 _FP_SQL = "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+
+def _shingle_jaccard_sql(threshold: float) -> str:
+    """Exact 3-shingle Jaccard all-pairs in DuckDB — the oracle for the
+    exact quadratic path AND the minhash-LSH paths (whose verification
+    recomputes the same Jaccard on 64-bit shingle hashes)."""
+    return f"""
+        WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+        s AS (SELECT doc_id,
+                     list_distinct(list_transform(range(1, GREATEST(len(w) - 2, 0) + 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+              FROM w)
+        SELECT id1, id2, jaccard FROM (
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                              / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+        ) WHERE jaccard >= {threshold}
+    """
 _COS_SQL = (
     "(list_sum(list_transform(range(1, len(a.embedding) + 1),"
     " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"

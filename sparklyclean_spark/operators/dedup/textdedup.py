@@ -191,8 +191,8 @@ def _make_shingle_sig_udf(n: int, num_hashes: int):
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -206,10 +206,13 @@ def minhash_lsh_pairs(
     Spark — measured ~17 s for 5k docs vs <1 s vectorized). The band
     self-join carries only (band, bucket, id); verification computes
     exact Jaccard on the distinct shingle-HASH sets (64-bit, so
-    collision effect on Jaccard is negligible). With 32 hashes /
-    8 bands (r=4), candidate prob at j=0.3 is 1-(1-0.3^4)^8 ≈ 6%;
-    precision is exact-verified, recall depends on banding. For an
-    all-builtin explode/agg shape, see ``minhash_lsh_pairs_exploded``.
+    collision effect on Jaccard is negligible). With 64 hashes /
+    16 bands (r=4), candidate prob at j=0.3 is 1-(1-0.3^4)^16 ≈ 12%
+    and per-pair miss at j=0.8 is (1-0.8^4)^16 ≈ 2e-4 — tight enough
+    that the output equals the exact quadratic result whenever true
+    near-dups sit at j ≥ 0.8 (the oracle relies on this); precision
+    is exact-verified either way. For an all-builtin explode/agg
+    shape, see ``minhash_lsh_pairs_exploded``.
     """
     rows_per_band = num_hashes // bands
     sig_udf = _make_shingle_sig_udf(n, num_hashes)
@@ -269,8 +272,8 @@ def minhash_lsh_pairs(
 def minhash_lsh_pairs_exploded(
     docs: DataFrame,
     threshold: float,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",

@@ -37,7 +37,7 @@ def test_shingles_short_doc(spark):
 def test_minhash_lsh_recall_and_precision(docs):
     """LSH candidates verified by exact Jaccard ⇒ precision 1.0
     (subset of the exact quadratic result); recall should be high at
-    j≥0.5 given 8 bands × 4 rows."""
+    j≥0.5 given 16 bands × 4 rows."""
     exact = {
         (r["id1"], r["id2"])
         for r in TD.shingle_jaccard_pairs(docs, 0.5).collect()
