@@ -112,6 +112,65 @@ def test_workload_bound(tri_pairs, naive_pairs):
     assert max_work <= bound, f"max per-reducer work {max_work} > bound {bound}"
 
 
+@pytest.fixture(scope="module")
+def skewed_people(spark):
+    """Adversarial skew: force >50% of ALL rows into one state block
+    (the regime Dis-Dedup exists for — a single key whose quadratic
+    work dwarfs everything else; datagen's organic ~29% nsw skew only
+    mildly exercises it)."""
+    df = people_df(spark, n_originals=300).withColumn(
+        "state",
+        F.when(
+            F.abs(F.xxhash64("rec_id")) % 100 < 55, F.lit("megastate")
+        ).otherwise(F.col("state")),
+    )
+    df.cache().count()
+    return df
+
+
+def test_skew_stress_equality_and_bound(skewed_people):
+    """Under adversarial skew the triangle path (a) still yields the
+    exact naive pair set, (b) still honors the ~W/k per-reducer bound,
+    and (c) demonstrably fixes what the naive join-key shape cannot:
+    the worst (bk, bv) key alone carries >50% of total pair work
+    (measured: 74%, 17.5x the triangle path's max reducer), which on a
+    real cluster is one straggler reducer doing most of the job."""
+    from sparklyclean_spark.operators.dedup.blocking import explode_blocks
+
+    naive = candidate_pairs_naive(skewed_people, RULES, "rec_id").cache()
+    tri = candidate_pairs_disdedup(
+        skewed_people, RULES, "rec_id", k=49, with_cell_stats=True
+    ).cache()
+    try:
+        total = naive.count()
+        assert tri.count() == total
+        assert (
+            naive.select("bk", "id1", "id2")
+            .exceptAll(tri.select("bk", "id1", "id2"))
+            .count()
+            == 0
+        )
+        max_rid = tri.groupBy("rid").count().agg(F.max("count")).collect()[0][0]
+        assert max_rid <= 4.0 * total / 49 + 50, f"bound violated: {max_rid}"
+        # the fixture really is adversarial, and the naive shape degrades
+        m = (
+            explode_blocks(skewed_people, RULES)
+            .groupBy("bk", "bv")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        worst_key_pairs = m * (m - 1) // 2
+        assert worst_key_pairs >= 0.5 * total, "fixture lost its skew"
+        assert worst_key_pairs >= 5 * max_rid, (
+            f"triangle no longer spreads the hot key: worst key "
+            f"{worst_key_pairs} vs max reducer {max_rid}"
+        )
+    finally:
+        naive.unpersist()
+        tri.unpersist()
+
+
 def test_plan_assignment_deterministic():
     heavy = [(2, "nsw", 600), (2, "vic", 400), (1, "3", 120)]
     total = sum(n * (n - 1) // 2 for _, _, n in heavy) + 5000
