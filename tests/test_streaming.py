@@ -80,6 +80,85 @@ def test_session_window_gap_boundary(spark):
     assert first["n_events"] == 3
 
 
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_sessionize_property_matches_batch(spark, tmp_path_factory, seed):
+    """Property check on RANDOMIZED event sets: the streaming
+    sessionizer's closed sessions must equal the batch
+    ``session_window`` result restricted to closed sessions — closed
+    meaning a later same-user session exists (in-processing closure)
+    or the session end precedes the final watermark (timeout closure).
+
+    Events are chunked time-sorted into 4 files (one micro-batch each,
+    arrival order = event order, nothing beyond the watermark), which
+    is the regime the operator documents equivalence for."""
+    import random
+    from datetime import datetime, timedelta
+
+    from sparklyclean_spark.streaming.sessionize import streaming_sessionize
+
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1, 6, 0, 0)
+    events = sorted(
+        (
+            (
+                i,
+                base + timedelta(seconds=rng.randrange(6 * 3600)),
+                rng.randrange(1, 7),  # 6 users
+                (i % 7) * 0.5,  # binary-exact values: float sums exact
+            )
+            for i in range(240)
+        ),
+        key=lambda e: e[1],
+    )
+
+    path = str(tmp_path_factory.mktemp(f"sess_prop_{seed}"))
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+    chunk = (len(events) + 3) // 4
+    for c in range(4):
+        part = events[c * chunk : (c + 1) * chunk]
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    gap, wm = timedelta(minutes=15), timedelta(minutes=30)
+    out = streaming_sessionize(
+        spark, path, schema, gap_seconds=int(gap.total_seconds())
+    )
+    name = f"sessionize_prop_{seed}"
+    query = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    got = {
+        (r.user_id, r.window_start, r.window_end): (r.n_events, r.sum_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    bdf = spark.createDataFrame(events, schema)
+    batch = session_windows(bdf, "15 minutes").collect()
+    final_wm = max(e[1] for e in events) - wm
+    last_end = {}
+    for r in batch:
+        u = r["user_id"]
+        last_end[u] = max(last_end.get(u, r["window_end"]), r["window_end"])
+    expected = {
+        (r["user_id"], r["window_start"], r["window_end"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in batch
+        if r["window_end"] < final_wm or r["window_end"] < last_end[r["user_id"]]
+    }
+    assert got == expected, (
+        f"streaming-only: {sorted(set(got) - set(expected))}; "
+        f"batch-only: {sorted(set(expected) - set(got))}"
+    )
+
+
 def test_stateful_sessionize_closes_on_watermark(spark, tmp_path_factory):
     """applyInPandasWithState sessionizer: sessions are emitted exactly
     once, when the watermark passes last_event + gap. Two files ->
