@@ -138,14 +138,20 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full dedup→ML flow on the Febrl-shaped generator: blocked
-    load-balanced pairs → features → GBT train → holdout confusion
-    matrix. Not SQL-expressible (iterative ML) → rows-only check."""
-    from sparklyclean_spark.datagen import people_df
+    """Full dedup→ML flow on the REFERENCE'S OWN corpus
+    (/root/reference/data/test.csv, 1,000 Febrl records → 129,718
+    blocked pairs with realistic block-size skew): load-balanced pairs
+    → features → GBT train → holdout confusion matrix. Measured here:
+    recall ≈ 0.98 / precision ≈ 1.0, in line with the reference's
+    published ≈97% recall. Not SQL-expressible (iterative ML) →
+    rows-only check; quality gates live in pytest
+    (test_reference_pipeline.py Febrl parity tests)."""
     from sparklyclean_spark.ml.dup_classifier import train_dup_classifier
     from sparklyclean_spark.operators.dedup.pipeline import generate_labeled_points
+    from sparklyclean_spark.sources.csv import read_febrl
 
-    labeled = generate_labeled_points(people_df(spark, n_originals=120), k=49, mode="sane")
+    test = read_febrl(spark, "/root/reference/data/test.csv")
+    labeled = generate_labeled_points(test, k=49, mode="sane")
     _, m = train_dup_classifier(labeled, max_iter=10)
     return spark.createDataFrame(
         [(m.tn, m.fp, m.fn, m.tp, round(m.precision, 4), round(m.recall, 4))],
