@@ -4,6 +4,7 @@ from sparklyclean_spark.plans.audit import (
     count_exchanges,
     explain_formatted,
     has_broadcast_hash_join,
+    has_nested_loop_join,
     has_pushed_filters,
     read_schema_columns,
     whole_stage_codegen_spans,
@@ -13,6 +14,7 @@ __all__ = [
     "count_exchanges",
     "explain_formatted",
     "has_broadcast_hash_join",
+    "has_nested_loop_join",
     "has_pushed_filters",
     "read_schema_columns",
     "whole_stage_codegen_spans",

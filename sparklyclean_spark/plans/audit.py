@@ -44,6 +44,14 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df, "simple")
 
 
+def has_nested_loop_join(df: DataFrame) -> bool:
+    """True if the plan contains a quadratic join operator (cartesian
+    product or nested-loop) — the scale-killer a bucketed/banded
+    rewrite exists to avoid."""
+    plan = explain_str(df, "simple")
+    return "NestedLoopJoin" in plan or "CartesianProduct" in plan
+
+
 def has_pushed_filters(df: DataFrame, fragment: str) -> bool:
     """True if some scan's ``PushedFilters`` mentions ``fragment``
     (a column name or literal)."""

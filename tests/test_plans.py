@@ -51,6 +51,21 @@ def test_topk_single_shuffle(t):
     assert P.count_exchanges(df) == 1
 
 
+def test_ann_paths_avoid_quadratic_joins(t):
+    """The banded/bucketed near-dup paths must plan as equi-joins; the
+    exact all-pairs forms are allowed to be nested-loop because they
+    exist as verification/oracle paths only."""
+    from sparklyclean_spark.operators.dedup import textdedup as TD
+    from sparklyclean_spark.operators.similarity.knn import lsh_cosine_pairs
+
+    assert not P.has_nested_loop_join(lsh_cosine_pairs(t["embeddings"], 0.3))
+    assert not P.has_nested_loop_join(TD.minhash_lsh_pairs(t["documents"], 0.3))
+    assert not P.has_nested_loop_join(TD.simhash_pairs(t["documents"], 3))
+    # the exact quadratic forms really are the nested-loop shape —
+    # if Catalyst ever finds an equi-plan for them, revisit the split
+    assert P.has_nested_loop_join(TD.embedding_cosine_pairs(t["embeddings"], 0.3))
+
+
 def test_tfidf_count_in_plan_not_driver(t):
     """N must be computed inside the job (1-row broadcast aggregate),
     not via a driver-side count() action: two scans of documents, the
