@@ -137,6 +137,16 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical-kmeans coarse quantizer + nprobe cell probe.
+    Rows-only (recall < 1 by construction; pytest gates recall vs
+    brute force)."""
+    from sparklyclean_spark.operators.similarity.knn import ivf_topk
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=32, nprobe=8)
+
+
 def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup→ML flow on the REFERENCE'S OWN corpus
     (/root/reference/data/test.csv, 1,000 Febrl records → 129,718
@@ -224,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_pairs": _embedding_lsh_pairs,
         "knn_bruteforce_cosine": _knn_brute,
         "knn_lsh_cosine": _knn_lsh,
+        "knn_ivf_cosine": _knn_ivf,
         # -- event-time windowing (batch semantics == streaming plan) ---------
         "events_tumbling_hourly": _q(W.tumbling_counts, table="events"),
         "events_sliding_users": _q(W.sliding_user_activity, table="events"),

@@ -14,6 +14,12 @@
   self-join form): band self-join for candidates → JVM-side Hamming
   prefilter on the full packed signature → exact-cosine verify on the
   survivors. Replaces the all-pairs quadratic join as the scale path.
+* ``ivf_topk`` — inverted-file ANN: spherical k-means coarse
+  quantizer trained on a bounded deterministic sample (driver-side —
+  the standard IVF pattern; the index is a tiny centroid matrix, not
+  per-row state), cells assigned by one matmul per Arrow batch,
+  queries probe their ``nprobe`` nearest cells via a cell equi-join.
+  Per-query work ≈ corpus × nprobe / n_cells instead of the full scan.
 """
 
 from __future__ import annotations
@@ -228,6 +234,107 @@ def lsh_cosine_pairs(
         .where(F.col("cos") >= threshold)
     )
     return verified.select("id1", "id2", F.round("cos", 4).alias("cos"))
+
+
+def _spherical_kmeans(x, n_cells: int, iters: int = 10, seed: int = 647):
+    """Driver-side spherical k-means (Lloyd on the unit sphere) over a
+    bounded sample — the coarse quantizer of an IVF index. Seeded init,
+    empty cells keep their previous centroid: fully deterministic."""
+    import numpy as np
+
+    x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+    rng = np.random.RandomState(seed)
+    n_cells = min(n_cells, len(x))
+    cents = x[rng.choice(len(x), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_cells):
+            pts = x[assign == c]
+            if len(pts):
+                m = pts.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cents[c] = m / nrm
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 32,
+    nprobe: int = 8,
+    sample_mod: int = 1,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = 647,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize the corpus into ``n_cells``
+    Voronoi cells, probe each query's ``nprobe`` nearest cells, exact
+    cosine re-rank inside them. Returns (query_id, neighbor_id, cos,
+    rank) like ``brute_force_topk``.
+
+    Scale shape: training reads ONE hash-filtered sample scan (set
+    ``sample_mod`` so expected matches ≈ ``sample_cap``; the 8× limit
+    is a safety valve, and the driver-side id-sort keeps the sample
+    deterministic under partition reordering). The index is just the
+    (n_cells × dim) centroid matrix shipped in the UDF closure — no
+    per-row model state. Cell assignment is one matmul per Arrow
+    batch; the probe is a broadcast equi-join on cell, so per-query
+    candidate work is ≈ |corpus| × nprobe / n_cells instead of a full
+    scan. Recall < 1 by construction (a true neighbor may live in an
+    unprobed cell); pair with ``brute_force_topk`` to measure.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+
+    samp = c if sample_mod <= 1 else c.where(F.xxhash64("neighbor_id") % sample_mod == 0)
+    rows = samp.limit(8 * sample_cap).collect()
+    rows.sort(key=lambda r: r["neighbor_id"])
+    x = np.array([r["cv"] for r in rows[:sample_cap]], dtype=np.float64)
+    cents = _spherical_kmeans(x, n_cells, iters, seed)
+
+    def assign_udf(top: int):
+        def impl(vs):
+            m = np.asarray(vs.tolist(), dtype=np.float64)
+            m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+            sims = m @ cents.T
+            if top == 1:
+                return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+            idx = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
+            return pd.Series(list(idx))
+
+        return pandas_udf(impl, "int" if top == 1 else "array<int>")
+
+    cc = c.withColumn("cell", assign_udf(1)(F.col("cv")))
+    qq = (
+        q.withColumn("cells", assign_udf(min(nprobe, len(cents)))(F.col("qv")))
+        .select("query_id", "qv", F.explode("cells").alias("cell"))
+    )
+    cands = (
+        F.broadcast(qq)
+        .join(cc, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_raw", cosine_pandas(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 4).alias("cos"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
 
 
 def lsh_bucketed_topk(

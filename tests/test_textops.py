@@ -86,6 +86,26 @@ def test_knn_lsh_recall(emb):
     assert recall >= 0.3, f"ANN recall {recall}"
 
 
+def test_knn_ivf_recall(emb):
+    """IVF probe of 8/32 cells (25% of corpus per query) must recover
+    a solid fraction of brute-force top-5 even on near-orthogonal
+    noise embeddings (measured 0.65 at sf0.01); output is
+    deterministic (seeded k-means, driver-sorted sample)."""
+    from sparklyclean_spark.operators.similarity.knn import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 20)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, n_cells=32, nprobe=8).collect()
+    }
+    recall = len(ivf & bf) / len(bf)
+    assert recall >= 0.4, f"IVF recall {recall}"
+
+
 def test_embedding_lsh_pairs_recall(emb):
     """ANN pairs path: every emitted pair is cosine-verified (⊆ the
     exact quadratic result, identical cos values) and banding recall
