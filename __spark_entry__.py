@@ -189,6 +189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_nation_order_counts": _t(R.outer_join_nation_order_counts),
         "full_outer_nation_presence": _t(R.full_outer_nation_presence),
         "range_join_events_pairs": _t(R.range_join_events_near_orders),
+        # -- subquery shapes --------------------------------------------------
+        "exists_late_shipment_orders": _t(R.exists_late_shipment_orders),
+        "lineitem_below_partavg": _t(R.lineitem_below_partavg),
+        "orders_above_global_avg": _t(R.orders_above_global_avg),
+        "price_percentiles_by_priority": _t(R.price_percentiles_by_priority),
         # -- windows / top-k ------------------------------------------------
         "topk_orders_per_customer": _t(R.topk_orders_per_customer),
         "window_running_order_total": _t(R.window_running_order_total),
@@ -414,6 +419,34 @@ def oracle_sql() -> dict[str, str]:
              AND a.event_id < b.event_id
              AND b.ts >= a.ts
              AND b.ts <= a.ts + INTERVAL '10 minutes'
+        """,
+        "exists_late_shipment_orders": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "lineitem_below_partavg": """
+            SELECT ROUND(SUM(l_extendedprice), 4) AS total_price,
+                   COUNT(*) AS n_lines
+            FROM lineitem l
+            WHERE l_quantity < 0.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                                      WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "orders_above_global_avg": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS total_price
+            FROM orders
+            WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+            GROUP BY o_orderpriority
+        """,
+        "price_percentiles_by_priority": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
+                   ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+            FROM orders GROUP BY o_orderpriority
         """,
         "topk_orders_per_customer": """
             SELECT o_custkey, o_orderkey,

@@ -450,3 +450,72 @@ def scalar_array_map_funcs(t: dict[str, DataFrame]) -> DataFrame:
         F.element_at(m, F.lit("prio")).alias("prio_val"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery shapes (correlated EXISTS / correlated & global scalar subqueries)
+# ---------------------------------------------------------------------------
+
+def exists_late_shipment_orders(t: dict[str, DataFrame]) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape, adapted to this schema):
+    count orders per priority having at least one line shipped more
+    than 30 days after the order date. The correlation (l_shipdate >
+    o_orderdate + 30d) rides the orderkey equi-join as a left-semi
+    post-filter, so the plan stays hash-join shaped."""
+    o, l = t["orders"], t["lineitem"]
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def lineitem_below_partavg(t: dict[str, DataFrame]) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): revenue of lines
+    whose quantity is below half their part's average quantity.
+    Expressed as groupBy + equi-join back (the decorrelated plan every
+    optimizer lowers Q17 to — one shuffle on partkey, no per-row
+    subquery execution)."""
+    l = t["lineitem"]
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        l.join(part_avg, l.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            _r(F.sum("l_extendedprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def orders_above_global_avg(t: dict[str, DataFrame]) -> DataFrame:
+    """Global scalar subquery: per-priority count and revenue of orders
+    priced over 1.5x the global average. The average is a 1-row
+    aggregate cross-joined into the plan (broadcast nested loop of a
+    single row — no driver-side action, same pattern as TF-IDF's N)."""
+    o = t["orders"]
+    avg_ = o.agg(F.avg("o_totalprice").alias("global_avg"))
+    return (
+        o.crossJoin(avg_)
+        .where(F.col("o_totalprice") > 1.5 * F.col("global_avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.sum("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+def price_percentiles_by_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per priority —
+    ``percentile_cont`` semantics on both engines."""
+    o = t["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _r(F.percentile("o_totalprice", F.lit(0.5))).alias("p50_price"),
+        _r(F.percentile("o_totalprice", F.lit(0.9))).alias("p90_price"),
+    )
