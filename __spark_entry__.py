@@ -23,6 +23,7 @@ from sparklyclean_spark.operators.dedup.compare import FieldComparator, select_p
 from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
 from sparklyclean_spark.operators import text_analysis as TA
+from sparklyclean_spark.operators.dedup import clusters as CL
 from sparklyclean_spark.operators.dedup import textdedup as TD
 from sparklyclean_spark.operators import multimodal as MM
 from sparklyclean_spark.streaming import windows as W
@@ -232,6 +233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             TD.minhash_lsh_pairs_exploded, 0.3, table="documents"
         ),
         "neardup_simhash": _q(TD.simhash_pairs, 3, table="documents"),
+        # pair edges -> cluster assignment (iterative min-label propagation)
+        "neardup_clusters": _q(CL.neardup_clusters, 0.3, table="documents"),
         # -- similarity search over embeddings ---------------------------------
         "embedding_cosine_neardup": _q(TD.embedding_cosine_pairs, 0.3, table="embeddings"),
         # ANN pairs path (rows-only: banding recall < 1 by design;
@@ -617,6 +620,22 @@ def oracle_sql() -> dict[str, str]:
         # rows mismatch, not silent corruption.
         "neardup_minhash_lsh": _shingle_jaccard_sql(0.3),
         "neardup_minhash_lsh_exploded": _shingle_jaccard_sql(0.3),
+        # connected components as transitive closure + min-reachable-id
+        # (recursive CTE); Spark side is iterative min-label propagation
+        "neardup_clusters": f"""
+            WITH RECURSIVE
+            p AS ({_shingle_jaccard_sql(0.3)}),
+            e AS (SELECT id1 AS a, id2 AS b FROM p
+                  UNION ALL SELECT id2, id1 FROM p),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+            )
+            SELECT src AS doc_id, MIN(dst) AS comp,
+                   (src = MIN(dst)) AS is_canonical
+            FROM reach GROUP BY src
+        """,
         # -- similarity search (float64 cosine, matches Spark exactly) --------
         "embedding_cosine_neardup": f"""
             SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -127,6 +127,43 @@ def test_embedding_lsh_pairs_recall(emb):
     assert recall >= 0.8, f"recall {recall} ({len(lsh)}/{len(exact)})"
 
 
+def test_neardup_clusters_match_union_find(docs):
+    """Min-label propagation must agree with a driver-side union-find
+    over the same edge set, cover every document, and mark exactly the
+    min-id member of each component canonical."""
+    from sparklyclean_spark.operators.dedup.clusters import neardup_clusters
+
+    edges = [
+        (r["id1"], r["id2"]) for r in TD.shingle_jaccard_pairs(docs, 0.3).collect()
+    ]
+    got = {r["doc_id"]: (r["comp"], r["is_canonical"])
+           for r in neardup_clusters(docs, 0.3).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    doc_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    roots: dict = {}
+    for d in doc_ids:
+        roots.setdefault(find(d), []).append(d)
+    expected = {}
+    for members in roots.values():
+        comp = min(members)
+        for d in members:
+            expected[d] = (comp, d == comp)
+    assert got == expected
+
+
 def test_exact_dedup_idempotent(docs):
     d = TD.exact_dedup(docs)
     assert d.count() == d.select("fp").distinct().count()
