@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": _q(TA.language_id, table="documents"),
         "text_fingerprints": _q(TA.fingerprints, table="documents"),
         "text_tfidf_top_terms": _q(TA.tfidf_top_terms, table="documents"),
+        "text_normalize": _q(TA.normalize_text, table="documents"),
         # -- near-dup dedup over documents ------------------------------------
         "dedup_exact_documents": _q(TD.exact_dedup, table="documents"),
         "neardup_token_jaccard": _q(TD.token_jaccard_pairs, 0.9, table="documents"),
@@ -576,6 +577,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprints": f"""
             SELECT doc_id, {_FP_SQL} AS fp FROM documents
+        """,
+        "text_normalize": """
+            WITH c AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(regexp_replace(
+                           lower(text), 'https?://[^ \t\n]+', ' ', 'g'),
+                           '[^a-z0-9]+', ' ', 'g'),
+                           ' +', ' ', 'g')) AS clean_text
+                FROM documents
+            )
+            SELECT doc_id, clean_text,
+                   CASE WHEN clean_text = '' THEN 0
+                        ELSE len(string_split(clean_text, ' ')) END AS n_tokens
+            FROM c
         """,
         "text_tfidf_top_terms": f"""
             WITH toks AS (

@@ -43,6 +43,33 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", T.fingerprint_md5("text").alias("fp"))
 
 
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Training-corpus cleanup transform: lowercase, strip URLs,
+    strip non-alphanumerics, collapse whitespace. Pure codegen
+    (regexp_replace chain) — one scan, no shuffle, trivially
+    partition-parallel at any scale. Emits the cleaned text plus its
+    token count so downstream filters can drop now-empty docs."""
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "https?://[^ \\t\\n]+", " "),
+                "[^a-z0-9]+",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.when(clean == "", 0)
+        .otherwise(F.size(F.split(clean, " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     """Top-k TF-IDF terms per document.
 
