@@ -189,10 +189,16 @@ def candidate_pairs_disdedup(
     # base feeds the stats job AND the fan-out; the fan-out feeds three
     # role filters (L/R/S) — persist both so the scan+explode chain is
     # materialized once, like the reference's single shuffle does.
-    base = tracked_persist(
-        explode_blocks(df, rules)
-        .select(F.col(id_col).alias("id_"), *payload_cols, *bv_cols, "bk", "bv")
+    base = explode_blocks(df, rules).select(
+        F.col(id_col).alias("id_"), *payload_cols, *bv_cols, "bk", "bv"
     )
+    # The cell equi-joins inherit the persisted fan-out's partitioning;
+    # a small table arriving as one input split would serialize all
+    # pair emission into one task (see candidate_pairs_naive). No-op on
+    # a cluster where the scan is already >= shuffle.partitions splits.
+    if base.rdd.getNumPartitions() < k:
+        base = base.repartition(k)
+    base = tracked_persist(base)
 
     # --- stats job: block sizes; only heavy blocks reach the driver.
     stats = base.groupBy("bk", "bv").agg(F.count(F.lit(1)).alias("n")).where("n >= 2")

@@ -47,6 +47,19 @@ def candidate_pairs_naive(
     base = explode_blocks(df, rules).select(
         id_col, *payload_cols, *bv_cols, "bk", "bv"
     )
+    # Downstream per-pair work (feature generation) inherits the join's
+    # stream-side parallelism. A small table arrives as ONE input split,
+    # which under a broadcast join serializes ALL pair comparisons into
+    # one task (measured 9 s -> 0.4 s for 4.5 M levenshteins at sf0.1).
+    # Fan the exploded rows out when the source is under-split; on a
+    # cluster the scan already has >= shuffle.partitions splits and this
+    # branch never triggers.
+    try:
+        target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
 
     def side(tag: str) -> DataFrame:
         cols = [
