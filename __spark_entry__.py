@@ -22,6 +22,7 @@ from sparklyclean_spark.operators.dedup.blocking import BlockingRule
 from sparklyclean_spark.operators.dedup.compare import FieldComparator, select_pair_features
 from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
+from sparklyclean_spark.operators import curation as CU
 from sparklyclean_spark.operators import text_analysis as TA
 from sparklyclean_spark.operators.dedup import clusters as CL
 from sparklyclean_spark.operators.dedup import textdedup as TD
@@ -236,6 +237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_simhash": _q(TD.simhash_pairs, 3, table="documents"),
         # pair edges -> cluster assignment (iterative min-label propagation)
         "neardup_clusters": _q(CL.neardup_clusters, 0.3, table="documents"),
+        # composed flagship: normalize -> gate -> exact dedup -> clusters
+        "corpus_curation": _q(CU.curate_corpus, table="documents"),
         # -- similarity search over embeddings ---------------------------------
         "embedding_cosine_neardup": _q(TD.embedding_cosine_pairs, 0.3, table="embeddings"),
         # ANN pairs path (rows-only: banding recall < 1 by design;
@@ -650,6 +653,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id, MIN(dst) AS comp,
                    (src = MIN(dst)) AS is_canonical
             FROM reach GROUP BY src
+        """,
+        "corpus_curation": f"""
+            WITH RECURSIVE
+            c AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(regexp_replace(
+                           lower(text), 'https?://[^ \t\n]+', ' ', 'g'),
+                           '[^a-z0-9]+', ' ', 'g'),
+                           ' +', ' ', 'g')) AS clean_text
+                FROM documents
+            ),
+            n AS (SELECT doc_id, clean_text,
+                         CASE WHEN clean_text = '' THEN 0
+                              ELSE len(string_split(clean_text, ' ')) END AS n_tokens
+                  FROM c),
+            keepmap AS (SELECT doc_id,
+                               MIN(doc_id) OVER (PARTITION BY md5(clean_text)) AS keep_id
+                        FROM n WHERE n_tokens >= 30),
+            surv AS (SELECT doc_id FROM keepmap WHERE doc_id = keep_id),
+            w AS (SELECT d.doc_id, {_TOKS_SQL} AS w
+                  FROM documents d JOIN surv s ON d.doc_id = s.doc_id),
+            sh AS (SELECT doc_id,
+                          list_distinct(list_transform(range(1, GREATEST(len(w) - 2, 0) + 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+                   FROM w),
+            p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+                              ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                                   / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) >= 0.3),
+            e AS (SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM surv
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+            ),
+            comp AS (SELECT src AS doc_id, MIN(dst) AS comp FROM reach GROUP BY src)
+            SELECT n.doc_id, n.n_tokens,
+                   CASE WHEN k.keep_id IS NULL THEN 'too_short'
+                        WHEN n.doc_id <> k.keep_id THEN 'exact_dup'
+                        WHEN n.doc_id <> comp.comp THEN 'near_dup'
+                        ELSE 'kept' END AS status,
+                   comp.comp
+            FROM n
+            LEFT JOIN keepmap k ON n.doc_id = k.doc_id
+            LEFT JOIN comp ON n.doc_id = comp.doc_id
         """,
         # -- similarity search (float64 cosine, matches Spark exactly) --------
         "embedding_cosine_neardup": f"""

@@ -1,0 +1,71 @@
+"""End-to-end corpus curation: the composed pipeline a training-data
+user actually runs, as ONE declarative DataFrame plan.
+
+normalize → quality gate (token count) → exact dedup (fingerprint
+group, min-id keeper) → near-dup clusters (connected components over
+shingle-Jaccard pairs) → per-document disposition. Every stage is an
+operator this engine exposes individually; the composition shows they
+fuse into a single Catalyst plan (plus the iterative component jobs)
+rather than a chain of materialized intermediates.
+
+Scale notes: the normalize/gate/fingerprint stages are one scan with
+map-side work only; exact dedup is one hash shuffle on the 128-bit
+fingerprint; the near-dup stage runs on the EXACT pair path here (it
+is the oracle-checkable form) — at 100 TB swap ``pairs`` for
+``minhash_lsh_pairs`` output, which is the documented scale route and
+produces the identical downstream plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.operators.dedup.clusters import connected_components
+from sparklyclean_spark.operators.dedup.textdedup import shingle_jaccard_pairs
+from sparklyclean_spark.operators.text_analysis import normalize_text
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    threshold: float = 0.3,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, status, comp) for EVERY input document.
+
+    status ladder (first match wins):
+      too_short  — fewer than ``min_tokens`` clean tokens
+      exact_dup  — same normalized fingerprint as a lower-id survivor
+      near_dup   — in a shingle-Jaccard component with a lower-id doc
+      kept       — the canonical survivor
+    ``comp`` is the near-dup component id (NULL for docs dropped
+    before that stage).
+    """
+    norm = normalize_text(docs)
+    gated = norm.where(F.col("n_tokens") >= min_tokens)
+    fp = gated.select("doc_id", F.md5("clean_text").alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    fp_keep = fp.join(keep, "fp").select("doc_id", "keep_id")
+    exact_survivors = fp_keep.where(F.col("doc_id") == F.col("keep_id")).select(
+        "doc_id"
+    )
+    surv_docs = docs.join(exact_survivors, "doc_id", "left_semi")
+    if pairs is None:
+        pairs = shingle_jaccard_pairs(surv_docs, threshold)
+    comp = connected_components(pairs, surv_docs.select("doc_id"), id_col="doc_id")
+    return (
+        norm.select("doc_id", "n_tokens")
+        .join(fp_keep, "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("keep_id").isNull(), "too_short")
+            .when(F.col("doc_id") != F.col("keep_id"), "exact_dup")
+            .when(F.col("doc_id") != F.col("comp"), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+            "comp",
+        )
+    )

@@ -164,6 +164,30 @@ def test_neardup_clusters_match_union_find(docs):
     assert got == expected
 
 
+def test_curate_corpus_status_ladder(spark):
+    """All four dispositions on a hand-built corpus: too_short wins
+    over everything, exact_dup beats near_dup, the min-id member of a
+    near-dup component is kept, singletons are kept."""
+    from sparklyclean_spark.operators.curation import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (1, base),                                   # canonical of comp {1,2,3}
+        (2, base + "extra trailing words here now"), # near-dup of 1
+        (3, base.upper()),                           # EXACT dup of 1 (case-folds)
+        (4, "tiny doc"),                             # too_short
+        (5, "a completely different document " * 8), # kept singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["status"], r["comp"])
+           for r in curate_corpus(df, min_tokens=10, threshold=0.3).collect()}
+    assert got[1] == ("kept", 1)
+    assert got[2] == ("near_dup", 1)
+    assert got[3][0] == "exact_dup" and got[3][1] is None
+    assert got[4][0] == "too_short" and got[4][1] is None
+    assert got[5] == ("kept", 5)
+
+
 def test_exact_dedup_idempotent(docs):
     d = TD.exact_dedup(docs)
     assert d.count() == d.select("fp").distinct().count()
