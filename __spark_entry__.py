@@ -23,6 +23,7 @@ from sparklyclean_spark.operators.dedup.compare import FieldComparator, select_p
 from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
 from sparklyclean_spark.operators import curation as CU
+from sparklyclean_spark.operators import sampling as SP
 from sparklyclean_spark.operators import text_analysis as TA
 from sparklyclean_spark.operators.dedup import clusters as CL
 from sparklyclean_spark.operators.dedup import textdedup as TD
@@ -223,6 +224,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q(TA.fingerprints, table="documents"),
         "text_tfidf_top_terms": _q(TA.tfidf_top_terms, table="documents"),
         "text_normalize": _q(TA.normalize_text, table="documents"),
+        # deterministic (hash-derived) sampling & splitting
+        "sample_docs_per_lang": _q(
+            lambda d: SP.stratified_sample(d, ["lang"], 10, "doc_id").select(
+                "doc_id", "lang"
+            ),
+            table="documents",
+        ),
+        "hash_split_documents": _q(
+            lambda d: SP.hash_split(d, "doc_id").select("doc_id", "split"),
+            table="documents",
+        ),
         # -- near-dup dedup over documents ------------------------------------
         "dedup_exact_documents": _q(TD.exact_dedup, table="documents"),
         "neardup_token_jaccard": _q(TD.token_jaccard_pairs, 0.9, table="documents"),
@@ -594,6 +606,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN clean_text = '' THEN 0
                         ELSE len(string_split(clean_text, ' ')) END AS n_tokens
             FROM c
+        """,
+        "sample_docs_per_lang": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 10
+        """,
+        "hash_split_documents": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "text_tfidf_top_terms": f"""
             WITH toks AS (
