@@ -80,6 +80,102 @@ def test_session_window_gap_boundary(spark):
     assert first["n_events"] == 3
 
 
+def test_streaming_dedup_drops_within_watermark(spark, tmp_path_factory):
+    """Duplicate keys arriving across micro-batches within the
+    watermark are emitted exactly once; the surviving set equals batch
+    dropDuplicates on the same keys."""
+    from sparklyclean_spark.streaming.dedup import streaming_dedup
+
+    path = str(tmp_path_factory.mktemp("dedup_stream"))
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    write([
+        (1, "2024-01-01 09:00:00", 1, 1.0),
+        (1, "2024-01-01 09:00:00", 1, 1.0),   # same-batch dup
+        (2, "2024-01-01 09:05:00", 2, 2.0),
+    ])
+    write([
+        (1, "2024-01-01 09:10:00", 1, 9.0),   # cross-batch dup of event 1
+        (3, "2024-01-01 09:20:00", 1, 3.0),
+    ])
+
+    out = streaming_dedup(spark, path, schema, keys=["event_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id for r in spark.sql("SELECT * FROM dedup_smoke").collect()
+    }
+    assert got == {1, 2, 3}
+    assert spark.sql("SELECT COUNT(*) c FROM dedup_smoke").collect()[0]["c"] == 3
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path_factory):
+    """Stream-stream interval join (clicks-after-impression shape)
+    equals the batch join over the same time-sorted data."""
+    from sparklyclean_spark.streaming.dedup import streaming_interval_join
+
+    ldir = str(tmp_path_factory.mktemp("ij_left"))
+    rdir = str(tmp_path_factory.mktemp("ij_right"))
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+    raw = "event_id bigint, ts string, user_id bigint, value double"
+
+    lrows = [
+        (10, "2024-01-01 09:00:00", 1, 0.0),
+        (11, "2024-01-01 09:30:00", 1, 0.0),
+        (12, "2024-01-01 09:00:00", 2, 0.0),
+    ]
+    rrows = [
+        (20, "2024-01-01 09:04:00", 1, 0.0),  # joins 10
+        (21, "2024-01-01 09:10:00", 1, 0.0),  # exactly band edge of 10 -> joins
+        (22, "2024-01-01 09:31:00", 1, 0.0),  # joins 11
+        (23, "2024-01-01 09:20:00", 2, 0.0),  # outside band of 12
+    ]
+    for d, rows in ((ldir, lrows), (rdir, rrows)):
+        spark.createDataFrame(rows, raw).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    out = streaming_interval_join(spark, ldir, rdir, schema)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.l_id, r.r_id) for r in spark.sql("SELECT * FROM ij_smoke").collect()}
+    # batch equivalent
+    l = spark.read.parquet(ldir)
+    r = spark.read.parquet(rdir)
+    expected = {
+        (row["l_id"], row["r_id"])
+        for row in l.alias("l")
+        .join(
+            r.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") > F.col("l.ts"))
+            & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(F.col("l.event_id").alias("l_id"), F.col("r.event_id").alias("r_id"))
+        .collect()
+    }
+    assert got == expected == {(10, 20), (10, 21), (11, 22)}
+
+
 @pytest.mark.parametrize("seed", [7, 1234])
 def test_sessionize_property_matches_batch(spark, tmp_path_factory, seed):
     """Property check on RANDOMIZED event sets: the streaming
