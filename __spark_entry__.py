@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q(TA.fingerprints, table="documents"),
         "text_tfidf_top_terms": _q(TA.tfidf_top_terms, table="documents"),
         "text_normalize": _q(TA.normalize_text, table="documents"),
+        "text_top_bigrams": _q(TA.top_ngrams, table="documents"),
         # deterministic (hash-derived) sampling & splitting
         "sample_docs_per_lang": _q(
             lambda d: SP.stratified_sample(d, ["lang"], 10, "doc_id").select(
@@ -606,6 +607,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN clean_text = '' THEN 0
                         ELSE len(string_split(clean_text, ' ')) END AS n_tokens
             FROM c
+        """,
+        "text_top_bigrams": f"""
+            WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+            g AS (SELECT unnest(list_transform(range(1, GREATEST(len(w) - 1, 0) + 1),
+                                i -> w[i] || ' ' || w[i+1])) AS gram
+                  FROM w)
+            SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+            ORDER BY cnt DESC, gram ASC LIMIT 20
         """,
         "sample_docs_per_lang": """
             SELECT doc_id, lang FROM (

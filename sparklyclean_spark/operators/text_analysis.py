@@ -43,6 +43,36 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", T.fingerprint_md5("text").alias("fp"))
 
 
+def top_ngrams(docs: DataFrame, n: int = 2, top_k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts (the vocabulary /
+    collocation profile of a corpus). Explode shingles → one hash agg
+    on the n-gram string → global top-k; map-side partial aggregation
+    does the heavy lifting, the final shuffle carries one row per
+    distinct n-gram. Deterministic tie-break by n-gram ASC."""
+    # explode + window-lead (codegen) rather than the word_shingles
+    # HOF (interpreted per element, and per-doc DISTINCT — wrong
+    # semantics for occurrence counts)
+    toks = docs.select(
+        F.col("doc_id").alias("id"), F.posexplode(T.words("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)
+    ]
+    shingled = toks.select("id", *parts).where(
+        F.lit(True) if n == 1 else F.col(f"t{n-1}").isNotNull()
+    )
+    gram = F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])
+    counts = shingled.select(gram.alias("gram")).groupBy("gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(top_k)
+        .select("gram", "cnt")
+    )
+
+
 def normalize_text(docs: DataFrame) -> DataFrame:
     """Training-corpus cleanup transform: lowercase, strip URLs,
     strip non-alphanumerics, collapse whitespace. Pure codegen
