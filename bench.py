@@ -80,6 +80,9 @@ def main() -> None:
         # (embedding_cosine_neardup stays registered as the oracle)
         "embedding_lsh_pairs",
         "text_tfidf_top_terms",
+        # the composed normalize->gate->dedup->cluster pipeline: the
+        # end-to-end shape a curation job actually runs
+        "corpus_curation",
         "events_session_windows",
         "dedup_pairs_disdedup_customer",
         "dedup_pair_features_customer",

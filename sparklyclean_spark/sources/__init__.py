@@ -3,6 +3,11 @@ dataset layout), the labeled-points text interchange format, and
 overwrite-mode writers. Reference operators S1-S5 (SURVEY.md §2.1)."""
 
 from sparklyclean_spark.sources.csv import FEBRL_SCHEMA, read_csv, read_febrl
+from sparklyclean_spark.sources.jsonl import (
+    jsonl_corrupt_lines,
+    read_jsonl,
+    write_jsonl,
+)
 from sparklyclean_spark.sources.points import (
     read_labeled_points,
     read_unlabeled_points,
@@ -18,6 +23,9 @@ __all__ = [
     "FEBRL_SCHEMA",
     "read_csv",
     "read_febrl",
+    "read_jsonl",
+    "write_jsonl",
+    "jsonl_corrupt_lines",
     "read_labeled_points",
     "read_unlabeled_points",
     "write_labeled_points",

@@ -9,10 +9,13 @@ import pytest
 
 from sparklyclean_spark.sources import (
     FEBRL_SCHEMA,
+    jsonl_corrupt_lines,
     read_csv,
     read_febrl,
+    read_jsonl,
     read_labeled_points,
     read_unlabeled_points,
+    write_jsonl,
     write_labeled_points,
     write_csv,
     write_parquet,
@@ -94,6 +97,32 @@ def test_overwrite_writers(spark, tmp_path):
     cs = os.path.join(str(tmp_path), "cs")
     write_csv(df, cs)
     assert read_csv(spark, cs).count() == 5
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", "fr"), (3, None, "en")],
+        schema="doc_id long, text string, lang string",
+    )
+    path = os.path.join(str(tmp_path), "docs_jsonl")
+    write_jsonl(src, path)
+    # explicit schema: no inference pass, stable column types
+    back = read_jsonl(spark, path, schema="doc_id long, text string, lang string")
+    got = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+    assert got == {1: ("hello world", "en"), 2: ("bonjour", "fr"), 3: (None, "en")}
+
+
+def test_jsonl_malformed_handling(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n{"doc_id": 2}\n')
+    schema = "doc_id long, text string, _corrupt_record string"
+    df = read_jsonl(spark, str(p), schema=schema)
+    # SPARK-21610: must reference a data column alongside the corrupt
+    # record, so materialize rows rather than count()
+    assert len(jsonl_corrupt_lines(df).collect()) == 1
+    dropped = read_jsonl(spark, str(p), schema="doc_id long, text string",
+                         drop_malformed=True)
+    assert {r.doc_id for r in dropped.collect()} == {1, 2}
 
 
 def test_partitioned_parquet_prunes(spark, tmp_path):
