@@ -150,6 +150,27 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=32, nprobe=8)
 
 
+def _asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the most recent click at-or-before it
+    by the same user (backward-inclusive as-of join). Sort-based
+    union+window shape: one shuffle on user_id, no pair explosion —
+    DuckDB's native ASOF JOIN is the oracle."""
+    from sparklyclean_spark.operators.asof import asof_join
+
+    ev = _tables(spark, sf_dir)["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="purchase_ts",
+        right_ts="click_ts", right_prefix="",
+    )
+    return out.select("event_id", "user_id", "purchase_ts", "click_ts", "click_value")
+
+
 def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup→ML flow on the REFERENCE'S OWN corpus
     (/root/reference/data/test.csv, 1,000 Febrl records → 129,718
@@ -192,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_nation_order_counts": _t(R.outer_join_nation_order_counts),
         "full_outer_nation_presence": _t(R.full_outer_nation_presence),
         "range_join_events_pairs": _t(R.range_join_events_near_orders),
+        "asof_purchase_last_click": _asof_purchase_last_click,
         # -- subquery shapes --------------------------------------------------
         "exists_late_shipment_orders": _t(R.exists_late_shipment_orders),
         "lineitem_below_partavg": _t(R.lineitem_below_partavg),
@@ -439,6 +461,16 @@ def oracle_sql() -> dict[str, str]:
              AND a.event_id < b.event_id
              AND b.ts >= a.ts
              AND b.ts <= a.ts + INTERVAL '10 minutes'
+        """,
+        "asof_purchase_last_click": """
+            WITH p AS (SELECT event_id, user_id, ts AS purchase_ts
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts AS click_ts, value AS click_value
+                       FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.purchase_ts,
+                   c.click_ts, c.click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
         """,
         "exists_late_shipment_orders": """
             SELECT o_orderpriority, COUNT(*) AS n_orders
