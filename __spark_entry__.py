@@ -171,6 +171,18 @@ def _asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "purchase_ts", "click_ts", "click_value")
 
 
+def _decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage scan: score every document by distinct-3-gram
+    overlap against a deterministic benchmark subset (doc_id % 37 = 0),
+    flag >= 0.5. Benchmark gram set is broadcast; corpus side is one
+    scan + two partial-agg shuffles."""
+    from sparklyclean_spark.operators.decontam import ngram_overlap
+
+    docs = _tables(spark, sf_dir)["documents"]
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return ngram_overlap(docs, bench, n=3, threshold=0.5)
+
+
 def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup→ML flow on the REFERENCE'S OWN corpus
     (/root/reference/data/test.csv, 1,000 Febrl records → 129,718
@@ -247,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": _q(TA.tfidf_top_terms, table="documents"),
         "text_normalize": _q(TA.normalize_text, table="documents"),
         "text_top_bigrams": _q(TA.top_ngrams, table="documents"),
+        "decontam_overlap": _decontam_overlap,
         # deterministic (hash-derived) sampling & splitting
         "sample_docs_per_lang": _q(
             lambda d: SP.stratified_sample(d, ["lang"], 10, "doc_id").select(
@@ -647,6 +660,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM w)
             SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
             ORDER BY cnt DESC, gram ASC LIMIT 20
+        """,
+        "decontam_overlap": f"""
+            WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         unnest(list_transform(range(1, GREATEST(len(w) - 2, 0) + 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+                  FROM w),
+            b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+            agg AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+                           COUNT(b.gram) AS n_matched
+                    FROM g LEFT JOIN b ON g.gram = b.gram
+                    GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(agg.n_grams, 0) AS n_grams,
+                   COALESCE(agg.n_matched, 0) AS n_matched,
+                   COALESCE(ROUND(agg.n_matched / agg.n_grams, 4), 0.0) AS overlap_frac,
+                   COALESCE(ROUND(agg.n_matched / agg.n_grams, 4), 0.0) >= 0.5
+                       AS contaminated
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         """,
         "sample_docs_per_lang": """
             SELECT doc_id, lang FROM (

@@ -1,0 +1,87 @@
+"""Benchmark decontamination — score each training document by the
+fraction of its distinct word n-grams that appear in a benchmark /
+eval set, and flag documents above a threshold. The standard hygiene
+pass before LLM pretraining (eval-set leakage detection); no
+reference counterpart (part of the §2.10 training-data surface).
+
+Scale shape: the benchmark is small relative to the corpus (eval
+sets are thousands of docs; the corpus is 100 TB), so its distinct
+n-gram set is built once and BROADCAST — the corpus-side pass is
+then scan → explode → broadcast hash join → one per-doc aggregation.
+The only corpus-wide shuffles are the per-doc distinct + count aggs,
+both with map-side partial aggregation on (doc_id, gram).
+
+N-grams are built with posexplode + window lead (whole-stage
+codegen) rather than an array higher-order function: HOFs evaluate
+interpreted per element and their shared JVM call sites deoptimize
+under profile pollution from large queries (measured 8× elsewhere in
+this repo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.functions import text as T
+
+
+def _distinct_ngrams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram) — each document's DISTINCT word n-grams."""
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(T.words(text_col)).alias("__pos", "__tok"),
+    )
+    w = Window.partitionBy("__id").orderBy("__pos")
+    leads = [F.lead("__tok", j).over(w).alias(f"__t{j}") for j in range(1, n)]
+    rows = toks.select("__id", "__tok", *leads)
+    if n > 1:
+        rows = rows.where(F.col(f"__t{n-1}").isNotNull())
+    gram = F.concat_ws(" ", "__tok", *[f"__t{j}" for j in range(1, n)])
+    return rows.select("__id", gram.alias("gram")).distinct()
+
+
+def ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc contamination score vs ``benchmark``:
+    (id_col, n_grams, n_matched, overlap_frac, contaminated).
+    ``overlap_frac`` = |doc grams ∩ benchmark grams| / |doc grams|
+    over distinct grams; docs with fewer than ``n`` tokens score 0.
+    """
+    doc_grams = _distinct_ngrams(docs, n, id_col, text_col)
+    bench_grams = _distinct_ngrams(benchmark, n, id_col, text_col).select(
+        "gram"
+    ).distinct()
+
+    # one corpus-side agg: total grams + matched grams together. The
+    # broadcast LEFT join tags membership so count and sum share the
+    # same shuffle instead of two joins + two aggs.
+    tagged = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "gram", "left"
+    )
+    per_doc = tagged.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_matched"),
+    )
+
+    # keep short docs (no grams) in the output with a zero score
+    frac = F.when(
+        F.col("n_grams") > 0, F.round(F.col("n_matched") / F.col("n_grams"), 4)
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.coalesce(frac, F.lit(0.0)).alias("overlap_frac"),
+            (F.coalesce(frac, F.lit(0.0)) >= threshold).alias("contaminated"),
+        )
+    )

@@ -193,3 +193,38 @@ def test_exact_dedup_idempotent(docs):
     assert d.count() == d.select("fp").distinct().count()
     # no dups in this corpus: every group has n_dups = 0
     assert d.where(F.col("n_dups") > 0).count() == 0
+
+
+def test_ngram_overlap_decontamination(spark):
+    from sparklyclean_spark.operators.decontam import ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: "a b c","b c d" -> both in bench
+            (2, "a b c x y"),      # grams: abc, bcx, cxy -> 1/3 match
+            (3, "zz qq"),          # too short for 3-grams -> score 0
+            (4, "p q r s"),        # disjoint from bench -> 0/2
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, "a b c d e")], "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_matched, r.overlap_frac, r.contaminated)
+        for r in ngram_overlap(docs, bench, n=3, threshold=0.5).collect()
+    }
+    assert got[1] == (2, 2, 1.0, True)
+    assert got[2] == (3, 1, round(1 / 3, 4), False)
+    assert got[3] == (0, 0, 0.0, False)
+    assert got[4] == (2, 0, 0.0, False)
+
+
+def test_ngram_overlap_plan_broadcasts_benchmark(spark):
+    from sparklyclean_spark.operators.decontam import ngram_overlap
+    from sparklyclean_spark.plans.audit import explain_formatted
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    plan = explain_formatted(ngram_overlap(docs, docs.limit(1), n=3))
+    # benchmark gram set must ship as a broadcast, never shuffle the corpus
+    # against it
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
