@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q(TA.normalize_text, table="documents"),
         "text_top_bigrams": _q(TA.top_ngrams, table="documents"),
         "decontam_overlap": _decontam_overlap,
+        "text_repetition_signals": _q(TA.repetition_signals, table="documents"),
         # deterministic (hash-derived) sampling & splitting
         "sample_docs_per_lang": _q(
             lambda d: SP.stratified_sample(d, ["lang"], 10, "doc_id").select(
@@ -660,6 +661,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM w)
             SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
             ORDER BY cnt DESC, gram ASC LIMIT 20
+        """,
+        "text_repetition_signals": f"""
+            WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+            t AS (SELECT doc_id, unnest(w) AS tok FROM w),
+            tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+            pt AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_uniq,
+                          MAX(c) AS top_tok_c
+                   FROM tc GROUP BY doc_id),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(range(1, GREATEST(len(w) - 1, 0) + 1),
+                                i -> w[i] || ' ' || w[i+1])) AS gram
+                  FROM w),
+            gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+            pg AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_gram_c
+                   FROM gc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(pt.n_tokens, 0) AS n_tokens,
+                   COALESCE(ROUND(pt.n_uniq / pt.n_tokens, 4), 0.0) AS uniq_token_frac,
+                   COALESCE(ROUND(pt.top_tok_c / pt.n_tokens, 4), 0.0) AS top_token_frac,
+                   COALESCE(ROUND(pg.top_gram_c / pg.n_bigrams, 4), 0.0) AS top_bigram_frac,
+                   (COALESCE(ROUND(pt.top_tok_c / pt.n_tokens, 4), 0.0) > 0.2
+                    OR COALESCE(ROUND(pg.top_gram_c / pg.n_bigrams, 4), 0.0) > 0.18)
+                       AS repetitive
+            FROM documents d
+            LEFT JOIN pt ON d.doc_id = pt.doc_id
+            LEFT JOIN pg ON d.doc_id = pg.doc_id
         """,
         "decontam_overlap": f"""
             WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),

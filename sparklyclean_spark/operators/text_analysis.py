@@ -73,6 +73,72 @@ def top_ngrams(docs: DataFrame, n: int = 2, top_k: int = 20) -> DataFrame:
     )
 
 
+def repetition_signals(
+    docs: DataFrame,
+    top_token_max: float = 0.2,
+    top_bigram_max: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    distinct-token fraction, most-frequent-token share, and
+    most-frequent-bigram share, plus a ``repetitive`` flag when
+    either share exceeds its bound (defaults follow the published
+    Gopher repetition-filter thresholds for 2-grams).
+
+    All-codegen shape: two explode→hash-agg pipelines (tokens and
+    window-lead bigrams) reduced per (doc, term) then per doc — every
+    shuffle benefits from map-side partial aggregation; no HOFs, no
+    Python. Empty docs score 0 and are never flagged."""
+    toks = docs.select(
+        F.col("doc_id").alias("__id"),
+        F.posexplode(T.words("text")).alias("__pos", "__tok"),
+    )
+    tok_counts = toks.groupBy("__id", "__tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc_tok = tok_counts.groupBy("__id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.max("c").alias("top_tok_c"),
+    )
+
+    w = Window.partitionBy("__id").orderBy("__pos")
+    bigrams = (
+        toks.select("__id", "__tok", F.lead("__tok", 1).over(w).alias("__t1"))
+        .where(F.col("__t1").isNotNull())
+        .select("__id", F.concat_ws(" ", "__tok", "__t1").alias("gram"))
+    )
+    gram_counts = bigrams.groupBy("__id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc_gram = gram_counts.groupBy("__id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_gram_c")
+    )
+
+    joined = (
+        docs.select("doc_id")
+        .join(per_doc_tok, F.col("doc_id") == per_doc_tok["__id"], "left")
+        .drop("__id")
+        .join(per_doc_gram, F.col("doc_id") == per_doc_gram["__id"], "left")
+        .drop("__id")
+    )
+    uniq_frac = F.when(
+        F.col("n_tokens") > 0, F.round(F.col("n_uniq") / F.col("n_tokens"), 4)
+    ).otherwise(0.0)
+    top_tok = F.when(
+        F.col("n_tokens") > 0, F.round(F.col("top_tok_c") / F.col("n_tokens"), 4)
+    ).otherwise(0.0)
+    top_gram = F.when(
+        F.col("n_bigrams") > 0, F.round(F.col("top_gram_c") / F.col("n_bigrams"), 4)
+    ).otherwise(0.0)
+    return joined.select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce(uniq_frac, F.lit(0.0)).alias("uniq_token_frac"),
+        F.coalesce(top_tok, F.lit(0.0)).alias("top_token_frac"),
+        F.coalesce(top_gram, F.lit(0.0)).alias("top_bigram_frac"),
+        (
+            (F.coalesce(top_tok, F.lit(0.0)) > top_token_max)
+            | (F.coalesce(top_gram, F.lit(0.0)) > top_bigram_max)
+        ).alias("repetitive"),
+    )
+
+
 def normalize_text(docs: DataFrame) -> DataFrame:
     """Training-corpus cleanup transform: lowercase, strip URLs,
     strip non-alphanumerics, collapse whitespace. Pure codegen

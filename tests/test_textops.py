@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from sparklyclean_spark.catalog import load_table
+from sparklyclean_spark.operators import text_analysis as TA
 from sparklyclean_spark.operators.dedup import textdedup as TD
 from sparklyclean_spark.operators.similarity.knn import brute_force_topk, lsh_bucketed_topk
 from tests.conftest import SF_DIR
@@ -228,3 +229,20 @@ def test_ngram_overlap_plan_broadcasts_benchmark(spark):
     # against it
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_signals_flags_repeats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam ham"),   # top token 4/5
+            (2, "a b c d e f g h"),           # all unique
+            (3, ""),                          # empty -> zeros, not flagged
+            (4, "x y x y x y x y"),           # top bigram "x y" 4/7
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in TA.repetition_signals(docs).collect()}
+    assert got[1].repetitive and got[1].top_token_frac == 0.8
+    assert not got[2].repetitive and got[2].uniq_token_frac == 1.0
+    assert got[3].n_tokens == 0 and not got[3].repetitive
+    assert got[4].repetitive and got[4].top_bigram_frac == round(4 / 7, 4)
