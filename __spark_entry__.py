@@ -183,6 +183,31 @@ def _decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(docs, bench, n=3, threshold=0.5)
 
 
+def _pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub demo on the documents table. The synthetic corpus
+    contains no real PII, so BOTH engines first append deterministic
+    doc_id-derived email/phone/IP strings (a vacuous redact-nothing
+    oracle would prove nothing — same reasoning as the judge's
+    anti-join finding), then redact and count."""
+    from sparklyclean_spark.operators.pii import redact_pii
+
+    docs = _tables(spark, sf_dir)["documents"]
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ph 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(injected)
+
+
 def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup→ML flow on the REFERENCE'S OWN corpus
     (/root/reference/data/test.csv, 1,000 Febrl records → 129,718
@@ -261,6 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": _q(TA.top_ngrams, table="documents"),
         "decontam_overlap": _decontam_overlap,
         "text_repetition_signals": _q(TA.repetition_signals, table="documents"),
+        "pii_redaction": _pii_redaction,
         # deterministic (hash-derived) sampling & splitting
         "sample_docs_per_lang": _q(
             lambda d: SP.stratified_sample(d, ["lang"], 10, "doc_id").select(
@@ -687,6 +713,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN pt ON d.doc_id = pt.doc_id
             LEFT JOIN pg ON d.doc_id = pg.doc_id
+        """,
+        "pii_redaction": r"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com ph 555-010-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7' AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                       AS redacted,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+            FROM injected
         """,
         "decontam_overlap": f"""
             WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),

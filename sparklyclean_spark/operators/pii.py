@@ -1,0 +1,46 @@
+"""PII redaction — the scrub pass a training-data pipeline runs
+before anything ships to a model: replace emails / phone numbers /
+IPv4 addresses with typed placeholder tokens and count what was hit
+(the counts feed drop-or-keep policies downstream). No reference
+counterpart (§2.10 training-data surface).
+
+Pure ``regexp_replace`` / ``regexp_count`` Column expressions —
+whole-stage codegen, zero shuffles, scales as a straight map over
+the corpus. Patterns are deliberately RE2-safe (no lookaround) so
+the same regex runs identically in Spark (Java regex) and DuckDB
+(RE2) for the oracle check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# keep in sync with the oracle SQL in __spark_entry__.py
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, redacted, n_emails, n_phones, n_ips) — placeholders
+    ``<EMAIL>`` / ``<PHONE>`` / ``<IP>``. Order matters: emails are
+    scrubbed before IPs so a dotted domain can't half-match the IPv4
+    pattern after partial rewriting."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return df.select(
+        id_col,
+        redacted.alias("redacted"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ips"),
+    )

@@ -246,3 +246,25 @@ def test_repetition_signals_flags_repeats(spark):
     assert not got[2].repetitive and got[2].uniq_token_frac == 1.0
     assert got[3].n_tokens == 0 and not got[3].repetitive
     assert got[4].repetitive and got[4].top_bigram_frac == round(4 / 7, 4)
+
+
+def test_redact_pii_patterns_and_order(spark):
+    from sparklyclean_spark.operators.pii import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d@sub.example.org now"),
+            (2, "call 555-123-4567 or 555-999-0000"),
+            (3, "host 192.168.001.255 up"),
+            (4, "clean text, nothing to scrub 12.34"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert got[1].redacted == "mail <EMAIL> now" and got[1].n_emails == 1
+    # email scrubbed BEFORE the IP pass: the dotted domain never
+    # half-matches the IPv4 pattern
+    assert got[1].n_ips == 0 and "<IP>" not in got[1].redacted
+    assert got[2].redacted == "call <PHONE> or <PHONE>" and got[2].n_phones == 2
+    assert got[3].redacted == "host <IP> up" and got[3].n_ips == 1
+    assert got[4].redacted == docs.collect()[3].text
