@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": _decontam_overlap,
         "text_repetition_signals": _q(TA.repetition_signals, table="documents"),
         "pii_redaction": _pii_redaction,
+        "text_token_estimate": _q(TA.token_estimate, table="documents"),
         # deterministic (hash-derived) sampling & splitting
         "sample_docs_per_lang": _q(
             lambda d: SP.stratified_sample(d, ["lang"], 10, "doc_id").select(
@@ -713,6 +714,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN pt ON d.doc_id = pt.doc_id
             LEFT JOIN pg ON d.doc_id = pg.doc_id
+        """,
+        "text_token_estimate": f"""
+            SELECT doc_id,
+                   len({_TOKS_SQL}) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "pii_redaction": r"""
             WITH injected AS (

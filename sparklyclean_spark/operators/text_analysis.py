@@ -73,6 +73,16 @@ def top_ngrams(docs: DataFrame, n: int = 2, top_k: int = 20) -> DataFrame:
     )
 
 
+def token_estimate(docs: DataFrame) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per doc — the cost model a
+    pretraining pipeline budgets with (tokens, not chars/words)."""
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_ws_tokens"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
 def repetition_signals(
     docs: DataFrame,
     top_token_max: float = 0.2,

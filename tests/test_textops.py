@@ -268,3 +268,22 @@ def test_redact_pii_patterns_and_order(spark):
     assert got[2].redacted == "call <PHONE> or <PHONE>" and got[2].n_phones == 2
     assert got[3].redacted == "host <IP> up" and got[3].n_ips == 1
     assert got[4].redacted == docs.collect()[3].text
+
+
+def test_bpe_token_count_classes(spark):
+    from sparklyclean_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),        # 2 word tokens
+            (2, "don't stop"),         # don | ' | t | _stop
+            (3, "v2.0 costs $3,999!"), # v|2|.|0| costs| $|3|,|999|!
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.n for r in df.select("doc_id", bpe_token_count("text").alias("n")).collect()}
+    assert got[1] == 2
+    assert got[2] == 4
+    assert got[3] == 10
+    assert got[4] == 0
