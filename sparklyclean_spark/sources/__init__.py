@@ -3,6 +3,7 @@ dataset layout), the labeled-points text interchange format, and
 overwrite-mode writers. Reference operators S1-S5 (SURVEY.md §2.1)."""
 
 from sparklyclean_spark.sources.csv import FEBRL_SCHEMA, read_csv, read_febrl
+from sparklyclean_spark.sources.bucketing import read_bucketed, write_bucketed
 from sparklyclean_spark.sources.jsonl import (
     jsonl_corrupt_lines,
     read_jsonl,
@@ -24,6 +25,8 @@ __all__ = [
     "read_csv",
     "read_febrl",
     "read_jsonl",
+    "read_bucketed",
+    "write_bucketed",
     "write_jsonl",
     "jsonl_corrupt_lines",
     "read_labeled_points",

@@ -136,3 +136,36 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     # directory-partitioned write + filter on the partition column ->
     # partition pruning at the source
     assert "PartitionFilters: [isnotnull(part_key" in explain_formatted(scan)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """The 100-TB lever: two tables bucketed+sorted on the join key
+    with equal bucket counts must equi-join with ZERO Exchange —
+    each task merges bucket i of both sides. (A local per-bucket Sort
+    remains: since SPARK-28632 bucketed scans don't report output
+    ordering unless the legacy flag is on; the shuffle is the 100-TB
+    cost, the in-memory bucket sort is not.)"""
+    from sparklyclean_spark.plans import explain_formatted
+    from sparklyclean_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    facts = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    dims = spark.range(200).selectExpr("id AS k", "id + 7 AS w")
+    write_bucketed(facts, "bkt_facts", 4, ["k"], path=os.path.join(str(tmp_path), "f"))
+    write_bucketed(dims, "bkt_dims", 4, ["k"], path=os.path.join(str(tmp_path), "d"))
+    try:
+        j = read_bucketed(spark, "bkt_facts").join(
+            read_bucketed(spark, "bkt_dims").hint("merge"), "k"
+        )
+        plan = explain_formatted(j)
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount: 4 out of 4" in plan
+        assert j.count() == 200
+        # same files via plain parquet read DO shuffle: the bucket
+        # spec lives in the catalog, not the footers
+        plain = spark.read.parquet(os.path.join(str(tmp_path), "f")).join(
+            spark.read.parquet(os.path.join(str(tmp_path), "d")).hint("merge"), "k"
+        )
+        assert "Exchange" in explain_formatted(plain)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_facts")
+        spark.sql("DROP TABLE IF EXISTS bkt_dims")
