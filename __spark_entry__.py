@@ -183,6 +183,26 @@ def _decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(docs, bench, n=3, threshold=0.5)
 
 
+def _topk_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as topk_orders_per_customer via the two-round
+    salted plan (skew-proof: no single-task-per-hot-key window);
+    oracle is the identical SQL — different physical strategy, same
+    answer."""
+    from sparklyclean_spark.operators.skew import salted_topk
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    out = salted_topk(
+        o, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], k=3,
+        n_salts=8,
+    )
+    return out.select(
+        "o_custkey", "o_orderkey",
+        F.round("o_totalprice", 4).alias("o_totalprice"), "rn",
+    )
+
+
 def _pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub demo on the documents table. The synthetic corpus
     contains no real PII, so BOTH engines first append deterministic
@@ -258,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles_by_priority": _t(R.price_percentiles_by_priority),
         # -- windows / top-k ------------------------------------------------
         "topk_orders_per_customer": _t(R.topk_orders_per_customer),
+        "topk_orders_salted": _topk_orders_salted,
         "window_running_order_total": _t(R.window_running_order_total),
         "window_price_rank_in_type": _t(R.window_price_rank_in_type),
         "global_top_orders": _t(R.global_top_orders),
@@ -542,6 +563,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
         """,
         "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(o_totalprice, 4) AS o_totalprice,
+                   CAST(rn AS INT) AS rn
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "topk_orders_salted": """
             SELECT o_custkey, o_orderkey,
                    ROUND(o_totalprice, 4) AS o_totalprice,
                    CAST(rn AS INT) AS rn
