@@ -336,6 +336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": _q(CL.neardup_clusters, 0.3, table="documents"),
         # composed flagship: normalize -> gate -> exact dedup -> clusters
         "corpus_curation": _q(CU.curate_corpus, table="documents"),
+        # scale form: LSH pair generation (verified subset of exact
+        # edges; rows-only — recall-dependent components). This is the
+        # benched variant; the exact form above is the oracle.
+        "corpus_curation_lsh": _q(CU.curate_corpus_lsh, table="documents"),
         # -- similarity search over embeddings ---------------------------------
         "embedding_cosine_neardup": _q(TD.embedding_cosine_pairs, 0.3, table="embeddings"),
         # ANN pairs path (rows-only: banding recall < 1 by design;

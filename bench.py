@@ -81,8 +81,10 @@ def main() -> None:
         "embedding_lsh_pairs",
         "text_tfidf_top_terms",
         # the composed normalize->gate->dedup->cluster pipeline: the
-        # end-to-end shape a curation job actually runs
-        "corpus_curation",
+        # end-to-end shape a curation job actually runs, with LSH pair
+        # generation (the exact-pair form is quadratic by design and
+        # measured 540 s at sf0.1 — oracle/verification scale only)
+        "corpus_curation_lsh",
         "events_session_windows",
         "dedup_pairs_disdedup_customer",
         "dedup_pair_features_customer",

@@ -18,11 +18,16 @@ produces the identical downstream plan.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparklyclean_spark.operators.dedup.clusters import connected_components
-from sparklyclean_spark.operators.dedup.textdedup import shingle_jaccard_pairs
+from sparklyclean_spark.operators.dedup.textdedup import (
+    minhash_lsh_pairs,
+    shingle_jaccard_pairs,
+)
 from sparklyclean_spark.operators.text_analysis import normalize_text
 
 
@@ -30,7 +35,7 @@ def curate_corpus(
     docs: DataFrame,
     min_tokens: int = 30,
     threshold: float = 0.3,
-    pairs: DataFrame | None = None,
+    pairs_fn: "Callable[[DataFrame], DataFrame] | None" = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, status, comp) for EVERY input document.
 
@@ -40,7 +45,10 @@ def curate_corpus(
       near_dup   — in a shingle-Jaccard component with a lower-id doc
       kept       — the canonical survivor
     ``comp`` is the near-dup component id (NULL for docs dropped
-    before that stage).
+    before that stage). ``pairs_fn`` swaps the pair generator run on
+    the exact-dedup survivors; the default is the EXACT quadratic
+    shingle-Jaccard path (oracle-checkable; verification scale only —
+    use ``curate_corpus_lsh`` for real corpora).
     """
     norm = normalize_text(docs)
     gated = norm.where(F.col("n_tokens") >= min_tokens)
@@ -51,8 +59,10 @@ def curate_corpus(
         "doc_id"
     )
     surv_docs = docs.join(exact_survivors, "doc_id", "left_semi")
-    if pairs is None:
+    if pairs_fn is None:
         pairs = shingle_jaccard_pairs(surv_docs, threshold)
+    else:
+        pairs = pairs_fn(surv_docs)
     comp = connected_components(pairs, surv_docs.select("doc_id"), id_col="doc_id")
     return (
         norm.select("doc_id", "n_tokens")
@@ -68,4 +78,29 @@ def curate_corpus(
             .alias("status"),
             "comp",
         )
+    )
+
+
+def curate_corpus_lsh(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    threshold: float = 0.3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The SCALE form of ``curate_corpus``: near-dup pairs come from
+    the banded MinHash-LSH path instead of the quadratic exact join.
+    Every LSH pair is exact-Jaccard verified (precision 1.0), so the
+    emitted edge set is a SUBSET of the exact pipeline's — any doc
+    this marks ``near_dup`` the exact pipeline marks non-kept too
+    (pytest-gated); recall ≥0.8 at the band/threshold defaults. This
+    is the variant to run on a real corpus — and the one bench.py
+    times."""
+    return curate_corpus(
+        docs,
+        min_tokens=min_tokens,
+        threshold=threshold,
+        pairs_fn=lambda d: minhash_lsh_pairs(
+            d, threshold, num_hashes=num_hashes, bands=bands
+        ).select("id1", "id2"),
     )

@@ -287,3 +287,28 @@ def test_bpe_token_count_classes(spark):
     assert got[2] == 4
     assert got[3] == 10
     assert got[4] == 0
+
+
+def test_curate_corpus_lsh_subset_of_exact(docs):
+    """LSH curation's edges are exact-verified (⊆ exact edges), so:
+    per-doc status must agree with the exact pipeline everywhere
+    except that LSH may miss near-dups (recall < 1) — i.e. every LSH
+    'near_dup'/'exact_dup'/'too_short' is identical in the exact run,
+    and any disagreement is LSH 'kept' where exact says 'near_dup'."""
+    from sparklyclean_spark.operators.curation import curate_corpus, curate_corpus_lsh
+
+    exact = {r.doc_id: r.status for r in curate_corpus(docs, 30, 0.3).collect()}
+    lsh = {r.doc_id: r.status for r in curate_corpus_lsh(docs, 30, 0.3).collect()}
+    assert set(exact) == set(lsh)
+    for d, s in lsh.items():
+        if s == exact[d]:
+            continue
+        assert (s, exact[d]) == ("kept", "near_dup"), (
+            f"doc {d}: lsh={s} exact={exact[d]} — only missed-recall "
+            "disagreements are legal"
+        )
+    # and the miss rate is bounded
+    near_exact = {d for d, s in exact.items() if s == "near_dup"}
+    if near_exact:
+        hit = sum(1 for d in near_exact if lsh[d] == "near_dup")
+        assert hit / len(near_exact) >= 0.8
