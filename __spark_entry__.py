@@ -310,6 +310,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _pii_redaction,
         "text_token_estimate": _q(TA.token_estimate, table="documents"),
         # deterministic (hash-derived) sampling & splitting
+        "sample_docs_weighted": _q(
+            lambda d: SP.weighted_sample(
+                d, F.least(F.lit(1.0), F.col("n_chars") / 500.0), "doc_id"
+            ).select("doc_id", F.round("keep_p", 4).alias("keep_p")),
+            table="documents",
+        ),
         "sample_docs_per_lang": _q(
             lambda d: SP.stratified_sample(d, ["lang"], 10, "doc_id").select(
                 "doc_id", "lang"
@@ -807,6 +813,14 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                 FROM documents
             ) WHERE rn <= 10
+        """,
+        "sample_docs_weighted": """
+            SELECT doc_id,
+                   ROUND(LEAST(1.0, n_chars / 500.0), 4) AS keep_p
+            FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                      / 4294967296.0
+                  < LEAST(1.0, n_chars / 500.0)
         """,
         "hash_split_documents": """
             SELECT doc_id,

@@ -57,3 +57,24 @@ def hash_split(
         .when(h4 < boundaries[1], names[1])
         .otherwise(names[2]),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: "F.Column",
+    id_col: str,
+    weight_name: str = "keep_p",
+) -> DataFrame:
+    """Per-row Bernoulli keep with probability ``weight`` (a Column
+    in [0,1], e.g. a quality score) — the quality-weighted
+    downsampling pass of a pretraining mix. Deterministic: the
+    uniform draw is the first 8 hex chars of md5(id) scaled to [0,1),
+    so the decision is a pure function of (id, weight) — stable
+    across reruns and engine-portable (DuckDB reproduces it exactly).
+    Pure map-side; no shuffle, no RNG state."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(16**8))
+    )
+    return df.withColumn(weight_name, weight).where(u < F.col(weight_name))

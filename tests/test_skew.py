@@ -54,3 +54,19 @@ def test_salted_join_equals_plain_join(spark, skewed, how):
         (r.k, r.uid, r.label) for r in skewed.join(dim, ["k"], how).collect()
     }
     assert got == want
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from pyspark.sql import functions as F
+
+    from sparklyclean_spark.operators.sampling import weighted_sample
+
+    df = spark.range(4000).selectExpr("id", "CAST(CASE WHEN id % 2 = 0 THEN 0.9 ELSE 0.1 END AS DOUBLE) AS w")
+    kept = weighted_sample(df, F.col("w"), "id").groupBy("w").count().collect()
+    rates = {round(r.w, 1): r["count"] / 2000 for r in kept}
+    assert abs(rates[0.9] - 0.9) < 0.05
+    assert abs(rates[0.1] - 0.1) < 0.05
+    # deterministic: identical result on rerun
+    a = {r.id for r in weighted_sample(df, F.col("w"), "id").collect()}
+    b = {r.id for r in weighted_sample(df, F.col("w"), "id").collect()}
+    assert a == b
