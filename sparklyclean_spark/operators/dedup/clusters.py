@@ -77,6 +77,90 @@ def connected_components(
     return labels.select(F.col("v").alias(id_col), "comp")
 
 
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, comp) via alternating large-star / small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    public algorithm). Converges in O(log²) rounds regardless of
+    diameter, unlike min-label propagation's O(diameter): a 10⁶-hop
+    chain finishes in ~20 rounds instead of 10⁶. Use this when the
+    pair graph can be adversarially deep (transitive near-dup chains);
+    ``connected_components`` stays the default for the shallow graphs
+    LSH dedup produces.
+
+    Each round is two groupBy-min shuffles over the current edge set;
+    edges only move toward smaller labels, so the edge-endpoint sum is
+    a monotone convergence witness (same trick as the propagation
+    form).
+    """
+    # working edge set as directed (u, v); kept deduped and
+    # self-loop-free between rounds
+    e = tracked_persist(
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _round(cur: DataFrame, large: bool) -> DataFrame:
+        sym = cur.unionAll(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        nbrs = sym.join(m, "u")
+        if large:
+            # connect strictly larger neighbors to the neighborhood min
+            out = nbrs.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            # connect self + smaller-or-equal neighbors to the min
+            out = nbrs.where(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).unionAll(m.select(F.col("u"), F.col("m").alias("v")))
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    prev_w = None
+    for _ in range(max_iter):
+        e2 = _round(e, large=True)
+        e3 = _round(e2, large=False).localCheckpoint()
+        # (count, endpoint-sum) witness: a distinct edge set can't
+        # change without moving one of the two
+        cur_w = tuple(
+            e3.agg(
+                F.count(F.lit(1)),
+                F.coalesce(
+                    F.sum((F.col("u") + F.col("v")).cast("decimal(38,0)")),
+                    F.lit(0),
+                ),
+            ).collect()[0]
+        )
+        e = e3
+        if cur_w == prev_w:
+            break
+        prev_w = cur_w
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+
+    # after convergence the edge set is a star forest: u -> root
+    roots = e.groupBy("u").agg(F.min("v").alias("comp"))
+    return (
+        vertices.select(F.col(id_col))
+        .join(roots, F.col(id_col) == F.col("u"), "left")
+        .select(
+            id_col, F.coalesce("comp", F.col(id_col)).alias("comp")
+        )
+    )
+
+
 def neardup_clusters(
     docs: DataFrame,
     threshold: float,

@@ -312,3 +312,32 @@ def test_curate_corpus_lsh_subset_of_exact(docs):
     if near_exact:
         hit = sum(1 for d in near_exact if lsh[d] == "near_dup")
         assert hit / len(near_exact) >= 0.8
+
+
+def test_star_components_match_propagation_and_handle_deep_chains(spark):
+    """large-star/small-star must agree with min-label propagation on
+    random graphs AND converge on a 300-hop chain where propagation's
+    25-round bound blows up (O(log^2) vs O(diameter))."""
+    import random
+
+    from sparklyclean_spark.operators.dedup.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    verts = spark.createDataFrame([(i,) for i in range(120)], "id bigint")
+    edges = spark.createDataFrame(
+        [(rng.randrange(120), rng.randrange(120)) for _ in range(150)],
+        "id1 bigint, id2 bigint",
+    )
+    a = {r.id: r.comp for r in connected_components(edges, verts).collect()}
+    b = {r.id: r.comp for r in connected_components_star(edges, verts).collect()}
+    assert a == b
+
+    chain_v = spark.createDataFrame([(i,) for i in range(300)], "id bigint")
+    chain_e = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "id1 bigint, id2 bigint"
+    )
+    got = {r.comp for r in connected_components_star(chain_e, chain_v).collect()}
+    assert got == {0}  # one component, labeled by the min id
