@@ -183,6 +183,23 @@ def _decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(docs, bench, n=3, threshold=0.5)
 
 
+def _neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: docs with doc_id % 10 == 0 play the new
+    shard; the rest are the pre-indexed corpus (band buckets +
+    shingle sets built once, persistable). Only the shard is
+    re-tokenized."""
+    from sparklyclean_spark.operators.dedup.textdedup import (
+        incremental_lsh_pairs,
+        minhash_index,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    shard = docs.where(F.col("doc_id") % 10 == 0)
+    bands_df, sets_df = minhash_index(corpus)
+    return incremental_lsh_pairs(shard, bands_df, sets_df, 0.3)
+
+
 def _topk_orders_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as topk_orders_per_customer via the two-round
     salted plan (skew-proof: no single-task-per-hot-key window);
@@ -346,6 +363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # edges; rows-only — recall-dependent components). This is the
         # benched variant; the exact form above is the oracle.
         "corpus_curation_lsh": _q(CU.curate_corpus_lsh, table="documents"),
+        # incremental shard-vs-indexed-corpus near-dup (rows-only:
+        # banding not SQL-reproducible; pytest gates exact equality
+        # with the cross-set slice of full-corpus LSH)
+        "neardup_incremental": _neardup_incremental,
         # -- similarity search over embeddings ---------------------------------
         "embedding_cosine_neardup": _q(TD.embedding_cosine_pairs, 0.3, table="embeddings"),
         # ANN pairs path (rows-only: banding recall < 1 by design;

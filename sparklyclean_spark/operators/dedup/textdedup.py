@@ -188,6 +188,118 @@ def _make_shingle_sig_udf(n: int, num_hashes: int):
     return pandas_udf(impl, "struct<hs: array<bigint>, sig: array<bigint>>")
 
 
+def _sig_table(
+    docs: DataFrame, n: int, num_hashes: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, sh, sig): per-doc distinct shingle-hash set + minhash
+    signature. Token hashes JVM-side (xxhash64 — shared with every
+    other text operator), heavy mixing Python-side in one Arrow UDF;
+    feeds both join sides plus verification — persist AND materialize
+    (a persist only helps jobs that start after it fills)."""
+    sig_udf = _make_shingle_sig_udf(n, num_hashes)
+    t = tracked_persist(
+        docs.select(
+            F.col(id_col).alias("id"),
+            sig_udf(
+                F.transform(T.words(text_col), lambda s: F.xxhash64(s))
+            ).alias("ss"),
+        )
+        .select("id", F.col("ss.hs").alias("sh"), F.col("ss.sig").alias("sig"))
+        .where(F.size("sh") > 0)
+    )
+    t.count()
+    return t
+
+
+def _band_table(t: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket): the LSH band join payload — nothing else
+    rides the shuffle."""
+    return t.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_index(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Persistable LSH index over a corpus: ``(bands_df, sets_df)`` =
+    ((id, band, bucket), (id, sh)). Write both to parquet once; every
+    future shard dedups against them via ``incremental_lsh_pairs``
+    WITHOUT re-reading the corpus text — the daily-ingest pattern at
+    100 TB (index size ≈ corpus shingle sets, a small fraction of the
+    text; band table is 16 small rows per doc)."""
+    t = _sig_table(docs, n, num_hashes, id_col, text_col)
+    return _band_table(t, bands, num_hashes // bands), t.select("id", "sh")
+
+
+def incremental_lsh_pairs(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    threshold: float,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs between a NEW shard and an already-indexed
+    corpus: (new_id, corpus_id, jaccard), exact-verified. Only the
+    shard is tokenized/signed; the corpus contributes its stored
+    band buckets and shingle sets. Banding parameters must match the
+    index build — the signatures are deterministic functions of the
+    text, so shard-vs-corpus candidates are IDENTICAL to what a full
+    ``minhash_lsh_pairs`` over corpus+shard would emit for cross
+    pairs (pytest-gated equality). Within-shard duplicates are out of
+    scope: run the regular path on the shard itself."""
+    t_new = _sig_table(new_docs, n, num_hashes, id_col, text_col)
+    banded_new = _band_table(t_new, bands, num_hashes // bands)
+    cands = (
+        banded_new.select("band", "bucket", F.col("id").alias("new_id"))
+        .join(
+            index_bands.select("band", "bucket", F.col("id").alias("corpus_id")),
+            ["band", "bucket"],
+        )
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    return (
+        cands.join(
+            t_new.select(F.col("id").alias("new_id"), F.col("sh").alias("s1")),
+            "new_id",
+        )
+        .join(
+            index_sets.select(F.col("id").alias("corpus_id"), F.col("sh").alias("s2")),
+            "corpus_id",
+        )
+        .withColumn("jaccard", F.round(_jaccard(F.col("s1"), F.col("s2")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,
@@ -214,43 +326,8 @@ def minhash_lsh_pairs(
     is exact-verified either way. For an all-builtin explode/agg
     shape, see ``minhash_lsh_pairs_exploded``.
     """
-    rows_per_band = num_hashes // bands
-    sig_udf = _make_shingle_sig_udf(n, num_hashes)
-    # token hashes JVM-side (xxhash64 — shared with every other text
-    # operator), heavy mixing Python-side; feeds both join sides plus
-    # verification — persist AND materialize (a persist only helps
-    # jobs that start after it fills).
-    t = tracked_persist(
-        docs.select(
-            F.col(id_col).alias("id"),
-            sig_udf(
-                F.transform(T.words(text_col), lambda s: F.xxhash64(s))
-            ).alias("ss"),
-        )
-        .select("id", F.col("ss.hs").alias("sh"), F.col("ss.sig").alias("sig"))
-        .where(F.size("sh") > 0)
-    )
-    t.count()
-    # band join carries ONLY (band, bucket, id)
-    banded = t.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    t = _sig_table(docs, n, num_hashes, id_col, text_col)
+    banded = _band_table(t, bands, num_hashes // bands)
     a = banded.select("band", "bucket", F.col("id").alias("id1"))
     b = banded.select("band", "bucket", F.col("id").alias("id2"))
     cands = (

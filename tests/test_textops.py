@@ -341,3 +341,31 @@ def test_star_components_match_propagation_and_handle_deep_chains(spark):
     )
     got = {r.comp for r in connected_components_star(chain_e, chain_v).collect()}
     assert got == {0}  # one component, labeled by the min id
+
+
+def test_incremental_lsh_equals_full_cross_pairs(docs):
+    """Shard-vs-indexed-corpus pairs must EQUAL the cross-set slice of
+    full-corpus LSH (signatures are per-doc deterministic, so banding
+    is identical) — with the identical verified jaccard values."""
+    from sparklyclean_spark.operators.dedup.textdedup import (
+        incremental_lsh_pairs,
+        minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    shard = docs.where(F.col("doc_id") % 10 == 0)
+    bands_df, sets_df = minhash_index(corpus)
+    got = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in incremental_lsh_pairs(shard, bands_df, sets_df, 0.3).collect()
+    }
+    shard_ids = {r.doc_id for r in shard.select("doc_id").collect()}
+    full = minhash_lsh_pairs(docs, 0.3).collect()
+    want = {}
+    for r in full:
+        in1, in2 = r.id1 in shard_ids, r.id2 in shard_ids
+        if in1 != in2:  # exactly one endpoint in the shard
+            new, old = (r.id1, r.id2) if in1 else (r.id2, r.id1)
+            want[(new, old)] = r.jaccard
+    assert got == want
