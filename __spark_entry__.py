@@ -289,6 +289,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events_pairs": _t(R.range_join_events_near_orders),
         "asof_purchase_last_click": _asof_purchase_last_click,
         # -- subquery shapes --------------------------------------------------
+        "q10_returned_revenue": _t(R.q10_returned_revenue),
+        "q14_promo_revenue_share": _t(R.q14_promo_revenue_share),
+        "q18_large_orders": _t(R.q18_large_orders),
+        "q19_disjunctive_revenue": _t(R.q19_disjunctive_revenue),
+        "monthly_order_volume": _t(R.monthly_order_volume),
         "exists_late_shipment_orders": _t(R.exists_late_shipment_orders),
         "lineitem_below_partavg": _t(R.lineitem_below_partavg),
         "orders_above_global_avg": _t(R.orders_above_global_avg),
@@ -564,6 +569,59 @@ def oracle_sql() -> dict[str, str]:
                    c.click_ts, c.click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+        """,
+        "q10_returned_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_revenue_share": """
+            SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                         / SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_share_pct,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        """,
+        "q18_large_orders": """
+            SELECT c_custkey, c_name, o_orderkey AS orderkey,
+                   ROUND(o_totalprice, 4) AS o_totalprice, total_qty
+            FROM (
+                SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING ROUND(SUM(l_quantity), 4) > 300.0
+            ) big
+            JOIN orders   ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 15
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 25
+                   AND p_size BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40
+                   AND p_size BETWEEN 1 AND 30)
+        """,
+        "monthly_order_volume": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS revenue,
+                   ROUND(AVG(CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END), 4)
+                       AS open_share
+            FROM orders GROUP BY 1
         """,
         "exists_late_shipment_orders": """
             SELECT o_orderpriority, COUNT(*) AS n_orders

@@ -519,3 +519,113 @@ def price_percentiles_by_priority(t: dict[str, DataFrame]) -> DataFrame:
         _r(F.percentile("o_totalprice", F.lit(0.5))).alias("p50_price"),
         _r(F.percentile("o_totalprice", F.lit(0.9))).alias("p90_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wider TPC-H-shape coverage (r2): Q10/Q14/Q18/Q19 adaptations + temporal agg
+# ---------------------------------------------------------------------------
+
+def q10_returned_revenue(t: dict[str, DataFrame], top_k: int = 20) -> DataFrame:
+    """Top-k customers by revenue on returned items (TPC-H Q10 shape).
+
+    Fact-fact joins shuffle on orderkey/custkey; the returnflag filter
+    is pushed to the lineitem scan so only the 'R' fraction rides the
+    first shuffle; nation broadcasts. Total order (revenue DESC,
+    custkey ASC) keeps LIMIT deterministic across engines."""
+    l, o, c, n = t["lineitem"], t["orders"], t["customer"], t["nation"]
+    return (
+        l.where(F.col("l_returnflag") == "R")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(top_k)
+    )
+
+
+def q14_promo_revenue_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Promo revenue share (TPC-H Q14 shape): one-row conditional-sum
+    ratio over lineitem x part in a one-year shipdate band. Part is
+    the smaller side -> broadcastable dim at bench SF, shuffle join at
+    100 TB; the date filter prunes the fact scan."""
+    l, p = t["lineitem"], t["part"]
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            _r(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q18_large_orders(t: dict[str, DataFrame], min_qty: float = 300.0) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): aggregate-HAVING on the
+    fact table, then join the survivors back to orders + customer.
+    The groupBy-HAVING shrinks the fact side to the heavy tail BEFORE
+    any dimension join, so the expensive joins see only qualifying
+    orderkeys."""
+    l, o, c = t["lineitem"], t["orders"], t["customer"]
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_r(F.sum("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            _r(F.col("o_totalprice")).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def q19_disjunctive_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Disjunctive-predicate revenue (TPC-H Q19 shape): OR of brand x
+    quantity-band x size-band conjunctions across the lineitem x part
+    join. Exercises CNF conversion / partial predicate pushdown: each
+    disjunct's part-only conjuncts can prune the build side while the
+    mixed conjuncts evaluate post-join."""
+    l, p = t["lineitem"], t["part"]
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    q, sz = F.col("l_quantity"), F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & q.between(1, 15) & sz.between(1, 10))
+        | ((F.col("p_brand") == "Brand#22") & q.between(10, 25) & sz.between(1, 20))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 40) & sz.between(1, 30))
+    )
+    return j.where(cond).agg(
+        _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def monthly_order_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """Temporal rollup: per-month order count / revenue / open share.
+    date_trunc derives the grouping key in the scan projection (no
+    pre-shuffle explode); the shuffle carries one row per month after
+    map-side partial aggregation."""
+    o = t["orders"]
+    return (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _r(F.sum("o_totalprice")).alias("revenue"),
+            _r(F.avg(F.when(F.col("o_orderstatus") == "O", 1.0).otherwise(0.0))).alias(
+                "open_share"
+            ),
+        )
+    )
