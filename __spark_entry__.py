@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_shingle_jaccard": _q(TD.shingle_jaccard_pairs, 0.3, table="documents"),
         # minhash: oracle-checked against the exact quadratic result
         # (verification is exact; 16x4 banding miss prob ~2e-4 per pair)
+        "neardup_common_ngrams": _q(TD.common_ngram_pairs, table="documents"),
         "neardup_minhash_lsh": _q(TD.minhash_lsh_pairs, 0.3, table="documents"),
         # A/B physical shape: explode/agg (cluster-shaped) variant
         "neardup_minhash_lsh_exploded": _q(
@@ -943,6 +944,22 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE jaccard >= 0.9
         """,
         "neardup_shingle_jaccard": _shingle_jaccard_sql(0.3),
+        "neardup_common_ngrams": f"""
+            WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         unnest(list_transform(range(1, GREATEST(len(w) - 4, 0) + 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+                  FROM w),
+            ok AS (SELECT gram FROM g GROUP BY gram
+                   HAVING COUNT(*) BETWEEN 2 AND 20),
+            p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                  FROM g a JOIN ok ON a.gram = ok.gram
+                           JOIN g b ON b.gram = a.gram
+                  WHERE a.doc_id < b.doc_id)
+            SELECT id1, id2, COUNT(*) AS shared_grams
+            FROM p GROUP BY id1, id2 HAVING COUNT(*) >= 3
+        """,
         # MinHash-LSH oracle: the exact quadratic shingle-Jaccard result.
         # Valid because verification is exact (LSH output ⊆ exact always)
         # and banding recall at this corpus's near-dup regime (true pairs

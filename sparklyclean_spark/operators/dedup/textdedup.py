@@ -536,3 +536,68 @@ def embedding_cosine_pairs(
         .where(F.col("cos") >= threshold)
         .select("id1", "id2", F.round("cos", 4).alias("cos"))
     )
+
+
+def common_ngram_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    min_shared: int = 3,
+    max_gram_df: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-style near-dup pairs via an inverted n-gram
+    index: (id1, id2, shared_grams) for every pair sharing >=
+    ``min_shared`` distinct word n-grams, counting only grams that
+    appear in 2..``max_gram_df`` documents.
+
+    The scale path for "docs sharing long verbatim spans" (the signal
+    behind exact-substring training-data dedup) WITHOUT any pairwise
+    text comparison: explode to distinct (doc, gram) postings, drop
+    grams above the document-frequency cap (ubiquitous boilerplate —
+    exactly the grams that would blow the self-join up; standard
+    practice in corpus dedup), then the posting-list self-join emits
+    at most df*(df-1)/2 <= ~max_gram_df^2/2 pairs PER GRAM. Every
+    shuffle (postings, df agg, pair count) is a hash agg/join on gram
+    or (id1,id2) with map-side partial aggregation — linear in corpus
+    size, bounded fan-out, no driver state. Gram construction is the
+    codegen posexplode + window-lead shape (top_ngrams); the window
+    shuffles on doc_id only.
+
+    The df cap changes WHICH pairs can qualify (a deliberate semantic,
+    mirrored in the oracle): two docs sharing only corpus-wide
+    boilerplate do not count as near-dups.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(T.words(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)]
+    grams = (
+        toks.select("id", "tok", *leads)
+        .where(F.col(f"t{n-1}").isNotNull())
+        .select(
+            "id",
+            F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)]).alias("gram"),
+        )
+        .dropDuplicates(["id", "gram"])
+    )
+    # postings feed the df agg AND both self-join sides
+    grams = tracked_persist(grams)
+    ok = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_gram_df))
+        .select("gram")
+    )
+    kept = grams.join(ok, "gram")
+    return (
+        kept.select("gram", F.col("id").alias("id1"))
+        .join(kept.select("gram", F.col("id").alias("id2")), "gram")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .where(F.col("shared_grams") >= min_shared)
+    )

@@ -369,3 +369,29 @@ def test_incremental_lsh_equals_full_cross_pairs(docs):
             new, old = (r.id1, r.id2) if in1 else (r.id2, r.id1)
             want[(new, old)] = r.jaccard
     assert got == want
+
+
+def test_common_ngram_pairs_semantics(spark):
+    """min_shared gates pairs; the df cap excludes boilerplate grams
+    even when two docs share many of them."""
+    span = "alpha bravo charlie delta echo foxtrot golf"   # 3 distinct 5-grams
+    boiler = "one two three four five"                     # 1 five-gram, in EVERY doc
+    rows = [
+        (1, f"{span} x"),
+        (2, f"{span} y"),
+        (3, "golf foxtrot echo delta charlie bravo alpha"),  # reversed: no shared grams
+    ] + [(10 + i, f"{boiler} filler{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id1, r.id2): r.shared_grams
+        for r in TD.common_ngram_pairs(docs, n=5, min_shared=3, max_gram_df=4).collect()
+    }
+    # docs 1-2 share exactly the 3 five-grams inside the span
+    assert got == {(1, 2): 3}
+
+    # boilerplate gram sits in 6 docs > cap=4 -> never a candidate;
+    # raising the cap (and lowering min_shared) surfaces those pairs
+    relaxed = TD.common_ngram_pairs(docs, n=5, min_shared=1, max_gram_df=10)
+    pairs = {(r.id1, r.id2) for r in relaxed.collect()}
+    assert (10, 11) in pairs and (1, 2) in pairs
