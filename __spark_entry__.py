@@ -369,9 +369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # edges; rows-only — recall-dependent components). This is the
         # benched variant; the exact form above is the oracle.
         "corpus_curation_lsh": _q(CU.curate_corpus_lsh, table="documents"),
-        # incremental shard-vs-indexed-corpus near-dup (rows-only:
-        # banding not SQL-reproducible; pytest gates exact equality
-        # with the cross-set slice of full-corpus LSH)
+        # incremental shard-vs-indexed-corpus near-dup (oracle: the
+        # cross-set slice of the exact shingle-Jaccard result; pytest
+        # additionally gates exact equality with the cross-set slice
+        # of full-corpus LSH)
         "neardup_incremental": _neardup_incremental,
         # -- similarity search over embeddings ---------------------------------
         "embedding_cosine_neardup": _q(TD.embedding_cosine_pairs, 0.3, table="embeddings"),
@@ -968,6 +969,19 @@ def oracle_sql() -> dict[str, str]:
         # rows mismatch, not silent corruption.
         "neardup_minhash_lsh": _shingle_jaccard_sql(0.3),
         "neardup_minhash_lsh_exploded": _shingle_jaccard_sql(0.3),
+        # Incremental shard-vs-corpus oracle: the cross-set slice of the
+        # exact result, endpoints remapped (shard id -> new_id). Valid
+        # for the same reason the minhash oracle is: verification is
+        # exact and banding recall ≈ 1 at this corpus's j ≥ 0.8 regime;
+        # the pytest equality gate (incremental ≡ full-LSH cross slice)
+        # closes the remaining gap.
+        "neardup_incremental": f"""
+            SELECT CASE WHEN id1 % 10 = 0 THEN id1 ELSE id2 END AS new_id,
+                   CASE WHEN id1 % 10 = 0 THEN id2 ELSE id1 END AS corpus_id,
+                   jaccard
+            FROM ({_shingle_jaccard_sql(0.3)})
+            WHERE (id1 % 10 = 0) <> (id2 % 10 = 0)
+        """,
         # connected components as transitive closure + min-reachable-id
         # (recursive CTE); Spark side is iterative min-label propagation
         "neardup_clusters": f"""
