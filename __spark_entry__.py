@@ -245,6 +245,74 @@ def _pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(injected)
 
 
+def _chunk_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style span dedup: remove globally repeated
+    10-token chunks, keep first occurrence, reassemble survivors."""
+    from sparklyclean_spark.operators.dedup.chunks import chunk_dedup
+
+    return chunk_dedup(_tables(spark, sf_dir)["documents"], chunk_tokens=10)
+
+
+def _cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-wins snapshot of the events change stream, keyed
+    by (user_id, event_type). max(struct) aggregate — map-side
+    combinable, unlike the row_number window shape."""
+    from sparklyclean_spark.operators.cdc import latest_by_key
+
+    out = latest_by_key(
+        _tables(spark, sf_dir)["events"],
+        keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+        payload_cols=["value"],
+    )
+    return out.select(
+        "user_id", "event_type", "ts", "event_id", F.round("value", 4).alias("value")
+    )
+
+
+def _scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals over each user's purchase
+    history: one shuffle + lead(), no self-join."""
+    from sparklyclean_spark.operators.cdc import scd2_intervals
+
+    ev = _tables(spark, sf_dir)["events"].where(F.col("event_type") == "purchase")
+    out = scd2_intervals(
+        ev, keys=["user_id"], ts_col="ts", tiebreak_col="event_id",
+        payload_cols=["value"],
+    )
+    return out.select(
+        "user_id", F.round("value", 4).alias("value"), "event_id",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+]
+
+
+def _profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan, one-aggregation profile of six orders columns
+    (exact distincts here; exact=False flips to HLL++ at scale)."""
+    from sparklyclean_spark.operators.profile import profile_columns
+
+    return profile_columns(_tables(spark, sf_dir)["orders"], _PROFILE_COLS, exact=True)
+
+
+def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding (4x storage
+    cut); q-vector emitted as md5 digest + sum/min/max so the
+    driver's scalar value-hash applies."""
+    from sparklyclean_spark.operators.similarity.quantize import quantize_int8
+
+    return quantize_int8(_tables(spark, sf_dir)["embeddings"])
+
+
 def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup→ML flow on the REFERENCE'S OWN corpus
     (/root/reference/data/test.csv, 1,000 Febrl records → 129,718
@@ -433,8 +501,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda d: SP.hash_split(d, "doc_id").select("doc_id", "split"),
             table="documents",
         ),
+        # -- CDC / profiling / quantization (round-3 capability rows) ---------
+        "cdc_latest_events": _cdc_latest_events,
+        "scd2_user_values": _scd2_user_values,
+        "profile_orders_columns": _profile_orders_columns,
+        "embedding_quantize": _embedding_quantize,
         # -- near-dup dedup over documents ------------------------------------
         "dedup_exact_documents": _q(TD.exact_dedup, table="documents"),
+        "chunk_dedup_documents": _chunk_dedup_documents,
         "neardup_token_jaccard": _q(TD.token_jaccard_pairs, 0.9, table="documents"),
         "neardup_shingle_jaccard": _q(TD.shingle_jaccard_pairs, 0.3, table="documents"),
         # minhash: oracle-checked against the exact quadratic result
@@ -1013,6 +1087,86 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rank <= 3
         """,
+        # -- CDC / profiling / quantization -----------------------------------
+        "cdc_latest_events": """
+            SELECT user_id, event_type, ts, event_id, ROUND(value, 4) AS value
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "scd2_user_values": """
+            SELECT user_id, ROUND(value, 4) AS value, event_id,
+                   ts AS valid_from,
+                   LEAD(ts) OVER w AS valid_to,
+                   (LEAD(ts) OVER w IS NULL) AS is_current
+            FROM events
+            WHERE event_type = 'purchase'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "profile_orders_columns": _profile_sql(),
+        "embedding_quantize": """
+            WITH m AS (
+                SELECT vec_id,
+                       list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+                       list_max(list_transform(embedding,
+                                v -> abs(CAST(v AS DOUBLE)))) AS m
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, m,
+                       CASE WHEN m = 0
+                            THEN list_transform(x, v -> 0)
+                            ELSE list_transform(x,
+                                 v -> CAST(floor(v * 127.0 / m + 0.5) AS INT))
+                       END AS qvec
+                FROM m
+            )
+            SELECT vec_id, ROUND(m / 127.0, 6) AS scale,
+                   md5(array_to_string(qvec, ',')) AS q_digest,
+                   CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+                   CAST(list_min(qvec) AS INT) AS q_min,
+                   CAST(list_max(qvec) AS INT) AS q_max
+            FROM q
+        """,
+        "chunk_dedup_documents": f"""
+            WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+            ch AS (
+                SELECT doc_id,
+                       unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i,
+                       w
+                FROM w
+            ),
+            c2 AS (
+                SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                       array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+                FROM ch
+            ),
+            kept AS (
+                SELECT doc_id, chunk_idx, chunk FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, chunk_idx) AS rn
+                    FROM c2
+                ) WHERE rn = 1
+            ),
+            surv AS (
+                SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+                FROM kept GROUP BY doc_id
+            ),
+            tot AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN 0
+                            ELSE CAST(ceil(len(w) / 10.0) AS INT) END AS n_chunks
+                FROM w
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_chunks AS INT) AS n_chunks,
+                   CAST(t.n_chunks - COALESCE(s.n_kept, 0) AS INT) AS n_dropped,
+                   COALESCE(s.clean_text, '') AS clean_text
+            FROM tot t LEFT JOIN surv s USING (doc_id)
+        """,
         # -- near-dup dedup ----------------------------------------------------
         "dedup_exact_documents": f"""
             SELECT fp, MIN(id) AS keep_id, COUNT(*) - 1 AS n_dups
@@ -1273,6 +1427,33 @@ _COS_SQL = (
     " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
 )
+
+def _profile_sql() -> str:
+    """DuckDB twin of profile_columns(orders, _PROFILE_COLS): one
+    UNION ALL branch per column (the oracle may be lazy about scans;
+    the Spark side is the one-pass plan)."""
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = (
+                f"CAST(CAST(ROUND(CAST(MIN({name}) AS DOUBLE), 4)"
+                f" AS DECIMAL(38,4)) AS VARCHAR)"
+            )
+            mx = (
+                f"CAST(CAST(ROUND(CAST(MAX({name}) AS DOUBLE), 4)"
+                f" AS DECIMAL(38,4)) AS VARCHAR)"
+            )
+        else:
+            mn = f"CAST(MIN({name}) AS VARCHAR)"
+            mx = f"CAST(MAX({name}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{name}' AS col_name, COUNT(*) AS n_rows,"
+            f" COUNT(CASE WHEN {name} IS NULL THEN 1 END) AS n_nulls,"
+            f" COUNT(DISTINCT {name}) AS n_distinct,"
+            f" {mn} AS min_val, {mx} AS max_val FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
 
 _DEDUP_PAIRS_SQL = """
     SELECT CAST(1 AS INT) AS bk, a.c_custkey AS id1, b.c_custkey AS id2

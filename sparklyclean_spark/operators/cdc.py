@@ -1,0 +1,82 @@
+"""Change-data-capture compaction shapes.
+
+A training-data pipeline ingesting an append-only change stream needs
+two standard collapses:
+
+* ``latest_by_key`` — latest-record-wins snapshot compaction (the
+  "upsert view" of a keyed change log).
+* ``scd2_intervals`` — slowly-changing-dimension type 2: each change
+  becomes a validity interval ``[valid_from, valid_to)`` with the
+  open interval flagged current.
+
+The reference engine has no streaming/CDC surface at all (its only
+dataflow is the three-program dedup pipeline, GenerateLabeledPoints.
+scala:47-111), so both operators are capability-gap additions in the
+SURVEY.md §2.10 sense.
+
+Scale notes
+-----------
+``latest_by_key`` deliberately uses ``max(struct(order_cols...,
+payload))`` hash aggregation instead of the textbook
+``row_number() = 1`` window: the aggregate gets map-side partial
+combine (each input partition contributes at most one candidate row
+per key to the shuffle), whereas the window shape must shuffle and
+sort EVERY change record per key. On a 100 TB change log with a hot
+key the window plan is a single-task sort; the agg plan stays
+balanced.
+
+``scd2_intervals`` is inherently a per-key ordered walk (each row
+needs its successor), so it IS the window shape — one shuffle on the
+key, ``lead()`` over the per-key sort, no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Latest-record-wins compaction: one row per ``keys`` group, the
+    row with the lexicographically greatest ``order_cols`` tuple.
+
+    ``order_cols`` must be totally ordering within a key (include a
+    unique tiebreaker, e.g. an event id) or the winner is undefined.
+    Output columns: keys + order_cols + payload_cols.
+    """
+    winner = F.max(F.struct(*[F.col(c) for c in (*order_cols, *payload_cols)]))
+    agg = df.groupBy(*keys).agg(winner.alias("_w"))
+    return agg.select(
+        *keys, *[F.col(f"_w.{c}").alias(c) for c in (*order_cols, *payload_cols)]
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """SCD type-2 history: every change row becomes an interval
+    ``valid_from = ts`` .. ``valid_to = next change's ts`` (NULL while
+    current). ``is_current`` marks the open interval.
+
+    One shuffle (partition by keys), one per-key sort, ``lead()`` —
+    no self-join, no pair explosion.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    nxt: Column = F.lead(F.col(ts_col)).over(w)
+    return df.select(*keys, ts_col, tiebreak_col, *payload_cols).select(
+        *keys,
+        *payload_cols,
+        F.col(tiebreak_col),
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

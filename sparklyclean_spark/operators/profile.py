@@ -1,0 +1,67 @@
+"""Single-pass table profiling (per-column stats).
+
+Data-quality triage over a 100 TB table must not run one job per
+column: ``profile_columns`` computes every column's metrics in ONE
+aggregation over ONE scan, then unpivots the single result row into
+``(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)`` rows
+driver-side via ``inline`` (no extra shuffle — the agg output is one
+row).
+
+Distinct counts: ``exact=True`` uses ``count(distinct col)`` —
+Catalyst plans multiple distinct aggregates with an Expand (input
+replicated once per distinct column), which is fine at audit scale
+but multiplies the shuffle by the column count. The 100 TB path is
+``exact=False`` -> ``approx_count_distinct`` (HLL++, single Expand-
+free pass, ~2% rsd). The DuckDB oracle uses the exact form at sf0.01
+where both are affordable.
+
+Min/max are rendered as strings (numerics via DECIMAL(38,4) so both
+engines print identical fixed-scale text; Spark's double->string
+would use scientific notation where DuckDB doesn't).
+
+No reference counterpart (the reference never inspects its data,
+SURVEY.md §5 — validation was manual); §2.10 capability-gap operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_text(col: Column, kind: str) -> Column:
+    if kind == "num":
+        return F.round(col.cast("double"), 4).cast("decimal(38,4)").cast("string")
+    return col.cast("string")
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[tuple[str, str]],
+    exact: bool = True,
+) -> DataFrame:
+    """Profile ``cols`` = [(name, kind)] with kind in {"num", "str",
+    "ts"}. Returns one row per column, computed in one aggregation."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for name, kind in cols:
+        c = F.col(name)
+        aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"_nn_{name}"))
+        nd = F.count_distinct(c) if exact else F.approx_count_distinct(c)
+        aggs.append(nd.alias(f"_nd_{name}"))
+        aggs.append(_as_text(F.min(c), kind).alias(f"_mn_{name}"))
+        aggs.append(_as_text(F.max(c), kind).alias(f"_mx_{name}"))
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{name}").alias("n_nulls"),
+                F.col(f"_nd_{name}").alias("n_distinct"),
+                F.col(f"_mn_{name}").alias("min_val"),
+                F.col(f"_mx_{name}").alias("max_val"),
+            )
+            for name, _ in cols
+        ]
+    )
+    return one.select(F.inline(rows))

@@ -1,0 +1,89 @@
+"""Int8 embedding quantization (vector-storage scale path).
+
+A 100 TB embedding store at float32 is 4 bytes/dim; symmetric int8
+quantization cuts it 4x with <0.5% cosine error, which is why every
+production ANN system (FAISS SQ8, ScaNN, Milvus) ships it. Operators:
+
+* ``quantize_int8`` — per-vector symmetric quantization:
+  ``scale = max|x| / 127``, ``q_i = floor(x_i * 127 / max|x| + 0.5)``
+  (explicit half-up rounding so Spark and the DuckDB oracle agree
+  bit-for-bit in float64). Pure Column expressions — JVM-side, no
+  Python.
+* ``dequantize_cosine_error`` — audit helper: cosine(original,
+  reconstructed) per vector, for recall/error gating in tests.
+
+The q-vector itself is emitted as an md5 digest of its CSV rendering
+(plus sum/min/max aggregates) so the driver's value-hash compare
+works on scalar columns; the array stays available via
+``quantize_int8(..., digest=False)`` for downstream use.
+
+No reference counterpart (the reference has no vector surface at
+all); §2.10 capability-gap operator alongside similarity search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digest: bool = True,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization.
+
+    With ``digest=True`` returns
+    ``(vec_id, scale, q_digest, q_sum, q_min, q_max)``; otherwise
+    ``(vec_id, scale, qvec array<int>)``.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    m = F.array_max(F.transform(x, F.abs))
+    q = F.when(m == 0.0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(x, lambda v: F.floor(v * 127.0 / m + 0.5).cast("int"))
+    )
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(m / 127.0, 6).alias("scale"),
+        q.alias("qvec"),
+    )
+    if not digest:
+        return base
+    return base.select(
+        "vec_id",
+        "scale",
+        F.md5(F.concat_ws(",", F.transform(F.col("qvec"), lambda v: v.cast("string")))).alias(
+            "q_digest"
+        ),
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda acc, v: acc + v).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+    )
+
+
+def dequantize_cosine_error(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """cosine(x, dequantize(quantize(x))) per vector — the quality
+    audit for the int8 path. All Column expressions (float64)."""
+    q = quantize_int8(emb, id_col, vec_col, digest=False)
+    joined = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("x")).join(
+        q, "vec_id"
+    )
+    xd = F.transform(F.col("x"), lambda v: v.cast("double"))
+    rec = F.transform(F.col("qvec"), lambda v: v.cast("double") * F.col("scale"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda u, v: u * v),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    denom = F.sqrt(dot(xd, xd)) * F.sqrt(dot(rec, rec))
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(xd, rec) / denom)
+    return joined.select("vec_id", cos.alias("cos_rec"))

@@ -1,0 +1,153 @@
+"""CDC compaction, SCD2 intervals, chunk dedup, profiling, and int8
+quantization — invariants beyond the driver's oracle hash."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.catalog import load_tables
+from sparklyclean_spark.operators.cdc import latest_by_key, scd2_intervals
+from sparklyclean_spark.operators.dedup.chunks import chunk_dedup
+from sparklyclean_spark.operators.profile import profile_columns
+from sparklyclean_spark.operators.similarity.quantize import (
+    dequantize_cosine_error,
+    quantize_int8,
+)
+
+from .conftest import SF_DIR
+
+
+def test_latest_by_key_equals_window(spark):
+    """The map-side-combinable max(struct) plan must give the same
+    snapshot as the textbook row_number()=1 window plan."""
+    ev = load_tables(spark, SF_DIR)["events"]
+    agg = latest_by_key(
+        ev, keys=["user_id", "event_type"], order_cols=["ts", "event_id"],
+        payload_cols=["value"],
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    win = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts", "event_id", "value")
+    )
+    assert agg.exceptAll(win).count() == 0
+    assert win.exceptAll(agg).count() == 0
+
+
+def test_scd2_intervals_partition_history(spark):
+    """Per key: exactly one open (current) interval, no overlaps, and
+    intervals chain (valid_to of one row = valid_from of the next)."""
+    ev = load_tables(spark, SF_DIR)["events"].where(F.col("event_type") == "purchase")
+    out = scd2_intervals(
+        ev, keys=["user_id"], ts_col="ts", tiebreak_col="event_id",
+        payload_cols=["value"],
+    )
+    per_key = out.groupBy("user_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_open"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    bad_open = per_key.where(F.col("n_open") != 1).count()
+    assert bad_open == 0
+    # chaining: next interval starts exactly where the previous ends
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    chained = out.withColumn("nxt_from", F.lead("valid_from").over(w))
+    broken = chained.where(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("nxt_from"))
+    ).count()
+    assert broken == 0
+    assert out.count() == ev.count()
+
+
+def test_chunk_dedup_keeps_each_span_once(spark):
+    """Survivor chunk count == number of DISTINCT chunk contents in
+    the original corpus (every repeated span kept exactly once)."""
+    docs = load_tables(spark, SF_DIR)["documents"]
+    out = chunk_dedup(docs, chunk_tokens=10)
+    kept_total = out.agg(
+        F.sum(F.col("n_chunks") - F.col("n_dropped"))
+    ).collect()[0][0]
+
+    from sparklyclean_spark.functions import text as T
+
+    w = T.words("text")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(w) / 10).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * 10 + 1, 10)),
+    )
+    distinct_chunks = (
+        docs.where(F.size(w) > 0)
+        .select(F.explode(chunks).alias("chunk"))
+        .select(F.countDistinct("chunk"))
+        .collect()[0][0]
+    )
+    assert kept_total == distinct_chunks
+    # corpus has repeated spans, so the operator must actually drop
+    dropped = out.agg(F.sum("n_dropped")).collect()[0][0]
+    assert dropped > 0
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c x y z"),  # shares chunk "a b c" at 3-token width
+        (3, "x y z q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_tokens=3).collect()}
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert out[2]["clean_text"] == "x y z"       # "a b c" seen in doc 1
+    assert out[3]["clean_text"] == "q r s"       # "x y z" seen in doc 2
+    assert out[2]["n_dropped"] == 1 and out[3]["n_dropped"] == 1
+
+
+def test_profile_exact_vs_approx_plans(spark):
+    """exact=True multi-distinct needs Expand; the scale path
+    (exact=False, HLL++) must plan WITHOUT Expand — single pass."""
+    orders = load_tables(spark, SF_DIR)["orders"]
+    cols = [("o_orderkey", "num"), ("o_orderstatus", "str")]
+    # default maxToStringFields truncates the agg list and can hide
+    # the Expand node from the string form
+    spark.conf.set("spark.sql.debug.maxToStringFields", "500")
+    try:
+        exact_plan = profile_columns(orders, cols, exact=True)._jdf.queryExecution().executedPlan().toString()
+        approx_plan = profile_columns(orders, cols, exact=False)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.debug.maxToStringFields")
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
+    # approx counts land within HLL++ tolerance of exact
+    exact_rows = {r["col_name"]: r for r in profile_columns(orders, cols, exact=True).collect()}
+    approx_rows = {r["col_name"]: r for r in profile_columns(orders, cols, exact=False).collect()}
+    for name, _ in cols:
+        e, a = exact_rows[name]["n_distinct"], approx_rows[name]["n_distinct"]
+        assert abs(a - e) <= max(1, 0.15 * e)  # HLL++ rsd=0.05, 3-sigma
+        assert exact_rows[name]["min_val"] == approx_rows[name]["min_val"]
+
+
+def test_quantize_reconstruction_quality(spark):
+    """int8 reconstruction must keep cosine >= 0.999 to the original
+    for every vector (the bound that makes SQ8 usable for ANN)."""
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    worst = dequantize_cosine_error(emb).agg(F.min("cos_rec")).collect()[0][0]
+    assert worst >= 0.999
+
+
+def test_quantize_range_and_zero_vector(spark):
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    q = quantize_int8(emb)
+    bad = q.where((F.col("q_max") > 127) | (F.col("q_min") < -127)).count()
+    assert bad == 0
+    # someone's max component hits exactly ±127 (scale definition)
+    at_limit = q.where((F.col("q_max") == 127) | (F.col("q_min") == -127)).count()
+    assert at_limit > 0
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    row = quantize_int8(zero).collect()[0]
+    assert row["scale"] == 0.0 and row["q_sum"] == 0
