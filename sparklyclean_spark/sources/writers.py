@@ -28,3 +28,69 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 def write_text(df: DataFrame, path: str) -> None:
     """Single ``value`` string column to text files."""
     df.write.mode("overwrite").text(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (built-in vectorized reader/writer, same
+    pushdown/pruning story as parquet — some lakes standardize on it)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_compacted_parquet(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sample_rows: int = 10_000,
+) -> int:
+    """Small-file-problem-aware sink: estimate the dataset's encoded
+    size from a bounded sample, choose an output file count aiming at
+    ``target_file_bytes`` per file, and write with exactly that many
+    files. Returns the file count.
+
+    Why it matters at 100 TB: a shuffle with 10k reduce partitions
+    writing directly produces 10k files per job; downstream scans then
+    pay per-file open/footer costs and the driver pays listing. The
+    standard fix is exactly this estimate-then-coalesce pattern
+    (Delta/Iceberg "optimize write"). Uses ``coalesce`` (no extra
+    shuffle) when shrinking; ``repartition`` only when the plan has
+    fewer partitions than wanted.
+
+    Estimation avoids a full materialization: count() runs on the
+    (column-pruned) plan, and bytes/row comes from a ``limit(sample)``
+    written to a scratch subdir — bounded work regardless of input
+    size.
+    """
+    import uuid
+
+    spark = df.sparkSession
+    n_rows = df.count()
+    if n_rows == 0:
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        return 1
+    sample = df.limit(min(sample_rows, n_rows))
+    scratch = f"{path}__sizing_{uuid.uuid4().hex[:8]}"
+    sample.coalesce(1).write.mode("overwrite").parquet(scratch)
+    try:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc.sc()
+        p = jvm.org.apache.hadoop.fs.Path(scratch)
+        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        sampled_bytes = fs.getContentSummary(p).getLength()
+        sampled_rows = min(sample_rows, n_rows)
+        est_total = sampled_bytes * (n_rows / sampled_rows)
+        n_files = max(1, int(est_total // target_file_bytes) + (1 if est_total % target_file_bytes else 0))
+        cur = df.rdd.getNumPartitions()
+        out = df.coalesce(n_files) if n_files <= cur else df.repartition(n_files)
+        out.write.mode("overwrite").parquet(path)
+        return n_files
+    finally:
+        p = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(scratch)
+        fs = p.getFileSystem(spark.sparkContext._jsc.sc().hadoopConfiguration())
+        fs.delete(p, True)

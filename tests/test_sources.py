@@ -169,3 +169,36 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_facts")
         spark.sql("DROP TABLE IF EXISTS bkt_dims")
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from sparklyclean_spark.sources.writers import read_orc, write_orc
+
+    df = spark.range(100).selectExpr("id", "id % 3 AS k", "CAST(id AS STRING) AS s")
+    path = os.path.join(str(tmp_path), "orc")
+    write_orc(df, path, partition_by=["k"])
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert {r["k"] for r in back.select("k").distinct().collect()} == {0, 1, 2}
+    # partition dirs exist -> read-side pruning is available
+    assert any(d.startswith("k=") for d in os.listdir(path))
+
+
+def test_compacted_parquet_targets_file_size(spark, tmp_path):
+    from sparklyclean_spark.sources.writers import write_compacted_parquet
+
+    df = spark.range(50_000).selectExpr(
+        "id", "repeat(CAST(id AS STRING), 20) AS pad"
+    ).repartition(32)  # simulate a post-shuffle many-partition plan
+    path = os.path.join(str(tmp_path), "compact")
+    n_files = write_compacted_parquet(df, path, target_file_bytes=256 * 1024)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == n_files
+    assert n_files < 32  # compaction actually reduced the file count
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    # each file lands within ~3x of target on either side
+    per_file = total / n_files
+    assert 256 * 1024 / 3 <= per_file <= 256 * 1024 * 3
+    from pyspark.sql import functions as F
+
+    assert spark.read.parquet(path).agg(F.count("*")).collect()[0][0] == 50_000
