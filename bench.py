@@ -88,6 +88,12 @@ def main() -> None:
         "events_session_windows",
         "dedup_pairs_disdedup_customer",
         "dedup_pair_features_customer",
+        # round-3 scale ops: span-level dedup (explode+agg+join), CDC
+        # snapshot (map-side-combinable max(struct)), int8 vector
+        # quantization (pure codegen, zero shuffles)
+        "chunk_dedup_documents",
+        "cdc_latest_events",
+        "embedding_quantize",
     ]
 
     def run_once(name: str) -> float:

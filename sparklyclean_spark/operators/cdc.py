@@ -56,6 +56,24 @@ def latest_by_key(
     )
 
 
+def streaming_latest_by_key(
+    spark,
+    path: str,
+    schema: str,
+    keys: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Streaming form of ``latest_by_key``: the same ``max(struct)``
+    aggregation over ``readStream`` — Structured Streaming keeps one
+    struct of state per key (no per-event retention), so the snapshot
+    stays O(#keys) however long the change stream runs. Complete/
+    update output modes both work; equality with the batch collapse
+    over the same data is pytest-gated."""
+    src = spark.readStream.schema(schema).parquet(path)
+    return latest_by_key(src, keys, order_cols, payload_cols)
+
+
 def scd2_intervals(
     df: DataFrame,
     keys: list[str],

@@ -77,3 +77,50 @@ def test_tfidf_count_in_plan_not_driver(t):
     assert len(scans) == 2, f"expected 2 scans, saw {scans}"
     assert scans[0] == (), f"N scan not pruned to metadata: {scans[0]}"
     assert scans[1] == ("doc_id", "text")
+
+
+def test_cdc_latest_is_agg_not_window(t):
+    """The CDC snapshot must plan as a hash aggregate (map-side
+    partial combine) — NOT a per-key window sort."""
+    from sparklyclean_spark.operators.cdc import latest_by_key
+
+    df = latest_by_key(
+        t["events"], keys=["user_id", "event_type"],
+        order_cols=["ts", "event_id"], payload_cols=["value"],
+    )
+    plan = P.explain_formatted(df)
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan or "SortAggregate" in plan
+    assert P.count_exchanges(df) == 1
+
+
+def test_scd2_single_shuffle(t):
+    from sparklyclean_spark.operators.cdc import scd2_intervals
+
+    df = scd2_intervals(
+        t["events"], keys=["user_id"], ts_col="ts",
+        tiebreak_col="event_id", payload_cols=["value"],
+    )
+    assert P.count_exchanges(df) == 1
+
+
+def test_chunk_dedup_no_quadratic_join(t):
+    """Span dedup must be explode+agg+equi-join — no nested-loop
+    anywhere, bounded shuffle count."""
+    from sparklyclean_spark.operators.dedup.chunks import chunk_dedup
+
+    df = chunk_dedup(t["documents"], chunk_tokens=10)
+    assert not P.has_nested_loop_join(df)
+    # chunk-winner agg, winner join, doc reassembly agg, final join
+    assert P.count_exchanges(df) <= 6
+
+
+def test_quantize_stays_jvm_side(t):
+    """int8 quantization is pure Column expressions: no Python/Arrow
+    stage, no shuffle at all."""
+    from sparklyclean_spark.operators.similarity.quantize import quantize_int8
+
+    df = quantize_int8(t["embeddings"])
+    plan = P.explain_formatted(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert P.count_exchanges(df) == 0

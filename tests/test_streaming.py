@@ -306,3 +306,34 @@ def test_stateful_sessionize_closes_on_watermark(spark, tmp_path_factory):
     # the 12:00 event's own session stays OPEN (watermark never passes
     # 12:15) -> exactly 3 closed sessions
     assert len(rows) == 3
+
+
+def test_streaming_latest_by_key_matches_batch(spark, event_dir):
+    """CDC snapshot compaction as a stream: max(struct) keeps O(#keys)
+    state and must equal the batch collapse over the same data."""
+    from sparklyclean_spark.operators.cdc import latest_by_key, streaming_latest_by_key
+
+    batch = latest_by_key(
+        spark.read.parquet(event_dir),
+        keys=["event_type"], order_cols=["ts", "event_id"], payload_cols=["value"],
+    )
+    expected = {r["event_type"]: (r["ts"], r["event_id"], r["value"]) for r in batch.collect()}
+
+    stream_df = streaming_latest_by_key(
+        spark, event_dir, EVENTS_SCHEMA,
+        keys=["event_type"], order_cols=["ts", "event_id"], payload_cols=["value"],
+    )
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("cdc_latest_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: (r["ts"], r["event_id"], r["value"])
+        for r in spark.sql("SELECT * FROM cdc_latest_smoke").collect()
+    }
+    assert got == expected
