@@ -313,6 +313,35 @@ def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(_tables(spark, sf_dir)["embeddings"])
 
 
+def _dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dense row ids WITHOUT a single-task global sort:
+    range repartition -> local row_number -> broadcast prefix-sum
+    offsets."""
+    from sparklyclean_spark.operators.ids import dense_ids
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return dense_ids(docs, order_by=["lang", "doc_id"]).select("doc_id", "lang", "row_id")
+
+
+def _winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority 1%/99% winsorization of order prices: grouped
+    percentile agg + broadcast join, no raw-row window."""
+    from sparklyclean_spark.operators.outliers import winsorize
+
+    out = winsorize(
+        _tables(spark, sf_dir)["orders"], "o_totalprice", 0.01, 0.99,
+        by=["o_orderpriority"], exact=True,
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice_clipped", 4).alias("o_totalprice_clipped"),
+        F.round("clip_lo", 4).alias("clip_lo"),
+        F.round("clip_hi", 4).alias("clip_hi"),
+        "is_outlier",
+    )
+
+
 def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup→ML flow on the REFERENCE'S OWN corpus
     (/root/reference/data/test.csv, 1,000 Febrl records → 129,718
@@ -362,11 +391,11 @@ _DRIVER_CHECK_ORDER = [
     "asof_purchase_last_click",
     # subqueries / percentiles
     "exists_late_shipment_orders",
-    "lineitem_below_partavg",
     "price_percentiles_by_priority",
-    # windows / top-k / skew
+    # windows / top-k / global indexing / numeric cleaning
     "topk_orders_per_customer",
-    "topk_orders_salted",
+    "dense_ids_documents",
+    "winsorize_order_prices",
     "window_running_order_total",
     # set ops / scalar functions
     "set_ops_nation_keys",
@@ -502,6 +531,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             table="documents",
         ),
         # -- CDC / profiling / quantization (round-3 capability rows) ---------
+        "dense_ids_documents": _dense_ids_documents,
+        "winsorize_order_prices": _winsorize_order_prices,
         "cdc_latest_events": _cdc_latest_events,
         "scd2_user_values": _scd2_user_values,
         "profile_orders_columns": _profile_orders_columns,
@@ -1087,7 +1118,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rank <= 3
         """,
-        # -- CDC / profiling / quantization -----------------------------------
+        # -- CDC / profiling / quantization / indexing ------------------------
+        "dense_ids_documents": """
+            SELECT doc_id, lang,
+                   CAST(ROW_NUMBER() OVER (ORDER BY lang, doc_id) AS BIGINT) AS row_id
+            FROM documents
+        """,
+        "winsorize_order_prices": """
+            WITH b AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.01) AS lo,
+                       quantile_cont(o_totalprice, 0.99) AS hi
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderkey, o.o_orderpriority,
+                   ROUND(GREATEST(lo, LEAST(hi, o_totalprice)), 4) AS o_totalprice_clipped,
+                   ROUND(lo, 4) AS clip_lo,
+                   ROUND(hi, 4) AS clip_hi,
+                   (o_totalprice < lo OR o_totalprice > hi) AS is_outlier
+            FROM orders o JOIN b USING (o_orderpriority)
+        """,
         "cdc_latest_events": """
             SELECT user_id, event_type, ts, event_id, ROUND(value, 4) AS value
             FROM (

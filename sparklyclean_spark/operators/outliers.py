@@ -1,0 +1,53 @@
+"""Percentile-based numeric cleaning (winsorization / outlier gates).
+
+Training-data pipelines clip or drop numeric outliers before
+aggregation (fees, durations, token counts). ``winsorize`` computes
+per-group clip bounds at given percentiles and clips in the same
+plan: one grouped aggregation over the data + one broadcast join —
+no window over the raw rows, so a hot group never serializes into
+one task.
+
+``exact=True`` uses Spark's exact ``percentile`` (sort-based — fine
+at audit scale, and what the DuckDB ``quantile_cont`` oracle can
+reproduce bit-for-bit). The 100 TB path is ``exact=False`` →
+``approx_percentile`` (t-digest-style sketch, single streaming pass,
+mergeable across partitions).
+
+No reference counterpart; §2.10 capability-gap operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    by: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Clip ``value_col`` to its [p_lo, p_hi] percentile band
+    (per ``by`` group when given). Appends ``<col>_clipped`` plus the
+    bounds used and an ``is_outlier`` flag."""
+    v = F.col(value_col)
+    keys = by or []
+    pct = (
+        F.percentile(v, F.lit(p_lo)) if exact else F.approx_percentile(v, F.lit(p_lo), F.lit(10_000))
+    )
+    pct_hi = (
+        F.percentile(v, F.lit(p_hi)) if exact else F.approx_percentile(v, F.lit(p_hi), F.lit(10_000))
+    )
+    bounds = df.groupBy(*keys).agg(pct.alias("_lo"), pct_hi.alias("_hi"))
+    joined = df.join(F.broadcast(bounds), keys) if keys else df.crossJoin(F.broadcast(bounds))
+    return (
+        joined.withColumn(
+            f"{value_col}_clipped", F.greatest(F.col("_lo"), F.least(F.col("_hi"), v))
+        )
+        .withColumn("is_outlier", (v < F.col("_lo")) | (v > F.col("_hi")))
+        .withColumnRenamed("_lo", "clip_lo")
+        .withColumnRenamed("_hi", "clip_hi")
+    )

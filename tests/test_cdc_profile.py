@@ -151,3 +151,64 @@ def test_quantize_range_and_zero_vector(spark):
     )
     row = quantize_int8(zero).collect()[0]
     assert row["scale"] == 0.0 and row["q_sum"] == 0
+
+
+def test_dense_ids_match_global_row_number(spark):
+    """Distributed range-partition + offset plan must equal the
+    single-task global row_number, and ids must be dense 1..n."""
+    from sparklyclean_spark.operators.ids import dense_ids
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    out = dense_ids(docs, order_by=["lang", "doc_id"], num_partitions=7)
+    n = docs.count()
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("row_id").alias("nd"),
+        F.min("row_id").alias("mn"),
+        F.max("row_id").alias("mx"),
+    ).collect()[0]
+    assert (stats["n"], stats["nd"], stats["mn"], stats["mx"]) == (n, n, 1, n)
+    w = Window.orderBy("lang", "doc_id")
+    expected = docs.select("doc_id", F.row_number().over(w).cast("bigint").alias("row_id"))
+    mismatch = (
+        out.select("doc_id", "row_id")
+        .join(expected.withColumnRenamed("row_id", "exp"), "doc_id")
+        .where(F.col("row_id") != F.col("exp"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_winsorize_bounds_and_flags(spark):
+    from sparklyclean_spark.operators.outliers import winsorize
+
+    orders = load_tables(spark, SF_DIR)["orders"]
+    out = winsorize(orders, "o_totalprice", 0.05, 0.95, by=["o_orderpriority"])
+    bad_clip = out.where(
+        (F.col("o_totalprice_clipped") < F.col("clip_lo"))
+        | (F.col("o_totalprice_clipped") > F.col("clip_hi"))
+    ).count()
+    assert bad_clip == 0
+    # flags agree with raw value vs bounds
+    bad_flag = out.where(
+        F.col("is_outlier")
+        != ((F.col("o_totalprice") < F.col("clip_lo")) | (F.col("o_totalprice") > F.col("clip_hi")))
+    ).count()
+    assert bad_flag == 0
+    # ~10% flagged at a 5/95 band (loose: 2-25%)
+    n = out.count()
+    flagged = out.where("is_outlier").count()
+    assert 0.02 * n <= flagged <= 0.25 * n
+    # approx path: rank accuracy, not value distance (the sketch
+    # returns an actual element; tail value gaps can be wide)
+    approx = winsorize(orders, "o_totalprice", 0.05, 0.95, by=["o_orderpriority"], exact=False)
+    ranks = (
+        approx.groupBy("o_orderpriority")
+        .agg(
+            (F.sum((F.col("o_totalprice") < F.col("clip_lo")).cast("int")) / F.count(F.lit(1))).alias("below"),
+            (F.sum((F.col("o_totalprice") > F.col("clip_hi")).cast("int")) / F.count(F.lit(1))).alias("above"),
+        )
+        .collect()
+    )
+    for r in ranks:
+        assert r["below"] <= 0.10 and r["above"] <= 0.10
