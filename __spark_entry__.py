@@ -475,6 +475,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue_share": _t(R.q14_promo_revenue_share),
         "q18_large_orders": _t(R.q18_large_orders),
         "q19_disjunctive_revenue": _t(R.q19_disjunctive_revenue),
+        "q7_nation_volume": _t(R.q7_nation_volume),
+        "q11_important_nations": _t(R.q11_important_nations),
+        "q12_priority_by_status": _t(R.q12_priority_by_status),
+        "q13_order_count_distribution": _t(R.q13_order_count_distribution),
+        "q16_supplier_counts": _t(R.q16_supplier_counts),
+        "q22_idle_rich_customers": _t(R.q22_idle_rich_customers),
         "monthly_order_volume": _t(R.monthly_order_volume),
         "exists_late_shipment_orders": _t(R.exists_late_shipment_orders),
         "lineitem_below_partavg": _t(R.lineitem_below_partavg),
@@ -806,6 +812,79 @@ def oracle_sql() -> dict[str, str]:
                    AND p_size BETWEEN 1 AND 20)
                OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40
                    AND p_size BETWEEN 1 AND 30)
+        """,
+        "q7_nation_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   ROUND(SUM(volume), 4) AS volume, COUNT(*) AS n_lines
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q11_important_nations": """
+            WITH v AS (
+                SELECT n_name, SUM(l_extendedprice) AS val
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                GROUP BY n_name
+            ),
+            t AS (SELECT SUM(val) AS tot FROM v)
+            SELECT n_name, ROUND(val, 4) AS value, ROUND(val / tot, 4) AS share
+            FROM v CROSS JOIN t
+            WHERE val > 0.04 * tot
+        """,
+        "q12_priority_by_status": """
+            SELECT l_linestatus,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY l_linestatus
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_suppkey NOT IN
+                      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            )
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+            GROUP BY p_brand, p_size
+        """,
+        "q22_idle_rich_customers": """
+            SELECT c_nationkey, COUNT(*) AS numcust,
+                   ROUND(SUM(c_acctbal), 4) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'O')
+            GROUP BY c_nationkey
         """,
         "monthly_order_volume": """
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -629,3 +629,121 @@ def monthly_order_volume(t: dict[str, DataFrame]) -> DataFrame:
             ),
         )
     )
+
+
+def q7_nation_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """Bilateral trade volume between two nation pairs by ship year
+    (TPC-H Q7 shape): fact joins shuffle on order/supp keys; both
+    nation lookups broadcast; the OR-pair predicate lands after the
+    joins (non-pushable by definition — it spans both sides)."""
+    l, o, c, s, n = t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"]
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("sk"))
+        .join(n2, F.col("c_nationkey") == F.col("ck"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q11_important_nations(t: dict[str, DataFrame], fraction: float = 0.04) -> DataFrame:
+    """Supplier nations carrying more than ``fraction`` of global
+    line value (TPC-H Q11 shape: grouped HAVING vs a global scalar).
+    The global total is a 1-row aggregate cross-joined in — computed
+    in the same job, not a driver-side action."""
+    l, s, n = t["lineitem"], t["supplier"], t["nation"]
+    value = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice")).alias("val"))
+    )
+    total = value.agg(F.sum("val").alias("tot"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .where(F.col("val") > fraction * F.col("tot"))
+        .select("n_name", _r(F.col("val")).alias("value"), _r(F.col("val") / F.col("tot")).alias("share"))
+    )
+
+
+def q12_priority_by_status(t: dict[str, DataFrame]) -> DataFrame:
+    """Conditional-count split per line status (TPC-H Q12 shape:
+    CASE-aggregation after a fact-fact join, date-banded)."""
+    l, o = t["lineitem"], t["orders"]
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q13_order_count_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Customer distribution by order count INCLUDING zero-order
+    customers (TPC-H Q13 shape: left join -> per-customer count ->
+    histogram of counts — two chained aggregations)."""
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q16_supplier_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """Distinct supplier count per (brand, size) excluding suppliers
+    in a NOT-IN subquery (TPC-H Q16 shape; lineitem stands in for
+    partsupp). NOT IN compiles to a null-aware anti join — the
+    exclusion list is a subquery, not a literal."""
+    l, p, s = t["lineitem"], t["part"], t["supplier"]
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        l.select("l_partkey", "l_suppkey")
+        .join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .dropDuplicates(["l_partkey", "l_suppkey"])
+    )
+    return (
+        pairs.join(p, pairs.l_partkey == p.p_partkey)
+        .where(F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q22_idle_rich_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """Above-average-balance customers with no OPEN orders, grouped
+    by nation (TPC-H Q22 shape: global filtered-avg scalar subquery +
+    NOT EXISTS anti join). The open-order variant keeps the anti join
+    non-vacuous on this testdata (every customer has some order)."""
+    c, o = t["customer"], t["orders"]
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    open_orders = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(open_orders, c.c_custkey == open_orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _r(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
