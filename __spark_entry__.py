@@ -342,6 +342,20 @@ def _winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 4096-token training bins by whitespace
+    token count, in doc_id order — distributed prefix sum, not a
+    single-task global window."""
+    from sparklyclean_spark.functions import text as T
+    from sparklyclean_spark.operators.packing import pack_sequences
+
+    docs = _tables(spark, sf_dir)["documents"].withColumn(
+        "n_tokens", T.token_count("text").cast("bigint")
+    )
+    out = pack_sequences(docs, "n_tokens", order_by=["doc_id"], budget=4096)
+    return out.select("doc_id", "n_tokens", "cum_before", "bin_id", "bin_offset")
+
+
 def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup→ML flow on the REFERENCE'S OWN corpus
     (/root/reference/data/test.csv, 1,000 Febrl records → 129,718
@@ -397,10 +411,10 @@ _DRIVER_CHECK_ORDER = [
     "dense_ids_documents",
     "winsorize_order_prices",
     "window_running_order_total",
-    # set ops / scalar functions
+    # set ops / scalar functions / sequence packing
     "set_ops_nation_keys",
     "scalar_string_date_math",
-    "scalar_json_extract",
+    "pack_training_sequences",
     # Dis-Dedup flagship + ML
     "dedup_pairs_naive_customer",
     "dedup_pairs_disdedup_customer",
@@ -539,6 +553,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- CDC / profiling / quantization (round-3 capability rows) ---------
         "dense_ids_documents": _dense_ids_documents,
         "winsorize_order_prices": _winsorize_order_prices,
+        "pack_training_sequences": _pack_training_sequences,
         "cdc_latest_events": _cdc_latest_events,
         "scd2_user_values": _scd2_user_values,
         "profile_orders_columns": _profile_orders_columns,
@@ -1216,6 +1231,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(hi, 4) AS clip_hi,
                    (o_totalprice < lo OR o_totalprice > hi) AS is_outlier
             FROM orders o JOIN b USING (o_orderpriority)
+        """,
+        "pack_training_sequences": f"""
+            WITH n AS (
+                SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS cum_before
+                FROM n
+            )
+            SELECT doc_id, n_tokens, cum_before,
+                   CAST(floor(cum_before / 4096.0) AS BIGINT) AS bin_id,
+                   CAST(cum_before - CAST(floor(cum_before / 4096.0) AS BIGINT) * 4096
+                        AS BIGINT) AS bin_offset
+            FROM c
         """,
         "cdc_latest_events": """
             SELECT user_id, event_type, ts, event_id, ROUND(value, 4) AS value

@@ -712,8 +712,10 @@ def q13_order_count_distribution(t: dict[str, DataFrame]) -> DataFrame:
 def q16_supplier_counts(t: dict[str, DataFrame]) -> DataFrame:
     """Distinct supplier count per (brand, size) excluding suppliers
     in a NOT-IN subquery (TPC-H Q16 shape; lineitem stands in for
-    partsupp). NOT IN compiles to a null-aware anti join — the
-    exclusion list is a subquery, not a literal."""
+    partsupp). The exclusion runs as a left_anti join — equivalent to
+    SQL's null-aware NOT IN here because supplier keys are non-null
+    (with nullable keys, SQL NOT IN returns empty on any NULL; the
+    DuckDB oracle uses NOT IN and the hashes agree)."""
     l, p, s = t["lineitem"], t["part"], t["supplier"]
     bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
     pairs = (

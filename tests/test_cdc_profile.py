@@ -212,3 +212,27 @@ def test_winsorize_bounds_and_flags(spark):
     )
     for r in ranks:
         assert r["below"] <= 0.10 and r["above"] <= 0.10
+
+
+def test_pack_sequences_contract(spark):
+    """Distributed prefix sum == single-task window; bins contiguous,
+    each bin's content starts under budget."""
+    from sparklyclean_spark.functions import text as T
+    from sparklyclean_spark.operators.packing import pack_sequences
+
+    docs = load_tables(spark, SF_DIR)["documents"].withColumn(
+        "n_tokens", T.token_count("text").cast("bigint")
+    )
+    out = pack_sequences(docs, "n_tokens", order_by=["doc_id"], budget=512, num_partitions=7)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    expected = docs.select(
+        "doc_id", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("exp")
+    )
+    mismatch = (
+        out.join(expected, "doc_id").where(F.col("cum_before") != F.col("exp")).count()
+    )
+    assert mismatch == 0
+    # every doc STARTS within its bin's budget; bin ids are contiguous
+    assert out.where((F.col("bin_offset") < 0) | (F.col("bin_offset") >= 512)).count() == 0
+    bins = sorted(r["bin_id"] for r in out.select("bin_id").distinct().collect())
+    assert bins == list(range(len(bins)))
