@@ -13,21 +13,43 @@ The reference engine has no intra-document dedup at all (its unit of
 dedup is the whole record, GenerateLabeledPoints.scala:47-111); this
 is a §2.10 capability-gap operator.
 
-Scale shape: two hash aggregations and one equi-join, all on the
-chunk fingerprint / doc id — linear in corpus token count, no
-quadratic pair work anywhere. The winner rule (keep the occurrence
-with the smallest ``(doc_id, chunk_idx)``) is a ``min(struct)``
-aggregate, so it gets map-side partial combine; a window
-``row_number() = 1`` over chunk text would shuffle-sort every
-occurrence of a hot chunk into one task instead.
+Scale shape — document text NEVER rides a shuffle:
+
+1. explode to ``(doc_id, chunk_idx, xxhash64(chunk))`` — the winner
+   aggregation and everything downstream carry the 8-byte
+   fingerprint, not the chunk string (same 64-bit-collision argument
+   as the MinHash verification path: ~(#chunks²)/2⁶⁵ merge odds,
+   negligible against corpus sizes; a collision can only drop one
+   extra span, never corrupt survivors);
+2. winner per fingerprint = ``min(struct(doc_id, chunk_idx))`` — a
+   map-side-combinable aggregate (a hot chunk repeated a billion
+   times contributes one candidate per input partition, not a
+   single-task sort);
+3. winners regroup to ``(doc_id, kept_idxs array)`` — output is one
+   small row per surviving doc;
+4. one equi-join back to the docs table; survivors are re-rendered
+   IN PLACE by filtering the chunk expression on ``kept_idxs`` — the
+   only time text moves is this join's shuffle of the docs table
+   itself.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sparklyclean_spark.functions import text as T
+
+
+def _chunk_array(text_col: str, n: int) -> Column:
+    """array<string> of fixed-width token chunks (last chunk ragged);
+    [] for token-less docs."""
+    w = T.words(text_col)
+    gen = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(w) / n).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(w, i * n + 1, n)),
+    )
+    return F.when(F.size(w) == 0, F.array().cast("array<string>")).otherwise(gen)
 
 
 def chunk_dedup(
@@ -43,54 +65,39 @@ def chunk_dedup(
     ``(doc_id, n_chunks, n_dropped, clean_text)`` where ``clean_text``
     re-joins the surviving chunks in their original order.
     """
-    n = chunk_tokens
-    w = T.words(text_col)
-    # chunk i (0-based) = tokens [i*n+1 .. i*n+n], last chunk ragged
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(w) / n).cast("int") - 1),
-        lambda i: F.concat_ws(" ", F.slice(w, i * n + 1, n)),
-    )
+    chunks = _chunk_array(text_col, chunk_tokens)
+    # fingerprints only — no text on this path
     exploded = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.when(F.size(w) == 0, F.array().cast("array<string>")).otherwise(chunks)).alias(
-            "chunk_idx", "chunk"
+        F.posexplode(F.transform(chunks, lambda c: F.xxhash64(c))).alias(
+            "chunk_idx", "h"
         ),
     )
-    # global first occurrence per chunk content: min(struct) aggregate
-    # (map-side combinable; a hot chunk never concentrates in one task)
-    winners = exploded.groupBy("chunk").agg(
+    winners = exploded.groupBy("h").agg(
         F.min(F.struct("id", "chunk_idx")).alias("keep")
     )
-    kept = (
-        exploded.join(winners, "chunk")
-        .where((F.col("id") == F.col("keep.id")) & (F.col("chunk_idx") == F.col("keep.chunk_idx")))
-        .select("id", "chunk_idx", "chunk")
+    kept_sets = (
+        winners.select(F.col("keep.id").alias("id"), F.col("keep.chunk_idx").alias("idx"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("idx")).alias("keep_idxs"))
     )
-    survived = kept.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
-                lambda s: s["chunk"],
-            ),
-        ).alias("clean_text"),
+    with_chunks = docs.select(
+        F.col(id_col).alias("id"), chunks.alias("_chunks")
+    ).join(kept_sets, "id", "left")
+    kept_chunks = F.filter(
+        F.transform(
+            F.col("keep_idxs"),
+            lambda i: F.element_at("_chunks", i + 1),
+        ),
+        lambda c: c.isNotNull(),
     )
-    totals = docs.select(
-        F.col(id_col).alias("id"),
-        F.when(F.size(w) == 0, F.lit(0))
-        .otherwise(F.ceil(F.size(w) / n).cast("int"))
+    return with_chunks.select(
+        F.col("id").alias(id_col),
+        F.size("_chunks").cast("int").alias("n_chunks"),
+        (F.size("_chunks") - F.coalesce(F.size("keep_idxs"), F.lit(0)))
         .cast("int")
-        .alias("n_chunks"),
-    )
-    return (
-        totals.join(survived, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "n_chunks",
-            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("int")
-            .alias("n_dropped"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
+        .alias("n_dropped"),
+        F.when(F.col("keep_idxs").isNull(), F.lit("")).otherwise(
+            F.concat_ws(" ", kept_chunks)
+        ).alias("clean_text"),
     )
