@@ -495,6 +495,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_order_count_distribution": _t(R.q13_order_count_distribution),
         "q16_supplier_counts": _t(R.q16_supplier_counts),
         "q22_idle_rich_customers": _t(R.q22_idle_rich_customers),
+        "q15_top_revenue_suppliers": _t(R.q15_top_revenue_suppliers),
+        "q17_small_quantity_revenue": _t(R.q17_small_quantity_revenue),
+        "q20_promo_heavy_suppliers": _t(R.q20_promo_heavy_suppliers),
+        "q21_waiting_orders_suppliers": _t(R.q21_waiting_orders_suppliers),
         "monthly_order_volume": _t(R.monthly_order_volume),
         "exists_late_shipment_orders": _t(R.exists_late_shipment_orders),
         "lineitem_below_partavg": _t(R.lineitem_below_partavg),
@@ -900,6 +904,68 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderstatus = 'O')
             GROUP BY c_nationkey
+        """,
+        "q15_top_revenue_suppliers": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                  AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, ROUND(total_rev, 4) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        """,
+        "q17_small_quantity_revenue": """
+            WITH pa AS (
+                SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN pa   ON l_partkey = pk
+            WHERE p_type = 'PROMO' AND l_quantity < 0.5 * avg_qty
+        """,
+        "q20_promo_heavy_suppliers": """
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'PROMO'
+                GROUP BY l_suppkey
+                HAVING SUM(l_quantity) > 1.05 * (
+                    SELECT AVG(q) FROM (
+                        SELECT SUM(l_quantity) AS q
+                        FROM lineitem JOIN part ON l_partkey = p_partkey
+                        WHERE p_type = 'PROMO'
+                        GROUP BY l_suppkey
+                    )
+                )
+            )
+        """,
+        "q21_waiting_orders_suppliers": """
+            WITH lines AS (
+                SELECT l_orderkey, l_suppkey,
+                       l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ),
+            l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE late)
+            SELECT s_suppkey, s_name, COUNT(*) AS numwait
+            FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM lines l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lines l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.late)
+            GROUP BY s_suppkey, s_name
         """,
         "monthly_order_volume": """
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

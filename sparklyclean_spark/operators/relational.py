@@ -749,3 +749,110 @@ def q22_idle_rich_customers(t: dict[str, DataFrame]) -> DataFrame:
             _r(F.sum("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+def q15_top_revenue_suppliers(t: dict[str, DataFrame]) -> DataFrame:
+    """Supplier(s) with the maximum 3-month revenue (TPC-H Q15 shape:
+    aggregate view joined against its own 1-row max — ties included,
+    so the result is deterministic without ordering)."""
+    l, s = t["lineitem"], t["supplier"]
+    rev = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", _r(F.col("total_rev")).alias("total_revenue"))
+    )
+
+
+def q17_small_quantity_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Avg-yearly revenue loss from small-quantity promo-part orders
+    (TPC-H Q17 shape: correlated per-part average threshold,
+    decorrelated into a grouped agg + join)."""
+    l, p = t["lineitem"], t["part"]
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p.where(F.col("p_type") == "PROMO")), l.l_partkey == p.p_partkey)
+        .join(part_avg, l.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            _r(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q20_promo_heavy_suppliers(t: dict[str, DataFrame], factor: float = 1.05) -> DataFrame:
+    """Suppliers whose total shipped PROMO quantity exceeds ``factor``
+    x the all-supplier average (TPC-H Q20 shape: nested IN over a
+    grouped-HAVING-vs-scalar subquery -> semi join against an
+    aggregate). The relative threshold keeps the filter selective at
+    every scale factor."""
+    l, p, s, n = t["lineitem"], t["part"], t["supplier"], t["nation"]
+    qty = (
+        l.join(F.broadcast(p.where(F.col("p_type") == "PROMO")), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    avg_qty = qty.agg(F.avg("qty").alias("aq"))
+    heavy = (
+        qty.crossJoin(F.broadcast(avg_qty))
+        .where(F.col("qty") > factor * F.col("aq"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q21_waiting_orders_suppliers(t: dict[str, DataFrame], late_days: int = 60) -> DataFrame:
+    """Suppliers who were the ONLY late shipper on a finished
+    multi-supplier order (TPC-H Q21 shape: EXISTS + NOT EXISTS
+    against the same fact at different correlations). Late =
+    shipped > ``late_days`` after order date (this testdata has no
+    commit/receipt dates)."""
+    l, o, s = t["lineitem"], t["orders"], t["supplier"]
+    lines = l.join(
+        o.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        l.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)).alias("late"),
+    )
+    l1 = lines.where(F.col("late")).select("l_orderkey", "l_suppkey").dropDuplicates()
+    others = lines.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).dropDuplicates()
+    late_others = lines.where(F.col("late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    ).dropDuplicates()
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
