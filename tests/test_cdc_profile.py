@@ -236,3 +236,20 @@ def test_pack_sequences_contract(spark):
     assert out.where((F.col("bin_offset") < 0) | (F.col("bin_offset") >= 512)).count() == 0
     bins = sorted(r["bin_id"] for r in out.select("bin_id").distinct().collect())
     assert bins == list(range(len(bins)))
+
+
+def test_new_operators_handle_empty_input(spark):
+    """Empty-relation safety: no operator may throw or invent rows."""
+    from sparklyclean_spark.operators.cdc import latest_by_key as lbk
+    from sparklyclean_spark.operators.ids import dense_ids
+    from sparklyclean_spark.operators.outliers import winsorize
+    from sparklyclean_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert chunk_dedup(docs).count() == 0
+    assert dense_ids(docs, ["doc_id"]).count() == 0
+    sized = docs.withColumn("n", F.lit(1).cast("bigint"))
+    assert pack_sequences(sized, "n", ["doc_id"], 100).count() == 0
+    ev = spark.createDataFrame([], "k string, ts timestamp, event_id long, value double")
+    assert lbk(ev, ["k"], ["ts", "event_id"], ["value"]).count() == 0
+    assert winsorize(ev, "value", by=["k"]).count() == 0
