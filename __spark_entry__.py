@@ -457,7 +457,11 @@ _DRIVER_CHECK_ORDER = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _all_queries()
-    ordered = {k: q[k] for k in _DRIVER_CHECK_ORDER if k in q}
+    # fail loudly on a rename/typo — a stale name here would silently
+    # push a query out of the driver's hash-checked first-50 window
+    stale = [k for k in _DRIVER_CHECK_ORDER if k not in q]
+    assert not stale, f"_DRIVER_CHECK_ORDER names not in registry: {stale}"
+    ordered = {k: q[k] for k in _DRIVER_CHECK_ORDER}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     assert len(ordered) == len(q)
     return ordered

@@ -13,7 +13,9 @@ DataFrame algebra) is:
 
 Every step is distributed; the only single-point work is the prefix
 sum over #partitions rows. Output ids are 1-based, dense, and
-deterministic for a unique order key.
+deterministic for a unique order key. ``operators/packing.py`` reuses
+the same scaffolding (exposed here as ``ranged_with_offsets``) for
+global token prefix sums.
 
 The reference's only global ordering is a full ``sortBy`` of
 predictions (ApplyDupClassifier.scala:74-83) — fine for k results,
@@ -23,8 +25,37 @@ operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def ranged_with_offsets(
+    df: DataFrame,
+    order_by: list[str],
+    weight: Column,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-phase global prefix-sum scaffolding shared by ``dense_ids``
+    and ``pack_sequences``: range-partition ``df`` on ``order_by``
+    (total order across ascending partition ids), then append
+
+    * ``_pid`` — the partition id,
+    * ``_off`` — that partition's exclusive global prefix sum of
+      ``weight`` (the offsets table is #partitions rows, prefix-summed
+      in a single bounded task and broadcast back).
+
+    Callers combine ``_off`` with a partition-local window and must
+    drop the underscore columns from their output.
+    """
+    cols = [F.col(c) for c in order_by]
+    ranged = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
+    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn("_w", weight)
+    totals = local.groupBy("_pid").agg(F.sum("_w").alias("_tot"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("_off", F.coalesce(F.sum("_tot").over(off_w), F.lit(0))).select(
+        "_pid", "_off"
+    )
+    return local.join(F.broadcast(offsets), "_pid")
 
 
 def dense_ids(
@@ -35,19 +66,10 @@ def dense_ids(
 ) -> DataFrame:
     """Append a dense 1-based global id ordered by ``order_by``
     (must be a unique key for deterministic output)."""
-    cols = [F.col(c) for c in order_by]
-    ranged = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
-    local_w = Window.partitionBy("_pid").orderBy(*cols)
-    local = with_pid.withColumn("_local", F.row_number().over(local_w))
-    # exclusive prefix sum of partition sizes — #partitions rows only
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0))).select(
-        "_pid", "_off"
-    )
+    based = ranged_with_offsets(df, order_by, F.lit(1).cast("bigint"), num_partitions)
+    local_w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_by])
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        based.withColumn("_local", F.row_number().over(local_w))
         .withColumn(id_name, (F.col("_off") + F.col("_local")).cast("bigint"))
-        .drop("_pid", "_local", "_off")
+        .drop("_pid", "_w", "_local", "_off")
     )

@@ -11,7 +11,12 @@ one task.
 at audit scale, and what the DuckDB ``quantile_cont`` oracle can
 reproduce bit-for-bit). The 100 TB path is ``exact=False`` →
 ``approx_percentile`` (t-digest-style sketch, single streaming pass,
-mergeable across partitions).
+mergeable across partitions). Both bounds come from ONE aggregate
+buffer (array-of-percentages form), not two.
+
+The bounds join is null-safe on the group keys, so rows in a NULL
+group are clipped against that group's bounds instead of being
+silently dropped (the operator is row-preserving).
 
 No reference counterpart; §2.10 capability-gap operator.
 """
@@ -32,17 +37,27 @@ def winsorize(
 ) -> DataFrame:
     """Clip ``value_col`` to its [p_lo, p_hi] percentile band
     (per ``by`` group when given). Appends ``<col>_clipped`` plus the
-    bounds used and an ``is_outlier`` flag."""
+    bounds used and an ``is_outlier`` flag; row-preserving."""
     v = F.col(value_col)
     keys = by or []
-    pct = (
-        F.percentile(v, F.lit(p_lo)) if exact else F.approx_percentile(v, F.lit(p_lo), F.lit(10_000))
+    pcts = F.array(F.lit(p_lo), F.lit(p_hi))
+    both = (
+        F.percentile(v, pcts) if exact else F.approx_percentile(v, pcts, F.lit(10_000))
     )
-    pct_hi = (
-        F.percentile(v, F.lit(p_hi)) if exact else F.approx_percentile(v, F.lit(p_hi), F.lit(10_000))
+    bounds = df.groupBy(*keys).agg(both.alias("_b"))
+    bounds = bounds.select(
+        *[F.col(k).alias(f"_k_{k}") for k in keys],
+        F.element_at("_b", 1).alias("_lo"),
+        F.element_at("_b", 2).alias("_hi"),
     )
-    bounds = df.groupBy(*keys).agg(pct.alias("_lo"), pct_hi.alias("_hi"))
-    joined = df.join(F.broadcast(bounds), keys) if keys else df.crossJoin(F.broadcast(bounds))
+    if keys:
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(bounds), cond).drop(*[f"_k_{k}" for k in keys])
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
     return (
         joined.withColumn(
             f"{value_col}_clipped", F.greatest(F.col("_lo"), F.least(F.col("_hi"), v))

@@ -1,23 +1,24 @@
 """Training-sequence packing: assign documents to fixed token-budget
 bins (the dataloader-sharding step of an LLM training pipeline).
 
-Semantics: documents are packed in a deterministic order (``order_by``,
-must be unique); each document starts in the bin where its exclusive
-running-token-total lands (``bin_id = floor(cum_before / budget)``).
-Bins are contiguous and may overflow by at most one document — the
-standard streaming-packing contract (a bin is closed when the next
-document would start past its budget).
+Semantics — fixed-grid cumulative binning: documents are laid out
+end-to-end in a deterministic order (``order_by``, must be unique) on
+a global token axis; ``bin_id = floor(cum_before / budget)`` is the
+grid cell where each document STARTS, and ``bin_offset`` its start
+position inside that cell. Consequences callers should know:
+
+* a document larger than the budget spans several grid cells (it
+  keeps the bin where it starts; the cells it covers receive no other
+  documents and may therefore be empty of starts);
+* documents never move forward to "close" a bin early — membership
+  is a pure function of the prefix sum, so it is stable under
+  re-partitioning and appends at the end.
 
 Scale shape: the naive formulation is ``sum() OVER (ORDER BY ...)``
-— a single-task global window. This implementation computes the
-global prefix sum distributedly, the same two-phase pattern as
-``operators/ids.py``:
-
-1. ``repartitionByRange`` on the pack order (total order across
-   partitions),
-2. local cumulative sum within each partition,
-3. add per-partition start offsets (exclusive prefix sum over
-   #partitions rows, broadcast back).
+— a single-task global window. This implementation reuses the
+two-phase distributed prefix sum from ``operators/ids.py``
+(``ranged_with_offsets``): range partition on the pack order, local
+cumulative sum per partition, broadcast per-partition start offsets.
 
 No reference counterpart; §2.10 capability-gap operator.
 """
@@ -26,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from sparklyclean_spark.operators.ids import ranged_with_offsets
 
 
 def pack_sequences(
@@ -39,28 +42,18 @@ def pack_sequences(
     ``size_col``), ``bin_id`` and ``bin_offset`` (start position
     within the bin), packing in ``order_by`` order."""
     size = F.col(size_col) if isinstance(size_col, str) else size_col
-    cols = [F.col(c) for c in order_by]
-    ranged = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_sz", size.cast("bigint")
-    )
+    based = ranged_with_offsets(df, order_by, size.cast("bigint"), num_partitions)
     local_w = (
         Window.partitionBy("_pid")
-        .orderBy(*cols)
+        .orderBy(*[F.col(c) for c in order_by])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = with_pid.withColumn("_local_before", F.coalesce(F.sum("_sz").over(local_w), F.lit(0)))
-    totals = local.groupBy("_pid").agg(F.sum("_sz").alias("_tot"))
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn("_off", F.coalesce(F.sum("_tot").over(off_w), F.lit(0))).select(
-        "_pid", "_off"
-    )
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        based.withColumn("_local_before", F.coalesce(F.sum("_w").over(local_w), F.lit(0)))
         .withColumn("cum_before", F.col("_off") + F.col("_local_before"))
         .withColumn("bin_id", F.floor(F.col("cum_before") / budget).cast("bigint"))
         .withColumn(
             "bin_offset", (F.col("cum_before") - F.col("bin_id") * budget).cast("bigint")
         )
-        .drop("_pid", "_sz", "_local_before", "_off")
+        .drop("_pid", "_w", "_local_before", "_off")
     )

@@ -830,7 +830,9 @@ def q21_waiting_orders_suppliers(t: dict[str, DataFrame], late_days: int = 60) -
     ).select(
         "l_orderkey",
         "l_suppkey",
-        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)).alias("late"),
+        # interval add (not date_add) — o_orderdate is a TIMESTAMP and
+        # the oracle's `+ INTERVAL n DAY` keeps its time-of-day
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")).alias("late"),
     )
     l1 = lines.where(F.col("late")).select("l_orderkey", "l_suppkey").dropDuplicates()
     others = lines.select(

@@ -8,9 +8,11 @@ production ANN system (FAISS SQ8, ScaNN, Milvus) ships it. Operators:
   ``scale = max|x| / 127``, ``q_i = floor(x_i * 127 / max|x| + 0.5)``
   (explicit half-up rounding so Spark and the DuckDB oracle agree
   bit-for-bit in float64). Pure Column expressions — JVM-side, no
-  Python.
+  Python, zero shuffles.
 * ``dequantize_cosine_error`` — audit helper: cosine(original,
-  reconstructed) per vector, for recall/error gating in tests.
+  reconstructed) per vector, for recall/error gating in tests. Also
+  a single narrow projection (the quantized vector is recomputed as
+  an expression — no self-join back to the table).
 
 The q-vector itself is emitted as an md5 digest of its CSV rendering
 (plus sum/min/max aggregates) so the driver's value-hash compare
@@ -23,8 +25,19 @@ all); §2.10 capability-gap operator alongside similarity search.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _scale_and_qvec(vec_col: str) -> tuple[Column, Column]:
+    """(max|x|, int8 q-vector) as pure Column expressions over the
+    raw float vector column — shared by quantize and the audit."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    m = F.array_max(F.transform(x, F.abs))
+    q = F.when(m == 0.0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(x, lambda v: F.floor(v * 127.0 / m + 0.5).cast("int"))
+    )
+    return m, q
 
 
 def quantize_int8(
@@ -39,11 +52,7 @@ def quantize_int8(
     ``(vec_id, scale, q_digest, q_sum, q_min, q_max)``; otherwise
     ``(vec_id, scale, qvec array<int>)``.
     """
-    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    m = F.array_max(F.transform(x, F.abs))
-    q = F.when(m == 0.0, F.transform(x, lambda v: F.lit(0))).otherwise(
-        F.transform(x, lambda v: F.floor(v * 127.0 / m + 0.5).cast("int"))
-    )
+    m, q = _scale_and_qvec(vec_col)
     base = emb.select(
         F.col(id_col).alias("vec_id"),
         F.round(m / 127.0, 6).alias("scale"),
@@ -69,13 +78,12 @@ def dequantize_cosine_error(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """cosine(x, dequantize(quantize(x))) per vector — the quality
-    audit for the int8 path. All Column expressions (float64)."""
-    q = quantize_int8(emb, id_col, vec_col, digest=False)
-    joined = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("x")).join(
-        q, "vec_id"
-    )
-    xd = F.transform(F.col("x"), lambda v: v.cast("double"))
-    rec = F.transform(F.col("qvec"), lambda v: v.cast("double") * F.col("scale"))
+    audit for the int8 path. One narrow projection: the q-vector is
+    recomputed as an expression, so there is no join and no shuffle."""
+    m, q = _scale_and_qvec(vec_col)
+    scale = m / 127.0
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    rec = F.transform(q, lambda v: v.cast("double") * scale)
 
     def dot(a, b):
         return F.aggregate(
@@ -86,4 +94,4 @@ def dequantize_cosine_error(
 
     denom = F.sqrt(dot(xd, xd)) * F.sqrt(dot(rec, rec))
     cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(xd, rec) / denom)
-    return joined.select("vec_id", cos.alias("cos_rec"))
+    return emb.select(F.col(id_col).alias("vec_id"), cos.alias("cos_rec"))

@@ -62,26 +62,27 @@ def write_compacted_parquet(
     shuffle) when shrinking; ``repartition`` only when the plan has
     fewer partitions than wanted.
 
-    Estimation avoids a full materialization: count() runs on the
-    (column-pruned) plan, and bytes/row comes from a ``limit(sample)``
-    written to a scratch subdir — bounded work regardless of input
-    size.
+    The input plan is persisted for the duration of the call (sizing
+    needs a count + a sample before the real write; without the
+    persist an expensive upstream pipeline would recompute for each),
+    then unpersisted.
     """
     import uuid
 
     spark = df.sparkSession
-    n_rows = df.count()
-    if n_rows == 0:
-        df.coalesce(1).write.mode("overwrite").parquet(path)
-        return 1
-    sample = df.limit(min(sample_rows, n_rows))
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.sc().hadoopConfiguration()
     scratch = f"{path}__sizing_{uuid.uuid4().hex[:8]}"
-    sample.coalesce(1).write.mode("overwrite").parquet(scratch)
+    p = jvm.org.apache.hadoop.fs.Path(scratch)
+    fs = p.getFileSystem(hconf)
+    df = df.persist()
     try:
-        jvm = spark.sparkContext._jvm
-        jsc = spark.sparkContext._jsc.sc()
-        p = jvm.org.apache.hadoop.fs.Path(scratch)
-        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        n_rows = df.count()
+        if n_rows == 0:
+            df.coalesce(1).write.mode("overwrite").parquet(path)
+            return 1
+        sample = df.limit(min(sample_rows, n_rows))
+        sample.coalesce(1).write.mode("overwrite").parquet(scratch)
         sampled_bytes = fs.getContentSummary(p).getLength()
         sampled_rows = min(sample_rows, n_rows)
         est_total = sampled_bytes * (n_rows / sampled_rows)
@@ -91,6 +92,5 @@ def write_compacted_parquet(
         out.write.mode("overwrite").parquet(path)
         return n_files
     finally:
-        p = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(scratch)
-        fs = p.getFileSystem(spark.sparkContext._jsc.sc().hadoopConfiguration())
+        df.unpersist()
         fs.delete(p, True)

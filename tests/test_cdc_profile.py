@@ -253,3 +253,17 @@ def test_new_operators_handle_empty_input(spark):
     ev = spark.createDataFrame([], "k string, ts timestamp, event_id long, value double")
     assert lbk(ev, ["k"], ["ts", "event_id"], ["value"]).count() == 0
     assert winsorize(ev, "value", by=["k"]).count() == 0
+
+
+def test_winsorize_preserves_null_group_rows(spark):
+    """Rows whose group key is NULL must be clipped against the NULL
+    group's bounds, not silently dropped (null-safe bounds join)."""
+    from sparklyclean_spark.operators.outliers import winsorize
+
+    rows = [(None, float(v)) for v in range(1, 11)] + [("a", float(v)) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = winsorize(df, "v", 0.1, 0.9, by=["k"])
+    assert out.count() == 20
+    null_rows = out.where(F.col("k").isNull())
+    assert null_rows.count() == 10
+    assert null_rows.where(F.col("clip_lo").isNull()).count() == 0
