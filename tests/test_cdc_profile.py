@@ -233,6 +233,10 @@ def test_pack_sequences_contract(spark):
     )
     assert mismatch == 0
     # every doc STARTS within its bin's budget; bin ids are contiguous
+    # here because no document exceeds the 512-token budget (an
+    # oversized doc legitimately leaves start-empty grid cells — see
+    # packing.py docstring)
+    assert docs.where(F.col("n_tokens") > 512).count() == 0
     assert out.where((F.col("bin_offset") < 0) | (F.col("bin_offset") >= 512)).count() == 0
     bins = sorted(r["bin_id"] for r in out.select("bin_id").distinct().collect())
     assert bins == list(range(len(bins)))
