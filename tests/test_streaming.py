@@ -337,3 +337,37 @@ def test_streaming_latest_by_key_matches_batch(spark, event_dir):
         for r in spark.sql("SELECT * FROM cdc_latest_smoke").collect()
     }
     assert got == expected
+
+
+def test_streaming_enrich_matches_batch(spark, event_dir):
+    """Stream-static broadcast enrichment: stateless append-mode join
+    must equal the batch join over the same data."""
+    from sparklyclean_spark.streaming.enrich import streaming_enrich
+
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("view", 0.5)], "event_type string, weight double"
+    )
+    batch = (
+        spark.read.parquet(event_dir)
+        .join(F.broadcast(dim), ["event_type"], "left")
+        .select("event_id", "event_type", "weight")
+    )
+    expected = {(r["event_id"]): (r["event_type"], r["weight"]) for r in batch.collect()}
+
+    stream_df = streaming_enrich(
+        spark, event_dir, EVENTS_SCHEMA, dim, on=["event_type"]
+    ).select("event_id", "event_type", "weight")
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("enrich_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["event_type"], r["weight"])
+        for r in spark.sql("SELECT * FROM enrich_smoke").collect()
+    }
+    assert got == expected
