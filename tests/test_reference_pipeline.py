@@ -175,3 +175,29 @@ def test_feature_importances_shape(spark, people):
     assert all(imp >= 0 for _, imp in imps)
     # sorted descending like the reference's report (README.md:238-252)
     assert [i for _, i in imps] == sorted((i for _, i in imps), reverse=True)
+
+
+def test_cli_three_programs_end_to_end(spark, tmp_path):
+    """The reference's operational contract: three CLI programs chained
+    through on-disk handoffs (points text -> model dir -> predictions
+    text), same option names as the Scallop CLIs."""
+    import sparklyclean_spark.__main__ as cli
+    from sparklyclean_spark.datagen import people_df
+
+    csv_path = str(tmp_path / "people.csv")
+    people_df(spark, n_originals=60, seed=7).toPandas().to_csv(csv_path, index=False)
+    points = str(tmp_path / "points")
+    model = str(tmp_path / "model")
+    preds = str(tmp_path / "preds")
+    assert cli.main(
+        ["generate-labeled-points", "--input", csv_path, "--output", points,
+         "--reducers", "7", "--header", "--mode", "sane"]
+    ) == 0
+    assert cli.main(["train", "--input", points, "--model", model, "--max-iter", "5"]) == 0
+    assert cli.main(["apply", "--input", points, "--output", preds, "--model", model]) == 0
+    out = spark.read.text(preds)
+    n = out.count()
+    assert n > 0
+    # reference line shape: "(id1,id2), score"
+    row = out.first()["value"]
+    assert row.startswith("(") and "), " in row
