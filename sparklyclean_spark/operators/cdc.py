@@ -45,14 +45,25 @@ def latest_by_key(
     """Latest-record-wins compaction: one row per ``keys`` group, the
     row with the lexicographically greatest ``order_cols`` tuple.
 
-    ``order_cols`` must be totally ordering within a key (include a
-    unique tiebreaker, e.g. an event id) or the winner is undefined.
-    Output columns: keys + order_cols + payload_cols.
+    ``order_cols`` should totally order within a key (include a unique
+    tiebreaker, e.g. an event id). The comparator ranks on
+    ``order_cols`` FIRST and only then on the payload struct — so when
+    ``order_cols`` do totally order, payload values can never influence
+    the winner, and when they don't, the tie is broken deterministically
+    (lexicographic over the payload struct) rather than by plan
+    nondeterminism. Output columns: keys + order_cols + payload_cols.
     """
-    winner = F.max(F.struct(*[F.col(c) for c in (*order_cols, *payload_cols)]))
+    winner = F.max(
+        F.struct(
+            *[F.col(c) for c in order_cols],
+            F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
+        )
+    )
     agg = df.groupBy(*keys).agg(winner.alias("_w"))
     return agg.select(
-        *keys, *[F.col(f"_w.{c}").alias(c) for c in (*order_cols, *payload_cols)]
+        *keys,
+        *[F.col(f"_w.{c}").alias(c) for c in order_cols],
+        *[F.col(f"_w._p.{c}").alias(c) for c in payload_cols],
     )
 
 

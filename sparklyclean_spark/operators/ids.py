@@ -46,10 +46,26 @@ def ranged_with_offsets(
 
     Callers combine ``_off`` with a partition-local window and must
     drop the underscore columns from their output.
+
+    Determinism note: ``spark_partition_id()`` is a property of the
+    PHYSICAL partitioning, so the frame carrying ``_pid`` must be
+    evaluated exactly once. Without materialization the offsets
+    aggregate and the probe side of the join are two independent
+    ``Exchange rangepartitioning`` subtrees, and AQE may coalesce the
+    two shuffle reads differently — the ``_pid`` labels then disagree
+    between branches and ``_off`` is joined to the wrong partitions
+    (silently wrong values; row count and schema survive). The eager
+    ``localCheckpoint`` below pins ONE materialized partitioning that
+    both consumers read — the DataFrame restatement of the extra job
+    RDD ``zipWithIndex`` runs before mapping offsets.
     """
     cols = [F.col(c) for c in order_by]
     ranged = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
-    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn("_w", weight)
+    local = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_w", weight)
+        .localCheckpoint(eager=True)
+    )
     totals = local.groupBy("_pid").agg(F.sum("_w").alias("_tot"))
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn("_off", F.coalesce(F.sum("_tot").over(off_w), F.lit(0))).select(

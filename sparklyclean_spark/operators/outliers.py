@@ -60,7 +60,12 @@ def winsorize(
         joined = df.crossJoin(F.broadcast(bounds))
     return (
         joined.withColumn(
-            f"{value_col}_clipped", F.greatest(F.col("_lo"), F.least(F.col("_hi"), v))
+            # greatest/least skip NULLs in Spark, so an unguarded form
+            # would silently impute a NULL value to clip_hi; NULL in,
+            # NULL out keeps the operator row-preserving AND
+            # value-preserving for missing data.
+            f"{value_col}_clipped",
+            F.when(v.isNotNull(), F.greatest(F.col("_lo"), F.least(F.col("_hi"), v))),
         )
         .withColumn("is_outlier", (v < F.col("_lo")) | (v > F.col("_hi")))
         .withColumnRenamed("_lo", "clip_lo")

@@ -500,7 +500,7 @@ def orders_above_global_avg(t: dict[str, DataFrame]) -> DataFrame:
     o = t["orders"]
     avg_ = o.agg(F.avg("o_totalprice").alias("global_avg"))
     return (
-        o.crossJoin(avg_)
+        o.crossJoin(F.broadcast(avg_))
         .where(F.col("o_totalprice") > 1.5 * F.col("global_avg"))
         .groupBy("o_orderpriority")
         .agg(

@@ -81,10 +81,23 @@ def write_compacted_parquet(
         if n_rows == 0:
             df.coalesce(1).write.mode("overwrite").parquet(path)
             return 1
-        sample = df.limit(min(sample_rows, n_rows))
+        # size from a seeded UNIFORM sample, not limit(): limit draws
+        # from the first partition(s), and on clustered/sorted data that
+        # slice's compression ratio can be wildly unrepresentative of
+        # the whole dataset (e.g. a time-sorted log whose head is all
+        # one tenant). sample() draws from every partition.
+        if n_rows <= sample_rows:
+            sample = df
+            sampled_rows = n_rows
+        else:
+            frac = min(1.0, (sample_rows * 1.2) / n_rows)
+            sample = df.sample(fraction=frac, seed=42).limit(sample_rows)
+            sampled_rows = sample.count()
+            if sampled_rows == 0:  # pathological tiny sample_rows arg
+                sample = df.limit(min(sample_rows, n_rows))
+                sampled_rows = min(sample_rows, n_rows)
         sample.coalesce(1).write.mode("overwrite").parquet(scratch)
         sampled_bytes = fs.getContentSummary(p).getLength()
-        sampled_rows = min(sample_rows, n_rows)
         est_total = sampled_bytes * (n_rows / sampled_rows)
         n_files = max(1, int(est_total // target_file_bytes) + (1 if est_total % target_file_bytes else 0))
         cur = df.rdd.getNumPartitions()

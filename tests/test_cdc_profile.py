@@ -242,6 +242,42 @@ def test_pack_sequences_contract(spark):
     assert bins == list(range(len(bins)))
 
 
+def test_prefix_sum_deterministic_under_aqe(spark):
+    """Repeat-run stability of the shared two-phase prefix sum
+    (``ranged_with_offsets``): ``spark_partition_id()`` must be
+    evaluated on ONE materialized partitioning — without the eager
+    localCheckpoint in ids.py the offsets aggregate and the join probe
+    are independent range exchanges that AQE can coalesce differently,
+    making results flicker across executions (the r3 driver flake on
+    pack_training_sequences). Five executions each, AQE on, must hash
+    identically."""
+    from sparklyclean_spark.functions import text as T
+    from sparklyclean_spark.operators.ids import dense_ids
+    from sparklyclean_spark.operators.packing import pack_sequences
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    docs = load_tables(spark, SF_DIR)["documents"]
+    sized = docs.withColumn("n_tokens", T.token_count("text").cast("bigint"))
+
+    def result_hash(df):
+        return df.agg(
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in sorted(df.columns)])).alias("h")
+        ).collect()[0]["h"]
+
+    dense_hashes = {
+        result_hash(dense_ids(docs, order_by=["lang", "doc_id"], num_partitions=7))
+        for _ in range(5)
+    }
+    assert len(dense_hashes) == 1
+    pack_hashes = {
+        result_hash(
+            pack_sequences(sized, "n_tokens", order_by=["doc_id"], budget=512, num_partitions=7)
+        )
+        for _ in range(5)
+    }
+    assert len(pack_hashes) == 1
+
+
 def test_new_operators_handle_empty_input(spark):
     """Empty-relation safety: no operator may throw or invent rows."""
     from sparklyclean_spark.operators.cdc import latest_by_key as lbk
