@@ -50,6 +50,35 @@ def _dedup_pairs_disdedup_customer(t: dict[str, DataFrame]) -> DataFrame:
     ).select("bk", "id1", "id2")
 
 
+def _skewed_customer(t: dict[str, DataFrame]) -> DataFrame:
+    """Adversarial blocking skew: every even custkey lands in ONE hot
+    block (-1) carrying 50% of all rows — ~O(n^2/8) of the pair work on
+    a single join key. The naive join-key shape serializes that block
+    into one reducer; Dis-Dedup's triangle fan-out spreads it across k
+    reducers. Both variants are registered so the bench records the
+    wall-time gap, not just the pytest bound (test_dedup.py)."""
+    c = t["customer"]
+    return c.withColumn(
+        "c_hotkey",
+        F.when(F.col("c_custkey") % 2 == 0, F.lit(-1)).otherwise(F.col("c_nationkey")),
+    )
+
+
+_SKEW_RULES = [BlockingRule(1, "c_hotkey")]
+
+
+def _dedup_pairs_naive_skewed(t: dict[str, DataFrame]) -> DataFrame:
+    return candidate_pairs_naive(_skewed_customer(t), _SKEW_RULES, "c_custkey").select(
+        "bk", "id1", "id2"
+    )
+
+
+def _dedup_pairs_disdedup_skewed(t: dict[str, DataFrame]) -> DataFrame:
+    return candidate_pairs_disdedup(
+        _skewed_customer(t), _SKEW_RULES, "c_custkey", k=49
+    ).select("bk", "id1", "id2")
+
+
 def _dedup_pairs_naive_documents(t: dict[str, DataFrame]) -> DataFrame:
     """Same dedup API on a second domain (documents, text-typed keys)
     — blocking by language then source; the overlapping rules exercise
@@ -148,6 +177,31 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _tables(spark, sf_dir)["embeddings"]
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=32, nprobe=8)
+
+
+def _knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN quality number: per-query recall@5 of the IVF
+    path against the exact brute-force top-k, computed IN-PLAN (left
+    join of the two top-k outputs — no driver-side comparison). Rows
+    only: the IVF side is not SQL-expressible, but the pytest gate
+    (test_textops) bounds mean recall on the same config."""
+    from sparklyclean_spark.operators.similarity.knn import brute_force_topk, ivf_topk
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, q, k=5, n_cells=32, nprobe=8).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("recall_at_5")
+        )
+    )
 
 
 def _asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,69 +443,65 @@ def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal); redundant same-family SQL shapes follow after. Every
 # registered query keeps its entry either way — ordering only decides
 # which 50 the driver hash-checks.
+# The driver records CORRECTNESS rows for the FIRST 50 names only.
+# Round-4 rotation (VERDICT r3 item 4): (a) every query touched this
+# round, (b) all 17 names never driver-checked in r1-r3, (c) one
+# representative per family keeps breadth. Names dropped from the head
+# all carry green r3 records.
 _DRIVER_CHECK_ORDER = [
-    # relational aggregation
+    # -- round-4 fix validation -----------------------------------------
+    "pack_training_sequences",   # r3's one red row (prefix-sum fix)
+    "dense_ids_documents",       # shares ranged_with_offsets
+    "dedup_pairs_naive_skewed",      # new skew A/B
+    "dedup_pairs_disdedup_skewed",   # new skew A/B
+    "knn_ivf_recall",            # new ANN-quality row (rows-only)
+    "orders_above_global_avg",   # broadcast hint added
+    "winsorize_order_prices",    # NULL guard added
+    "cdc_latest_events",         # comparator restructured
+    "multimodal_decode_meta",    # must stay unchanged after codec work
+    # -- never driver-checked in r1-r3 ----------------------------------
+    "q7_nation_volume",
+    "q11_important_nations",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q15_top_revenue_suppliers",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_promo_heavy_suppliers",
+    "q21_waiting_orders_suppliers",
+    "q22_idle_rich_customers",
+    "text_repetition_signals",
+    "text_token_estimate",
+    "sample_docs_weighted",
+    "sample_docs_per_lang",
+    "neardup_common_ngrams",
+    "neardup_minhash_lsh_exploded",
+    "corpus_curation_lsh",
+    # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
-    "rollup_orders",
-    "cube_lineitem_flags",
-    "grouping_sets_order_stats",
+    "grouping_sets_order_stats",  # rollup/cube subsumed (3x green r1-r3)
     "approx_distinct_parts_per_brand",
-    # joins
     "q5_revenue_by_nation",
     "semi_join_customers_with_open_orders",
     "anti_join_customers_no_open_orders",
     "outer_join_nation_order_counts",
     "range_join_events_pairs",
     "asof_purchase_last_click",
-    # subqueries / percentiles
     "exists_late_shipment_orders",
     "price_percentiles_by_priority",
-    # windows / top-k / global indexing / numeric cleaning
     "topk_orders_per_customer",
-    "dense_ids_documents",
-    "winsorize_order_prices",
     "window_running_order_total",
-    # set ops / scalar functions / sequence packing
     "set_ops_nation_keys",
     "scalar_string_date_math",
-    "pack_training_sequences",
-    # Dis-Dedup flagship + ML
-    "dedup_pairs_naive_customer",
     "dedup_pairs_disdedup_customer",
     "dedup_pair_features_customer",
     "ml_dedup_confusion",
-    # text analysis
-    "text_token_stats",
-    "text_quality_scores",
     "text_language_id",
-    "text_fingerprints",
     "text_tfidf_top_terms",
-    "decontam_overlap",
-    "pii_redaction",
-    # sampling / splits
-    "hash_split_documents",
-    # text dedup stack
-    "dedup_exact_documents",
-    "chunk_dedup_documents",
     "neardup_minhash_lsh",
-    "neardup_simhash",
     "neardup_clusters",
-    "corpus_curation",
-    "neardup_incremental",
-    # embeddings / similarity search
-    "embedding_cosine_neardup",
-    "embedding_lsh_pairs",
     "embedding_quantize",
-    "knn_bruteforce_cosine",
-    "knn_ivf_cosine",
-    # event-time windowing + CDC shapes
-    "events_tumbling_hourly",
     "events_session_windows",
-    "cdc_latest_events",
-    "scd2_user_values",
-    # profiling / multimodal
-    "profile_orders_columns",
-    "multimodal_decode_meta",
 ]
 
 
@@ -526,6 +576,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pairs_naive_customer": _t(_dedup_pairs_naive_customer),
         "dedup_pairs_naive_documents": _t(_dedup_pairs_naive_documents),
         "dedup_pairs_disdedup_customer": _t(_dedup_pairs_disdedup_customer),
+        "dedup_pairs_naive_skewed": _t(_dedup_pairs_naive_skewed),
+        "dedup_pairs_disdedup_skewed": _t(_dedup_pairs_disdedup_skewed),
         "dedup_pair_features_customer": _t(_dedup_pair_features_customer),
         # -- ML (rows-only: no oracle_sql entry) ------------------------------
         "ml_dedup_confusion": _ml_dedup_confusion,
@@ -601,6 +653,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce_cosine": _knn_brute,
         "knn_lsh_cosine": _knn_lsh,
         "knn_ivf_cosine": _knn_ivf,
+        "knn_ivf_recall": _knn_ivf_recall,
         # -- event-time windowing (batch semantics == streaming plan) ---------
         "events_tumbling_hourly": _q(W.tumbling_counts, table="events"),
         "events_sliding_users": _q(W.sliding_user_activity, table="events"),
@@ -1612,6 +1665,10 @@ def oracle_sql() -> dict[str, str]:
              AND COALESCE(a.lang, '') <> COALESCE(b.lang, '')
         """,
         "dedup_pairs_disdedup_customer": _DEDUP_PAIRS_SQL,
+        # one hot block (-1) holds every even custkey; both paths must
+        # produce the identical pair set over it
+        "dedup_pairs_naive_skewed": _DEDUP_SKEW_SQL,
+        "dedup_pairs_disdedup_skewed": _DEDUP_SKEW_SQL,
         "dedup_pair_features_customer": """
             SELECT a.c_custkey AS id1, b.c_custkey AS id2,
                    ROUND(1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
@@ -1686,6 +1743,18 @@ def _profile_sql() -> str:
         )
     return " UNION ALL ".join(parts)
 
+
+_DEDUP_SKEW_SQL = """
+    WITH s AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 2 = 0 THEN -1 ELSE c_nationkey END AS c_hotkey
+        FROM customer
+    )
+    SELECT CAST(1 AS INT) AS bk, a.c_custkey AS id1, b.c_custkey AS id2
+    FROM s a
+    JOIN s b
+      ON a.c_hotkey = b.c_hotkey AND a.c_custkey < b.c_custkey
+"""
 
 _DEDUP_PAIRS_SQL = """
     SELECT CAST(1 AS INT) AS bk, a.c_custkey AS id1, b.c_custkey AS id2

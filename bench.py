@@ -88,6 +88,16 @@ def main() -> None:
         "events_session_windows",
         "dedup_pairs_disdedup_customer",
         "dedup_pair_features_customer",
+        # adversarial-skew A/B: one block carries 50% of rows (~28M of
+        # the ~28.5M candidate pairs at sf0.1). Records the wall-time
+        # of both shapes; NOTE at this SF the naive single hot task
+        # (28M generated pairs, ~1s of codegen) still beats the
+        # triangle fan-out's shuffle overhead on local[32] — the
+        # triangle's win is the 17.5x lower max-per-reducer work
+        # (test_dedup.py skew stress), which converts to wall-time only
+        # once the hot block exceeds single-task capacity (README).
+        "dedup_pairs_naive_skewed",
+        "dedup_pairs_disdedup_skewed",
         # round-3 scale ops: span-level dedup (explode+agg+join), CDC
         # snapshot (map-side-combinable max(struct)), int8 vector
         # quantization (pure codegen, zero shuffles)
@@ -124,11 +134,13 @@ def main() -> None:
             # drop operator-internal caches so runs/queries don't
             # pressure each other's executor memory
             release_caches()
-        # stall detector: when the two runs disagree wildly the slow
-        # one was a hypervisor pause, and the fast one may ALSO be
-        # inflated if the pause spanned both — take a third sample
-        # only in that case (bounded extra cost on healthy runs)
-        if max(runs) > 2.5 * min(runs) and min(runs) > 0.2:
+        # stall detector: when the two runs disagree the slow one was
+        # likely a hypervisor pause, and the fast one may ALSO be
+        # inflated if the pause spanned both — take a third sample in
+        # that case. Trigger tightened 2.5x -> 1.5x after r3, where a
+        # 1.9x spread slipped under it and produced a phantom 3x
+        # cross-round regression on neardup_minhash_lsh.
+        if max(runs) > 1.5 * min(runs) and min(runs) > 0.2:
             runs.append(run_once(name))
             release_caches()
         raw[name] = [round(r, 3) for r in runs]

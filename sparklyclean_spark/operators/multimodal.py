@@ -5,9 +5,12 @@ a ``kind`` tag and a metadata struct. Decode / feature-extraction run
 as Arrow-batched ``mapInPandas`` stages — the ONLY place Python
 belongs in this engine, because codec work is inherently
 per-byte-buffer. The Spark-side contract (schemas, batch iteration,
-partition preservation) is real and tested; the codec itself is a
-STUB in this container (no image/audio libraries available): real
-deployments drop in Pillow/torchaudio/pyav inside ``_decode_real``.
+partition preservation) is real and tested. The real-codec path
+(``_decode_real``) parses PNG/GIF/BMP headers with the stdlib (tested
+in-container against real image bytes) and falls back to Pillow when
+importable for other formats; audio/video codecs (torchaudio/pyav)
+remain deployment swap-ins behind the same hook. The deterministic
+fake codec stays the oracle-checkable default for driver queries.
 
 Scale shape: mapInPandas streams Arrow batches, so a 100 TB media
 table decodes partition-parallel with constant memory per task;
@@ -47,12 +50,43 @@ def make_media_table(docs: DataFrame) -> DataFrame:
 
 
 def _decode_real(payload: bytes, kind: str) -> tuple[int, int]:
-    """Real codec hook — intentionally unimplemented here.
+    """Real codec path: true pixel dimensions from the encoded bytes.
 
-    STUB: in production, dispatch on ``kind`` to Pillow / pyav /
-    soundfile and return true dimensions.
+    Tiered so the engine stays dependency-honest:
+
+    1. PNG / GIF / BMP dimensions are parsed from the container header
+       with the stdlib only (magic-sniffed, not ``kind``-trusted) —
+       fully functional in this container and covered by
+       ``tests/test_multimodal.py`` with a real in-memory PNG.
+    2. Anything else dispatches to Pillow when importable (JPEG/WebP/
+       TIFF/...); heavier media (audio/video) would dispatch to
+       soundfile/pyav the same way.
+    3. No parser and no Pillow -> NotImplementedError, which
+       ``decode_metadata`` surfaces as ok=False rather than failing
+       the job (one corrupt blob must never kill a 100 TB decode).
     """
-    raise NotImplementedError("no codec libraries in this container")
+    b = bytes(payload)
+    import struct
+
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return (w, h)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return (w, h)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return (w, abs(h))
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"no stdlib parser for this payload and Pillow unavailable ({kind})"
+        ) from exc
+    with Image.open(BytesIO(b)) as im:
+        return im.size
 
 
 def _decode_fake(payload: bytes) -> tuple[int, int]:
@@ -77,7 +111,10 @@ def decode_metadata(media: DataFrame, use_real_codec: bool = False) -> DataFrame
                         else _decode_fake(payload)
                     )
                     dims.append((len(payload), w, h, True))
-                except NotImplementedError:
+                except Exception:
+                    # unparseable/corrupt payload or missing codec lib:
+                    # a 100 TB decode must record the failure per-row
+                    # (ok=False), never abort the stage
                     dims.append((len(payload), None, None, False))
             out = pd.DataFrame(
                 dims, columns=["n_bytes", "width", "height", "ok"]

@@ -3,6 +3,7 @@
 from sparklyclean_spark.plans.audit import (
     count_exchanges,
     explain_formatted,
+    explain_str,
     has_broadcast_hash_join,
     has_nested_loop_join,
     has_pushed_filters,
@@ -13,6 +14,7 @@ from sparklyclean_spark.plans.audit import (
 __all__ = [
     "count_exchanges",
     "explain_formatted",
+    "explain_str",
     "has_broadcast_hash_join",
     "has_nested_loop_join",
     "has_pushed_filters",

@@ -66,6 +66,18 @@ def test_ann_paths_avoid_quadratic_joins(t):
     assert P.has_nested_loop_join(TD.embedding_cosine_pairs(t["embeddings"], 0.3))
 
 
+def test_global_avg_subquery_broadcasts(t):
+    """The 1-row global-average aggregate must reach the orders scan
+    as a BROADCAST (nested-loop of one row), never a non-broadcast
+    cartesian — the pre-AQE size estimate of an aggregate is unknown,
+    so the hint is load-bearing."""
+    from sparklyclean_spark.operators.relational import orders_above_global_avg
+
+    plan = P.explain_str(orders_above_global_avg(t), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tfidf_count_in_plan_not_driver(t):
     """N must be computed inside the job (1-row broadcast aggregate),
     not via a driver-side count() action: two scans of documents, the

@@ -107,6 +107,20 @@ def test_knn_ivf_recall(emb):
     assert recall >= 0.4, f"IVF recall {recall}"
 
 
+def test_knn_ivf_recall_query_shape(spark):
+    """The driver-registered in-plan recall query: one row per query
+    vector, recall_at_5 in [0,1], mean bounded like the set-based gate
+    above (same IVF config, nprobe 8/32)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    rows = entrymod.queries()["knn_ivf_recall"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    vals = [r["recall_at_5"] for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert sum(vals) / len(vals) >= 0.4, f"mean IVF recall {sum(vals)/len(vals)}"
+
+
 def test_embedding_lsh_pairs_recall(emb):
     """ANN pairs path: every emitted pair is cosine-verified (⊆ the
     exact quadratic result, identical cos values) and banding recall
