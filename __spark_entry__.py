@@ -22,6 +22,8 @@ from sparklyclean_spark.operators.dedup.blocking import BlockingRule
 from sparklyclean_spark.operators.dedup.compare import FieldComparator, select_pair_features
 from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
+from sparklyclean_spark.operators.chunking import sliding_chunks
+from sparklyclean_spark.operators.mixing import mixture_sample
 from sparklyclean_spark.operators import curation as CU
 from sparklyclean_spark.operators import sampling as SP
 from sparklyclean_spark.operators import text_analysis as TA
@@ -29,6 +31,11 @@ from sparklyclean_spark.operators.dedup import clusters as CL
 from sparklyclean_spark.operators.dedup import textdedup as TD
 from sparklyclean_spark.operators import multimodal as MM
 from sparklyclean_spark.streaming import windows as W
+
+# Pretraining-mix targets for the mixture_sample_docs query: rebalance
+# the documents corpus to 40% en / 15% each other language. The most
+# constrained source keeps rate 1.0; the rest downsample to proportion.
+_MIX_TARGETS = {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
 
 # Customer-table blocking used by the dedup driver-gate queries:
 # function 1 = nation, function 2 = market segment (overlapping, so the
@@ -608,6 +615,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "hash_split_documents": _q(
             lambda d: SP.hash_split(d, "doc_id").select("doc_id", "split"),
+            table="documents",
+        ),
+        # sliding-window chunking (RAG/embedding prep) + corpus mixing
+        "chunk_sliding_documents": _q(
+            lambda d: sliding_chunks(d, 400, 80), table="documents"
+        ),
+        "mixture_sample_docs": _q(
+            lambda d: mixture_sample(d, "lang", _MIX_TARGETS, "doc_id").select(
+                "doc_id", "lang", F.round("keep_rate", 4).alias("keep_rate")
+            ),
             table="documents",
         ),
         # -- CDC / profiling / quantization (round-3 capability rows) ---------
@@ -1316,6 +1333,45 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        # fixed-grid sliding windows: chunk i covers [i*320, i*320+400)
+        "chunk_sliding_documents": """
+            WITH n AS (
+                SELECT doc_id, text,
+                       GREATEST(1, CAST(CEIL((length(text) - 80) / 320.0) AS BIGINT))
+                           AS n_chunks
+                FROM documents
+            )
+            , e AS (
+                SELECT doc_id, text, unnest(range(0, n_chunks)) AS i FROM n
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   substr(text, CAST(i AS INT) * 320 + 1, 400) AS chunk_text,
+                   CAST(length(substr(text, CAST(i AS INT) * 320 + 1, 400)) AS BIGINT)
+                       AS n_chunk_chars
+            FROM e
+        """,
+        # feasibility cap T = min(n/p); per-source rate = p*T/n; md5
+        # uniform acceptance (same convention as sample_docs_weighted)
+        "mixture_sample_docs": """
+            WITH t AS (
+                SELECT * FROM (VALUES
+                    ('en', CAST(0.40 AS DOUBLE)),
+                    ('de', CAST(0.15 AS DOUBLE)),
+                    ('es', CAST(0.15 AS DOUBLE)),
+                    ('fr', CAST(0.15 AS DOUBLE)),
+                    ('zh', CAST(0.15 AS DOUBLE))) AS v(lang, p)
+            ),
+            c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            j AS (SELECT c.lang, c.n, t.p FROM c JOIN t USING (lang)),
+            cap AS (SELECT MIN(n / p) AS T FROM j),
+            r AS (SELECT lang, p * T / n AS keep_rate FROM j CROSS JOIN cap)
+            SELECT d.doc_id, d.lang, ROUND(r.keep_rate, 4) AS keep_rate
+            FROM documents d JOIN r USING (lang)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                      / 4294967296.0
+                  < r.keep_rate
         """,
         "text_tfidf_top_terms": f"""
             WITH toks AS (

@@ -1,0 +1,62 @@
+"""Deterministic corpus mixture sampling (the "data mixing" step).
+
+Pretraining corpora are assembled to TARGET PROPORTIONS per source
+(e.g. 40% web, 15% each of four curated sets), not to whatever ratio
+the raw crawl happens to contain. ``mixture_sample`` computes, fully
+in-plan, the largest output corpus that satisfies the targets without
+repeating any document, and takes a deterministic per-source Bernoulli
+sample at exactly the required rates:
+
+* feasibility cap ``T = min_s(n_s / p_s)`` — the most-constrained
+  source is kept whole (rate 1.0), everything else is downsampled to
+  proportion;
+* acceptance is md5(id)-uniform (same convention as
+  ``operators/sampling.py``): a pure function of the data, stable
+  across runs/partitionings and bit-reproducible in DuckDB, so the
+  whole operator is oracle-checkable.
+
+Scale shape: one tiny per-source count aggregation (map-side partial,
+#sources rows), a 1-row min cross-joined broadcast, then a broadcast
+rates join + map-side filter over the corpus — no shuffle of the data
+itself, no driver-side math, no RNG state.
+
+No reference counterpart; §2.10 capability-gap operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    targets: dict[str, float],
+    id_col: str,
+    rate_name: str = "keep_rate",
+) -> DataFrame:
+    """Sample ``df`` so sources appear in ``targets`` proportions.
+
+    Sources absent from ``targets`` are dropped (inner rates join).
+    Appends ``rate_name`` (the per-source acceptance rate actually
+    applied). Expected output size = ``min_s(n_s / p_s)``.
+    """
+    spark = df.sparkSession
+    tot = float(sum(targets.values()))
+    t_df = spark.createDataFrame(
+        [(k, v / tot) for k, v in targets.items()],
+        f"{source_col} string, _p double",
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    j = counts.join(F.broadcast(t_df), source_col)
+    cap = j.agg(F.min(F.col("_n") / F.col("_p")).alias("_T"))
+    rates = j.crossJoin(F.broadcast(cap)).select(
+        source_col, (F.col("_p") * F.col("_T") / F.col("_n")).alias(rate_name)
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(16**8))
+    )
+    return df.join(F.broadcast(rates), source_col).where(u < F.col(rate_name))

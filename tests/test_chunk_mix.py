@@ -1,0 +1,75 @@
+"""Sliding-window chunking + corpus mixture sampling contracts."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.catalog import load_table
+from sparklyclean_spark.operators.chunking import sliding_chunks
+from sparklyclean_spark.operators.mixing import mixture_sample
+from tests.conftest import SF_DIR
+
+CHUNK, OVERLAP = 400, 80
+STEP = CHUNK - OVERLAP
+
+
+def test_chunks_reassemble_to_original(spark):
+    """Dropping each chunk's overlap tail and concatenating in
+    chunk_idx order must reproduce the document exactly; chunk ids are
+    dense from 0 and counts follow the grid formula."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = sliding_chunks(docs, CHUNK, OVERLAP)
+    rows = out.orderBy("doc_id", "chunk_idx").collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for doc_id, chunks in by_doc.items():
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        text = texts[doc_id]
+        expect_n = max(1, math.ceil((len(text) - OVERLAP) / STEP))
+        assert len(chunks) == expect_n, (doc_id, len(text))
+        rebuilt = "".join(c["chunk_text"][:STEP] for c in chunks[:-1]) + chunks[-1]["chunk_text"]
+        assert rebuilt == text, doc_id
+        for c in chunks:
+            assert c["n_chunk_chars"] == len(c["chunk_text"]) <= CHUNK
+
+
+def test_chunks_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "x" * STEP), (3, "y" * (CHUNK + 1))], "doc_id long, text string"
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in sliding_chunks(df, CHUNK, OVERLAP).collect()
+    }
+    assert out[(1, 0)] == ""  # empty doc still yields one chunk
+    assert out[(2, 0)] == "x" * STEP and (2, 1) not in out
+    # one char past the chunk: second window holds the overlap + 1
+    assert out[(3, 0)] == "y" * CHUNK and out[(3, 1)] == "y" * (OVERLAP + 1)
+
+
+def test_mixture_hits_target_proportions(spark):
+    """Output proportions match targets (the most-constrained source
+    at rate 1.0), the sample is deterministic, and unlisted sources
+    are dropped."""
+    docs = load_table(spark, SF_DIR, "documents")
+    targets = {"en": 0.40, "de": 0.20, "es": 0.20, "fr": 0.20}
+    out = mixture_sample(docs, "lang", targets, "doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= set(targets)  # zh dropped
+    total = sum(counts.values())
+    for lang, p in targets.items():
+        share = counts.get(lang, 0) / total
+        assert abs(share - p) < 0.08, (lang, share)
+    # most-constrained source is kept (near-)whole: its rate is 1.0
+    src = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    constrained = min(targets, key=lambda s: src[s] / targets[s])
+    assert counts[constrained] == src[constrained]
+    # deterministic across runs
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in mixture_sample(docs, "lang", targets, "doc_id").select("doc_id").collect()}
+    assert a == b
