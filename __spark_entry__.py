@@ -651,6 +651,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_simhash": _q(TD.simhash_pairs, 3, table="documents"),
         # pair edges -> cluster assignment (iterative min-label propagation)
         "neardup_clusters": _q(CL.neardup_clusters, 0.3, table="documents"),
+        # split by CLUSTER id: near-dups of a doc always share its split
+        # (otherwise eval examples leak into train via near-duplicates)
+        "cluster_safe_split_docs": _q(
+            lambda d: SP.hash_split(CL.neardup_clusters(d, 0.3), "comp").select(
+                "doc_id", "comp", "split"
+            ),
+            table="documents",
+        ),
         # composed flagship: normalize -> gate -> exact dedup -> clusters
         "corpus_curation": _q(CU.curate_corpus, table="documents"),
         # scale form: LSH pair generation (verified subset of exact
@@ -1577,6 +1585,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS doc_id, MIN(dst) AS comp,
                    (src = MIN(dst)) AS is_canonical
             FROM reach GROUP BY src
+        """,
+        # leakage-safe split: assignment hashes the CLUSTER id, so a
+        # near-dup pair can never straddle train/test (eval leakage)
+        "cluster_safe_split_docs": f"""
+            WITH RECURSIVE
+            p AS ({_shingle_jaccard_sql(0.3)}),
+            e AS (SELECT id1 AS a, id2 AS b FROM p
+                  UNION ALL SELECT id2, id1 FROM p),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+            ),
+            comp AS (SELECT src AS doc_id, MIN(dst) AS comp FROM reach GROUP BY src)
+            SELECT doc_id, comp,
+                   CASE WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM comp
         """,
         "corpus_curation": f"""
             WITH RECURSIVE

@@ -52,6 +52,26 @@ def test_chunks_edge_cases(spark):
     assert out[(3, 0)] == "y" * CHUNK and out[(3, 1)] == "y" * (OVERLAP + 1)
 
 
+def test_cluster_safe_split_no_leakage(spark):
+    """No near-dup pair may straddle splits: both endpoints of every
+    pair in the near-dup graph must share the cluster-derived split
+    (the invariant plain per-doc hash_split violates)."""
+    from sparklyclean_spark.operators.dedup.clusters import neardup_clusters
+    from sparklyclean_spark.operators.dedup.textdedup import minhash_lsh_pairs
+    from sparklyclean_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, SF_DIR, "documents")
+    split = hash_split(neardup_clusters(docs, 0.3), "comp").select("doc_id", "split")
+    pairs = minhash_lsh_pairs(docs, 0.3).select("id1", "id2")
+    straddling = (
+        pairs.join(split.withColumnRenamed("doc_id", "id1").withColumnRenamed("split", "s1"), "id1")
+        .join(split.withColumnRenamed("doc_id", "id2").withColumnRenamed("split", "s2"), "id2")
+        .where(F.col("s1") != F.col("s2"))
+        .count()
+    )
+    assert straddling == 0
+
+
 def test_mixture_hits_target_proportions(spark):
     """Output proportions match targets (the most-constrained source
     at rate 1.0), the sample is deterministic, and unlisted sources
