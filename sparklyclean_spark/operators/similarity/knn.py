@@ -3,8 +3,11 @@
 * ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
   query set against the corpus; one scan, no quadratic blow-up in the
   corpus. The 100 TB pattern: queries are broadcast, corpus partitions
-  stream, per-partition top-k then global top-k (Spark's window/limit
-  handles the combine).
+  stream, and the combine is a SALTED two-round top-k (round 1 bounds
+  any one task at ~candidates/n_salts rows, round 2 sees n_salts*k per
+  query) — a plain per-query window would drain every candidate of a
+  query into one reducer. Vectors are projected out before the top-k
+  shuffle; only (query_id, neighbor_id, cos) ever moves.
 * ``lsh_bucketed_topk`` — random-hyperplane LSH (sign sketch):
   deterministic pseudo-random hyperplanes derived from xxhash64 of
   (dimension, plane) — no stored model, reproducible across runs.
@@ -26,7 +29,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparklyclean_spark.cache import tracked_persist
@@ -56,17 +59,33 @@ def brute_force_topk(
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_raw", cosine_pandas(F.col("qv"), F.col("cv")))
+        # vectors are dead after scoring — project them out BEFORE the
+        # top-k shuffle so it moves 24-byte rows, not dim*4-byte payloads
+        .select("query_id", "neighbor_id", "cos_raw")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos_raw", 4).alias("cos"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+    return _topk_select(scored, k)
+
+
+def _topk_select(scored: DataFrame, k: int) -> DataFrame:
+    """Shared final stage of every kNN path: per-query top-k over
+    (query_id, neighbor_id, cos_raw) via the SALTED two-round window
+    (``operators/skew.py``). A direct ``row_number`` window sends
+    EVERY candidate of a query to one reducer — at 100 TB corpus
+    scale that is |corpus| (brute force) or |corpus|·nprobe/n_cells
+    (IVF) rows in a single straggler task per query. Salting bounds
+    round 1 at ~candidates/n_salts per task and round 2 at
+    n_salts·k rows per query. The output is identical to the direct
+    window (the (cos desc, neighbor_id) order is total)."""
+    from sparklyclean_spark.operators.skew import salted_topk
+
+    topk = salted_topk(
+        scored, ["query_id"], [F.desc("cos_raw"), F.asc("neighbor_id")], k
+    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_raw", 4).alias("cos"),
+        F.col("rn").cast("int").alias("rank"),
     )
 
 
@@ -323,18 +342,11 @@ def ivf_topk(
         .join(cc, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_raw", cosine_pandas(F.col("qv"), F.col("cv")))
+        # each corpus vector lives in exactly ONE cell (top=1 assign),
+        # so (query, neighbor) pairs are already unique across probes
+        .select("query_id", "neighbor_id", "cos_raw")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos_raw", 4).alias("cos"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _topk_select(cands, k)
 
 
 def lsh_bucketed_topk(
@@ -386,15 +398,6 @@ def lsh_bucketed_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos_raw", cosine_pandas(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cos_raw")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos_raw", 4).alias("cos"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _topk_select(cands, k)
