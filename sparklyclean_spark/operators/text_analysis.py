@@ -195,13 +195,19 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
         "doc_id", F.explode(T.words("text")).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df = docs containing the term = tf rows in the term partition —
-    # a window count over tf instead of a second scan + distinct +
-    # join: ONE corpus scan for the whole query, and no vocab-sized
-    # build side to broadcast/shuffle-join at 100 TB.
-    df_win = Window.partitionBy("term")
+    # df = docs containing the term = tf-row count per term. Shaped as
+    # aggregate + equi-join, NOT count() OVER (PARTITION BY term): the
+    # agg gets map-side partial combine, and a hot stopword term in
+    # the join is splittable by AQE skew handling — a window partition
+    # is not (every "the" row would drain into one sort task at corpus
+    # scale, an unbounded straggler). Cost of the shape: the tf lineage
+    # evaluates twice (two corpus scans) — 2x linear, perfectly
+    # parallel map work, deliberately paid to remove the unsplittable
+    # hot partition. The df side is vocab-sized and shuffles, never
+    # broadcasts.
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(df_win))
+        tf.join(dfreq, "term")
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -80,15 +80,23 @@ def test_global_avg_subquery_broadcasts(t):
 
 def test_tfidf_count_in_plan_not_driver(t):
     """N must be computed inside the job (1-row broadcast aggregate),
-    not via a driver-side count() action: two scans of documents, the
-    N scan column-pruned to nothing (row-group-metadata count)."""
+    not via a driver-side count() action: the N scan is column-pruned
+    to nothing (row-group-metadata count) and every other scan reads
+    only (doc_id, text). The df side is agg+join — asserting NO
+    window partitioned on term, which would drain a hot stopword's
+    rows into one unsplittable sort task (the tf lineage's two scans
+    are the deliberate price; see tfidf_top_terms docstring)."""
     from sparklyclean_spark.operators import text_analysis as TA
 
     df = TA.tfidf_top_terms(t["documents"])
     scans = sorted(tuple(c) for c in P.read_schema_columns(df))
-    assert len(scans) == 2, f"expected 2 scans, saw {scans}"
     assert scans[0] == (), f"N scan not pruned to metadata: {scans[0]}"
-    assert scans[1] == ("doc_id", "text")
+    assert all(s == ("doc_id", "text") for s in scans[1:]), scans
+    plan = P.explain_formatted(df)
+    import re
+
+    for m in re.finditer(r"Window.*?windowspecdefinition\(([^,)]+)", plan):
+        assert "term" not in m.group(1), "df must not be a per-term window"
 
 
 def test_cdc_latest_is_agg_not_window(t):
