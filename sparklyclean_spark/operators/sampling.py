@@ -28,16 +28,78 @@ def stratified_sample(
     strata_cols: list[str],
     n_per_stratum: int,
     id_col: str,
+    prefilter_slack: float | None = None,
 ) -> DataFrame:
     """Exactly ``min(n, |stratum|)`` rows per stratum, deterministic
-    (md5-of-id order, id tie-break)."""
-    w = Window.partitionBy(*strata_cols).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    (md5-of-id order, id tie-break).
+
+    ``prefilter_slack=None`` (default) is the plain per-stratum window
+    — exact, oracle-checkable, but a hot stratum serializes into one
+    sort task. The 100 TB path sets ``prefilter_slack`` (e.g. 8.0):
+    rows are pre-filtered to ``u < slack*n/|stratum|`` where ``u`` is
+    the SAME md5-uniform the window sorts by — the filter keeps a
+    prefix of the sort order, so whenever >= n rows survive, the
+    window over survivors provably equals the exact result. The window
+    then sees ~slack*n rows per stratum instead of |stratum|. Failure
+    mode (astronomically rare for slack >= 4: P[Binomial(N, s*n/N) < n]
+    by Chernoff ~ e^(-n(s-1)^2/(2s))): an unlucky stratum keeps < n
+    rows; those strata fall back to their full row set in the same
+    plan (union of the two filters), preserving exactness
+    unconditionally at the cost of one extra tiny aggregate."""
+    u = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(u, F.col(id_col))
+    if prefilter_slack is None:
+        pool = df
+        extra = []
+    else:
+        # synthetic stratum key: null-safe and single-column, so the
+        # internal count/semi/anti joins never drop NULL-keyed strata
+        # (separator collisions need adversarial \x01/\x02 in values)
+        sk = F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x02")) for c in strata_cols]
+        )
+        base = df.withColumn("_sk", sk)
+        counts = base.groupBy("_sk").agg(F.count(F.lit(1)).alias("_cnt"))
+        # threshold as an md5-hex prefix comparison: u is uniform over
+        # hex strings; keep u < t with t = slack*n/cnt scaled to the
+        # first 8 hex chars. t_frac >= 1 means keep-all: sentinel "g"
+        # compares greater than every hex char.
+        t_frac = F.lit(float(prefilter_slack * n_per_stratum)) / F.col("_cnt")
+        t_hex = F.when(t_frac >= 1.0, F.lit("g")).otherwise(
+            F.lower(
+                F.lpad(
+                    F.conv(
+                        F.ceil(t_frac * F.lit(float(16**8))).cast("bigint").cast("string"),
+                        10,
+                        16,
+                    ),
+                    8,
+                    "0",
+                )
+            )
+        )
+        with_t = base.join(
+            F.broadcast(counts.withColumn("_t_hex", t_hex).drop("_cnt")), "_sk"
+        )
+        survivors = with_t.where(F.substring(u, 1, 8) < F.col("_t_hex"))
+        # the filter keeps a PREFIX of the window's sort order, so any
+        # stratum with >= n survivors is provably exact; shortfall
+        # strata (unlucky uniform draw, P ~ Chernoff-small) re-enter
+        # whole — exactness is unconditional
+        ok = (
+            survivors.groupBy("_sk")
+            .agg(F.count(F.lit(1)).alias("_surv"))
+            .where(F.col("_surv") >= n_per_stratum)
+            .select("_sk")
+        )
+        pool = survivors.join(F.broadcast(ok), "_sk", "semi").unionByName(
+            with_t.join(F.broadcast(ok), "_sk", "anti")
+        )
+        extra = ["_sk", "_t_hex"]
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        pool.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n_per_stratum)
-        .drop("_rn")
+        .drop("_rn", *extra)
     )
 
 

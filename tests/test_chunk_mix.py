@@ -52,6 +52,31 @@ def test_chunks_edge_cases(spark):
     assert out[(3, 0)] == "y" * CHUNK and out[(3, 1)] == "y" * (OVERLAP + 1)
 
 
+def test_stratified_prefilter_equals_exact(spark):
+    """The md5-prefix prefilter keeps a PREFIX of the window's sort
+    order, so the bounded-pool sample must equal the exact window
+    sample row-for-row — including strata smaller than n (keep-all
+    sentinel path) and across slack values."""
+    from sparklyclean_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # add a tiny stratum (< n rows) via a derived column
+    d = docs.withColumn(
+        "stratum", F.when(F.col("doc_id") % 97 == 0, F.lit("tiny")).otherwise(F.col("lang"))
+    )
+    exact = {
+        (r["doc_id"],) for r in stratified_sample(d, ["stratum"], 10, "doc_id").collect()
+    }
+    for slack in (4.0, 8.0):
+        fast = {
+            (r["doc_id"],)
+            for r in stratified_sample(
+                d, ["stratum"], 10, "doc_id", prefilter_slack=slack
+            ).collect()
+        }
+        assert fast == exact, f"slack={slack}"
+
+
 def test_cluster_safe_split_no_leakage(spark):
     """No near-dup pair may straddle splits: both endpoints of every
     pair in the near-dup graph must share the cluster-derived split
