@@ -484,13 +484,16 @@ _DRIVER_CHECK_ORDER = [
     "neardup_common_ngrams",
     "neardup_minhash_lsh_exploded",
     "corpus_curation_lsh",
+    # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
+    "chunk_sliding_documents",
+    "mixture_sample_docs",
+    "cluster_safe_split_docs",
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
     "grouping_sets_order_stats",  # rollup/cube subsumed (3x green r1-r3)
     "approx_distinct_parts_per_brand",
     "q5_revenue_by_nation",
-    "semi_join_customers_with_open_orders",
-    "anti_join_customers_no_open_orders",
+    "anti_join_customers_no_open_orders",  # semi-join sibling 3x green
     "outer_join_nation_order_counts",
     "range_join_events_pairs",
     "asof_purchase_last_click",
@@ -498,13 +501,12 @@ _DRIVER_CHECK_ORDER = [
     "price_percentiles_by_priority",
     "topk_orders_per_customer",
     "window_running_order_total",
-    "set_ops_nation_keys",
-    "scalar_string_date_math",
+    "scalar_string_date_math",  # set-ops sibling 3x green
     "dedup_pairs_disdedup_customer",
     "dedup_pair_features_customer",
     "ml_dedup_confusion",
-    "text_language_id",
-    "text_tfidf_top_terms",
+    "text_tfidf_top_terms",  # language_id sibling 3x green; text family
+                             # still has repetition/token_estimate above
     "neardup_minhash_lsh",
     "neardup_clusters",
     "embedding_quantize",
