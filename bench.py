@@ -128,18 +128,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in headline:
+        # three samples ALWAYS (was two + a spread-triggered third):
+        # a hypervisor pause spanning both of two runs produces a
+        # uniformly-inflated pair whose spread stays under any trigger
+        # (observed: identical code measuring 2.3 s min-of-3 in one
+        # session and 4.6 s min-of-2 an hour later). A third sample
+        # triples the chance one run dodges the pause entirely.
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             runs.append(run_once(name))
             # drop operator-internal caches so runs/queries don't
             # pressure each other's executor memory
             release_caches()
-        # stall detector: when the two runs disagree the slow one was
-        # likely a hypervisor pause, and the fast one may ALSO be
-        # inflated if the pause spanned both — take a third sample in
-        # that case. Trigger tightened 2.5x -> 1.5x after r3, where a
-        # 1.9x spread slipped under it and produced a phantom 3x
-        # cross-round regression on neardup_minhash_lsh.
+        # residual stall detector: if even three samples disagree
+        # wildly, take one more
         if max(runs) > 1.5 * min(runs) and min(runs) > 0.2:
             runs.append(run_once(name))
             release_caches()
