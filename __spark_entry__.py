@@ -498,7 +498,7 @@ _DRIVER_CHECK_ORDER = [
     "range_join_events_pairs",
     "asof_purchase_last_click",
     "exists_late_shipment_orders",
-    "price_percentiles_by_priority",
+    "q6_forecast_revenue",  # displaced price_percentiles (3x green)
     "topk_orders_per_customer",
     "window_running_order_total",
     "scalar_string_date_math",  # set-ops sibling 3x green
@@ -549,6 +549,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_last_click": _asof_purchase_last_click,
         # -- subquery shapes --------------------------------------------------
         "q10_returned_revenue": _t(R.q10_returned_revenue),
+        "q6_forecast_revenue": _t(R.q6_forecast_revenue),
         "q14_promo_revenue_share": _t(R.q14_promo_revenue_share),
         "q18_large_orders": _t(R.q18_large_orders),
         "q19_disjunctive_revenue": _t(R.q19_disjunctive_revenue),
@@ -882,6 +883,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "q14_promo_revenue_share": """
             SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'

@@ -545,6 +545,32 @@ def q10_returned_revenue(t: dict[str, DataFrame], top_k: int = 20) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Forecast-revenue change (TPC-H Q6 shape): one scan, three
+    ANDed predicates, one global sum — the pushdown showcase. All
+    three filters (shipdate band, discount band, quantity cap) are
+    plain column comparisons, so they reach the parquet scan as
+    PushedFilters and row groups outside the year are skipped on
+    statistics; zero shuffles before the 1-row combine. Completes the
+    expressible-TPC-H sweep (Q2/Q8/Q9 need partsupp columns this
+    schema lacks)."""
+    l = t["lineitem"]
+    lo = F.lit("1995-01-01").cast("timestamp")
+    hi = F.lit("1996-01-01").cast("timestamp")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            _r(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def q14_promo_revenue_share(t: dict[str, DataFrame]) -> DataFrame:
     """Promo revenue share (TPC-H Q14 shape): one-row conditional-sum
     ratio over lineitem x part in a one-year shipdate band. Part is

@@ -66,6 +66,17 @@ def test_ann_paths_avoid_quadratic_joins(t):
     assert P.has_nested_loop_join(TD.embedding_cosine_pairs(t["embeddings"], 0.3))
 
 
+def test_q6_pushdown_and_pruning(t):
+    """Q6 is the pushdown showcase: all three predicates must reach
+    the parquet scan and the scan must read exactly the four needed
+    columns."""
+    df = R.q6_forecast_revenue(t)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert P.has_pushed_filters(df, col), col
+    scans = P.read_schema_columns(df)
+    assert scans == [["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]]
+
+
 def test_global_avg_subquery_broadcasts(t):
     """The 1-row global-average aggregate must reach the orders scan
     as a BROADCAST (nested-loop of one row), never a non-broadcast
