@@ -52,6 +52,33 @@ def test_chunks_edge_cases(spark):
     assert out[(3, 0)] == "y" * CHUNK and out[(3, 1)] == "y" * (OVERLAP + 1)
 
 
+def test_chunks_unicode_and_boundary_lengths(spark):
+    """Chunking is CHARACTER-addressed (Spark substr == DuckDB substr
+    == Python slicing on chars, not bytes): multi-byte text must
+    reassemble exactly, and lengths sitting exactly on the grid
+    boundaries must not off-by-one."""
+    cases = {
+        1: "汉字" * 300,               # 600 CJK chars (multi-byte UTF-8)
+        2: "🚀a" * 250,               # astral-plane + ascii mix, 500 chars
+        3: "x" * CHUNK,               # exactly one chunk
+        4: "x" * (CHUNK + 1),         # one char past -> 2 chunks
+        5: "x" * OVERLAP,             # fits entirely inside the overlap
+        6: "é" * (2 * STEP),          # combining-free accented latin
+    }
+    df = spark.createDataFrame(list(cases.items()), "doc_id long, text string")
+    rows = sliding_chunks(df, CHUNK, OVERLAP).orderBy("doc_id", "chunk_idx").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in cases.items():
+        chunks = by_doc[doc_id]
+        expect_n = max(1, math.ceil((len(text) - OVERLAP) / STEP))
+        assert len(chunks) == expect_n, (doc_id, len(text), len(chunks))
+        rebuilt = "".join(c["chunk_text"][:STEP] for c in chunks[:-1]) + chunks[-1]["chunk_text"]
+        assert rebuilt == text, doc_id
+        assert all(c["n_chunk_chars"] == len(c["chunk_text"]) for c in chunks)
+
+
 def test_stratified_prefilter_equals_exact(spark):
     """The md5-prefix prefilter keeps a PREFIX of the window's sort
     order, so the bounded-pool sample must equal the exact window
