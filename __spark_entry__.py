@@ -24,6 +24,7 @@ from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
 from sparklyclean_spark.operators.chunking import sliding_chunks
 from sparklyclean_spark.operators.mixing import mixture_sample
+from sparklyclean_spark.operators.resample import resample_ffill
 from sparklyclean_spark.operators import curation as CU
 from sparklyclean_spark.operators import sampling as SP
 from sparklyclean_spark.operators import text_analysis as TA
@@ -500,7 +501,7 @@ _DRIVER_CHECK_ORDER = [
     "exists_late_shipment_orders",
     "q6_forecast_revenue",  # displaced price_percentiles (3x green)
     "topk_orders_per_customer",
-    "window_running_order_total",
+    "events_resample_ffill_hourly",  # displaced window_running (3x green)
     "scalar_string_date_math",  # set-ops sibling 3x green
     "dedup_pairs_disdedup_customer",
     "dedup_pair_features_customer",
@@ -686,6 +687,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_hourly": _q(W.tumbling_counts, table="events"),
         "events_sliding_users": _q(W.sliding_user_activity, table="events"),
         "events_session_windows": _q(W.session_windows, table="events"),
+        # regular per-user hourly grid, last observation carried forward
+        "events_resample_ffill_hourly": _q(
+            lambda e: resample_ffill(e, ["user_id"], "ts", "value", "1 hour", "event_id")
+            .select(
+                "user_id", "bucket_ts", F.round("value", 4).alias("value"), "is_observed"
+            ),
+            table="events",
+        ),
         # -- multimodal plumbing (mapInPandas decode; deterministic stub) -----
         "multimodal_decode_meta": lambda spark, sf_dir: MM.decode_metadata(
             MM.make_media_table(_tables(spark, sf_dir)["documents"])
@@ -1448,6 +1457,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cum_before - CAST(floor(cum_before / 4096.0) AS BIGINT) * 4096
                         AS BIGINT) AS bin_offset
             FROM c
+        """,
+        # resample + forward fill: last-in-bucket winner mirrors the
+        # Spark max(struct) via ROW_NUMBER (total order by ts,event_id);
+        # the fill rounds AFTER carrying forward on both sides
+        "events_resample_ffill_hourly": """
+            WITH obs AS (
+                SELECT user_id, bucket_ts, value FROM (
+                    SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY user_id, date_trunc('hour', ts)
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM events) WHERE rn = 1
+            ),
+            span AS (SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+                     FROM obs GROUP BY user_id),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_ts
+                     FROM span)
+            SELECT g.user_id, g.bucket_ts,
+                   ROUND(last_value(o.value IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.bucket_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
+                   (o.value IS NOT NULL) AS is_observed
+            FROM grid g LEFT JOIN obs o
+              ON g.user_id = o.user_id AND g.bucket_ts = o.bucket_ts
         """,
         "cdc_latest_events": """
             SELECT user_id, event_type, ts, event_id, ROUND(value, 4) AS value

@@ -307,3 +307,33 @@ def test_winsorize_preserves_null_group_rows(spark):
     null_rows = out.where(F.col("k").isNull())
     assert null_rows.count() == 10
     assert null_rows.where(F.col("clip_lo").isNull()).count() == 0
+
+
+def test_resample_ffill_contract(spark):
+    """Grid is contiguous per key at the interval stride; observed
+    buckets carry the bucket's last value (by ts, event_id); gap rows
+    repeat the previous observed value."""
+    from datetime import datetime
+
+    from sparklyclean_spark.operators.resample import resample_ffill
+
+    ev = spark.createDataFrame(
+        [
+            ("u1", datetime(2024, 1, 1, 0, 10), 1, 10.0),
+            ("u1", datetime(2024, 1, 1, 0, 50), 2, 11.0),  # same bucket, later
+            ("u1", datetime(2024, 1, 1, 3, 5), 3, 12.0),   # 2-bucket gap
+            ("u2", datetime(2024, 1, 1, 5, 0), 4, 99.0),   # single observation
+        ],
+        "user_id string, ts timestamp, event_id long, value double",
+    )
+    out = resample_ffill(ev, ["user_id"], "ts", "value", "1 hour", "event_id")
+    rows = {
+        (r["user_id"], r["bucket_ts"].hour): (r["value"], r["is_observed"])
+        for r in out.collect()
+    }
+    assert rows[("u1", 0)] == (11.0, True)   # last-in-bucket wins
+    assert rows[("u1", 1)] == (11.0, False)  # gap: carried forward
+    assert rows[("u1", 2)] == (11.0, False)
+    assert rows[("u1", 3)] == (12.0, True)
+    assert rows[("u2", 5)] == (99.0, True)
+    assert len(rows) == 5  # contiguous grids only, no global padding
