@@ -104,6 +104,9 @@ def main() -> None:
         "chunk_dedup_documents",
         "cdc_latest_events",
         "embedding_quantize",
+        # round-4: 1M-row grid explode + per-key ffill window — the
+        # only bench entry exercising sequence() fan-out
+        "events_resample_ffill_hourly",
     ]
 
     def run_once(name: str) -> float:

@@ -337,3 +337,37 @@ def test_resample_ffill_contract(spark):
     assert rows[("u1", 3)] == (12.0, True)
     assert rows[("u2", 5)] == (99.0, True)
     assert len(rows) == 5  # contiguous grids only, no global padding
+
+
+def test_pack_prefix_sum_property(spark):
+    """Randomized differential check of the distributed prefix sum:
+    pack_sequences must equal the driver-computed exclusive prefix sum
+    / grid-cell math for arbitrary sizes (incl. zeros and docs larger
+    than the budget), budgets, and partition counts."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sparklyclean_spark.operators.packing import pack_sequences
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=999), min_size=1, max_size=120),
+        budget=st.integers(min_value=1, max_value=700),
+        nparts=st.integers(min_value=1, max_value=9),
+    )
+    def check(sizes, budget, nparts):
+        df = spark.createDataFrame(list(enumerate(sizes)), "i long, n long")
+        got = {
+            r["i"]: (r["cum_before"], r["bin_id"], r["bin_offset"])
+            for r in pack_sequences(df, "n", ["i"], budget, nparts).collect()
+        }
+        cum = 0
+        for i, size in enumerate(sizes):
+            assert got[i] == (cum, cum // budget, cum % budget), (i, size, budget, nparts)
+            cum += size
+
+    check()
