@@ -22,7 +22,10 @@ from sparklyclean_spark.operators.dedup.blocking import BlockingRule
 from sparklyclean_spark.operators.dedup.compare import FieldComparator, select_pair_features
 from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
+from sparklyclean_spark.operators import quality as DQ
 from sparklyclean_spark.operators.chunking import sliding_chunks
+from sparklyclean_spark.operators.funnel import funnel_summary
+from sparklyclean_spark.operators.sketches import distinct_rollup
 from sparklyclean_spark.operators.mixing import mixture_sample
 from sparklyclean_spark.operators.resample import resample_ffill
 from sparklyclean_spark.operators import curation as CU
@@ -115,6 +118,25 @@ def _dedup_pair_features_customer(t: dict[str, DataFrame]) -> DataFrame:
         F.round("f_c_name", 4).alias("f_c_name"),
         F.round("f_c_acctbal", 4).alias("f_c_acctbal"),
     )
+
+
+def _dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite over orders: all row-level rules +
+    key uniqueness fused into ONE aggregation over ONE scan; the FK
+    rule is a broadcast anti-join count against customer. The
+    in_range(0, 300000) rule is deliberately strict enough to fail so
+    the violation-counting path is exercised, not just the zeros."""
+    t = _tables(spark, sf_dir)
+    rules = [
+        DQ.not_null("o_orderkey"),
+        DQ.not_null("o_custkey"),
+        DQ.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        DQ.in_range("o_totalprice", 0.0, 300000.0),
+        DQ.matches("o_orderpriority", "^[0-9]-"),
+        DQ.UniqueRule(("o_orderkey",)),
+        DQ.ForeignKeyRule("o_custkey", t["customer"], "c_custkey"),
+    ]
+    return DQ.check_constraints(t["orders"], rules)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -489,6 +511,9 @@ _DRIVER_CHECK_ORDER = [
     "chunk_sliding_documents",
     "mixture_sample_docs",
     "cluster_safe_split_docs",
+    "dq_orders_constraints",
+    "funnel_view_click_purchase",
+    "sketch_distinct_users_daily",
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
     "grouping_sets_order_stats",  # rollup/cube subsumed (3x green r1-r3)
@@ -692,6 +717,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda e: resample_ffill(e, ["user_id"], "ts", "value", "1 hour", "event_id")
             .select(
                 "user_id", "bucket_ts", F.round("value", 4).alias("value"), "is_observed"
+            ),
+            table="events",
+        ),
+        # -- data-quality / analytics / sketches (round-4 additions) ----------
+        # one-scan constraint suite + broadcast FK check
+        "dq_orders_constraints": _dq_orders_constraints,
+        # single-shuffle ordered funnel (view -> click -> purchase)
+        "funnel_view_click_purchase": _q(
+            lambda e: funnel_summary(e, ["view", "click", "purchase"]), table="events"
+        ),
+        # mergeable per-day HLL sketches + merged ALL row (rows-only:
+        # DataSketches estimates aren't reproducible by DuckDB; pytest
+        # gates merged==direct and accuracy vs exact distinct)
+        "sketch_distinct_users_daily": _q(
+            lambda e: distinct_rollup(
+                e, F.col("user_id"), F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
             ),
             table="events",
         ),
@@ -1767,6 +1808,79 @@ def oracle_sql() -> dict[str, str]:
         """,
         # -- multimodal decode stub (length-derived fake dims are
         #    deliberately SQL-visible so the pandas path is checkable)
+        "dq_orders_constraints": """
+            WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+            v AS (
+              SELECT 'not_null_o_orderkey' AS rule,
+                     CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+              FROM orders
+              UNION ALL
+              SELECT 'not_null_o_custkey',
+                     CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'accepted_values_o_orderstatus',
+                     CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                                    OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'in_range_o_totalprice',
+                     CAST(SUM(CASE WHEN o_totalprice IS NULL
+                                    OR NOT (o_totalprice >= 0.0 AND o_totalprice <= 300000.0)
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'matches_o_orderpriority',
+                     CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                                    OR NOT regexp_matches(o_orderpriority, '^[0-9]-')
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'unique_o_orderkey',
+                     CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'foreign_key_o_custkey',
+                     CAST(COUNT(*) AS BIGINT)
+              FROM orders
+              WHERE o_custkey IS NOT NULL
+                AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+            )
+            SELECT v.rule, v.violations, n.n_rows, v.violations = 0 AS passed
+            FROM v CROSS JOIN n
+        """,
+        "funnel_view_click_purchase": """
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view','click','purchase')
+            ), s1 AS (
+              SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                          OVER (PARTITION BY user_id) AS step1_ts
+              FROM e
+            ), s2 AS (
+              SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= step1_ts THEN ts END)
+                          OVER (PARTITION BY user_id) AS step2_ts
+              FROM s1
+            ), s3 AS (
+              SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= step2_ts THEN ts END)
+                          OVER (PARTITION BY user_id) AS step3_ts
+              FROM s2
+            ), pu AS (
+              SELECT user_id, MIN(step1_ts) AS t1, MIN(step2_ts) AS t2, MIN(step3_ts) AS t3
+              FROM s3 GROUP BY user_id HAVING MIN(step1_ts) IS NOT NULL
+            ), wide AS (
+              SELECT CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+                     CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+                     CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u3
+              FROM pu
+            )
+            SELECT CAST(1 AS INT) AS step_idx, 'view' AS step, u1 AS users,
+                   ROUND(u1 * 1.0 / u1, 6) AS pct_of_entry FROM wide
+            UNION ALL
+            SELECT CAST(2 AS INT), 'click', u2, ROUND(u2 * 1.0 / u1, 6) FROM wide
+            UNION ALL
+            SELECT CAST(3 AS INT), 'purchase', u3, ROUND(u3 * 1.0 / u1, 6) FROM wide
+        """,
         "multimodal_decode_meta": """
             SELECT doc_id AS media_id,
                    'image/fake' AS kind,

@@ -1,0 +1,153 @@
+"""Declarative data-quality constraint checking (Deequ-style).
+
+A 100 TB ingest pipeline gates every batch on a constraint suite:
+null-fraction, uniqueness, accepted values, ranges, regex shape,
+referential integrity. The naive implementation runs one scan per
+rule; at corpus scale that multiplies the dominant cost (the scan)
+by the number of rules. This operator evaluates ALL row-level rules
+in ONE aggregation over ONE scan — each rule is a
+``sum(case when violated then 1 else 0 end)`` branch of the same
+``agg`` so Catalyst fuses them into a single whole-stage-codegen
+pass — and the only rules that touch a second table (foreign keys)
+run as broadcast anti-join counts against the (small) dimension.
+
+Uniqueness is the one rule that genuinely needs a shuffle (count
+distinct over the key); it shares the same scan via the same agg
+(Expand + two-level hash aggregate, map-side partial). For very wide
+suites an ``approx=True`` mode swaps exact distinct for HLL++ so the
+Expand multiplier disappears.
+
+No reference counterpart (the reference validates nothing — SURVEY
+§5); §2.10 training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One constraint: ``name`` labels the output row, ``violated``
+    is a boolean Column that is true for rows BREAKING the rule.
+    NULL predicate results count as violations (a rule you cannot
+    evaluate did not pass)."""
+
+    name: str
+    violated: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null_{col}", F.col(col).isNull())
+
+
+def accepted_values(col: str, values: list) -> Rule:
+    # isin is NULL for NULL inputs -> coalesce makes NULL a violation
+    return Rule(f"accepted_values_{col}", ~F.col(col).isin(values))
+
+
+def in_range(col: str, lo=None, hi=None) -> Rule:
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(col) <= F.lit(hi))
+    return Rule(f"in_range_{col}", ~cond)
+
+
+def matches(col: str, pattern: str) -> Rule:
+    return Rule(f"matches_{col}", ~F.col(col).rlike(pattern))
+
+
+@dataclass(frozen=True)
+class UniqueRule:
+    """Key uniqueness: violations = n_rows - n_distinct(key)."""
+
+    cols: tuple[str, ...]
+
+    @property
+    def name(self) -> str:
+        return "unique_" + "_".join(self.cols)
+
+
+@dataclass(frozen=True)
+class ForeignKeyRule:
+    """Referential integrity: every non-null ``col`` value exists in
+    ``dim[dim_col]``. Checked as a broadcast LEFT ANTI join count —
+    the dimension is the small side by construction (that is what
+    makes it a dimension), so the fact table never shuffles."""
+
+    col: str
+    dim: DataFrame = field(compare=False)
+    dim_col: str = ""
+
+    @property
+    def name(self) -> str:
+        return f"foreign_key_{self.col}"
+
+
+def check_constraints(
+    df: DataFrame,
+    rules: list,
+    approx_unique: bool = False,
+) -> DataFrame:
+    """Evaluate a constraint suite; returns one row per rule:
+    ``(rule string, violations bigint, n_rows bigint, passed boolean)``.
+
+    Row-level rules and uniqueness rules share ONE aggregation job
+    (one scan); each FK rule adds one broadcast anti-join count over
+    its own scan of the fact's key column only (column-pruned).
+    """
+    row_rules = [r for r in rules if isinstance(r, Rule)]
+    uniq_rules = [r for r in rules if isinstance(r, UniqueRule)]
+    fk_rules = [r for r in rules if isinstance(r, ForeignKeyRule)]
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for r in row_rules:
+        aggs.append(
+            F.sum(F.coalesce(r.violated, F.lit(True)).cast("bigint")).alias(r.name)
+        )
+    for u in uniq_rules:
+        key = [F.col(c) for c in u.cols]
+        nd = (
+            F.approx_count_distinct(F.struct(*key))
+            if approx_unique
+            else F.count_distinct(*key)
+        )
+        aggs.append((F.count(F.lit(1)) - nd).alias(u.name))
+
+    wide = df.agg(*aggs)
+    # one row -> long form via inline(array(struct...)): stays in-plan
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.col(r.name).cast("bigint").alias("violations"),
+            )
+            for r in row_rules + uniq_rules
+        ]
+    )
+    out = wide.select(F.col("_n").alias("n_rows"), F.inline(pairs)).select(
+        "rule", "violations", "n_rows"
+    )
+
+    if fk_rules:
+        n_rows_df = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        for fk in fk_rules:
+            misses = (
+                df.select(fk.col)
+                .where(F.col(fk.col).isNotNull())
+                .join(
+                    F.broadcast(fk.dim.select(F.col(fk.dim_col).alias(fk.col)).distinct()),
+                    fk.col,
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).alias("violations"))
+                .select(F.lit(fk.name).alias("rule"), "violations")
+            )
+            out = out.unionByName(misses.crossJoin(F.broadcast(n_rows_df)))
+
+    return out.withColumn("passed", F.col("violations") == 0)
