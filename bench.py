@@ -107,6 +107,11 @@ def main() -> None:
         # round-4: 1M-row grid explode + per-key ffill window — the
         # only bench entry exercising sequence() fan-out
         "events_resample_ffill_hourly",
+        # round-4 additions: one-scan constraint suite (agg-fusion
+        # shape), single-shuffle funnel, per-shard HLL sketch rollup
+        "dq_orders_constraints",
+        "funnel_view_click_purchase",
+        "sketch_distinct_users_daily",
     ]
 
     def run_once(name: str) -> float:

@@ -79,6 +79,12 @@ def pytest_collection_modifyitems(config, items):
         drop.append("full_parity")
     if importlib.util.find_spec("PIL") is None:
         drop.append("needs_pillow")
+    # transformWithStateInPandas needs the protobuf wire format between
+    # the JVM state server and the Python driver worker
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        drop.append("needs_protobuf")
     deselected = [i for i in items if any(i.get_closest_marker(m) for m in drop)]
     if deselected:
         config.hook.pytest_deselected(items=deselected)
