@@ -24,7 +24,7 @@ from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
 from sparklyclean_spark.operators import quality as DQ
 from sparklyclean_spark.operators.chunking import sliding_chunks
-from sparklyclean_spark.operators.funnel import funnel_summary
+from sparklyclean_spark.operators.funnel import funnel_steps, funnel_summary
 from sparklyclean_spark.operators.sketches import distinct_rollup
 from sparklyclean_spark.operators.mixing import mixture_sample
 from sparklyclean_spark.operators.resample import resample_ffill
@@ -513,6 +513,7 @@ _DRIVER_CHECK_ORDER = [
     "cluster_safe_split_docs",
     "dq_orders_constraints",
     "funnel_view_click_purchase",
+    "funnel_user_steps",
     "sketch_distinct_users_daily",
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
@@ -726,6 +727,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-shuffle ordered funnel (view -> click -> purchase)
         "funnel_view_click_purchase": _q(
             lambda e: funnel_summary(e, ["view", "click", "purchase"]), table="events"
+        ),
+        # per-user step timestamps (the frame the rollup reduces)
+        "funnel_user_steps": _q(
+            lambda e: funnel_steps(e, ["view", "click", "purchase"]), table="events"
         ),
         # mergeable per-day HLL sketches + merged ALL row (rows-only:
         # DataSketches estimates aren't reproducible by DuckDB; pytest
@@ -1880,6 +1885,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(2 AS INT), 'click', u2, ROUND(u2 * 1.0 / u1, 6) FROM wide
             UNION ALL
             SELECT CAST(3 AS INT), 'purchase', u3, ROUND(u3 * 1.0 / u1, 6) FROM wide
+        """,
+        "funnel_user_steps": """
+            WITH e AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type IN ('view','click','purchase')
+            ), s1 AS (
+              SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                          OVER (PARTITION BY user_id) AS step1_ts
+              FROM e
+            ), s2 AS (
+              SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= step1_ts THEN ts END)
+                          OVER (PARTITION BY user_id) AS step2_ts
+              FROM s1
+            ), s3 AS (
+              SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= step2_ts THEN ts END)
+                          OVER (PARTITION BY user_id) AS step3_ts
+              FROM s2
+            )
+            SELECT user_id,
+                   MIN(step1_ts) AS step1_ts,
+                   MIN(step2_ts) AS step2_ts,
+                   MIN(step3_ts) AS step3_ts,
+                   CAST((CASE WHEN MIN(step1_ts) IS NOT NULL THEN 1 ELSE 0 END)
+                      + (CASE WHEN MIN(step2_ts) IS NOT NULL THEN 1 ELSE 0 END)
+                      + (CASE WHEN MIN(step3_ts) IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+                     AS steps_completed
+            FROM s3 GROUP BY user_id HAVING MIN(step1_ts) IS NOT NULL
         """,
         "multimodal_decode_meta": """
             SELECT doc_id AS media_id,

@@ -71,7 +71,10 @@ def funnel_summary(
     users reaching each step in order, as a fraction of step-1 users."""
     per_user = funnel_steps(events, steps, user_col, ts_col, type_col)
     aggs = [
-        F.sum((F.col("steps_completed") >= i).cast("bigint")).alias(f"_u{i}")
+        # coalesce: sum over zero entrants is NULL, report 0 users
+        F.coalesce(
+            F.sum((F.col("steps_completed") >= i).cast("bigint")), F.lit(0)
+        ).alias(f"_u{i}")
         for i in range(1, len(steps) + 1)
     ]
     wide = per_user.agg(*aggs)
@@ -81,7 +84,10 @@ def funnel_summary(
                 F.lit(i).alias("step_idx"),
                 F.lit(s).alias("step"),
                 F.col(f"_u{i}").alias("users"),
-                F.round(F.col(f"_u{i}") / F.col("_u1"), 6).alias("pct_of_entry"),
+                # try_divide: zero entrants -> NULL pct, not an ANSI error
+                F.round(F.try_divide(F.col(f"_u{i}"), F.col("_u1")), 6).alias(
+                    "pct_of_entry"
+                ),
             )
             for i, s in enumerate(steps, start=1)
         ]

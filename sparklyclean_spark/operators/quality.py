@@ -107,8 +107,12 @@ def check_constraints(
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     for r in row_rules:
+        # outer coalesce: sum over an EMPTY relation is NULL, and an
+        # empty batch has zero violations, not unknown
         aggs.append(
-            F.sum(F.coalesce(r.violated, F.lit(True)).cast("bigint")).alias(r.name)
+            F.coalesce(
+                F.sum(F.coalesce(r.violated, F.lit(True)).cast("bigint")), F.lit(0)
+            ).alias(r.name)
         )
     for u in uniq_rules:
         key = [F.col(c) for c in u.cols]

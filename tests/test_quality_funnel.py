@@ -148,6 +148,23 @@ def test_hll_merge_equals_direct(spark):
         assert rollup[shard] <= rollup["ALL"] * 1.05
 
 
+def test_new_operators_handle_empty_input(spark):
+    ev = spark.createDataFrame(
+        [], "user_id int, ts timestamp, event_type string"
+    )
+    assert funnel_steps(ev, ["view", "click"]).count() == 0
+    # summary still emits one row per step, with zero users
+    rows = funnel_summary(ev, ["view", "click"]).collect()
+    assert [r["users"] for r in rows] == [0, 0]
+    df = spark.createDataFrame([], "id int, v double")
+    out = DQ.check_constraints(df, [DQ.not_null("id"), DQ.UniqueRule(("id",))])
+    assert {r["rule"]: r["violations"] for r in out.collect()} == {
+        "not_null_id": 0,
+        "unique_id": 0,
+    }
+    assert distinct_rollup(df, F.col("id"), F.col("v")).count() == 1  # ALL row
+
+
 def test_shard_sketches_are_small(spark):
     """The persisted artifact is KBs per shard — that is the point."""
     df = spark.range(10_000).select((F.col("id") % 2).alias("s"), F.col("id").alias("k"))
