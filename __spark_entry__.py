@@ -24,7 +24,9 @@ from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
 from sparklyclean_spark.operators import quality as DQ
 from sparklyclean_spark.operators.chunking import sliding_chunks
+from sparklyclean_spark.operators.diff import diff_summary
 from sparklyclean_spark.operators.funnel import funnel_steps, funnel_summary
+from sparklyclean_spark.operators.profile import histogram
 from sparklyclean_spark.operators.sketches import distinct_rollup
 from sparklyclean_spark.operators.mixing import mixture_sample
 from sparklyclean_spark.operators.resample import resample_ffill
@@ -137,6 +139,22 @@ def _dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         DQ.ForeignKeyRule("o_custkey", t["customer"], "c_custkey"),
     ]
     return DQ.check_constraints(t["orders"], rules)
+
+
+def _diff_orders_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed reconciliation of two deterministic snapshot variants of
+    orders: ~1% of keys removed on each side (different moduli) and
+    urgent orders repriced +10% — exercises all four diff statuses.
+    The join carries (key, xxhash64) only; payload stays at the scan."""
+    o = _tables(spark, sf_dir)["orders"]
+    left = o.where(F.col("o_orderkey") % 97 != 0)
+    right = o.where(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return diff_summary(left, right, ["o_orderkey"])
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -515,6 +533,8 @@ _DRIVER_CHECK_ORDER = [
     "funnel_view_click_purchase",
     "funnel_user_steps",
     "sketch_distinct_users_daily",
+    "diff_orders_snapshots",
+    "histogram_order_prices",
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
     "grouping_sets_order_stats",  # rollup/cube subsumed (3x green r1-r3)
@@ -722,6 +742,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             table="events",
         ),
         # -- data-quality / analytics / sketches (round-4 additions) ----------
+        # keyed snapshot reconciliation (added/removed/changed counts)
+        "diff_orders_snapshots": _diff_orders_snapshots,
+        # fixed-width per-group value histogram (sparse buckets)
+        "histogram_order_prices": _q(
+            lambda o: histogram(
+                o, "o_totalprice", 0.0, 500000.0, 10, by=["o_orderpriority"]
+            ),
+            table="orders",
+        ),
         # one-scan constraint suite + broadcast FK check
         "dq_orders_constraints": _dq_orders_constraints,
         # single-shuffle ordered funnel (view -> click -> purchase)
@@ -1885,6 +1914,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(2 AS INT), 'click', u2, ROUND(u2 * 1.0 / u1, 6) FROM wide
             UNION ALL
             SELECT CAST(3 AS INT), 'purchase', u3, ROUND(u3 * 1.0 / u1, 6) FROM wide
+        """,
+        "diff_orders_snapshots": """
+            WITH l AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+            r AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 89 <> 0
+            )
+            SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+              SELECT CASE
+                       WHEN l.o_orderkey IS NULL THEN 'added'
+                       WHEN r.o_orderkey IS NULL THEN 'removed'
+                       WHEN l.o_custkey IS NOT DISTINCT FROM r.o_custkey
+                        AND l.o_orderstatus IS NOT DISTINCT FROM r.o_orderstatus
+                        AND l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice
+                        AND l.o_orderdate IS NOT DISTINCT FROM r.o_orderdate
+                        AND l.o_orderpriority IS NOT DISTINCT FROM r.o_orderpriority
+                       THEN 'unchanged'
+                       ELSE 'changed'
+                     END AS status
+              FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+            ) GROUP BY status
+        """,
+        "histogram_order_prices": """
+            WITH b AS (
+              SELECT o_orderpriority,
+                     CAST(CASE
+                       WHEN o_totalprice IS NULL THEN NULL
+                       WHEN o_totalprice < 0.0 THEN 0
+                       WHEN o_totalprice >= 500000.0 THEN 11
+                       ELSE FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0) / 50000.0) + 1
+                     END AS INT) AS bucket
+              FROM orders
+            )
+            SELECT o_orderpriority, bucket,
+                   CAST(ROUND(0.0 + (bucket - 1) * 50000.0, 4) AS DOUBLE) AS bucket_lo,
+                   CAST(ROUND(0.0 + bucket * 50000.0, 4) AS DOUBLE) AS bucket_hi,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM b WHERE bucket IS NOT NULL
+            GROUP BY o_orderpriority, bucket
         """,
         "funnel_user_steps": """
             WITH e AS (

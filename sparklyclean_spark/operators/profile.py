@@ -65,3 +65,45 @@ def profile_columns(
         ]
     )
     return one.select(F.inline(rows))
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width value histogram, optionally per group: one hash
+    aggregation on ``(by..., bucket)`` — map-side combinable, output
+    size #groups x (n_buckets+2), never the raw rows. Bucket 0 is the
+    ``< lo`` underflow, bucket ``n_buckets+1`` the ``>= hi`` overflow
+    (width_bucket conventions), and empty buckets are absent (sparse).
+
+    The bucket index is computed with explicit floor arithmetic
+    (identical IEEE-754 ops on both engines) rather than
+    ``width_bucket`` so the DuckDB oracle can reproduce it bit-for-bit.
+    """
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / n_buckets
+    bucket = (
+        F.when(v.isNull(), F.lit(None))
+        .when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n_buckets + 1))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)) + 1)
+    ).cast("int")
+    keys = [F.col(c) for c in (by or [])]
+    out = (
+        df.select(*keys, bucket.alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+        .groupBy(*(by or []), "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out.select(
+        *(by or []),
+        "bucket",
+        F.round(F.lit(lo) + (F.col("bucket") - 1) * F.lit(width), 4).alias("bucket_lo"),
+        F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 4).alias("bucket_hi"),
+        "n",
+    )
