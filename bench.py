@@ -112,6 +112,8 @@ def main() -> None:
         "dq_orders_constraints",
         "funnel_view_click_purchase",
         "sketch_distinct_users_daily",
+        # keyed snapshot reconciliation: full-outer join on (key, hash)
+        "diff_orders_snapshots",
     ]
 
     def run_once(name: str) -> float:
