@@ -27,6 +27,7 @@ from sparklyclean_spark.operators.chunking import sliding_chunks
 from sparklyclean_spark.operators.diff import diff_summary
 from sparklyclean_spark.operators.funnel import funnel_steps, funnel_summary
 from sparklyclean_spark.operators.profile import histogram
+from sparklyclean_spark.sources.layout import with_zorder_key
 from sparklyclean_spark.operators.sketches import distinct_rollup
 from sparklyclean_spark.operators.mixing import mixture_sample
 from sparklyclean_spark.operators.resample import resample_ffill
@@ -535,6 +536,7 @@ _DRIVER_CHECK_ORDER = [
     "sketch_distinct_users_daily",
     "diff_orders_snapshots",
     "histogram_order_prices",
+    "zorder_keys_orders",
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
     "grouping_sets_order_stats",  # rollup/cube subsumed (3x green r1-r3)
@@ -744,6 +746,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- data-quality / analytics / sketches (round-4 additions) ----------
         # keyed snapshot reconciliation (added/removed/changed counts)
         "diff_orders_snapshots": _diff_orders_snapshots,
+        # Morton clustering key (the ZORDER BY layout primitive)
+        "zorder_keys_orders": _q(
+            lambda o: with_zorder_key(
+                o, ["o_custkey", "o_totalprice"], bits=8
+            ).select("o_orderkey", "zkey"),
+            table="orders",
+        ),
         # fixed-width per-group value histogram (sparse buckets)
         "histogram_order_prices": _q(
             lambda o: histogram(
@@ -782,6 +791,43 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             MM.make_media_table(_tables(spark, sf_dir)["documents"])
         ).select("media_id", F.round(F.element_at("feat", 1), 4).alias("f0")),
     }
+
+
+def _zorder_oracle_sql(cols: list[str], bits: int) -> str:
+    """Generate the DuckDB twin of ``with_zorder_key``: identical
+    min/max floor scaling, then the bit interleave written out as
+    shift/and/or arithmetic (mechanical expansion of the same formula
+    the Spark Column expression builds)."""
+    maxrank = (1 << bits) - 1
+    ranks = []
+    for c in cols:
+        ranks.append(
+            f"LEAST(CAST(FLOOR(CASE WHEN (hi_{c} - lo_{c}) > 0 "
+            f"THEN (CAST({c} AS DOUBLE) - lo_{c}) / (hi_{c} - lo_{c}) "
+            f"ELSE 0.0 END * {maxrank + 1}.0) AS BIGINT), {maxrank})"
+        )
+    n = len(cols)
+    terms = [
+        f"((((r{i} >> {b}) & 1)) << {b * n + i})"
+        for b in range(bits)
+        for i in range(n)
+    ]
+    rank_defs = ", ".join(f"{expr} AS r{i}" for i, expr in enumerate(ranks))
+    bounds = ", ".join(
+        f"CAST(MIN({c}) AS DOUBLE) AS lo_{c}, CAST(MAX({c}) AS DOUBLE) AS hi_{c}"
+        for c in cols
+    )
+    return f"""
+        WITH bounds AS (SELECT {bounds} FROM orders),
+        ranked AS (
+          SELECT o_orderkey, {rank_defs}
+          FROM orders CROSS JOIN bounds
+        )
+        SELECT o_orderkey, CAST({' | '.join(terms)} AS BIGINT) AS zkey FROM ranked
+    """
+
+
+_ZORDER_ORDERS_SQL = _zorder_oracle_sql(["o_custkey", "o_totalprice"], bits=8)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1915,6 +1961,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS INT), 'purchase', u3, ROUND(u3 * 1.0 / u1, 6) FROM wide
         """,
+        "zorder_keys_orders": _ZORDER_ORDERS_SQL,
         "diff_orders_snapshots": """
             WITH l AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
             r AS (

@@ -1,0 +1,95 @@
+"""Z-order (Morton) clustered data layout.
+
+Bucketing (``sources/bucketing.py``) co-locates JOINS; Z-ordering
+co-locates SCANS: interleaving the bits of several columns' ranks
+gives a 1-D sort key whose contiguous ranges are small hyper-rectangles
+in N-D value space, so after ``repartitionByRange(zkey)`` + sorted
+parquet writes, every file's min/max footer stats are tight on EVERY
+participating column — a predicate on any one of them prunes most
+files (the "OPTIMIZE ZORDER BY" of lakehouse engines, rebuilt from
+primitives). On a 100 TB table this turns full scans with selective
+2-D predicates into reads of a few percent of files; the key is
+computed with pure Column bit arithmetic (whole-stage codegen, no
+UDF), and the min/max scaling bounds come from one tiny aggregation
+broadcast back into the plan (no driver round-trip in the operator
+itself).
+
+No reference counterpart (the reference reads flat CSV); §2.10
+storage-layout capability row alongside bucketed tables and
+compacted writes.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _scale(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Min/max-scale ``col`` to an integer rank in [0, 2^bits): explicit
+    floor arithmetic (oracle-reproducible), degenerate range -> 0."""
+    span = hi.cast("double") - lo.cast("double")
+    frac = F.when(span > 0, (col.cast("double") - lo.cast("double")) / span).otherwise(
+        F.lit(0.0)
+    )
+    maxrank = (1 << bits) - 1
+    return F.least(
+        F.floor(frac * F.lit(maxrank + 1)).cast("bigint"), F.lit(maxrank)
+    )
+
+
+def zorder_key_from_ranks(ranks: list[Column], bits: int) -> Column:
+    """Interleave ``bits`` low bits of each rank column (first column
+    owns the least-significant interleaved bit). Pure shift/or/and
+    Column arithmetic — one codegen expression, no UDF."""
+    n = len(ranks)
+    terms = []
+    for b in range(bits):
+        for i, r in enumerate(ranks):
+            bit = F.shiftright(r, b).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, b * n + i))
+    return reduce(lambda a, c: a.bitwiseOR(c), terms).alias("zkey")
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    key_name: str = "zkey",
+) -> DataFrame:
+    """Append the Morton key over ``cols`` (numeric), scaling each to
+    its observed min/max. The bounds aggregate is one row, broadcast
+    back — the scan side never shuffles for key computation."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    bounds = df.agg(*aggs)
+    based = df.crossJoin(F.broadcast(bounds))
+    ranks = [
+        _scale(F.col(c), F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits) for c in cols
+    ]
+    out = based.withColumn(key_name, zorder_key_from_ranks(ranks, bits))
+    return out.drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int,
+    bits: int = 16,
+) -> None:
+    """Cluster ``df`` into ``num_files`` parquet files by Z-order over
+    ``cols``: range-partition on the key (contiguous key ranges =
+    compact value-space boxes per file), sort within partitions so
+    row-group stats are tight too, drop the key before writing."""
+    keyed = with_zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(num_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
