@@ -24,6 +24,7 @@ from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
 from sparklyclean_spark.operators import quality as DQ
 from sparklyclean_spark.operators.chunking import sliding_chunks
+from sparklyclean_spark.operators.bloom import bloom_semi_join
 from sparklyclean_spark.operators.diff import diff_summary
 from sparklyclean_spark.operators.funnel import funnel_steps, funnel_summary
 from sparklyclean_spark.operators.profile import histogram
@@ -537,6 +538,7 @@ _DRIVER_CHECK_ORDER = [
     "diff_orders_snapshots",
     "histogram_order_prices",
     "zorder_keys_orders",
+    "bloom_semi_join_orders",
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
     "grouping_sets_order_stats",  # rollup/cube subsumed (3x green r1-r3)
@@ -746,6 +748,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- data-quality / analytics / sketches (round-4 additions) ----------
         # keyed snapshot reconciliation (added/removed/changed counts)
         "diff_orders_snapshots": _diff_orders_snapshots,
+        # bloom prefilter + exact semi join (map-side probe pruning)
+        "bloom_semi_join_orders": lambda spark, sf_dir: (
+            lambda t: bloom_semi_join(
+                t["orders"],
+                t["customer"].where(F.col("c_acctbal") > 9000).select("c_custkey"),
+                "o_custkey",
+                "c_custkey",
+                expected_keys=2000,
+            ).select("o_orderkey", "o_custkey")
+        )(_tables(spark, sf_dir)),
         # Morton clustering key (the ZORDER BY layout primitive)
         "zorder_keys_orders": _q(
             lambda o: with_zorder_key(
@@ -1960,6 +1972,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(2 AS INT), 'click', u2, ROUND(u2 * 1.0 / u1, 6) FROM wide
             UNION ALL
             SELECT CAST(3 AS INT), 'purchase', u3, ROUND(u3 * 1.0 / u1, 6) FROM wide
+        """,
+        "bloom_semi_join_orders": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (
+              SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+            )
         """,
         "zorder_keys_orders": _ZORDER_ORDERS_SQL,
         "diff_orders_snapshots": """
