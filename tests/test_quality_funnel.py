@@ -171,3 +171,59 @@ def test_shard_sketches_are_small(spark):
     sk = shard_sketches(df, F.col("k"), F.col("s"))
     sizes = [len(r["sketch"]) for r in sk.collect()]
     assert len(sizes) == 2 and all(sz < 64 * 1024 for sz in sizes)
+
+
+def test_funnel_property_matches_python_model(spark):
+    """Randomized differential check: the windowed funnel must agree
+    with a sequential per-user Python model (first step-k occurrence
+    at-or-after the step-(k-1) time) on arbitrary event interleavings,
+    including ties and repeated steps."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    steps = ["view", "click", "purchase"]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        events=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=5),   # user
+                st.integers(min_value=0, max_value=20),  # minute (ties likely)
+                st.sampled_from(steps),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(events):
+        rows = [
+            (u, datetime(2024, 1, 1, 0, m), s) for (u, m, s) in events
+        ]
+        df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+        got = {
+            r["user_id"]: r["steps_completed"]
+            for r in funnel_steps(df, steps).collect()
+        }
+        # python model
+        expected = {}
+        by_user: dict[int, list] = {}
+        for u, m, s in events:
+            by_user.setdefault(u, []).append((m, s))
+        for u, evs in by_user.items():
+            prev = None
+            done = 0
+            for step in steps:
+                cands = [m for (m, s) in evs if s == step and (prev is None or m >= prev)]
+                if not cands:
+                    break
+                prev = min(cands)
+                done += 1
+            if done >= 1:
+                expected[u] = done
+        assert got == expected, (events,)
+
+    check()
