@@ -512,8 +512,6 @@ _DRIVER_CHECK_ORDER = [
     # -- never driver-checked in r1-r3 ----------------------------------
     "q7_nation_volume",
     "q11_important_nations",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
     "q15_top_revenue_suppliers",
     "q16_supplier_counts",
     "q17_small_quantity_revenue",
@@ -539,6 +537,8 @@ _DRIVER_CHECK_ORDER = [
     "histogram_order_prices",
     "zorder_keys_orders",
     "bloom_semi_join_orders",
+    "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
+    "dedup_pair_features_customer",
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
     "grouping_sets_order_stats",  # rollup/cube subsumed (3x green r1-r3)
@@ -553,8 +553,6 @@ _DRIVER_CHECK_ORDER = [
     "topk_orders_per_customer",
     "events_resample_ffill_hourly",  # displaced window_running (3x green)
     "scalar_string_date_math",  # set-ops sibling 3x green
-    "dedup_pairs_disdedup_customer",
-    "dedup_pair_features_customer",
     "ml_dedup_confusion",
     "text_tfidf_top_terms",  # language_id sibling 3x green; text family
                              # still has repetition/token_estimate above
@@ -562,6 +560,8 @@ _DRIVER_CHECK_ORDER = [
     "neardup_clusters",
     "embedding_quantize",
     "events_session_windows",
+    "q12_priority_by_status",   # same-family agg shapes, 1x green r4-rotation candidates
+    "q13_order_count_distribution",
 ]
 
 
