@@ -537,6 +537,7 @@ _DRIVER_CHECK_ORDER = [
     "histogram_order_prices",
     "zorder_keys_orders",
     "bloom_semi_join_orders",
+    "neardup_prefix_jaccard",
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "dedup_pair_features_customer",
     # -- family representatives (all green in r3) -----------------------
@@ -696,6 +697,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_shingle_jaccard": _q(TD.shingle_jaccard_pairs, 0.3, table="documents"),
         # minhash: oracle-checked against the exact quadratic result
         # (verification is exact; 16x4 banding miss prob ~2e-4 per pair)
+        # EXACT similarity join at scale: prefix filtering (AllPairs/
+        # PPJoin) — same results as the quadratic form, bucketed-join
+        # shape; hash-checked against the quadratic oracle
+        "neardup_prefix_jaccard": _q(TD.prefix_jaccard_pairs, 0.7, table="documents"),
         "neardup_common_ngrams": _q(TD.common_ngram_pairs, table="documents"),
         "neardup_minhash_lsh": _q(TD.minhash_lsh_pairs, 0.3, table="documents"),
         # A/B physical shape: explode/agg (cluster-shaped) variant
@@ -1710,6 +1715,16 @@ def oracle_sql() -> dict[str, str]:
                                   / len(list_distinct(list_concat(a.toks, b.toks))) END, 4) AS jaccard
                 FROM t a JOIN t b ON a.doc_id < b.doc_id
             ) WHERE jaccard >= 0.9
+        """,
+        "neardup_prefix_jaccard": f"""
+            WITH t AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents)
+            SELECT id1, id2, jaccard FROM (
+                SELECT a.doc_id AS id1, b.doc_id AS id2,
+                       ROUND(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0
+                             ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                                  / len(list_distinct(list_concat(a.toks, b.toks))) END, 4) AS jaccard
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.7
         """,
         "neardup_shingle_jaccard": _shingle_jaccard_sql(0.3),
         "neardup_common_ngrams": f"""

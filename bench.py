@@ -75,6 +75,12 @@ def main() -> None:
         # cluster-shaped plan) — numbers decide which wins per scale
         "neardup_minhash_lsh_exploded",
         "neardup_simhash",
+        # NOT benched: neardup_prefix_jaccard (exact AllPairs/PPJoin
+        # similarity join). The synthetic corpus has a ~200-word
+        # vocabulary, so the TRUE result at sf0.1 is ~1-3M pairs —
+        # wall-time there measures output materialization, not
+        # candidate pruning. It stays driver-checked at sf0.01
+        # against the quadratic oracle (exact-equality guarantee).
         "knn_bruteforce_cosine",
         # ANN pairs path replaced the quadratic all-pairs cosine join
         # (embedding_cosine_neardup stays registered as the oracle)

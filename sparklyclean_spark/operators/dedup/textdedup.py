@@ -601,3 +601,84 @@ def common_ngram_pairs(
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .where(F.col("shared_grams") >= min_shared)
     )
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-Jaccard similarity join at bucketed-join scale:
+    prefix filtering (AllPairs, Bayardo et al. WWW'07; PPJoin, Xiao et
+    al. WWW'08) instead of the quadratic all-pairs comparison.
+
+    Under one GLOBAL token ordering (rarest-first), two docs with
+    ``J >= t`` must share a token inside their first
+    ``n - ceil(t*n) + 1`` tokens — so candidates come from an
+    equi-join on PREFIX tokens only, plus the length filter
+    ``t*n1 <= n2 <= n1/t``; exact Jaccard verification then removes
+    survivors' false positives. Same result set as
+    ``token_jaccard_pairs`` (differential-tested + shared oracle),
+    but the only shuffles are the token-frequency agg, the per-doc
+    re-sort, and the prefix-token equi-join — candidate volume scales
+    with prefix-token collision counts (rare tokens -> tiny buckets),
+    not with corpus^2. The complement to ``minhash_lsh_pairs``: exact
+    answers when recall guarantees matter more than the LSH constant
+    factor.
+
+    The global order needs no global rank assignment: the sort key is
+    the pair ``(document_frequency, token)`` itself, so ordering is
+    established by a join against the df agg — nothing driver-side,
+    nothing single-task.
+
+    Corpus caveat: prefix selectivity comes from vocabulary size. On
+    natural text (vocab >> corpus/doc count) prefixes are rare tokens
+    and buckets are tiny; on a degenerate small-vocab corpus (like the
+    synthetic testdata, ~200 words) most doc pairs genuinely exceed
+    moderate thresholds and the OUTPUT itself is near-quadratic — no
+    algorithm can emit fewer rows than the true result. Pick the
+    threshold accordingly.
+    """
+    t = docs.select(
+        F.col(id_col).alias("id"), F.array_distinct(T.words(text_col)).alias("toks")
+    ).where(F.size("toks") > 0)
+    t = tracked_persist(t)
+    tok = t.select("id", F.explode("toks").alias("tok"))
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc rarest-first ordering: array<struct<df,tok>> sorted
+    ordered = (
+        tok.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("srt"))
+        .select(
+            "id",
+            F.col("srt")["tok"].alias("toks_sorted"),
+            F.size("srt").alias("n"),
+        )
+    )
+    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    pfx = ordered.select(
+        "id", "n", F.explode(F.slice("toks_sorted", F.lit(1), prefix_len)).alias("tok")
+    )
+    a = pfx.select(F.col("id").alias("id1"), F.col("n").alias("n1"), "tok")
+    b = pfx.select(F.col("id").alias("id2"), F.col("n").alias("n2"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (F.col("n2") >= F.ceil(F.lit(threshold) * F.col("n1")))
+            & (F.col("n1") >= F.ceil(F.lit(threshold) * F.col("n2")))
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    t1 = t.select(F.col("id").alias("id1"), F.col("toks").alias("t1"))
+    t2 = t.select(F.col("id").alias("id2"), F.col("toks").alias("t2"))
+    return (
+        cand.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn("jaccard", F.round(_jaccard(F.col("t1"), F.col("t2")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )

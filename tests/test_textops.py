@@ -409,3 +409,48 @@ def test_common_ngram_pairs_semantics(spark):
     relaxed = TD.common_ngram_pairs(docs, n=5, min_shared=1, max_gram_df=10)
     pairs = {(r.id1, r.id2) for r in relaxed.collect()}
     assert (10, 11) in pairs and (1, 2) in pairs
+
+
+def test_prefix_jaccard_equals_quadratic(spark):
+    """Prefix filtering (AllPairs/PPJoin) must reproduce the quadratic
+    exact-Jaccard result set exactly, at several thresholds."""
+    from sparklyclean_spark.operators.dedup.textdedup import (
+        prefix_jaccard_pairs,
+        token_jaccard_pairs,
+    )
+    from sparklyclean_spark.catalog import load_tables
+    from sparklyclean_spark.plans.audit import has_nested_loop_join
+    from tests.conftest import SF_DIR
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    for t in (0.5, 0.7, 0.9):
+        fast = prefix_jaccard_pairs(docs, t)
+        slow = token_jaccard_pairs(docs, t)
+        got = {(r["id1"], r["id2"], r["jaccard"]) for r in fast.collect()}
+        exp = {(r["id1"], r["id2"], r["jaccard"]) for r in slow.collect()}
+        assert got == exp, (t, got ^ exp)
+    assert not has_nested_loop_join(prefix_jaccard_pairs(docs, 0.7))
+
+
+def test_prefix_jaccard_edge_docs(spark):
+    """Singleton docs, identical docs, disjoint docs, and shared-rare
+    -token docs behave exactly per the quadratic definition."""
+    from sparklyclean_spark.operators.dedup.textdedup import (
+        prefix_jaccard_pairs,
+        token_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),        # identical -> J=1.0
+        (3, "alpha beta gamma epsilon"),      # J=0.6 with 1/2
+        (4, "zeta"),                          # singleton
+        (5, "zeta"),                          # identical singleton pair
+        (6, "eta theta iota"),                # disjoint
+        (7, ""),                              # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for t in (0.5, 0.99):
+        got = {(r["id1"], r["id2"]) for r in prefix_jaccard_pairs(docs, t).collect()}
+        exp = {(r["id1"], r["id2"]) for r in token_jaccard_pairs(docs, t).collect()}
+        assert got == exp, t
