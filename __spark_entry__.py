@@ -32,6 +32,7 @@ from sparklyclean_spark.sources.layout import with_zorder_key
 from sparklyclean_spark.operators.sketches import distinct_rollup
 from sparklyclean_spark.operators.mixing import mixture_sample
 from sparklyclean_spark.operators.resample import resample_ffill
+from sparklyclean_spark.operators.sessions import session_summary
 from sparklyclean_spark.operators import curation as CU
 from sparklyclean_spark.operators import sampling as SP
 from sparklyclean_spark.operators import text_analysis as TA
@@ -538,6 +539,7 @@ _DRIVER_CHECK_ORDER = [
     "zorder_keys_orders",
     "bloom_semi_join_orders",
     "neardup_prefix_jaccard",
+    "events_sessionize_4h",            # new in r4: batch sessionization
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "dedup_pair_features_customer",
     # -- family representatives (all green in r3) -----------------------
@@ -546,13 +548,15 @@ _DRIVER_CHECK_ORDER = [
     "approx_distinct_parts_per_brand",
     "q5_revenue_by_nation",
     "anti_join_customers_no_open_orders",  # semi-join sibling 3x green
-    "outer_join_nation_order_counts",
+    # outer_join_nation_order_counts rotated below the window (3x green
+    # r1-r3) to keep the never-checked resample row inside the first 50
     "range_join_events_pairs",
     "asof_purchase_last_click",
     "exists_late_shipment_orders",
     "q6_forecast_revenue",  # displaced price_percentiles (3x green)
     "topk_orders_per_customer",
     "events_resample_ffill_hourly",  # displaced window_running (3x green)
+    "outer_join_nation_order_counts",  # 3x green, rotated out of window
     "scalar_string_date_math",  # set-ops sibling 3x green
     "ml_dedup_confusion",
     "text_tfidf_top_terms",  # language_id sibling 3x green; text family
@@ -742,6 +746,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_hourly": _q(W.tumbling_counts, table="events"),
         "events_sliding_users": _q(W.sliding_user_activity, table="events"),
         "events_session_windows": _q(W.session_windows, table="events"),
+        # batch gap-based sessionization: one shuffle (lag + running sum
+        # share one hashpartitioning(user) exchange), agg keys prefix
+        # the same clustering. 4h gap ~= the synthetic corpus's 25th
+        # pct inter-event time, so sessions are a real mix of sizes.
+        "events_sessionize_4h": _q(
+            session_summary,
+            14400,
+            table="events",
+            tiebreaker="event_id",
+        ),
         # regular per-user hourly grid, last observation carried forward
         "events_resample_ffill_hourly": _q(
             lambda e: resample_ffill(e, ["user_id"], "ts", "value", "1 hour", "event_id")
@@ -1892,6 +1906,35 @@ def oracle_sql() -> dict[str, str]:
         # fixture): an event EXACTLY gap after the previous one still
         # merges; a new session needs a strictly larger silence.
         # Window end = last event + gap.
+        # batch sessionization: same gap recurrence, stated with the
+        # same lag + running-sum windows DuckDB-side; (ts, event_id)
+        # is the shared deterministic order under duplicate timestamps
+        "events_sessionize_4h": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                                 > 14400000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            lab AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_s) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+                FROM g
+            )
+            SELECT user_id, session_idx,
+                   CAST(user_id AS VARCHAR) || '-' ||
+                       CAST(session_idx AS VARCHAR) AS session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
+                       AS duration_sec
+            FROM lab GROUP BY user_id, session_idx
+        """,
         "events_session_windows": """
             WITH o AS (
                 SELECT user_id, ts, value,

@@ -1,0 +1,121 @@
+"""Batch sessionization: gap-based session ids over an event log.
+
+The classic clickstream primitive — consecutive events of one user
+belong to the same session while the gap between them stays under a
+threshold; a gap >= threshold starts a new session. The streaming
+side of the engine already has ``session_window`` aggregation
+(``streaming/windows.py``); this is the BATCH form that also hands
+back the per-event session labels (the streaming built-in only
+emits per-session aggregates).
+
+Scale shape: ONE shuffle. ``lag`` (gap detection) and the running
+``sum`` (session index) are both windows over the SAME
+``partitionBy(user) orderBy(ts)`` spec, so Catalyst plans a single
+``Exchange hashpartitioning(user)`` + one sort and stacks the two
+Window operators on that one physical partitioning. Per-user state
+is a running counter — nothing is buffered beyond the sort. The
+session rollup is a map-side-combinable hash agg on
+``(user, session_idx)``, which is a prefix of the existing
+clustering, so AQE sees a co-partitioned agg.
+
+At 100 TB: sessions never straddle users, so the only skew risk is
+a bot-grade hot user; the per-event labeling remains a single
+sequential scan of that user's sorted partition (no pair blowup),
+which is the best any engine can do for an order-dependent
+recurrence.
+
+No reference counterpart (the reference is batch record-linkage
+only); §2.10 analytics surface. Mirrors the semantics of
+Spark's ``session_window(gap)`` / BigQuery ``SESSIONIZE`` /
+Snowplow sessionization: a new session starts when
+``ts - prev_ts > gap`` (a gap of EXACTLY ``gap`` continues the
+session, matching ``session_window``'s closed-open [start,
+last+gap) semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Label every event with ``session_idx`` (1-based per user) and
+    ``session_id`` (``<user>-<idx>``, globally unique). Ties on
+    ``ts`` are ordered by the full row's remaining sort stability —
+    callers needing determinism under duplicate timestamps should
+    pass a unique tiebreaker in ``ts_col``'s ordering; the registered
+    query orders by (ts, event_id) for exactly that reason.
+    """
+    return _sessionize_ordered(events, gap_seconds, user_col, [ts_col])
+
+
+def _sessionize_ordered(
+    events: DataFrame,
+    gap_seconds: int,
+    user_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    ts_col = order_cols[0]
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    prev = F.lag(ts_col).over(w)
+    # Compare at MICROSECOND resolution: timestamp_diff handles
+    # TIMESTAMP and TIMESTAMP_NTZ alike (a plain cast-to-long rejects
+    # NTZ), and at µs granularity "true difference" and "boundary
+    # crossings" coincide, so the recurrence is engine-portable
+    # (Spark's SECOND unit truncates the difference while DuckDB's
+    # date_diff counts second boundaries — they disagree on
+    # sub-second data).
+    new_session = F.when(
+        prev.isNull()
+        | (
+            F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+            > gap_seconds * 1_000_000
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        events.withColumn("_new", new_session)
+        .withColumn("session_idx", F.sum("_new").over(run).cast("int"))
+        .drop("_new")
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col(user_col).cast("string"), F.col("session_idx")),
+        )
+    )
+
+
+def session_summary(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """One row per session: bounds, event count, duration seconds.
+
+    The agg keys ``(user, session_idx)`` are a prefix of the
+    labeling's hash partitioning, so the rollup adds no exchange
+    beyond the one sessionize already paid.
+    """
+    order_cols = [ts_col] + ([tiebreaker] if tiebreaker else [])
+    labeled = _sessionize_ordered(events, gap_seconds, user_col, order_cols)
+    return labeled.groupBy(user_col, "session_idx", "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        # floor-of-true-difference seconds, stated via the exact µs
+        # diff so the oracle can reproduce it bit-for-bit
+        F.floor(
+            F.timestamp_diff("MICROSECOND", F.min(ts_col), F.max(ts_col))
+            / F.lit(1_000_000)
+        ).alias("duration_sec"),
+    )
