@@ -33,6 +33,7 @@ from sparklyclean_spark.operators.sketches import distinct_rollup
 from sparklyclean_spark.operators.mixing import mixture_sample
 from sparklyclean_spark.operators.resample import resample_ffill
 from sparklyclean_spark.operators.sessions import session_summary
+from sparklyclean_spark.operators.merge import merge_changes
 from sparklyclean_spark.operators import curation as CU
 from sparklyclean_spark.operators import sampling as SP
 from sparklyclean_spark.operators import text_analysis as TA
@@ -358,6 +359,31 @@ def _chunk_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(_tables(spark, sf_dir)["documents"], chunk_tokens=10)
 
 
+def _merge_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO applied to the orders snapshot: every third order
+    arrives as a change (deletes where orderkey % 21 = 0, price-bumped
+    updates otherwise) against a target missing every seventh order
+    (so some updates act as inserts). The change batch is tiny vs the
+    snapshot — the canonical CDC geometry — so it broadcasts and the
+    target side stays entirely un-shuffled (plan-asserted in pytest).
+    The +1000.0 price bump is exact in binary floating point, keeping
+    the oracle comparison bit-stable."""
+    orders = _tables(spark, sf_dir)["orders"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    target = orders.where(F.col("o_orderkey") % 7 != 0).select(*cols)
+    changes = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 21 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+        .select(*cols, "op")
+    )
+    merged = merge_changes(target, changes, ["o_orderkey"], broadcast_changes=True)
+    return merged.withColumn("o_totalprice", F.round("o_totalprice", 4))
+
+
 def _cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-record-wins snapshot of the events change stream, keyed
     by (user_id, event_type). max(struct) aggregate — map-side
@@ -540,6 +566,7 @@ _DRIVER_CHECK_ORDER = [
     "bloom_semi_join_orders",
     "neardup_prefix_jaccard",
     "events_sessionize_4h",            # new in r4: batch sessionization
+    "merge_orders_upsert",             # new in r4: MERGE INTO shape
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "dedup_pair_features_customer",
     # -- family representatives (all green in r3) -----------------------
@@ -547,9 +574,9 @@ _DRIVER_CHECK_ORDER = [
     "grouping_sets_order_stats",  # rollup/cube subsumed (3x green r1-r3)
     "approx_distinct_parts_per_brand",
     "q5_revenue_by_nation",
-    "anti_join_customers_no_open_orders",  # semi-join sibling 3x green
-    # outer_join_nation_order_counts rotated below the window (3x green
-    # r1-r3) to keep the never-checked resample row inside the first 50
+    # anti_join_customers_no_open_orders and outer_join_nation_order_counts
+    # rotated below the window (both 3x green r1-r3) to keep the
+    # never-checked resample + new merge rows inside the first 50
     "range_join_events_pairs",
     "asof_purchase_last_click",
     "exists_late_shipment_orders",
@@ -557,6 +584,7 @@ _DRIVER_CHECK_ORDER = [
     "topk_orders_per_customer",
     "events_resample_ffill_hourly",  # displaced window_running (3x green)
     "outer_join_nation_order_counts",  # 3x green, rotated out of window
+    "anti_join_customers_no_open_orders",  # 3x green, rotated out of window
     "scalar_string_date_math",  # set-ops sibling 3x green
     "ml_dedup_confusion",
     "text_tfidf_top_terms",  # language_id sibling 3x green; text family
@@ -692,6 +720,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_training_sequences": _pack_training_sequences,
         "cdc_latest_events": _cdc_latest_events,
         "scd2_user_values": _scd2_user_values,
+        # MERGE INTO shape: broadcast change batch applied to the orders
+        # snapshot (update/delete/pass-through), target never shuffles
+        "merge_orders_upsert": _merge_orders_upsert,
         "profile_orders_columns": _profile_orders_columns,
         "embedding_quantize": _embedding_quantize,
         # -- near-dup dedup over documents ------------------------------------
@@ -1634,6 +1665,32 @@ def oracle_sql() -> dict[str, str]:
                    (o.value IS NOT NULL) AS is_observed
             FROM grid g LEFT JOIN obs o
               ON g.user_id = o.user_id AND g.bucket_ts = o.bucket_ts
+        """,
+        # MERGE: pass-through = NOT EXISTS against change keys; upserts
+        # = non-delete changes; same +1000.0 exact-in-fp price bump
+        "merge_orders_upsert": """
+            WITH changes AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+                       CASE WHEN o_orderkey % 21 = 0 THEN 'D' ELSE 'U' END AS op
+                FROM orders WHERE o_orderkey % 3 = 0
+            ),
+            target AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate
+                FROM orders WHERE o_orderkey % 7 <> 0
+            )
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   ROUND(o_totalprice, 4) AS o_totalprice, o_orderdate
+            FROM (
+                SELECT t.* FROM target t
+                WHERE NOT EXISTS (SELECT 1 FROM changes c
+                                  WHERE c.o_orderkey = t.o_orderkey)
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate
+                FROM changes WHERE op <> 'D'
+            )
         """,
         "cdc_latest_events": """
             SELECT user_id, event_type, ts, event_id, ROUND(value, 4) AS value

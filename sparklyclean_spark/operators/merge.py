@@ -1,0 +1,68 @@
+"""MERGE INTO / apply-changes: upsert a keyed change set into a
+snapshot (the lakehouse writer primitive, Delta/Iceberg MERGE shape).
+
+``latest_by_key`` (``operators/cdc.py``) answers "what is the current
+value per key *within* a change log"; this operator applies such a
+change set TO an existing target snapshot:
+
+* a change row whose op is ``delete_op`` removes the target row,
+* any other change row replaces it (update) or creates it (insert),
+* target rows with no matching change pass through untouched.
+
+Scale shape: ONE equi-shuffle. The pass-through set is a left
+anti-join of target against the change keys; the surviving upserts
+are unioned in. Both legs hash-partition on the key, so AQE plans a
+single exchange per side and the union is exchange-free. The typical
+CDC geometry — a small daily change batch against a huge snapshot —
+is served by ``broadcast_changes=True``, which turns the anti-join
+into a broadcast hash join and leaves the 100 TB target entirely
+un-shuffled (map-side filter + concat; the only wide operation is
+gone). When the change set is itself large, leave it off and pay the
+one co-partitioned shuffle.
+
+Multi-version change batches are compacted first with the same
+map-side-combinable ``max(struct)`` collapse as ``latest_by_key``
+(pass ``order_cols``), so "update then delete within one batch"
+resolves to the final delete, matching MERGE-with-latest-change
+semantics rather than failing on duplicate matches (Delta's MERGE
+raises on multiple source matches; compaction is the standard fix).
+
+No reference counterpart (the reference never rewrites data in
+place); SURVEY §2.10 lakehouse/CDC surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.operators.cdc import latest_by_key
+
+
+def merge_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    order_cols: list[str] | None = None,
+    broadcast_changes: bool = False,
+) -> DataFrame:
+    """Return the post-merge snapshot, schema == ``target.columns``.
+
+    ``changes`` must carry every target column plus ``op_col`` (and
+    ``order_cols`` if compaction is requested). With ``order_cols``
+    the change set is first collapsed to the latest change per key.
+    """
+    payload = [c for c in target.columns if c not in keys]
+    if order_cols is not None:
+        changes = latest_by_key(changes, keys, order_cols, payload + [op_col]).drop(
+            *order_cols
+        )
+
+    change_keys = changes.select(*keys)
+    if broadcast_changes:
+        change_keys = F.broadcast(change_keys)
+    untouched = target.join(change_keys, keys, "left_anti")
+    upserts = changes.where(F.col(op_col) != F.lit(delete_op)).select(*target.columns)
+    return untouched.unionByName(upserts)

@@ -1,0 +1,77 @@
+"""MERGE/apply-changes: differential test against a dict-based model,
+compaction ordering, and the broadcast plan claim."""
+
+from __future__ import annotations
+
+from sparklyclean_spark.operators.merge import merge_changes
+
+
+def _df(spark, rows, schema="k bigint, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_merge_matches_dict_model(spark):
+    target = [(i, f"old{i}") for i in range(20)]
+    # updates on multiples of 3, deletes on multiples of 7, inserts at 100+
+    changes = (
+        [(i, f"new{i}", "U") for i in range(0, 20, 3)]
+        + [(i, "x", "D") for i in range(0, 20, 7)]
+        + [(100 + i, f"ins{i}", "U") for i in range(3)]
+    )
+    # dict model: deletes win where both ops touch a key (0, 7, 14 —
+    # build changes map with delete applied last, mirroring that the
+    # test feeds non-conflicting ops except multiples of 21... here
+    # keys 0,7,14 appear twice; resolve per the LAST entry in the list
+    model = {k: v for k, v in target}
+    for k, v, op in changes:
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    # make the change set single-op-per-key the same way: keep last
+    seen = {}
+    for k, v, op in changes:
+        seen[k] = (k, v, op)
+    sdf = merge_changes(
+        _df(spark, target),
+        _df(spark, list(seen.values()), "k bigint, v string, op string"),
+        ["k"],
+    )
+    assert {(r.k, r.v) for r in sdf.collect()} == set(model.items())
+    assert sdf.columns == ["k", "v"]
+
+
+def test_compaction_latest_change_wins(spark):
+    target = [(1, "old"), (2, "old")]
+    # key 1: update @t1 then delete @t2 -> deleted
+    # key 2: delete @t1 then update @t2 -> updated
+    # key 3: insert @t1 then update @t2 -> latest insert payload
+    changes = [
+        (1, "a", "U", 1),
+        (1, "a", "D", 2),
+        (2, "b", "D", 1),
+        (2, "b2", "U", 2),
+        (3, "c", "U", 1),
+        (3, "c2", "U", 2),
+    ]
+    out = merge_changes(
+        _df(spark, target),
+        _df(spark, changes, "k bigint, v string, op string, ver int"),
+        ["k"],
+        order_cols=["ver"],
+    )
+    assert {(r.k, r.v) for r in out.collect()} == {(2, "b2"), (3, "c2")}
+
+
+def test_broadcast_changes_leaves_target_unshuffled(spark):
+    target = _df(spark, [(1, "a")])
+    changes = _df(spark, [(1, "b", "U")], "k bigint, v string, op string")
+    plan = (
+        merge_changes(target, changes, ["k"], broadcast_changes=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the target side must not hash-exchange for the anti join
+    assert "Exchange hashpartitioning(k" not in plan
