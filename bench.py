@@ -120,6 +120,10 @@ def main() -> None:
         "sketch_distinct_users_daily",
         # keyed snapshot reconciliation: full-outer join on (key, hash)
         "diff_orders_snapshots",
+        # batch sessionization (one exchange: lag + running sum + rollup)
+        "events_sessionize_4h",
+        # MERGE INTO: broadcast change batch, un-shuffled target
+        "merge_orders_upsert",
     ]
 
     def run_once(name: str) -> float:
