@@ -32,7 +32,7 @@ from sparklyclean_spark.sources.layout import with_zorder_key
 from sparklyclean_spark.operators.sketches import distinct_rollup
 from sparklyclean_spark.operators.mixing import mixture_sample
 from sparklyclean_spark.operators.resample import resample_ffill
-from sparklyclean_spark.operators.sessions import session_summary
+from sparklyclean_spark.operators.sessions import session_sequences, session_summary
 from sparklyclean_spark.operators.merge import merge_changes
 from sparklyclean_spark.operators import curation as CU
 from sparklyclean_spark.operators import sampling as SP
@@ -567,11 +567,13 @@ _DRIVER_CHECK_ORDER = [
     "neardup_prefix_jaccard",
     "events_sessionize_4h",            # new in r4: batch sessionization
     "merge_orders_upsert",             # new in r4: MERGE INTO shape
+    "session_event_sequences_4h",      # new in r4: per-session sequences
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "dedup_pair_features_customer",
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
-    "grouping_sets_order_stats",  # rollup/cube subsumed (3x green r1-r3)
+    # grouping_sets_order_stats rotated below the window (3x green,
+    # rollup/cube siblings also 3x green) for the new sequences row
     "approx_distinct_parts_per_brand",
     "q5_revenue_by_nation",
     # anti_join_customers_no_open_orders and outer_join_nation_order_counts
@@ -585,6 +587,7 @@ _DRIVER_CHECK_ORDER = [
     "events_resample_ffill_hourly",  # displaced window_running (3x green)
     "outer_join_nation_order_counts",  # 3x green, rotated out of window
     "anti_join_customers_no_open_orders",  # 3x green, rotated out of window
+    "grouping_sets_order_stats",  # 3x green, rotated out of window
     "scalar_string_date_math",  # set-ops sibling 3x green
     "ml_dedup_confusion",
     "text_tfidf_top_terms",  # language_id sibling 3x green; text family
@@ -783,6 +786,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pct inter-event time, so sessions are a real mix of sizes.
         "events_sessionize_4h": _q(
             session_summary,
+            14400,
+            table="events",
+            tiebreaker="event_id",
+        ),
+        # per-session ordered event-type sequences (training rows for
+        # next-event modeling); explicit array_sort(collect_list(struct))
+        # ordering, agg co-partitioned with the session labeling
+        "session_event_sequences_4h": _q(
+            session_sequences,
             14400,
             table="events",
             tiebreaker="event_id",
@@ -1990,6 +2002,33 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
                        AS duration_sec
+            FROM lab GROUP BY user_id, session_idx
+        """,
+        # same session recurrence, sequence = string_agg ordered by the
+        # shared (ts, event_id) total order
+        "session_event_sequences_4h": """
+            WITH g AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                              OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                                 > 14400000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            lab AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CAST(SUM(new_s) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+                FROM g
+            )
+            SELECT user_id, session_idx,
+                   CAST(user_id AS VARCHAR) || '-' ||
+                       CAST(session_idx AS VARCHAR) AS session_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS sequence,
+                   COUNT(*) AS seq_len
             FROM lab GROUP BY user_id, session_idx
         """,
         "events_session_windows": """

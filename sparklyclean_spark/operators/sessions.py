@@ -93,6 +93,46 @@ def _sessionize_ordered(
     )
 
 
+def session_sequences(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreaker: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Per-session ordered event-type sequences — the construction
+    step for behavioral sequence modeling (next-event prediction
+    training rows): one row per session with the chronological
+    ``sequence`` string and its length.
+
+    Ordering inside a session is done engine-side with
+    ``sort_array(collect_list(struct(order..., type)))`` rather than a
+    window + collect_list (whose order is only a partition-sort side
+    effect); the struct sort makes the sequence order an explicit,
+    engine-portable property. The agg keys ``(user, session_idx)``
+    prefix sessionize's hash partitioning, so sequence assembly adds
+    no exchange beyond the one the labeling already paid (same
+    single-exchange claim as ``session_summary``, plan-asserted in
+    pytest).
+
+    At 100 TB the per-session state is the session's own events —
+    bounded by the gap parameter, never the user's full history.
+    """
+    order_cols = [ts_col] + ([tiebreaker] if tiebreaker else [])
+    labeled = _sessionize_ordered(events, gap_seconds, user_col, order_cols)
+    packed = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], F.col(type_col).alias("_t"))
+        )
+    )
+    return labeled.groupBy(user_col, "session_idx", "session_id").agg(
+        F.array_join(packed.getField("_t"), sep).alias("sequence"),
+        F.count(F.lit(1)).alias("seq_len"),
+    )
+
+
 def session_summary(
     events: DataFrame,
     gap_seconds: int = 1800,

@@ -101,3 +101,35 @@ def test_sessionize_single_exchange(spark):
         _events(spark, [(1, T0, 1)]), gap_seconds=60, tiebreaker="event_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_session_sequences_order_and_partitioning(spark):
+    """Sequences are chronological within a session (tiebroken by
+    event_id), bounded by the session, and assembly shares the single
+    exchange with the labeling."""
+    from sparklyclean_spark.operators.sessions import session_sequences
+
+    rows = [
+        (1, T0, 1, "view"),
+        (1, T0, 0, "land"),  # same instant: event_id orders it first
+        (1, T0 + timedelta(seconds=300), 2, "click"),
+        (1, T0 + timedelta(seconds=7200), 3, "view"),  # new session
+        (2, T0, 4, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    )
+    out = session_sequences(df, gap_seconds=1800, tiebreaker="event_id")
+    got = {r.session_id: (r.sequence, r.seq_len) for r in out.collect()}
+    assert got == {
+        "1-1": ("land>view>click", 3),
+        "1-2": ("view", 1),
+        "2-1": ("view", 1),
+    }
+    plan = (
+        session_sequences(df, gap_seconds=1800, tiebreaker="event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
