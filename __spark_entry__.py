@@ -34,6 +34,7 @@ from sparklyclean_spark.operators.mixing import mixture_sample
 from sparklyclean_spark.operators.resample import resample_ffill
 from sparklyclean_spark.operators.sessions import session_sequences, session_summary
 from sparklyclean_spark.operators.merge import merge_changes
+from sparklyclean_spark.operators.dedup.chunks import chunk_dedup_within_doc
 from sparklyclean_spark.operators import curation as CU
 from sparklyclean_spark.operators import sampling as SP
 from sparklyclean_spark.operators import text_analysis as TA
@@ -568,13 +569,14 @@ _DRIVER_CHECK_ORDER = [
     "events_sessionize_4h",            # new in r4: batch sessionization
     "merge_orders_upsert",             # new in r4: MERGE INTO shape
     "session_event_sequences_4h",      # new in r4: per-session sequences
+    "chunk_dedup_within_doc",          # new in r4: intra-doc span dedup
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "dedup_pair_features_customer",
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
-    # grouping_sets_order_stats rotated below the window (3x green,
-    # rollup/cube siblings also 3x green) for the new sequences row
-    "approx_distinct_parts_per_brand",
+    # grouping_sets_order_stats + approx_distinct_parts_per_brand rotated
+    # below the window (3x green; sibling agg shapes also 3x green) for
+    # the new sequences + intra-doc dedup rows
     "q5_revenue_by_nation",
     # anti_join_customers_no_open_orders and outer_join_nation_order_counts
     # rotated below the window (both 3x green r1-r3) to keep the
@@ -588,6 +590,7 @@ _DRIVER_CHECK_ORDER = [
     "outer_join_nation_order_counts",  # 3x green, rotated out of window
     "anti_join_customers_no_open_orders",  # 3x green, rotated out of window
     "grouping_sets_order_stats",  # 3x green, rotated out of window
+    "approx_distinct_parts_per_brand",  # 3x green, rotated out of window
     "scalar_string_date_math",  # set-ops sibling 3x green
     "ml_dedup_confusion",
     "text_tfidf_top_terms",  # language_id sibling 3x green; text family
@@ -731,6 +734,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- near-dup dedup over documents ------------------------------------
         "dedup_exact_documents": _q(TD.exact_dedup, table="documents"),
         "chunk_dedup_documents": _chunk_dedup_documents,
+        # intra-doc repeated-span removal: zero-shuffle projection
+        "chunk_dedup_within_doc": lambda spark, sf_dir: chunk_dedup_within_doc(
+            _tables(spark, sf_dir)["documents"], chunk_tokens=10
+        ),
         "neardup_token_jaccard": _q(TD.token_jaccard_pairs, 0.9, table="documents"),
         "neardup_shingle_jaccard": _q(TD.shingle_jaccard_pairs, 0.3, table="documents"),
         # minhash: oracle-checked against the exact quadratic result
@@ -1781,6 +1788,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_chunks AS INT) AS n_chunks,
                    CAST(t.n_chunks - COALESCE(s.n_kept, 0) AS INT) AS n_dropped,
                    COALESCE(s.clean_text, '') AS clean_text
+            FROM tot t LEFT JOIN surv s USING (doc_id)
+        """,
+        # intra-doc variant: first occurrence WITHIN the same document
+        # (partition adds doc_id), same chunk grid
+        "chunk_dedup_within_doc": f"""
+            WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+            ch AS (
+                SELECT doc_id,
+                       unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i,
+                       w
+                FROM w
+            ),
+            c2 AS (
+                SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                       array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+                FROM ch
+            ),
+            kept AS (
+                SELECT doc_id, chunk_idx, chunk FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, chunk
+                                  ORDER BY chunk_idx) AS rn
+                    FROM c2
+                ) WHERE rn = 1
+            ),
+            surv AS (
+                SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_deduped
+                FROM kept GROUP BY doc_id
+            ),
+            tot AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN 0
+                            ELSE CAST(ceil(len(w) / 10.0) AS INT) END AS n_chunks
+                FROM w
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_chunks AS INT) AS n_chunks,
+                   CAST(COALESCE(s.n_kept, 0) AS INT) AS n_kept,
+                   COALESCE(s.text_deduped, '') AS text_deduped
             FROM tot t LEFT JOIN surv s USING (doc_id)
         """,
         # -- near-dup dedup ----------------------------------------------------

@@ -101,3 +101,38 @@ def chunk_dedup(
             F.concat_ws(" ", kept_chunks)
         ).alias("clean_text"),
     )
+
+
+def chunk_dedup_within_doc(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repeated-span removal (the RefinedWeb
+    "remove repetition within a page" cleanup, on the same fixed
+    token-chunk grid as the corpus-global ``chunk_dedup``): every
+    chunk that already occurred EARLIER IN THE SAME DOCUMENT is
+    dropped, first occurrence kept, order preserved.
+
+    Scale shape — ZERO shuffles, the contrast to the global form:
+    the dedup predicate ("is this chunk's first occurrence its own
+    position?") only reads the document's own chunk array, so the
+    whole operator is a projection: ``filter(chunks, (c, i) ->
+    array_position(chunks, c) == i + 1)`` evaluated map-side.
+    Per-doc cost is O(chunks²) array scans on in-memory arrays,
+    bounded by document length — no exchange, no join, no agg;
+    100 TB runs as a pure scan→write. (Plan-asserted: 0 exchanges.)
+
+    Output: id, ``n_chunks``, ``n_kept``, ``text_deduped``.
+    """
+    chunks = _chunk_array(text_col, chunk_tokens)
+    kept = F.filter(
+        chunks, lambda c, i: F.array_position(chunks, c) == i + F.lit(1)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(chunks).cast("int").alias("n_chunks"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.array_join(kept, " ").alias("text_deduped"),
+    )

@@ -145,3 +145,29 @@ def test_mixture_hits_target_proportions(spark):
     a = {r["doc_id"] for r in out.select("doc_id").collect()}
     b = {r["doc_id"] for r in mixture_sample(docs, "lang", targets, "doc_id").select("doc_id").collect()}
     assert a == b
+
+
+def test_chunk_dedup_within_doc_semantics_and_plan(spark):
+    """Intra-doc span dedup: first occurrence kept in order, other
+    docs' identical chunks untouched (the contrast with the global
+    form), and the plan has ZERO exchanges (pure projection)."""
+    from sparklyclean_spark.operators.dedup.chunks import chunk_dedup_within_doc
+
+    ten = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [
+            (1, f"{ten} {ten} k l"),  # repeated chunk inside one doc
+            (2, ten),  # same chunk in ANOTHER doc: must stay
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_dedup_within_doc(df, 10)
+    got = {r.doc_id: (r.n_chunks, r.n_kept, r.text_deduped) for r in out.collect()}
+    assert got == {
+        1: (3, 2, f"{ten} k l"),
+        2: (1, 1, ten),
+        3: (0, 0, ""),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
