@@ -17,8 +17,9 @@ position inside that cell. Consequences callers should know:
 Scale shape: the naive formulation is ``sum() OVER (ORDER BY ...)``
 — a single-task global window. This implementation reuses the
 two-phase distributed prefix sum from ``operators/ids.py``
-(``ranged_with_offsets``): range partition on the pack order, local
-cumulative sum per partition, broadcast per-partition start offsets.
+(``ranged_with_offsets``): data-derived order buckets, local
+cumulative sum per bucket, broadcast per-bucket start offsets —
+deterministic by construction (see ids.py docstring).
 
 No reference counterpart; §2.10 capability-gap operator.
 """
@@ -44,7 +45,7 @@ def pack_sequences(
     size = F.col(size_col) if isinstance(size_col, str) else size_col
     based = ranged_with_offsets(df, order_by, size.cast("bigint"), num_partitions)
     local_w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_bucket")
         .orderBy(*[F.col(c) for c in order_by])
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -55,5 +56,5 @@ def pack_sequences(
         .withColumn(
             "bin_offset", (F.col("cum_before") - F.col("bin_id") * budget).cast("bigint")
         )
-        .drop("_pid", "_w", "_local_before", "_off")
+        .drop("_bucket", "_w", "_local_before", "_off")
     )

@@ -244,13 +244,14 @@ def test_pack_sequences_contract(spark):
 
 def test_prefix_sum_deterministic_under_aqe(spark):
     """Repeat-run stability of the shared two-phase prefix sum
-    (``ranged_with_offsets``): ``spark_partition_id()`` must be
-    evaluated on ONE materialized partitioning — without the eager
-    localCheckpoint in ids.py the offsets aggregate and the join probe
-    are independent range exchanges that AQE can coalesce differently,
-    making results flicker across executions (the r3 driver flake on
-    pack_training_sequences). Five executions each, AQE on, must hash
-    identically."""
+    (``ranged_with_offsets``): bucket ids must be a pure function of
+    row data. The earlier ``spark_partition_id()`` formulation let AQE
+    coalesce the offsets-aggregate branch and the join-probe branch
+    differently, flipping values across executions (the r3/r4 driver
+    flake on pack_training_sequences). Five executions each, AQE on,
+    must hash identically — and exercise BOTH bucket paths: dense_ids
+    on (lang, doc_id) hits the exact low-cardinality index + numeric
+    sub-bucket path; pack on doc_id hits the pure range-bounds path."""
     from sparklyclean_spark.functions import text as T
     from sparklyclean_spark.operators.ids import dense_ids
     from sparklyclean_spark.operators.packing import pack_sequences
