@@ -537,16 +537,18 @@ _DRIVER_CHECK_ORDER = [
     "winsorize_order_prices",    # NULL guard added
     "cdc_latest_events",         # comparator restructured
     "multimodal_decode_meta",    # must stay unchanged after codec work
-    # -- never driver-checked in r1-r3 ----------------------------------
-    "q7_nation_volume",
-    "q11_important_nations",
-    "q15_top_revenue_suppliers",
-    "q16_supplier_counts",
+    # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    # -- first green r4, kept for a second recorded round ----------------
     "q17_small_quantity_revenue",
-    "q20_promo_heavy_suppliers",
     "q21_waiting_orders_suppliers",
     "q22_idle_rich_customers",
     "text_repetition_signals",
+    # integer-only diagnostic twin (VERDICT r4 item 2): if this is
+    # green while the fraction row above is red, the divergence is in
+    # float rounding/formatting, not the count plan
+    "text_repetition_signals_counts",
     "text_token_estimate",
     "sample_docs_weighted",
     "sample_docs_per_lang",
@@ -599,8 +601,13 @@ _DRIVER_CHECK_ORDER = [
     "neardup_clusters",
     "embedding_quantize",
     "events_session_windows",
-    "q12_priority_by_status",   # same-family agg shapes, 1x green r4-rotation candidates
-    "q13_order_count_distribution",
+    # 1x green r4, untouched — rotated below the window for the r5
+    # diagnostics (q12/q13 promotions + repetition counts twin)
+    "q7_nation_volume",
+    "q11_important_nations",
+    "q15_top_revenue_suppliers",
+    "q16_supplier_counts",
+    "q20_promo_heavy_suppliers",
 ]
 
 
@@ -691,6 +698,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": _q(TA.top_ngrams, table="documents"),
         "decontam_overlap": _decontam_overlap,
         "text_repetition_signals": _q(TA.repetition_signals, table="documents"),
+        # integer-only diagnostic twin of text_repetition_signals: same
+        # count pipeline, no division/rounding — localizes whether a
+        # hash mismatch on the fraction row is float formatting or plan
+        "text_repetition_signals_counts": _q(TA.repetition_counts, table="documents"),
         "pii_redaction": _pii_redaction,
         "text_token_estimate": _q(TA.token_estimate, table="documents"),
         # deterministic (hash-derived) sampling & splitting
@@ -1489,6 +1500,30 @@ def oracle_sql() -> dict[str, str]:
                    (COALESCE(ROUND(pt.top_tok_c / pt.n_tokens, 4), 0.0) > 0.2
                     OR COALESCE(ROUND(pg.top_gram_c / pg.n_bigrams, 4), 0.0) > 0.18)
                        AS repetitive
+            FROM documents d
+            LEFT JOIN pt ON d.doc_id = pt.doc_id
+            LEFT JOIN pg ON d.doc_id = pg.doc_id
+        """,
+        "text_repetition_signals_counts": f"""
+            WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+            t AS (SELECT doc_id, unnest(w) AS tok FROM w),
+            tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+            pt AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_uniq,
+                          MAX(c) AS top_tok_c
+                   FROM tc GROUP BY doc_id),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(range(1, GREATEST(len(w) - 1, 0) + 1),
+                                i -> w[i] || ' ' || w[i+1])) AS gram
+                  FROM w),
+            gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+            pg AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_gram_c
+                   FROM gc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(pt.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(pt.n_uniq, 0) AS BIGINT) AS n_uniq,
+                   CAST(COALESCE(pt.top_tok_c, 0) AS BIGINT) AS top_tok_c,
+                   CAST(COALESCE(pg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(pg.top_gram_c, 0) AS BIGINT) AS top_gram_c
             FROM documents d
             LEFT JOIN pt ON d.doc_id = pt.doc_id
             LEFT JOIN pg ON d.doc_id = pg.doc_id

@@ -83,21 +83,15 @@ def token_estimate(docs: DataFrame) -> DataFrame:
     )
 
 
-def repetition_signals(
-    docs: DataFrame,
-    top_token_max: float = 0.2,
-    top_bigram_max: float = 0.18,
-) -> DataFrame:
-    """Gopher-style repetition quality signals per document:
-    distinct-token fraction, most-frequent-token share, and
-    most-frequent-bigram share, plus a ``repetitive`` flag when
-    either share exceeds its bound (defaults follow the published
-    Gopher repetition-filter thresholds for 2-grams).
-
-    All-codegen shape: two explode→hash-agg pipelines (tokens and
-    window-lead bigrams) reduced per (doc, term) then per doc — every
-    shuffle benefits from map-side partial aggregation; no HOFs, no
-    Python. Empty docs score 0 and are never flagged."""
+def repetition_counts(docs: DataFrame) -> DataFrame:
+    """Integer-only repetition statistics per document: total/distinct
+    token counts, the most-frequent token's count, bigram total and
+    the most-frequent bigram's count. No division, no rounding —
+    every column is a BIGINT, so any engine computing the same bag of
+    tokens must hash identically. This is both the shared core of
+    ``repetition_signals`` and its driver-checkable diagnostic form
+    (fraction rows can diverge only in float formatting/rounding if
+    this row matches)."""
     toks = docs.select(
         F.col("doc_id").alias("__id"),
         F.posexplode(T.words("text")).alias("__pos", "__tok"),
@@ -127,6 +121,32 @@ def repetition_signals(
         .join(per_doc_gram, F.col("doc_id") == per_doc_gram["__id"], "left")
         .drop("__id")
     )
+    return joined.select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("n_uniq", F.lit(0)).cast("bigint").alias("n_uniq"),
+        F.coalesce("top_tok_c", F.lit(0)).cast("bigint").alias("top_tok_c"),
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("top_gram_c", F.lit(0)).cast("bigint").alias("top_gram_c"),
+    )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    top_token_max: float = 0.2,
+    top_bigram_max: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    distinct-token fraction, most-frequent-token share, and
+    most-frequent-bigram share, plus a ``repetitive`` flag when
+    either share exceeds its bound (defaults follow the published
+    Gopher repetition-filter thresholds for 2-grams).
+
+    All-codegen shape: two explode→hash-agg pipelines (tokens and
+    window-lead bigrams) reduced per (doc, term) then per doc — every
+    shuffle benefits from map-side partial aggregation; no HOFs, no
+    Python. Empty docs score 0 and are never flagged."""
+    joined = repetition_counts(docs)
     uniq_frac = F.when(
         F.col("n_tokens") > 0, F.round(F.col("n_uniq") / F.col("n_tokens"), 4)
     ).otherwise(0.0)
