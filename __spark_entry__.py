@@ -257,6 +257,37 @@ def _knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-VERIFIED ANN quality number (VERDICT r4 item 6): per-query
+    recall@5 of the sign-LSH bucketed path against the exact brute-force
+    top-k. Unlike IVF (iterative k-means — inherently engine-side), the
+    LSH path is a pure function of the data and the DETERMINISTIC
+    Rademacher plane literals (knn._rademacher_planes), so DuckDB can
+    recompute BOTH sides: same plane dots, same band buckets, same
+    candidate join, same cosine re-rank. The recall value itself is
+    therefore hash-checked end-to-end, not engine-trusted."""
+    from sparklyclean_spark.operators.similarity.knn import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = lsh_bucketed_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("recall_at_5")
+        )
+    )
+
+
 def _asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each purchase event, the most recent click at-or-before it
     by the same user (backward-inclusive as-of join). Sort-based
@@ -532,11 +563,12 @@ _DRIVER_CHECK_ORDER = [
     "dense_ids_documents",       # shares ranged_with_offsets
     "dedup_pairs_naive_skewed",      # new skew A/B
     "dedup_pairs_disdedup_skewed",   # new skew A/B
-    "knn_ivf_recall",            # new ANN-quality row (rows-only)
+    "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
+    "knn_lsh_recall",            # r5: ANN recall with a FULL DuckDB oracle
     "orders_above_global_avg",   # broadcast hint added
     "winsorize_order_prices",    # NULL guard added
     "cdc_latest_events",         # comparator restructured
-    "multimodal_decode_meta",    # must stay unchanged after codec work
+    "embedding_quantize",        # r5: digest path moved to mapInPandas
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
     "q12_priority_by_status",
     "q13_order_count_distribution",
@@ -589,8 +621,8 @@ _DRIVER_CHECK_ORDER = [
     "q6_forecast_revenue",  # displaced price_percentiles (3x green)
     "topk_orders_per_customer",
     "events_resample_ffill_hourly",  # displaced window_running (3x green)
-    "outer_join_nation_order_counts",  # 3x green, rotated out of window
     "anti_join_customers_no_open_orders",  # 3x green, rotated out of window
+    "outer_join_nation_order_counts",  # 3x green, rotated out of window
     "grouping_sets_order_stats",  # 3x green, rotated out of window
     "approx_distinct_parts_per_brand",  # 3x green, rotated out of window
     "scalar_string_date_math",  # set-ops sibling 3x green
@@ -599,10 +631,10 @@ _DRIVER_CHECK_ORDER = [
                              # still has repetition/token_estimate above
     "neardup_minhash_lsh",
     "neardup_clusters",
-    "embedding_quantize",
     "events_session_windows",
     # 1x green r4, untouched — rotated below the window for the r5
     # diagnostics (q12/q13 promotions + repetition counts twin)
+    "multimodal_decode_meta",
     "q7_nation_volume",
     "q11_important_nations",
     "q15_top_revenue_suppliers",
@@ -794,6 +826,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_cosine": _knn_lsh,
         "knn_ivf_cosine": _knn_ivf,
         "knn_ivf_recall": _knn_ivf_recall,
+        "knn_lsh_recall": _knn_lsh_recall,
         # -- event-time windowing (batch semantics == streaming plan) ---------
         "events_tumbling_hourly": _q(W.tumbling_counts, table="events"),
         "events_sliding_users": _q(W.sliding_user_activity, table="events"),
@@ -2027,6 +2060,49 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.vec_id < 10
             ) WHERE rank <= 5
         """,
+        # full both-sides oracle for the LSH ANN path: the Rademacher
+        # planes are deterministic literals, so DuckDB recomputes the
+        # band buckets, the candidate join, the cosine re-rank AND the
+        # exact top-k — the recall value is hash-checked end-to-end
+        "knn_lsh_recall": f"""
+            WITH sig AS (
+                SELECT vec_id, embedding, unnest({_lsh_bands_sql()}) AS bb
+                FROM embeddings
+            ),
+            s AS (SELECT vec_id, embedding, bb.band AS band, bb.bucket AS bucket FROM sig),
+            cand AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM s q JOIN s c ON q.band = c.band AND q.bucket = c.bucket
+                                 AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+            ),
+            approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT cand.query_id, cand.neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                ORDER BY {_COS_SQL} DESC, cand.neighbor_id ASC) AS rank
+                    FROM cand
+                    JOIN embeddings a ON a.vec_id = cand.query_id
+                    JOIN embeddings b ON b.vec_id = cand.neighbor_id
+                ) WHERE rank <= 5
+            ),
+            exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+                    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+                    WHERE a.vec_id < 10
+                ) WHERE rank <= 5
+            )
+            SELECT e.query_id,
+                   ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                         / COUNT(*), 4) AS recall_at_5
+            FROM exact e
+            LEFT JOIN approx a ON a.query_id = e.query_id
+                              AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        """,
         # -- event-time windowing ---------------------------------------------
         "events_tumbling_hourly": """
             SELECT date_trunc('hour', ts) AS window_start,
@@ -2362,6 +2438,30 @@ _COS_SQL = (
     " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
 )
+
+
+def _lsh_bands_sql(n_planes: int = 16, bands: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of knn.lsh_bucketed_topk's banded sign sketch: the
+    SAME deterministic Rademacher plane matrix rendered as ±1.0
+    literals, one dot product per plane, bits concatenated per band.
+    Returns a list literal of {'band', 'bucket'} structs to unnest."""
+    from sparklyclean_spark.operators.similarity.knn import _rademacher_planes
+
+    planes = _rademacher_planes(n_planes, dim)
+    rows = n_planes // bands
+    bits = []
+    for p in range(n_planes):
+        lits = ",".join("1.0" if planes[i, p] > 0 else "-1.0" for i in range(dim))
+        dot = (
+            f"list_sum(list_transform(range(1, {dim} + 1),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]))"
+        )
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    structs = ", ".join(
+        "{'band': %d, 'bucket': %s}" % (b, " || ".join(bits[b * rows : (b + 1) * rows]))
+        for b in range(bands)
+    )
+    return f"[{structs}]"
 
 def _profile_sql() -> str:
     """DuckDB twin of profile_columns(orders, _PROFILE_COLS): one

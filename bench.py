@@ -170,18 +170,22 @@ def main() -> None:
         print(f"  {name}: {timings[name]}s (raw {raw[name]})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "raw_runs": raw,
-                "sf": sf_dir,
-            }
-        )
-    )
+    # The driver captures only the tail of stdout; with 28 queries the
+    # raw_runs made the one JSON line outgrow its window and round 4
+    # recorded no bench at all. Keep the LAST stdout line compact
+    # (totals + per-query min only); full raw samples go to stderr and
+    # BENCH_RAW.json for humans.
+    compact = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RAW.json"), "w") as f:
+        json.dump({**compact, "raw_runs": raw}, f)
+    print(json.dumps({**compact, "raw_runs": raw}), file=sys.stderr)
+    print(json.dumps(compact))
     spark.stop()
 
 
