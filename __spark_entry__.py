@@ -416,6 +416,31 @@ def _merge_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn("o_totalprice", F.round("o_totalprice", 4))
 
 
+def _merge_replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent-replay guarantee of the CDC apply path, driver-
+    checked (VERDICT r4 item 9): the SAME change batch is applied
+    TWICE through merge_changes — exactly what a foreachBatch retry
+    does after a sink failure (streaming/upsert.py replays a batch id
+    with identical rows). The oracle applies the batch ONCE in SQL, so
+    the hash match proves apply∘apply == apply on real data, not just
+    in pytest."""
+    orders = _tables(spark, sf_dir)["orders"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    target = orders.where(F.col("o_orderkey") % 7 != 0).select(*cols)
+    changes = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 21 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+        .select(*cols, "op")
+    )
+    once = merge_changes(target, changes, ["o_orderkey"], broadcast_changes=True)
+    twice = merge_changes(once, changes, ["o_orderkey"], broadcast_changes=True)
+    return twice.withColumn("o_totalprice", F.round("o_totalprice", 4))
+
+
 def _cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-record-wins snapshot of the events change stream, keyed
     by (user_id, event_type). max(struct) aggregate — map-side
@@ -601,7 +626,8 @@ _DRIVER_CHECK_ORDER = [
     "bloom_semi_join_orders",
     "neardup_prefix_jaccard",
     "events_sessionize_4h",            # new in r4: batch sessionization
-    "merge_orders_upsert",             # new in r4: MERGE INTO shape
+    "merge_orders_upsert",             # MERGE INTO shape (null-safe op r5)
+    "merge_replay_idempotent",         # r5: apply∘apply == apply, oracled
     "session_event_sequences_4h",      # new in r4: per-session sequences
     "chunk_dedup_within_doc",          # new in r4: intra-doc span dedup
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
@@ -772,6 +798,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MERGE INTO shape: broadcast change batch applied to the orders
         # snapshot (update/delete/pass-through), target never shuffles
         "merge_orders_upsert": _merge_orders_upsert,
+        "merge_replay_idempotent": _merge_replay_idempotent,
         "profile_orders_columns": _profile_orders_columns,
         "embedding_quantize": _embedding_quantize,
         # -- near-dup dedup over documents ------------------------------------
@@ -1756,6 +1783,33 @@ def oracle_sql() -> dict[str, str]:
         # MERGE: pass-through = NOT EXISTS against change keys; upserts
         # = non-delete changes; same +1000.0 exact-in-fp price bump
         "merge_orders_upsert": """
+            WITH changes AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+                       CASE WHEN o_orderkey % 21 = 0 THEN 'D' ELSE 'U' END AS op
+                FROM orders WHERE o_orderkey % 3 = 0
+            ),
+            target AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate
+                FROM orders WHERE o_orderkey % 7 <> 0
+            )
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   ROUND(o_totalprice, 4) AS o_totalprice, o_orderdate
+            FROM (
+                SELECT t.* FROM target t
+                WHERE NOT EXISTS (SELECT 1 FROM changes c
+                                  WHERE c.o_orderkey = t.o_orderkey)
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate
+                FROM changes WHERE op <> 'D'
+            )
+        """,
+        # same single-application SQL as merge_orders_upsert: the
+        # Spark side applies the batch twice, so a hash match IS the
+        # idempotence proof
+"merge_replay_idempotent": """
             WITH changes AS (
                 SELECT o_orderkey, o_custkey, o_orderstatus,
                        o_totalprice + 1000.0 AS o_totalprice, o_orderdate,

@@ -45,25 +45,28 @@ def latest_by_key(
     """Latest-record-wins compaction: one row per ``keys`` group, the
     row with the lexicographically greatest ``order_cols`` tuple.
 
-    ``order_cols`` should totally order within a key (include a unique
-    tiebreaker, e.g. an event id). The comparator ranks on
-    ``order_cols`` FIRST and only then on the payload struct — so when
-    ``order_cols`` do totally order, payload values can never influence
-    the winner, and when they don't, the tie is broken deterministically
-    (lexicographic over the payload struct) rather than by plan
-    nondeterminism. Output columns: keys + order_cols + payload_cols.
+    ``order_cols`` MUST totally order within a key (include a unique
+    tiebreaker, e.g. an event id). The payload is carried by
+    ``max_by`` and NEVER enters the comparator: payload values cannot
+    influence the winner under any circumstances, and payload columns
+    may be non-orderable types (maps, structs of maps) that a
+    ``max(struct(order, payload))`` comparator would reject outright.
+    If ``order_cols`` do NOT totally order, which tied row wins is not
+    defined — that is the contract, enforced socially here and by the
+    ``test_latest_by_key_*`` fixtures; pass a tiebreaker.
+    Output columns: keys + order_cols + payload_cols.
     """
-    winner = F.max(
-        F.struct(
-            *[F.col(c) for c in order_cols],
-            F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
-        )
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    agg = df.groupBy(*keys).agg(
+        F.max(ord_struct).alias("_o"),
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols]), ord_struct
+        ).alias("_p"),
     )
-    agg = df.groupBy(*keys).agg(winner.alias("_w"))
     return agg.select(
         *keys,
-        *[F.col(f"_w.{c}").alias(c) for c in order_cols],
-        *[F.col(f"_w._p.{c}").alias(c) for c in payload_cols],
+        *[F.col(f"_o.{c}").alias(c) for c in order_cols],
+        *[F.col(f"_p.{c}").alias(c) for c in payload_cols],
     )
 
 

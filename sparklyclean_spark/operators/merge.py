@@ -52,7 +52,16 @@ def merge_changes(
 
     ``changes`` must carry every target column plus ``op_col`` (and
     ``order_cols`` if compaction is requested). With ``order_cols``
-    the change set is first collapsed to the latest change per key.
+    the change set is first collapsed to the latest change per key;
+    WITHOUT them the caller must supply at most one change row per key
+    — extra rows would each survive the upsert leg and the merged
+    snapshot would carry duplicate keys (Delta's MERGE raises on
+    multiple source matches; here the contract is on the caller).
+
+    A NULL in ``op_col`` counts as an upsert (null-safe comparison):
+    only an explicit ``delete_op`` deletes. Without the null-safe
+    predicate a NULL op would anti-join the target row away AND drop
+    out of the upsert filter — the key would silently vanish.
     """
     payload = [c for c in target.columns if c not in keys]
     if order_cols is not None:
@@ -64,5 +73,7 @@ def merge_changes(
     if broadcast_changes:
         change_keys = F.broadcast(change_keys)
     untouched = target.join(change_keys, keys, "left_anti")
-    upserts = changes.where(F.col(op_col) != F.lit(delete_op)).select(*target.columns)
+    upserts = changes.where(~F.col(op_col).eqNullSafe(F.lit(delete_op))).select(
+        *target.columns
+    )
     return untouched.unionByName(upserts)

@@ -44,15 +44,19 @@ def sessionize(
     gap_seconds: int = 1800,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    tiebreaker: str | None = None,
 ) -> DataFrame:
     """Label every event with ``session_idx`` (1-based per user) and
-    ``session_id`` (``<user>-<idx>``, globally unique). Ties on
-    ``ts`` are ordered by the full row's remaining sort stability —
-    callers needing determinism under duplicate timestamps should
-    pass a unique tiebreaker in ``ts_col``'s ordering; the registered
-    query orders by (ts, event_id) for exactly that reason.
+    ``session_id`` (``<user>-<idx>``, globally unique). Pass
+    ``tiebreaker`` (a unique column, e.g. an event id) whenever
+    duplicate timestamps are possible — without it, which of two
+    equal-``ts`` events is "previous" is plan-dependent and per-event
+    labels can flicker across runs. Session BOUNDARIES are unaffected
+    by tie order (equal timestamps have gap 0), so summaries stay
+    stable either way; the registered query passes ``event_id``.
     """
-    return _sessionize_ordered(events, gap_seconds, user_col, [ts_col])
+    order_cols = [ts_col] + ([tiebreaker] if tiebreaker else [])
+    return _sessionize_ordered(events, gap_seconds, user_col, order_cols)
 
 
 def _sessionize_ordered(

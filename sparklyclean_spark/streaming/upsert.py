@@ -41,10 +41,11 @@ from sparklyclean_spark.operators.merge import merge_changes
 class ParquetUpsertSink:
     """foreachBatch callback maintaining a parquet snapshot.
 
-    Parameters mirror ``merge_changes``; ``target_dir`` holds one
-    versioned subdirectory per applied batch, ``current_path`` naming
-    the latest complete version so readers never see a half-written
-    snapshot.
+    Parameters mirror ``merge_changes``; ``target_dir`` holds the
+    current and immediately-previous versioned snapshot directories
+    (older versions are garbage-collected after each publish),
+    ``current_path`` naming the latest complete version so readers
+    never see a half-written snapshot.
     """
 
     def __init__(
@@ -80,12 +81,13 @@ class ParquetUpsertSink:
     def apply(self, changes: DataFrame, batch_id: int) -> None:
         """The foreachBatch callback: merge this micro-batch into the
         current snapshot and publish the new version."""
+        from pyspark.sql import functions as F
+
         target = self.snapshot()
         if target is None:
             # first batch bootstraps the snapshot from the upserts
-            merged = changes.where(
-                changes[self.op_col] != self.delete_op
-            ).drop(self.op_col, *(self.order_cols or []))
+            # (compact first when ordered; NULL op = upsert, matching
+            # merge_changes' null-safe delete predicate)
             if self.order_cols:
                 from sparklyclean_spark.operators.cdc import latest_by_key
 
@@ -94,12 +96,12 @@ class ParquetUpsertSink:
                     for c in changes.columns
                     if c not in self.keys and c not in self.order_cols
                 ]
-                compact = latest_by_key(
+                changes = latest_by_key(
                     changes, self.keys, self.order_cols, payload
                 ).drop(*self.order_cols)
-                merged = compact.where(
-                    compact[self.op_col] != self.delete_op
-                ).drop(self.op_col)
+            merged = changes.where(
+                ~changes[self.op_col].eqNullSafe(F.lit(self.delete_op))
+            ).drop(self.op_col)
         else:
             merged = merge_changes(
                 target,
@@ -122,10 +124,22 @@ class ParquetUpsertSink:
             attempt += 1
             out = os.path.join(self.target_dir, f"_v={batch_id}-{attempt}")
         merged.write.mode("overwrite").parquet(out)
+        prev = self.current_path()
         tmp = self._current_marker() + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(out)
         os.replace(tmp, self._current_marker())
+        # GC superseded versions — disk would otherwise grow as
+        # O(batches x snapshot size). Keep the just-published version
+        # and the immediately previous one (in-flight readers that
+        # resolved the old marker may still be scanning it).
+        import shutil
+
+        keep = {out, prev}
+        for name in os.listdir(self.target_dir):
+            p = os.path.join(self.target_dir, name)
+            if name.startswith("_v=") and p not in keep:
+                shutil.rmtree(p, ignore_errors=True)
 
 
 def streaming_upsert(

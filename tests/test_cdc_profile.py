@@ -40,6 +40,34 @@ def test_latest_by_key_equals_window(spark):
     assert win.exceptAll(agg).count() == 0
 
 
+def test_latest_by_key_winner_is_order_determined_only(spark):
+    """Payload values must never influence the winner: a row with a
+    lexicographically HUGE payload but a lower order key loses to a
+    later row with a tiny payload. (The earlier comparator ranked on
+    struct(order..., payload) — payload could silently tiebreak.)"""
+    rows = [
+        ("k1", 1, 2, "zzzzzz"),   # older, payload sorts last
+        ("k1", 1, 5, "aaaaaa"),   # newest — must win despite payload
+        ("k1", 1, 3, "mmmmmm"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts int, seq int, payload string")
+    out = latest_by_key(df, ["k"], ["ts", "seq"], ["payload"]).collect()
+    assert len(out) == 1
+    assert out[0]["seq"] == 5 and out[0]["payload"] == "aaaaaa"
+
+
+def test_latest_by_key_supports_nonorderable_payload(spark):
+    """max_by carries the payload without comparing it, so MAP-typed
+    payload columns (unorderable in Spark — max(struct(...)) over them
+    throws) now work."""
+    df = spark.createDataFrame(
+        [("k1", 1, {"a": 1}), ("k1", 2, {"b": 2})],
+        "k string, ts int, attrs map<string,int>",
+    )
+    out = latest_by_key(df, ["k"], ["ts"], ["attrs"]).collect()
+    assert len(out) == 1 and out[0]["ts"] == 2 and out[0]["attrs"] == {"b": 2}
+
+
 def test_scd2_intervals_partition_history(spark):
     """Per key: exactly one open (current) interval, no overlaps, and
     intervals chain (valid_to of one row = valid_from of the next)."""

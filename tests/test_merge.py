@@ -41,6 +41,19 @@ def test_merge_matches_dict_model(spark):
     assert sdf.columns == ["k", "v"]
 
 
+def test_merge_null_op_is_upsert_not_silent_delete(spark):
+    """A change row with NULL op must behave as an upsert. Before the
+    null-safe predicate, `op != 'D'` evaluated to NULL for it: the
+    anti-join removed the target row AND the filter dropped the
+    upsert — the key silently vanished."""
+    target = _df(spark, [(1, "old1"), (2, "old2")])
+    changes = _df(spark, [(1, "new1", None)], "k bigint, v string, op string")
+    merged = merge_changes(target, changes, ["k"])
+    out = {(r.k, r.v) for r in merged.collect()}
+    assert out == {(1, "new1"), (2, "old2")}
+    assert merged.columns == ["k", "v"]
+
+
 def test_compaction_latest_change_wins(spark):
     target = [(1, "old"), (2, "old")]
     # key 1: update @t1 then delete @t2 -> deleted

@@ -29,6 +29,23 @@ def test_gap_boundary_is_closed(spark):
     assert [r.session_idx for r in out.collect()] == [1, 1, 2]
 
 
+def test_sessionize_tiebreaker_is_deterministic(spark):
+    """Duplicate timestamps: with the tiebreaker param, per-event
+    labels are a pure function of (ts, event_id) — five runs agree."""
+    rows = [
+        (1, T0, 2),
+        (1, T0, 1),  # same ts, lower id — must order first
+        (1, T0 + timedelta(seconds=700), 3),
+    ]
+    seen = set()
+    for _ in range(5):
+        out = sessionize(
+            _events(spark, rows), gap_seconds=600, tiebreaker="event_id"
+        ).orderBy("event_id")
+        seen.add(tuple((r.event_id, r.session_idx) for r in out.collect()))
+    assert seen == {((1, 1), (2, 1), (3, 2))}
+
+
 def test_sessions_match_sequential_model(spark):
     """Differential test vs a single-threaded Python sessionizer over a
     deterministic multi-user event log."""

@@ -202,3 +202,40 @@ def test_compacted_parquet_targets_file_size(spark, tmp_path):
     from pyspark.sql import functions as F
 
     assert spark.read.parquet(path).agg(F.count("*")).collect()[0][0] == 50_000
+
+
+def test_compacted_parquet_sizing_survives_clustered_head(spark, tmp_path):
+    """Adversarial layout for a limit()-based sizer: the FIRST
+    partitions hold ultra-compressible constant rows, the tail holds
+    incompressible ones. A head slice would estimate near-zero bytes
+    per row and emit one oversized file; the seeded uniform sample
+    must still land the per-file size near target."""
+    from pyspark.sql import functions as F
+
+    from sparklyclean_spark.sources.writers import write_compacted_parquet
+
+    n = 40_000
+    df = (
+        spark.range(n)
+        .withColumn(
+            "pad",
+            F.when(F.col("id") < n // 2, F.lit("x" * 200)).otherwise(
+                # incompressible tail: per-row distinct digest chain
+                F.sha2(F.concat(F.col("id").cast("string"), F.lit("salt")), 512)
+            ),
+        )
+        # sortWithinPartitions after a range partition puts ALL the
+        # constant rows in the head partitions — the limit() trap
+        .repartitionByRange(16, "id")
+    )
+    path = os.path.join(str(tmp_path), "clustered")
+    n_files = write_compacted_parquet(df, path, target_file_bytes=128 * 1024)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == n_files
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    per_file = total / n_files
+    # head-slice sizing measured ~0 bytes/row -> 1 giant file; the
+    # uniform sample must keep files within 3x of target
+    assert n_files > 1
+    assert 128 * 1024 / 3 <= per_file <= 128 * 1024 * 3
+    assert spark.read.parquet(path).agg(F.count("*")).collect()[0][0] == n
