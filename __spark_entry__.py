@@ -34,6 +34,8 @@ from sparklyclean_spark.operators.mixing import mixture_sample
 from sparklyclean_spark.operators.resample import resample_ffill
 from sparklyclean_spark.operators.sessions import session_sequences, session_summary
 from sparklyclean_spark.operators.merge import merge_changes
+from sparklyclean_spark.operators.lateness import out_of_order_stats
+from sparklyclean_spark.operators.pii import k_anonymity_audit
 from sparklyclean_spark.operators.dedup.chunks import chunk_dedup_within_doc
 from sparklyclean_spark.operators import curation as CU
 from sparklyclean_spark.operators import sampling as SP
@@ -606,8 +608,10 @@ _DRIVER_CHECK_ORDER = [
     # green while the fraction row above is red, the divergence is in
     # float rounding/formatting, not the count plan
     "text_repetition_signals_counts",
-    "text_token_estimate",
-    "sample_docs_weighted",
+    # -- new r5 capability rows ------------------------------------------
+    "text_bm25_rank",             # BM25 retrieval scoring (decimal-sum stable)
+    "kanon_customer_audit",       # k-anonymity privacy gate
+    "events_out_of_order_stats",  # watermark-delay disorder audit
     "sample_docs_per_lang",
     "neardup_common_ngrams",
     "neardup_minhash_lsh_exploded",
@@ -661,6 +665,8 @@ _DRIVER_CHECK_ORDER = [
     # 1x green r4, untouched — rotated below the window for the r5
     # diagnostics (q12/q13 promotions + repetition counts twin)
     "multimodal_decode_meta",
+    "text_token_estimate",   # 1x green r4, untouched — displaced by bm25
+    "sample_docs_weighted",  # 1x green r4, untouched — family kept via per_lang
     "q7_nation_volume",
     "q11_important_nations",
     "q15_top_revenue_suppliers",
@@ -760,7 +766,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count pipeline, no division/rounding — localizes whether a
         # hash mismatch on the fraction row is float formatting or plan
         "text_repetition_signals_counts": _q(TA.repetition_counts, table="documents"),
+        # BM25 keyword retrieval: 3 common + 1 rare term for idf spread
+        "text_bm25_rank": _q(
+            lambda d: TA.bm25_scores(d, ["hash", "join", "scan", "dup"]),
+            table="documents",
+        ),
         "pii_redaction": _pii_redaction,
+        # privacy gate: group sizes over quasi-identifier combos
+        "kanon_customer_audit": _q(
+            lambda c: k_anonymity_audit(c, ["c_nationkey", "c_mktsegment"], k=200),
+            table="customer",
+        ),
+        # watermark-delay design input: per-user event-time disorder
+        "events_out_of_order_stats": _q(out_of_order_stats, table="events"),
         "text_token_estimate": _q(TA.token_estimate, table="documents"),
         # deterministic (hash-derived) sampling & splitting
         "sample_docs_weighted": _q(
@@ -1587,6 +1605,61 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN pt ON d.doc_id = pt.doc_id
             LEFT JOIN pg ON d.doc_id = pg.doc_id
+        """,
+        # BM25: per-term partial scores rounded to DECIMAL(18,6) before
+        # the per-doc sum on BOTH sides — decimal addition is exact and
+        # associative, so engine aggregation order cannot move the hash
+        "text_bm25_rank": f"""
+            WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+            dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM w),
+            stats AS (SELECT COUNT(*) AS n, AVG(len(w)) AS avgdl FROM w),
+            t AS (SELECT doc_id, unnest(w) AS term FROM w),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+                   WHERE term IN ('hash', 'join', 'scan', 'dup')
+                   GROUP BY doc_id, term),
+            dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            per AS (
+                SELECT tf.doc_id,
+                       CAST(ROUND(
+                           ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                           * (tf * (1.2 + 1.0)
+                              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+                           6) AS DECIMAL(18,6)) AS s
+                FROM tf JOIN dfq USING (term)
+                CROSS JOIN stats
+                JOIN dl ON dl.doc_id = tf.doc_id
+            )
+            SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 4) AS bm25,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+            FROM per GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+        """,
+        "kanon_customer_audit": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS group_n,
+                   (COUNT(*) >= 200) AS k_anonymous
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+        """,
+        # disorder audit: µs-integer regressions (date_diff at
+        # microsecond granularity == Spark timestamp_diff bit-for-bit)
+        "events_out_of_order_stats": """
+            WITH r AS (
+                SELECT user_id,
+                       CASE WHEN MAX(ts) OVER w IS NOT NULL
+                                 AND ts < MAX(ts) OVER w
+                            THEN date_diff('microsecond', ts, MAX(ts) OVER w)
+                            ELSE 0 END AS reg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   ROUND(SUM(CASE WHEN reg > 0 THEN 1 ELSE 0 END) / COUNT(*), 4)
+                       AS late_frac,
+                   CAST(MAX(reg) AS BIGINT) AS max_regression_us
+            FROM r GROUP BY user_id
         """,
         "text_token_estimate": f"""
             SELECT doc_id,

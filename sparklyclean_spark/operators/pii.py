@@ -44,3 +44,32 @@ def redact_pii(
         F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
         F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ips"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: the privacy
+    gate a training-data release runs AFTER redaction — direct
+    identifiers may be scrubbed, yet a rare COMBINATION of innocuous
+    attributes (nation x segment x zip...) still singles a person
+    out. One row per observed combo with its group size and a
+    ``k_anonymous`` flag; rows with ``group_n < k`` are the
+    re-identification risks (suppress or generalize before release).
+
+    Scale shape: one hash aggregation on the quasi-identifier tuple —
+    map-side partial combine, output cardinality = #distinct combos
+    (bounded by the quasi space, not the data). Also emits
+    ``risk_rows``-style downstream filters for free: join this back
+    broadcast to tag or drop risky source rows.
+
+    No reference counterpart; §2.10 capability-gap operator next to
+    PII redaction.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .withColumn("k_anonymous", F.col("group_n") >= k)
+    )

@@ -248,3 +248,70 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 (Okapi / Lucene idf form) document ranking for a fixed
+    query term set — the retrieval-scoring half of a RAG pipeline
+    when no ANN index is warranted (keyword recall, filtered corpora).
+
+    Returns the ``top_k`` docs by ``(score desc, doc_id asc)`` with
+    the matched-term count.
+
+    Scale shape: tokens are explode-filtered against the broadcast
+    literal term set IMMEDIATELY (map-side — the surviving stream is
+    |matching postings|, not the corpus); per-doc length comes from a
+    map-side ``token_count`` projection (no second explode); N and
+    avgdl are a 1-row broadcast agg; per-term document frequencies are
+    a |query|-row agg joined back broadcast. Final top-k is a sorted
+    ``limit`` (TakeOrdered — per-partition heaps, no global sort).
+
+    Cross-engine determinism: each per-term partial score is rounded
+    to DECIMAL(18,6) BEFORE the per-doc sum — decimal addition is
+    exact and associative, so aggregation order (which Spark does not
+    fix) cannot move the hash, unlike a raw double sum.
+
+    No reference counterpart; §2.10 capability-gap operator.
+    """
+    terms = docs.select("doc_id", F.explode(T.words("text")).alias("term")).where(
+        F.col("term").isin(*query_terms)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(T.token_count("text")).alias("_avgdl"),
+    )
+    dl = docs.select("doc_id", T.token_count("text").cast("double").alias("dl"))
+
+    idf = F.log(
+        (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") * (k1 + 1.0) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .join(dl, "doc_id")
+        .withColumn("_s", F.round(idf * norm, 6).cast("decimal(18,6)"))
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.sum("_s").alias("_score"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round(F.col("_score").cast("double"), 4).alias("bm25"),
+            F.col("n_terms_matched").cast("bigint").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(top_k)
+    )

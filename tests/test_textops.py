@@ -454,3 +454,89 @@ def test_prefix_jaccard_edge_docs(spark):
         got = {(r["id1"], r["id2"]) for r in prefix_jaccard_pairs(docs, t).collect()}
         exp = {(r["id1"], r["id2"]) for r in token_jaccard_pairs(docs, t).collect()}
         assert got == exp, t
+
+
+def test_bm25_matches_sequential_model(spark):
+    """Differential test: BM25 scores vs a single-threaded Python
+    implementation of the same Lucene-idf formula on a small corpus."""
+    import math
+
+    rows = [
+        (1, "hash join hash join scan"),
+        (2, "scan scan scan filter filter sort"),
+        (3, "dup"),
+        (4, "merge sort group order"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    q = ["hash", "scan", "dup"]
+    got = {
+        r["doc_id"]: (r["bm25"], r["n_terms_matched"])
+        for r in TA.bm25_scores(docs, q, top_k=10).collect()
+    }
+
+    toks = {d: t.split() if t else [] for d, t in rows}
+    n = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for w in toks.values() if t in w) for t in q}
+    exp = {}
+    for d, words in toks.items():
+        s, m = 0.0, 0
+        for t in q:
+            tf = words.count(t)
+            if tf == 0:
+                continue
+            m += 1
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            norm = tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len(words) / avgdl))
+            s += round(idf * norm, 6)
+        if m:
+            exp[d] = (round(s, 4), m)
+    assert got == exp
+    # ranking sanity: top-1 agrees with the sequential model's argmax
+    top = TA.bm25_scores(docs, q, top_k=1).collect()[0]
+    best = max(exp, key=lambda d: (exp[d][0], -d))
+    assert top["doc_id"] == best
+
+
+def test_out_of_order_stats_model(spark):
+    """Disorder audit vs hand-computed regressions; in-order keys
+    report zero late rows."""
+    from datetime import datetime
+
+    from sparklyclean_spark.operators.lateness import out_of_order_stats
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: arrival 1,2,3 with ts 10, 5 (late by 5s), 20
+        (1, 1, t(10)), (1, 2, t(5)), (1, 3, t(20)),
+        # user 2: perfectly ordered
+        (2, 1, t(1)), (2, 2, t(2)),
+        # user 3: equal ts then older (late by 0? no - strictly less)
+        (3, 1, t(7)), (3, 2, t(7)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp_ntz"
+    )
+    out = {r["user_id"]: r for r in out_of_order_stats(df).collect()}
+    assert out[1]["n_late"] == 1
+    assert out[1]["max_regression_us"] == 5_000_000
+    assert out[1]["late_frac"] == 0.3333
+    assert out[2]["n_late"] == 0 and out[2]["max_regression_us"] == 0
+    assert out[3]["n_late"] == 0  # equal ts is NOT a regression
+
+
+def test_k_anonymity_audit_flags_small_groups(spark):
+    from sparklyclean_spark.operators.pii import k_anonymity_audit
+
+    rows = [("us", "a")] * 5 + [("us", "b")] * 2 + [("fr", "a")]
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    out = {
+        (r["nation"], r["seg"]): (r["group_n"], r["k_anonymous"])
+        for r in k_anonymity_audit(df, ["nation", "seg"], k=3).collect()
+    }
+    assert out == {
+        ("us", "a"): (5, True),
+        ("us", "b"): (2, False),
+        ("fr", "a"): (1, False),
+    }
