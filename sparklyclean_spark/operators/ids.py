@@ -81,25 +81,41 @@ def _surrogate(col: Column, dtype: T.DataType) -> Column | None:
     return None
 
 
+def _balanced_sum(terms: list[Column]) -> Column:
+    """Sum a term list as a BALANCED tree: a left-deep ``a+b+c+...``
+    chain of hundreds of terms overflows the JVM stack during column
+    conversion/analysis (recursive tree walks); pairing halves the
+    depth to log2(n)."""
+    if not terms:
+        return F.lit(0)
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
 def _bucket_from_bounds(surr: Column, bounds: list[float]) -> Column:
-    """#{b in bounds : surr >= b} as a codegen-friendly when-chain.
-    NULL surrogates (null keys sort first ascending) fall through
-    every ``otherwise(0)`` into bucket 0, matching nulls-first."""
-    b = F.lit(0)
-    for bound in bounds:
-        b = b + F.when(surr >= F.lit(bound), 1).otherwise(0)
-    return b
+    """#{b in bounds : surr >= b} as codegen-friendly indicator sums.
+    NULL surrogates (null keys sort first ascending) score 0 on every
+    indicator and land in bucket 0, matching nulls-first."""
+    return _balanced_sum(
+        [F.when(surr >= F.lit(b), 1).otherwise(0) for b in bounds]
+    )
 
 
 def _index_of_literal(col: Column, values: list) -> Column:
     """Exact position of ``col`` in the sorted literal list (nulls
-    first at index 0 when present)."""
-    expr = F.lit(0)
-    for i, v in enumerate(values):
-        if v is None:
-            continue  # null rows keep index 0
-        expr = F.when(col.eqNullSafe(F.lit(v)), F.lit(i)).otherwise(expr)
-    return expr
+    first at index 0 when present). Values are distinct, so the
+    one-hot indicator sum equals the matching index — and balances."""
+    return _balanced_sum(
+        [
+            F.when(col.eqNullSafe(F.lit(v)), F.lit(i)).otherwise(0)
+            for i, v in enumerate(values)
+            if v is not None  # null rows keep index 0
+        ]
+    )
 
 
 def ranged_with_offsets(
