@@ -36,6 +36,8 @@ from sparklyclean_spark.operators.sessions import session_sequences, session_sum
 from sparklyclean_spark.operators.merge import merge_changes
 from sparklyclean_spark.operators.lateness import out_of_order_stats
 from sparklyclean_spark.operators.pii import k_anonymity_audit
+from sparklyclean_spark.operators.skew import key_profile
+from sparklyclean_spark.operators.decontam import source_overlap_matrix
 from sparklyclean_spark.operators.dedup.chunks import chunk_dedup_within_doc
 from sparklyclean_spark.operators import curation as CU
 from sparklyclean_spark.operators import sampling as SP
@@ -600,8 +602,6 @@ _DRIVER_CHECK_ORDER = [
     "q12_priority_by_status",
     "q13_order_count_distribution",
     # -- first green r4, kept for a second recorded round ----------------
-    "q17_small_quantity_revenue",
-    "q21_waiting_orders_suppliers",
     "q22_idle_rich_customers",
     "text_repetition_signals",
     # integer-only diagnostic twin (VERDICT r4 item 2): if this is
@@ -612,6 +612,8 @@ _DRIVER_CHECK_ORDER = [
     "text_bm25_rank",             # BM25 retrieval scoring (decimal-sum stable)
     "kanon_customer_audit",       # k-anonymity privacy gate
     "events_out_of_order_stats",  # watermark-delay disorder audit
+    "skew_key_profile_events",    # shuffle-key heavy-hitter diagnostic
+    "source_overlap_documents",   # cross-source shingle contamination
     "sample_docs_per_lang",
     "neardup_common_ngrams",
     "neardup_minhash_lsh_exploded",
@@ -665,6 +667,8 @@ _DRIVER_CHECK_ORDER = [
     # 1x green r4, untouched — rotated below the window for the r5
     # diagnostics (q12/q13 promotions + repetition counts twin)
     "multimodal_decode_meta",
+    "q17_small_quantity_revenue",  # 1x green r4, untouched — displaced r5
+    "q21_waiting_orders_suppliers",  # 1x green r4, untouched — displaced r5
     "text_token_estimate",   # 1x green r4, untouched — displaced by bm25
     "sample_docs_weighted",  # 1x green r4, untouched — family kept via per_lang
     "q7_nation_volume",
@@ -779,6 +783,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # watermark-delay design input: per-user event-time disorder
         "events_out_of_order_stats": _q(out_of_order_stats, table="events"),
+        # shuffle-key heavy-hitter diagnostic (feeds salting decisions)
+        "skew_key_profile_events": _q(
+            lambda e: key_profile(e, ["event_type"], top_n=20), table="events"
+        ),
+        # cross-source contamination matrix over doc fingerprints
+        "source_overlap_documents": _q(source_overlap_matrix, table="documents"),
         "text_token_estimate": _q(TA.token_estimate, table="documents"),
         # deterministic (hash-derived) sampling & splitting
         "sample_docs_weighted": _q(
@@ -1606,6 +1616,30 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN pt ON d.doc_id = pt.doc_id
             LEFT JOIN pg ON d.doc_id = pg.doc_id
         """,
+        "source_overlap_documents": f"""
+            WITH w AS (SELECT source, {_TOKS_SQL} AS w FROM documents),
+            fps AS (SELECT DISTINCT source AS src,
+                           unnest(list_transform(
+                               range(1, GREATEST(len(w) - 7, 0) + 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    || ' ' || w[i+3] || ' ' || w[i+4]
+                                    || ' ' || w[i+5] || ' ' || w[i+6]
+                                    || ' ' || w[i+7])) AS fp
+                    FROM w),
+            tot AS (SELECT src, COUNT(*) AS n FROM fps GROUP BY src),
+            sh AS (SELECT a.src AS src_a, b.src AS src_b,
+                          COUNT(*) AS n_shared
+                   FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
+                   GROUP BY 1, 2)
+            SELECT src_a, src_b,
+                   CAST(n_shared AS BIGINT) AS n_shared,
+                   CAST(ta.n AS BIGINT) AS n_a,
+                   CAST(tb.n AS BIGINT) AS n_b,
+                   ROUND(n_shared / (ta.n + tb.n - n_shared), 4) AS jaccard
+            FROM sh
+            JOIN tot ta ON ta.src = sh.src_a
+            JOIN tot tb ON tb.src = sh.src_b
+        """,
         # BM25: per-term partial scores rounded to DECIMAL(18,6) before
         # the per-doc sum on BOTH sides — decimal addition is exact and
         # associative, so engine aggregation order cannot move the hash
@@ -1633,6 +1667,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_terms_matched
             FROM per GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+        """,
+        "skew_key_profile_events": """
+            WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events
+                       GROUP BY event_type),
+            t AS (SELECT COUNT(*) AS total FROM events)
+            SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
+                   ROUND(cnt / total, 4) AS share
+            FROM c CROSS JOIN t
+            ORDER BY cnt DESC, event_type ASC LIMIT 20
         """,
         "kanon_customer_audit": """
             SELECT c_nationkey, c_mktsegment,

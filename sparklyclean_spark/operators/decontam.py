@@ -85,3 +85,61 @@ def ngram_overlap(
             (F.coalesce(frac, F.lit(0.0)) >= threshold).alias("contaminated"),
         )
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how much content do they share? Counts DISTINCT word
+    ``n``-gram shingles present in both, with each side's distinct
+    total and the Jaccard of the shingle sets. Span-level rather than
+    whole-document fingerprints: near-identical crawls share almost no
+    byte-exact documents but plenty of repeated passages, and those
+    are what double-weight a blended corpus. The mix-design sanity
+    check before corpus blending.
+
+    Scale shape: one distinct-agg to (source, gram) — linear,
+    map-side combinable; the self-join key is the gram, whose group
+    size is the number of SOURCES containing it (bounded by #sources,
+    never corpus-sized), so the pair explosion is at most
+    C(#sources, 2) per gram; per-source totals are a tiny broadcast.
+    No quadratic doc-pair work anywhere.
+    """
+    fps = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(T.word_shingles(text_col, n)).alias("fp"),
+        )
+        .distinct()
+    )
+    totals = fps.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        fps.alias("a")
+        .join(fps.alias("b"), F.col("a.fp") == F.col("b.fp"))
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

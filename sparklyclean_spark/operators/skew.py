@@ -80,3 +80,34 @@ def salted_join(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return l_salted.join(r_rep, on + [_SALT], how).drop(_SALT)
+
+
+def key_profile(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective shuffle key: the
+    top-N key values by row count with their share of the table —
+    the numbers that decide between a plain shuffle, `salted_join`/
+    `salted_topk`, AQE skew handling, or the Dis-Dedup triangle.
+    A top-1 share near 1/parallelism means one reducer does all the
+    work; run this BEFORE burning cluster-hours on the join.
+
+    Scale shape: one map-side-combinable hash agg on the key (output
+    = #distinct keys), a 1-row total broadcast, and a sorted `limit`
+    top-N (per-partition heaps, no global sort). Share is computed
+    from exact integer counts, rounded only at the edge.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.select(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            *keys,
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt") / F.col("_total"), 4).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), *[F.asc(k) for k in keys])
+        .limit(top_n)
+    )

@@ -540,3 +540,34 @@ def test_k_anonymity_audit_flags_small_groups(spark):
         ("us", "b"): (2, False),
         ("fr", "a"): (1, False),
     }
+
+
+def test_key_profile_shares(spark):
+    from sparklyclean_spark.operators.skew import key_profile
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)], "k string"
+    )
+    rows = key_profile(df, ["k"], top_n=2).collect()
+    assert [(r["k"], r["cnt"], r["share"]) for r in rows] == [
+        ("a", 6, 0.6),
+        ("b", 3, 0.3),
+    ]
+
+
+def test_source_overlap_matrix_model(spark):
+    """Shingle-overlap matrix vs hand-computed sets (n=2 for brevity)."""
+    from sparklyclean_spark.operators.decontam import source_overlap_matrix
+
+    rows = [
+        (1, "s1", "a b c"),        # grams: {a b, b c}
+        (2, "s2", "b c d"),        # grams: {b c, c d}
+        (3, "s3", "x y"),          # grams: {x y}
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {
+        (r["src_a"], r["src_b"]): (r["n_shared"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in source_overlap_matrix(docs, n=2).collect()
+    }
+    # only s1-s2 share a gram ('b c'); jaccard = 1/(2+2-1)
+    assert out == {("s1", "s2"): (1, 2, 2, 0.3333)}
