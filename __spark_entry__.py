@@ -1580,13 +1580,21 @@ def oracle_sql() -> dict[str, str]:
             gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
             pg AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_gram_c
                    FROM gc GROUP BY doc_id)
+            -- explicit floor rounding: every step one IEEE double op
+            -- on exact integer inputs -> bit-identical across engines
+            -- (engine ROUND tie semantics are implementation-defined)
             SELECT d.doc_id,
                    COALESCE(pt.n_tokens, 0) AS n_tokens,
-                   COALESCE(ROUND(pt.n_uniq / pt.n_tokens, 4), 0.0) AS uniq_token_frac,
-                   COALESCE(ROUND(pt.top_tok_c / pt.n_tokens, 4), 0.0) AS top_token_frac,
-                   COALESCE(ROUND(pg.top_gram_c / pg.n_bigrams, 4), 0.0) AS top_bigram_frac,
-                   (COALESCE(ROUND(pt.top_tok_c / pt.n_tokens, 4), 0.0) > 0.2
-                    OR COALESCE(ROUND(pg.top_gram_c / pg.n_bigrams, 4), 0.0) > 0.18)
+                   COALESCE(floor(pt.n_uniq * 10000.0 / pt.n_tokens + 0.5)
+                            / 10000.0, 0.0) AS uniq_token_frac,
+                   COALESCE(floor(pt.top_tok_c * 10000.0 / pt.n_tokens + 0.5)
+                            / 10000.0, 0.0) AS top_token_frac,
+                   COALESCE(floor(pg.top_gram_c * 10000.0 / pg.n_bigrams + 0.5)
+                            / 10000.0, 0.0) AS top_bigram_frac,
+                   (COALESCE(floor(pt.top_tok_c * 10000.0 / pt.n_tokens + 0.5)
+                             / 10000.0, 0.0) > 0.2
+                    OR COALESCE(floor(pg.top_gram_c * 10000.0 / pg.n_bigrams + 0.5)
+                                / 10000.0, 0.0) > 0.18)
                        AS repetitive
             FROM documents d
             LEFT JOIN pt ON d.doc_id = pt.doc_id

@@ -145,17 +145,28 @@ def repetition_signals(
     All-codegen shape: two explode→hash-agg pipelines (tokens and
     window-lead bigrams) reduced per (doc, term) then per doc — every
     shuffle benefits from map-side partial aggregation; no HOFs, no
-    Python. Empty docs score 0 and are never flagged."""
+    Python. Empty docs score 0 and are never flagged.
+
+    Rounding contract: fractions are rounded with EXPLICIT floor
+    arithmetic — ``floor(num * 10000.0 / den + 0.5) / 10000.0`` —
+    instead of engine ``round()``. Every step is a single IEEE-754
+    double operation on exact integer inputs, so any engine produces
+    the bit-identical double; engine ``round`` implementations are
+    free to differ in tie handling and internal decimal conversion,
+    which is exactly the class of divergence a driver-vs-local
+    environment delta can expose (this row's r4 driver-red signature
+    while its integer-count twin stayed green locally)."""
+
+    def frac4(num: str, den: str) -> F.Column:
+        return F.when(
+            F.col(den) > 0,
+            F.floor(F.col(num) * 10000.0 / F.col(den) + 0.5) / 10000.0,
+        ).otherwise(0.0)
+
     joined = repetition_counts(docs)
-    uniq_frac = F.when(
-        F.col("n_tokens") > 0, F.round(F.col("n_uniq") / F.col("n_tokens"), 4)
-    ).otherwise(0.0)
-    top_tok = F.when(
-        F.col("n_tokens") > 0, F.round(F.col("top_tok_c") / F.col("n_tokens"), 4)
-    ).otherwise(0.0)
-    top_gram = F.when(
-        F.col("n_bigrams") > 0, F.round(F.col("top_gram_c") / F.col("n_bigrams"), 4)
-    ).otherwise(0.0)
+    uniq_frac = frac4("n_uniq", "n_tokens")
+    top_tok = frac4("top_tok_c", "n_tokens")
+    top_gram = frac4("top_gram_c", "n_bigrams")
     return joined.select(
         "doc_id",
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
