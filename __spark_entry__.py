@@ -36,6 +36,7 @@ from sparklyclean_spark.operators.sessions import session_sequences, session_sum
 from sparklyclean_spark.operators.merge import merge_changes
 from sparklyclean_spark.operators.lateness import out_of_order_stats
 from sparklyclean_spark.operators.pii import k_anonymity_audit
+from sparklyclean_spark.operators.outliers import quantile_bins
 from sparklyclean_spark.operators.skew import key_profile
 from sparklyclean_spark.operators.decontam import source_overlap_matrix
 from sparklyclean_spark.operators.dedup.chunks import chunk_dedup_within_doc
@@ -601,8 +602,6 @@ _DRIVER_CHECK_ORDER = [
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
     "q12_priority_by_status",
     "q13_order_count_distribution",
-    # -- first green r4, kept for a second recorded round ----------------
-    "q22_idle_rich_customers",
     "text_repetition_signals",
     # integer-only diagnostic twin (VERDICT r4 item 2): if this is
     # green while the fraction row above is red, the divergence is in
@@ -614,6 +613,7 @@ _DRIVER_CHECK_ORDER = [
     "events_out_of_order_stats",  # watermark-delay disorder audit
     "skew_key_profile_events",    # shuffle-key heavy-hitter diagnostic
     "source_overlap_documents",   # cross-source shingle contamination
+    "quantile_bins_order_prices", # r5: quantile discretizer
     "sample_docs_per_lang",
     "neardup_common_ngrams",
     "neardup_minhash_lsh_exploded",
@@ -669,6 +669,7 @@ _DRIVER_CHECK_ORDER = [
     "multimodal_decode_meta",
     "q17_small_quantity_revenue",  # 1x green r4, untouched — displaced r5
     "q21_waiting_orders_suppliers",  # 1x green r4, untouched — displaced r5
+    "q22_idle_rich_customers",  # 1x green r4, untouched — displaced r5
     "text_token_estimate",   # 1x green r4, untouched — displaced by bm25
     "sample_docs_weighted",  # 1x green r4, untouched — family kept via per_lang
     "q7_nation_volume",
@@ -783,6 +784,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # watermark-delay design input: per-user event-time disorder
         "events_out_of_order_stats": _q(out_of_order_stats, table="events"),
+        # quantile discretizer: per-priority price deciles
+        "quantile_bins_order_prices": _q(
+            lambda o: quantile_bins(
+                o, "o_totalprice", 10, by=["o_orderpriority"]
+            ).select("o_orderkey", "o_orderpriority", "o_totalprice_bin"),
+            table="orders",
+        ),
         # shuffle-key heavy-hitter diagnostic (feeds salting decisions)
         "skew_key_profile_events": _q(
             lambda e: key_profile(e, ["event_type"], top_n=20), table="events"
@@ -1675,6 +1683,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_terms_matched
             FROM per GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+        """,
+        "quantile_bins_order_prices": """
+            WITH b AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                           AS bounds
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderkey, o.o_orderpriority,
+                   CAST(1 + len(list_filter(bounds, x -> x <= o_totalprice))
+                        AS INT) AS o_totalprice_bin
+            FROM orders o JOIN b USING (o_orderpriority)
         """,
         "skew_key_profile_events": """
             WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events

@@ -71,3 +71,54 @@ def winsorize(
         .withColumnRenamed("_lo", "clip_lo")
         .withColumnRenamed("_hi", "clip_hi")
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    by: list[str] | None = None,
+    exact: bool = True,
+    bin_name: str | None = None,
+) -> DataFrame:
+    """Quantile discretization (the ML feature-prep binner): assign
+    each row the 1-based quantile bucket of ``value_col`` within its
+    ``by`` group. ``bin = 1 + #{internal boundaries <= value}`` over
+    the ``n_bins - 1`` internal percentile boundaries, so output bins
+    are 1..n_bins with ~equal mass (ties/repeated boundary values
+    merge mass into the lower bin — deterministic, value-driven, no
+    rank nondeterminism under duplicate values, unlike ``ntile``
+    which splits equal values across bins by arbitrary row order).
+
+    Scale shape: same as ``winsorize`` — ONE grouped percentile
+    aggregate (array form, one buffer), broadcast join back,
+    bucket assignment as a tiny per-row filter over the ≤ n_bins-1
+    boundary array. No window over raw rows, so a hot group never
+    serializes into one task. ``exact=False`` flips to the mergeable
+    sketch for the 100 TB path.
+
+    No reference counterpart; §2.10 capability-gap operator.
+    """
+    v = F.col(value_col)
+    keys = by or []
+    name = bin_name or f"{value_col}_bin"
+    pcts = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    agg = F.percentile(v, pcts) if exact else F.approx_percentile(v, pcts, F.lit(10_000))
+    bounds = df.groupBy(*keys).agg(agg.alias("_bounds"))
+    bounds = bounds.select(
+        *[F.col(k).alias(f"_k_{k}") for k in keys], "_bounds"
+    )
+    if keys:
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(bounds), cond).drop(*[f"_k_{k}" for k in keys])
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    bucket = F.lit(1) + F.size(
+        F.filter("_bounds", lambda b: b <= v.cast("double"))
+    )
+    return joined.withColumn(
+        name, F.when(v.isNull(), F.lit(None)).otherwise(bucket.cast("int"))
+    ).drop("_bounds")

@@ -400,3 +400,38 @@ def test_pack_prefix_sum_property(spark):
             cum += size
 
     check()
+
+
+def test_quantile_bins_mass_and_order(spark):
+    """Decile bins: ~equal mass per bin within each group, bins are
+    monotone in the value, and NULL values get NULL bins."""
+    from sparklyclean_spark.operators.outliers import quantile_bins
+
+    orders = load_tables(spark, SF_DIR)["orders"]
+    out = quantile_bins(orders, "o_totalprice", 10, by=["o_orderpriority"])
+    # mass: every (group, bin) holds 5-15% of its group (exact deciles
+    # jitter with interpolation + ties)
+    per = out.groupBy("o_orderpriority", "o_totalprice_bin").count()
+    tot = out.groupBy("o_orderpriority").count().withColumnRenamed("count", "n")
+    frac = per.join(tot, "o_orderpriority").selectExpr(
+        "o_totalprice_bin", "count / n AS f"
+    )
+    bad = frac.where("f < 0.05 OR f > 0.15").count()
+    assert bad == 0
+    assert out.selectExpr("max(o_totalprice_bin)").collect()[0][0] == 10
+    assert out.selectExpr("min(o_totalprice_bin)").collect()[0][0] == 1
+    # monotone: within a group, a higher bin never holds a lower value
+    agg = out.groupBy("o_orderpriority", "o_totalprice_bin").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice_bin")
+    crossed = (
+        agg.withColumn("prev_hi", F.lag("hi").over(w))
+        .where(F.col("prev_hi").isNotNull() & (F.col("lo") < F.col("prev_hi")))
+        .count()
+    )
+    assert crossed == 0
+    # null handling
+    nulls = spark.createDataFrame([(1, None)], "g int, v double")
+    got = quantile_bins(nulls, "v", 4).collect()[0]["v_bin"]
+    assert got is None
