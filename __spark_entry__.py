@@ -614,8 +614,8 @@ _DRIVER_CHECK_ORDER = [
     "skew_key_profile_events",    # shuffle-key heavy-hitter diagnostic
     "source_overlap_documents",   # cross-source shingle contamination
     "quantile_bins_order_prices", # r5: quantile discretizer
+    "text_unigram_cross_entropy", # r5: corpus-LM quality signal
     "sample_docs_per_lang",
-    "neardup_common_ngrams",
     "neardup_minhash_lsh_exploded",
     "corpus_curation_lsh",
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
@@ -670,6 +670,8 @@ _DRIVER_CHECK_ORDER = [
     "q17_small_quantity_revenue",  # 1x green r4, untouched — displaced r5
     "q21_waiting_orders_suppliers",  # 1x green r4, untouched — displaced r5
     "q22_idle_rich_customers",  # 1x green r4, untouched — displaced r5
+    "neardup_common_ngrams",  # 1x green r4, untouched — family kept via
+                              # prefix_jaccard + minhash_lsh_exploded
     "text_token_estimate",   # 1x green r4, untouched — displaced by bm25
     "sample_docs_weighted",  # 1x green r4, untouched — family kept via per_lang
     "q7_nation_volume",
@@ -771,6 +773,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count pipeline, no division/rounding — localizes whether a
         # hash mismatch on the fraction row is float formatting or plan
         "text_repetition_signals_counts": _q(TA.repetition_counts, table="documents"),
+        # CCNet-style corpus-LM quality signal
+        "text_unigram_cross_entropy": _q(TA.unigram_cross_entropy, table="documents"),
         # BM25 keyword retrieval: 3 common + 1 rare term for idf spread
         "text_bm25_rank": _q(
             lambda d: TA.bm25_scores(d, ["hash", "join", "scan", "dup"]),
@@ -1655,6 +1659,20 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
             JOIN tot ta ON ta.src = sh.src_a
             JOIN tot tb ON tb.src = sh.src_b
+        """,
+        # corpus-LM cross-entropy: per-token log-probs rounded to
+        # DECIMAL(18,6) before the per-doc sum (associative -> order-free)
+        "text_unigram_cross_entropy": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+            v AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+            tot AS (SELECT COUNT(*) AS total FROM t),
+            lp AS (SELECT doc_id,
+                          CAST(ROUND(ln(c / total), 6) AS DECIMAL(18,6)) AS lp
+                   FROM t JOIN v USING (term) CROSS JOIN tot)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS cross_entropy
+            FROM lp GROUP BY doc_id
         """,
         # BM25: per-term partial scores rounded to DECIMAL(18,6) before
         # the per-doc sum on BOTH sides — decimal addition is exact and

@@ -326,3 +326,51 @@ def bm25_scores(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(top_k)
     )
+
+
+def unigram_cross_entropy(docs: DataFrame) -> DataFrame:
+    """CCNet-style language-model quality signal: per-document cross-
+    entropy under the corpus's own unigram distribution,
+    ``ce = -mean(ln p(tok))`` with ``p(tok) = count(tok)/total``.
+    Documents full of rare/garbage tokens score high; boilerplate full
+    of corpus-common tokens scores low — the standard head/middle/tail
+    split signal for pretraining curation (CCNet buckets on exactly
+    this number, with a bigger LM).
+
+    Scale shape: one explode→hash-agg builds the unigram table
+    (vocab-sized, map-side combinable); token occurrences join it on
+    the term (AQE-splittable hash join — a broadcast would cap vocab
+    size, and a 100 TB corpus's vocab does not broadcast); one final
+    per-doc aggregation. Per-token log-probs are rounded to
+    DECIMAL(18,6) before the per-doc sum — decimal addition is exact
+    and associative, so aggregation order cannot move the hash.
+
+    No reference counterpart; §2.10 capability-gap operator.
+    """
+    toks = docs.select("doc_id", F.explode(T.words("text")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.select(F.count(F.lit(1)).alias("_total"))
+    logp = (
+        toks.join(vocab, "term")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c") / F.col("_total")), 6)
+            .cast("decimal(18,6)")
+            .alias("_lp"),
+        )
+    )
+    return (
+        logp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lp").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(-(F.col("_s").cast("double")) / F.col("n_tokens"), 4).alias(
+                "cross_entropy"
+            ),
+        )
+    )

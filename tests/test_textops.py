@@ -571,3 +571,29 @@ def test_source_overlap_matrix_model(spark):
     }
     # only s1-s2 share a gram ('b c'); jaccard = 1/(2+2-1)
     assert out == {("s1", "s2"): (1, 2, 2, 0.3333)}
+
+
+def test_unigram_cross_entropy_model(spark):
+    """Cross-entropy vs a sequential Python model; rarer-token docs
+    must score strictly higher."""
+    import math
+
+    rows = [
+        (1, "a a a a"),      # all common
+        (2, "a a rare1"),    # one rare token
+        (3, "rare2 rare3"),  # all rare
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in TA.unigram_cross_entropy(docs).collect()
+    }
+    toks = {d: t.split() for d, t in rows}
+    allt = [w for t in toks.values() for w in t]
+    total = len(allt)
+    exp = {}
+    for d, words in toks.items():
+        lps = [round(math.log(allt.count(w) / total), 6) for w in words]
+        exp[d] = (len(words), round(-sum(lps) / len(words), 4))
+    assert got == exp
+    assert got[1][1] < got[2][1] < got[3][1]
