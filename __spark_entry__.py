@@ -535,6 +535,24 @@ def _winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_bins_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-respecting greedy packing (the dataloader contract —
+    no bin exceeds 2048 tokens except single oversized docs), sharded
+    sequential fill via applyInPandas. The greedy recurrence is
+    non-associative and not expressible in window SQL, so this is a
+    rows-only row; the capacity/fill invariants and a differential
+    check vs a sequential Python model are pytest-gated
+    (test_cdc_profile.test_pack_bins_greedy_*)."""
+    from sparklyclean_spark.functions import text as T
+    from sparklyclean_spark.operators.packing import pack_bins_greedy
+
+    docs = _tables(spark, sf_dir)["documents"].withColumn(
+        "n_tokens", T.token_count("text").cast("bigint")
+    )
+    out = pack_bins_greedy(docs, "n_tokens", ["doc_id"], capacity=2048, n_shards=16)
+    return out.select("doc_id", "n_tokens", "bin_id", "bin_fill")
+
+
 def _pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into 4096-token training bins by whitespace
     token count, in doc_id order — distributed prefix sum, not a
@@ -589,8 +607,9 @@ def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all carry green r3 records.
 _DRIVER_CHECK_ORDER = [
     # -- round-4 fix validation -----------------------------------------
-    "pack_training_sequences",   # r3's one red row (prefix-sum fix)
+    "pack_training_sequences",   # r3/r4 red row (data-derived buckets r5)
     "dense_ids_documents",       # shares ranged_with_offsets
+    "pack_bins_greedy_docs",     # r5: capacity packing (rows-only)
     "dedup_pairs_naive_skewed",      # new skew A/B
     "dedup_pairs_disdedup_skewed",   # new skew A/B
     "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
@@ -615,7 +634,6 @@ _DRIVER_CHECK_ORDER = [
     "source_overlap_documents",   # cross-source shingle contamination
     "quantile_bins_order_prices", # r5: quantile discretizer
     "text_unigram_cross_entropy", # r5: corpus-LM quality signal
-    "sample_docs_per_lang",
     "neardup_minhash_lsh_exploded",
     "corpus_curation_lsh",
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
@@ -672,6 +690,8 @@ _DRIVER_CHECK_ORDER = [
     "q22_idle_rich_customers",  # 1x green r4, untouched — displaced r5
     "neardup_common_ngrams",  # 1x green r4, untouched — family kept via
                               # prefix_jaccard + minhash_lsh_exploded
+    "sample_docs_per_lang",  # 1x green r4, untouched — family kept via
+                             # mixture_sample + cluster_safe_split
     "text_token_estimate",   # 1x green r4, untouched — displaced by bm25
     "sample_docs_weighted",  # 1x green r4, untouched — family kept via per_lang
     "q7_nation_volume",
@@ -833,6 +853,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_ids_documents": _dense_ids_documents,
         "winsorize_order_prices": _winsorize_order_prices,
         "pack_training_sequences": _pack_training_sequences,
+        "pack_bins_greedy_docs": _pack_bins_greedy_docs,
         "cdc_latest_events": _cdc_latest_events,
         "scd2_user_values": _scd2_user_values,
         # MERGE INTO shape: broadcast change batch applied to the orders

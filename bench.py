@@ -86,6 +86,11 @@ def main() -> None:
         # (embedding_cosine_neardup stays registered as the oracle)
         "embedding_lsh_pairs",
         "text_tfidf_top_terms",
+        # round-5 text shapes: BM25 (map-side term filter + broadcast
+        # stats) and corpus-LM cross-entropy (occurrence x vocab join
+        # with decimal-sum aggregation)
+        "text_bm25_rank",
+        "text_unigram_cross_entropy",
         # the composed normalize->gate->dedup->cluster pipeline: the
         # end-to-end shape a curation job actually runs, with LSH pair
         # generation (the exact-pair form is quadratic by design and

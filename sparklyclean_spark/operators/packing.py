@@ -58,3 +58,69 @@ def pack_sequences(
         )
         .drop("_bucket", "_w", "_local_before", "_off")
     )
+
+
+def pack_bins_greedy(
+    df: DataFrame,
+    size_col: str,
+    order_by: list[str],
+    capacity: int,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Capacity-respecting sequential packing — the actual dataloader
+    contract (``pack_sequences`` is the fixed-grid/offset form): walk
+    documents in ``order_by`` order and open a NEW bin whenever adding
+    the next document would exceed ``capacity``; oversized documents
+    get a bin of their own. No bin ever exceeds capacity (except a
+    single oversized doc), unlike grid packing where a document can
+    straddle cells.
+
+    The fill recurrence is sequential (non-associative), so it cannot
+    be a window/prefix-sum — the scale shape is the one real
+    dataloaders use: shard the corpus deterministically (xxhash64 of
+    the order key, ``n_shards`` ways), pack each shard independently
+    with one Arrow ``applyInPandas`` pass, and namespace bin ids by
+    shard. Packing quality is unaffected (any shard's fill ratio
+    matches global greedy in expectation); parallelism is ``n_shards``
+    regardless of corpus size. Deterministic: shard id and visit order
+    are pure functions of the data.
+
+    Emits the input columns plus ``bin_id`` (globally unique:
+    shard * 2^32 + local bin) and ``bin_fill`` (the bin's total size
+    after packing).
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in order_by]), F.lit(n_shards)).alias(
+        "_shard"
+    )
+    based = df.withColumn("_shard", shard)
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in based.schema.fields]
+        + ["bin_id bigint", "bin_fill bigint"]
+    )
+
+    def pack_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        shard_id = int(pdf["_shard"].iloc[0]) if len(pdf) else 0
+        bins, fills = [], []
+        local, fill = 0, 0
+        for s in pdf[size_col].astype("int64"):
+            s = int(s)
+            if fill > 0 and fill + s > capacity:
+                local += 1
+                fill = 0
+            fill += s
+            bins.append((shard_id << 32) + local)
+            fills.append(fill)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        # bin_fill = final fill of the bin the row landed in
+        final = {}
+        for b, f_ in zip(bins, fills):
+            final[b] = f_
+        pdf["bin_fill"] = pd.Series([final[b] for b in bins], dtype="int64")
+        return pdf
+
+    return based.groupBy("_shard").applyInPandas(pack_one, out_schema).drop("_shard")

@@ -435,3 +435,54 @@ def test_quantile_bins_mass_and_order(spark):
     nulls = spark.createDataFrame([(1, None)], "g int, v double")
     got = quantile_bins(nulls, "v", 4).collect()[0]["v_bin"]
     assert got is None
+
+
+def test_pack_bins_greedy_matches_sequential_model(spark):
+    """Per shard, the packing must equal a single-threaded greedy fill
+    in the same order; no bin exceeds capacity unless it holds exactly
+    one oversized doc; determinism across 3 runs."""
+    from sparklyclean_spark.functions import text as T
+    from sparklyclean_spark.operators.packing import pack_bins_greedy
+
+    docs = load_tables(spark, SF_DIR)["documents"].withColumn(
+        "n_tokens", T.token_count("text").cast("bigint")
+    )
+    cap = 512
+    out = pack_bins_greedy(docs, "n_tokens", ["doc_id"], capacity=cap, n_shards=4)
+    rows = out.select("doc_id", "n_tokens", "bin_id", "bin_fill").collect()
+    assert len(rows) == docs.count()
+
+    # capacity invariant
+    fills = out.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    over = fills.where((F.col("tot") > cap) & (F.col("n") > 1)).count()
+    assert over == 0
+    # bin_fill column equals the true bin total
+    joined = out.join(fills, "bin_id").where(F.col("bin_fill") != F.col("tot"))
+    assert joined.count() == 0
+
+    # differential: regroup by shard (bin_id >> 32) and replay greedy
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for r in rows:
+        by_shard[r["bin_id"] >> 32].append((r["doc_id"], r["n_tokens"], r["bin_id"]))
+    for shard, items in by_shard.items():
+        items.sort()
+        local, fill = 0, 0
+        for doc_id, n, got_bin in items:
+            if fill > 0 and fill + n > cap:
+                local += 1
+                fill = 0
+            fill += n
+            assert got_bin == (shard << 32) + local, (shard, doc_id)
+
+    # determinism
+    h = {
+        tuple(sorted((r["doc_id"], r["bin_id"]) for r in
+              pack_bins_greedy(docs, "n_tokens", ["doc_id"], capacity=cap,
+                               n_shards=4).select("doc_id", "bin_id").collect()))
+        for _ in range(3)
+    }
+    assert len(h) == 1
