@@ -323,6 +323,31 @@ def test_new_operators_handle_empty_input(spark):
     assert lbk(ev, ["k"], ["ts", "event_id"], ["value"]).count() == 0
     assert winsorize(ev, "value", by=["k"]).count() == 0
 
+    # round-5 operators
+    from sparklyclean_spark.operators.decontam import source_overlap_matrix
+    from sparklyclean_spark.operators.lateness import out_of_order_stats
+    from sparklyclean_spark.operators.outliers import quantile_bins
+    from sparklyclean_spark.operators.packing import pack_bins_greedy
+    from sparklyclean_spark.operators.pii import k_anonymity_audit
+    from sparklyclean_spark.operators.skew import key_profile
+    from sparklyclean_spark.operators.text_analysis import (
+        bm25_scores,
+        unigram_cross_entropy,
+    )
+
+    assert bm25_scores(docs, ["x"]).count() == 0
+    assert unigram_cross_entropy(docs).count() == 0
+    sdocs = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert source_overlap_matrix(sdocs).count() == 0
+    ev2 = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp_ntz"
+    )
+    assert out_of_order_stats(ev2).count() == 0
+    assert k_anonymity_audit(ev, ["k"], k=3).count() == 0
+    assert key_profile(ev, ["k"]).count() == 0
+    assert quantile_bins(ev, "value", 4, by=["k"]).count() == 0
+    assert pack_bins_greedy(sized, "n", ["doc_id"], 100).count() == 0
+
 
 def test_winsorize_preserves_null_group_rows(spark):
     """Rows whose group key is NULL must be clipped against the NULL
