@@ -36,7 +36,7 @@ from sparklyclean_spark.operators.sessions import session_sequences, session_sum
 from sparklyclean_spark.operators.merge import merge_changes
 from sparklyclean_spark.operators.lateness import out_of_order_stats
 from sparklyclean_spark.operators.pii import k_anonymity_audit
-from sparklyclean_spark.operators.outliers import quantile_bins
+from sparklyclean_spark.operators.outliers import quantile_bins, standardize
 from sparklyclean_spark.operators.skew import key_profile
 from sparklyclean_spark.operators.decontam import source_overlap_matrix
 from sparklyclean_spark.operators.dedup.chunks import chunk_dedup_within_doc
@@ -633,6 +633,7 @@ _DRIVER_CHECK_ORDER = [
     "skew_key_profile_events",    # shuffle-key heavy-hitter diagnostic
     "source_overlap_documents",   # cross-source shingle contamination
     "quantile_bins_order_prices", # r5: quantile discretizer
+    "standardize_order_prices",   # r5: z-score standardization
     "text_unigram_cross_entropy", # r5: corpus-LM quality signal
     "neardup_minhash_lsh_exploded",
     "corpus_curation_lsh",
@@ -813,6 +814,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda o: quantile_bins(
                 o, "o_totalprice", 10, by=["o_orderpriority"]
             ).select("o_orderkey", "o_orderpriority", "o_totalprice_bin"),
+            table="orders",
+        ),
+        # z-score standardization per priority
+        "standardize_order_prices": _q(
+            lambda o: standardize(o, "o_totalprice", by=["o_orderpriority"]).select(
+                "o_orderkey",
+                "o_orderpriority",
+                "o_totalprice_z",
+                "grp_mean",
+                "grp_std",
+            ),
             table="orders",
         ),
         # shuffle-key heavy-hitter diagnostic (feeds salting decisions)
@@ -1722,6 +1734,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_terms_matched
             FROM per GROUP BY doc_id
             ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+        """,
+        "standardize_order_prices": """
+            WITH s AS (
+                SELECT o_orderpriority, AVG(o_totalprice) AS mu,
+                       STDDEV_SAMP(o_totalprice) AS sd
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderkey, o.o_orderpriority,
+                   CASE WHEN sd IS NOT NULL AND sd <> 0.0
+                        THEN ROUND((o_totalprice - mu) / sd, 4) END
+                       AS o_totalprice_z,
+                   ROUND(mu, 4) AS grp_mean,
+                   ROUND(sd, 4) AS grp_std
+            FROM orders o JOIN s USING (o_orderpriority)
         """,
         "quantile_bins_order_prices": """
             WITH b AS (

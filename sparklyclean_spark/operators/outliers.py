@@ -122,3 +122,48 @@ def quantile_bins(
     return joined.withColumn(
         name, F.when(v.isNull(), F.lit(None)).otherwise(bucket.cast("int"))
     ).drop("_bounds")
+
+
+def standardize(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    z_name: str | None = None,
+) -> DataFrame:
+    """Per-group z-score standardization of a numeric feature
+    (``z = (x - mean) / stddev_samp``), the third leg of the
+    distribution-based prep family next to ``winsorize`` and
+    ``quantile_bins``. Appends ``<col>_z`` (NULL when the group's
+    stddev is 0 or undefined) plus the group stats used.
+
+    Same scale shape as its siblings: ONE grouped aggregate over the
+    data + one broadcast join — never a window over raw rows, so a
+    hot group cannot serialize into a single task. The join is
+    null-safe on the group keys (NULL-group rows are standardized
+    against their own group, not dropped).
+    """
+    v = F.col(value_col)
+    keys = by or []
+    name = z_name or f"{value_col}_z"
+    stats = df.groupBy(*keys).agg(
+        F.avg(v).alias("_mu"), F.stddev_samp(v).alias("_sd")
+    )
+    stats = stats.select(*[F.col(k).alias(f"_k_{k}") for k in keys], "_mu", "_sd")
+    if keys:
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(stats), cond).drop(*[f"_k_{k}" for k in keys])
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
+    z = F.when(
+        F.col("_sd").isNotNull() & (F.col("_sd") != 0.0),
+        (v - F.col("_mu")) / F.col("_sd"),
+    )
+    return (
+        joined.withColumn(name, F.round(z, 4))
+        .withColumn("grp_mean", F.round("_mu", 4))
+        .withColumn("grp_std", F.round("_sd", 4))
+        .drop("_mu", "_sd")
+    )

@@ -511,3 +511,23 @@ def test_pack_bins_greedy_matches_sequential_model(spark):
         for _ in range(3)
     }
     assert len(h) == 1
+
+
+def test_standardize_model_and_null_group(spark):
+    """z-scores vs a hand model; zero-variance group yields NULL z;
+    NULL-group rows standardized against their own group."""
+    import statistics
+
+    from sparklyclean_spark.operators.outliers import standardize
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 5.0),
+            (None, 10.0), (None, 20.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = standardize(df, "v", by=["k"]).collect()
+    assert len(out) == 7
+    got = {(r["k"], r["v"]): r["v_z"] for r in out}
+    sd_a = statistics.stdev([1.0, 2.0, 3.0])
+    assert got[("a", 1.0)] == round((1.0 - 2.0) / sd_a, 4)
+    assert got[("b", 5.0)] is None  # zero variance
+    sd_n = statistics.stdev([10.0, 20.0])
+    assert got[(None, 10.0)] == round((10.0 - 15.0) / sd_n, 4)
