@@ -421,6 +421,25 @@ def _merge_orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.withColumn("o_totalprice", F.round("o_totalprice", 4))
 
 
+def _pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash-LSH near-dup graph — the
+    principled canonical-pick score (most-linked ≈ most-typical
+    member of each dup cluster). Iterative power iteration with float
+    accumulation → rows-only (no SQL oracle); the pytest gate is a
+    1e-9 differential vs a dense numpy power iteration
+    (test_textops.test_pagerank_matches_power_iteration)."""
+    from sparklyclean_spark.operators.dedup.textdedup import minhash_lsh_pairs
+    from sparklyclean_spark.operators.graph import pagerank
+
+    docs = _tables(spark, sf_dir)["documents"]
+    edges = minhash_lsh_pairs(docs, 0.5).select("id1", "id2")
+    verts = docs.select(F.col("doc_id").alias("id"))
+    out = pagerank(edges, verts, iters=10)
+    return out.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
 def _merge_replay_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Idempotent-replay guarantee of the CDC apply path, driver-
     checked (VERDICT r4 item 9): the SAME change batch is applied
@@ -635,6 +654,7 @@ _DRIVER_CHECK_ORDER = [
     "quantile_bins_order_prices", # r5: quantile discretizer
     "standardize_order_prices",   # r5: z-score standardization
     "text_unigram_cross_entropy", # r5: corpus-LM quality signal
+    "pagerank_neardup_graph",     # r5: graph centrality (rows-only)
     "neardup_minhash_lsh_exploded",
     "corpus_curation_lsh",
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
@@ -872,6 +892,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot (update/delete/pass-through), target never shuffles
         "merge_orders_upsert": _merge_orders_upsert,
         "merge_replay_idempotent": _merge_replay_idempotent,
+        "pagerank_neardup_graph": _pagerank_neardup_graph,
         "profile_orders_columns": _profile_orders_columns,
         "embedding_quantize": _embedding_quantize,
         # -- near-dup dedup over documents ------------------------------------

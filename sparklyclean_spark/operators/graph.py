@@ -1,0 +1,110 @@
+"""Iterative graph analytics over pair/edge tables: PageRank.
+
+Connected components (``dedup/clusters.py``) answers "which docs are
+the same"; PageRank over the SAME near-dup/similarity edges answers
+"which doc is the most central representative" — a principled
+keep-the-canonical choice (most-linked ≈ most-typical) and the
+standard link-authority score wherever the pipeline has a reference
+graph (citations, hyperlinks, co-occurrence).
+
+Scale shape per iteration: ONE shuffle join (edges ⋈ ranks on the
+source) + one aggregation on the destination — the textbook
+distributed power iteration. Dangling-node mass is folded back
+uniformly via a 1-row aggregate (broadcast), so ranks always sum to
+1. Lineage is cut with ``localCheckpoint`` on the O(#vertices) rank
+table each round (NOT the edges — they are read once and persisted),
+the same bounded-iteration pattern as cluster resolution; driver
+state is one scalar per round.
+
+No reference counterpart; §2.10 capability-gap operator (iterative
+analytics family, next to connected components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.cache import tracked_persist
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id1",
+    dst_col: str = "id2",
+    damping: float = 0.85,
+    iters: int = 10,
+    symmetric: bool = True,
+) -> DataFrame:
+    """(id, rank): PageRank after ``iters`` power iterations.
+
+    ``symmetric=True`` treats each input pair as an undirected edge
+    (both directions), the right reading for similarity pairs.
+    Vertices with no edges are dangling: they keep receiving the
+    teleport + redistributed dangling mass. Ranks sum to 1.
+    """
+    sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    if symmetric:
+        sym = sym.unionAll(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+    verts = vertices.select(F.col(id_col).alias("v"))
+    n = verts.count()
+    if n == 0:
+        return verts.select(F.col("v").alias(id_col), F.lit(0.0).alias("rank"))
+
+    # the rank table is O(#vertices) narrow rows; checkpointing it (or
+    # shuffling the edge list) at the session's full shuffle-partition
+    # count makes every iteration pay hundreds of near-empty tasks at
+    # small scale. Size partitioning from n (~500k rows per partition,
+    # capped); pre-hash the edges on the join key so the iteration
+    # joins reuse one co-partitioning.
+    n_parts = max(8, min(2048, n // 500_000 + 8))
+    sym = tracked_persist(sym.repartition(n_parts, "a"))
+
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("out_deg")).withColumnRenamed(
+        "a", "dv"
+    )
+    ranks = (
+        verts.select("v", F.lit(1.0 / n).alias("rank"))
+        .repartition(n_parts, "v")
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        with_deg = ranks.join(deg, ranks.v == deg.dv, "left").drop("dv")
+        # dangling mass: ranks of vertices with no out-edges
+        dangling = (
+            with_deg.where(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        # alias the edge table: it is joined against its own degree
+        # aggregate, which trips Spark's ambiguous-self-join detection
+        # without a dataset-level alias
+        e = sym.alias("E")
+        contribs = (
+            with_deg.where(F.col("out_deg").isNotNull())
+            .join(e, F.col("v") == F.col("E.a"))
+            .select(
+                F.col("E.b").alias("cv"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("cv")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            verts.join(contribs, verts.v == contribs.cv, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "v",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("in_sum", F.lit(0.0)) + F.col("_dm") / n)
+                ).alias("rank"),
+            )
+            .repartition(n_parts, "v")
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("v").alias(id_col), "rank")

@@ -597,3 +597,35 @@ def test_unigram_cross_entropy_model(spark):
         exp[d] = (len(words), round(-sum(lps) / len(words), 4))
     assert got == exp
     assert got[1][1] < got[2][1] < got[3][1]
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """PageRank vs a dense numpy power iteration on a hand graph with
+    a dangling node and asymmetric degrees."""
+    import numpy as np
+
+    from sparklyclean_spark.operators.graph import pagerank
+
+    # undirected edges: star 0-(1,2,3), chain 3-4; node 5 dangling
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (3, 4)], "id1 bigint, id2 bigint"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id bigint")
+    got = {r["id"]: r["rank"] for r in pagerank(edges, verts, iters=20).collect()}
+
+    n, d = 6, 0.85
+    und = [(0, 1), (1, 0), (0, 2), (2, 0), (0, 3), (3, 0), (3, 4), (4, 3)]
+    deg = {v: sum(1 for a, _ in und if a == v) for v in range(n)}
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        nxt = np.full(n, (1 - d) / n)
+        dm = sum(r[v] for v in range(n) if deg.get(v, 0) == 0)
+        nxt += d * dm / n
+        for a, b in und:
+            nxt[b] += d * r[a] / deg[a]
+        r = nxt
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the star hub must rank highest
+    assert max(got, key=got.get) == 0
