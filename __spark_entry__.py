@@ -655,6 +655,7 @@ _DRIVER_CHECK_ORDER = [
     "standardize_order_prices",   # r5: z-score standardization
     "text_unigram_cross_entropy", # r5: corpus-LM quality signal
     "pagerank_neardup_graph",     # r5: graph centrality (rows-only)
+    "sample_docs_exact_k_weighted",  # r5: A-ES exact-k weighted sample
     "neardup_minhash_lsh_exploded",
     "corpus_curation_lsh",
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
@@ -822,6 +823,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             table="documents",
         ),
         "pii_redaction": _pii_redaction,
+        # exact-k weighted sample per lang (A-ES keys, md5-uniform)
+        "sample_docs_exact_k_weighted": _q(
+            lambda d: SP.weighted_sample_exact_k(
+                d, F.col("n_chars").cast("double"), 5, "doc_id", by=["lang"]
+            ).select("doc_id", "lang", "es_key"),
+            table="documents",
+        ),
         # privacy gate: group sizes over quasi-identifier combos
         "kanon_customer_audit": _q(
             lambda c: k_anonymity_audit(c, ["c_nationkey", "c_mktsegment"], k=200),
@@ -1883,6 +1891,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                       / 4294967296.0
                   < LEAST(1.0, n_chars / 500.0)
+        """,
+        # A-ES keys: identical md5-uniform + -ln(u)/w arithmetic; key
+        # rounded to 10 BEFORE ranking on both sides, id tie-break
+        "sample_docs_exact_k_weighted": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       ROUND(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+                                  + 1) / 4503599627370496.0)
+                             / CAST(n_chars AS DOUBLE), 10) AS es_key
+                FROM documents
+            )
+            SELECT doc_id, lang, es_key FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY es_key ASC, doc_id ASC) AS rn
+                FROM s
+            ) WHERE rn <= 5
         """,
         "hash_split_documents": """
             SELECT doc_id,

@@ -140,3 +140,50 @@ def weighted_sample(
         / F.lit(float(16**8))
     )
     return df.withColumn(weight_name, weight).where(u < F.col(weight_name))
+
+
+def weighted_sample_exact_k(
+    df: DataFrame,
+    weight: "F.Column",
+    k: int,
+    id_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """EXACT-k weighted sampling WITHOUT replacement (per ``by``
+    stratum when given) via Efraimidis–Spirakis A-ES keys:
+    ``key = -ln(u) / w`` with the k SMALLEST keys selected —
+    equivalent to picking items one by one with probability
+    proportional to remaining weight. The quota-true complement to
+    ``weighted_sample`` (whose Bernoulli keep only hits the target
+    size in expectation).
+
+    Deterministic and engine-portable: the uniform ``u`` is the first
+    13 hex chars of md5(id) scaled to (0,1] — the same md5-uniform
+    family as the rest of this module, reproducible bit-for-bit in
+    the DuckDB oracle (no RNG state, stable under retries).
+
+    Scale shape: key computation is pure map-side; selection is one
+    per-stratum top-k window (rows carry only id+key+weight). With a
+    hot stratum, the same two-round salted top-k as
+    ``operators/skew.py`` applies — here the plain window is used
+    because strata quotas are small by construction.
+    """
+    keys = by or []
+    # (h+1)/16^13 in (0, 1]: never 0, so ln(u) is finite; 13 hex
+    # chars = 52 bits fits a double exactly
+    u = (
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+            .cast("double")
+            + F.lit(1.0)
+        )
+        / F.lit(float(16**13))
+    )
+    score = -F.log(u) / weight
+    w = Window.partitionBy(*keys).orderBy(F.asc("es_key"), F.asc(id_col))
+    return (
+        df.withColumn("es_key", F.round(score, 10))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

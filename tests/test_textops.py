@@ -629,3 +629,32 @@ def test_pagerank_matches_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     # the star hub must rank highest
     assert max(got, key=got.get) == 0
+
+
+def test_weighted_sample_exact_k_model(spark):
+    """A-ES exact-k sampler vs a sequential Python replay of the same
+    md5-uniform + key arithmetic; exact quota per stratum."""
+    import hashlib
+    import math
+
+    from sparklyclean_spark.operators import sampling as SP2
+
+    rows = [(i, "g%d" % (i % 2), float(1 + i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, w double")
+    out = SP2.weighted_sample_exact_k(
+        df, F.col("w"), 3, "doc_id", by=["g"]
+    ).collect()
+    got = {(r["g"], r["doc_id"]) for r in out}
+    assert len(out) == 6  # exact quota: 3 per stratum
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+        u = (h + 1) / float(16**13)
+        return round(-math.log(u) / w, 10)
+
+    exp = set()
+    for g in ("g0", "g1"):
+        members = [(key(i, w), i) for i, gg, w in rows if gg == g]
+        for _, i in sorted(members)[:3]:
+            exp.add((g, i))
+    assert got == exp
