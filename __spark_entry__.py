@@ -270,7 +270,17 @@ def _knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rademacher plane literals (knn._rademacher_planes), so DuckDB can
     recompute BOTH sides: same plane dots, same band buckets, same
     candidate join, same cosine re-rank. The recall value itself is
-    therefore hash-checked end-to-end, not engine-trusted."""
+    therefore hash-checked end-to-end, not engine-trusted.
+
+    Float caveat (accepted): the plane dots are summed by numpy
+    matmul on the Spark side and sequentially by list_sum in DuckDB —
+    non-associative float addition means a dot within ~1 ulp of zero
+    could sign-flip between engines (likewise cosine rank boundaries
+    at ~1e-13 gaps). For continuous embeddings both are measure-zero
+    and the brute-force oracle rows have been hash-stable on this
+    corpus for five rounds; decimal-rounding each dot would trade
+    this for a LARGER tie class at the rounding grid, so it is left
+    exact."""
     from sparklyclean_spark.operators.similarity.knn import (
         brute_force_topk,
         lsh_bucketed_topk,
@@ -2058,7 +2068,7 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                        o_orderdate
-                FROM changes WHERE op <> 'D'
+                FROM changes WHERE op IS DISTINCT FROM 'D'
             )
         """,
         # same single-application SQL as merge_orders_upsert: the
@@ -2085,7 +2095,7 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                        o_orderdate
-                FROM changes WHERE op <> 'D'
+                FROM changes WHERE op IS DISTINCT FROM 'D'
             )
         """,
         "cdc_latest_events": """

@@ -26,15 +26,26 @@ sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.001"
 
-# accepted violations, each with the reason it is fine
-WHITELIST: dict[str, str] = {
+# accepted violations: name -> (accepted flag set, reason). A flag
+# class NOT in the set still fails — e.g. a future row-Python UDF on
+# a query whitelisted only for its cartesian shape must be caught.
+WHITELIST: dict[str, tuple[set[str], str]] = {
     # oracle/verification-scale paths kept deliberately quadratic —
     # the scale path is the LSH/prefix variant of the same family
-    "embedding_cosine_neardup": "exact quadratic oracle by design",
-    "neardup_shingle_jaccard": "exact quadratic oracle by design",
-    "knn_bruteforce_cosine": "exact baseline; broadcast nested loop over broadcast queries",
-    "knn_ivf_recall": "joins brute-force baseline (broadcast queries side)",
-    "knn_lsh_recall": "joins brute-force baseline (broadcast queries side)",
+    "embedding_cosine_neardup": ({"CARTESIAN"}, "exact quadratic oracle by design"),
+    "neardup_shingle_jaccard": ({"CARTESIAN"}, "exact quadratic oracle by design"),
+    "knn_bruteforce_cosine": (
+        {"CARTESIAN"},
+        "exact baseline; broadcast nested loop over broadcast queries",
+    ),
+    "knn_ivf_recall": (
+        {"CARTESIAN"},
+        "joins brute-force baseline (broadcast queries side)",
+    ),
+    "knn_lsh_recall": (
+        {"CARTESIAN"},
+        "joins brute-force baseline (broadcast queries side)",
+    ),
 }
 
 
@@ -97,11 +108,13 @@ def main() -> None:
                 flags.append("GLOBAL_SORT")
         line = f"{name}: exch={n_ex} joins={joins} py={py}"
         if flags:
-            if name in WHITELIST:
-                line += f" [accepted: {WHITELIST[name]}]"
+            accepted, reason = WHITELIST.get(name, (set(), ""))
+            leftover = [f for f in flags if f not in accepted]
+            if not leftover:
+                line += f" [accepted: {reason}]"
             else:
-                failures.append(f"{name}: {flags}")
-                line += f" FLAGS={flags}"
+                failures.append(f"{name}: {leftover}")
+                line += f" FLAGS={leftover}"
         print(line)
 
     print(f"\naudited {len(names)} queries; violations: {len(failures)}")

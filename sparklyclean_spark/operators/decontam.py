@@ -110,12 +110,16 @@ def source_overlap_matrix(
     C(#sources, 2) per gram; per-source totals are a tiny broadcast.
     No quadratic doc-pair work anywhere.
     """
-    fps = (
+    from sparklyclean_spark.cache import tracked_persist
+
+    # persisted: the distinct (source, gram) set feeds THREE subtrees
+    # (per-source totals + both self-join sides) and its distinct is
+    # the operator's dominant shuffle — compute it once
+    fps = tracked_persist(
         docs.select(
             F.col(source_col).alias("src"),
             F.explode(T.word_shingles(text_col, n)).alias("fp"),
-        )
-        .distinct()
+        ).distinct()
     )
     totals = fps.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     shared = (

@@ -44,6 +44,15 @@ def pagerank(
     (both directions), the right reading for similarity pairs.
     Vertices with no edges are dangling: they keep receiving the
     teleport + redistributed dangling mass. Ranks sum to 1.
+
+    Input contract (not validated — both checks would cost a join):
+    every edge endpoint must appear in ``vertices`` (contributions to
+    unknown endpoints are dropped and the rank sum drifts below 1),
+    and with ``symmetric=True`` the pair list must contain each
+    undirected edge ONCE (a list carrying both (a,b) and (b,a) counts
+    the edge twice in the degrees). Near-dup pair generators in this
+    repo emit id1 < id2 exactly once over a known corpus, satisfying
+    both.
     """
     sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     if symmetric:

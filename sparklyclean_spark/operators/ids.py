@@ -99,10 +99,14 @@ def _balanced_sum(terms: list[Column]) -> Column:
 def _bucket_from_bounds(surr: Column, bounds: list[float]) -> Column:
     """#{b in bounds : surr >= b} as codegen-friendly indicator sums.
     NULL surrogates (null keys sort first ascending) score 0 on every
-    indicator and land in bucket 0, matching nulls-first."""
-    return _balanced_sum(
+    indicator and land in bucket 0, matching nulls-first; NaN sorts
+    LAST in Spark, so it is routed to the top bucket explicitly (its
+    ``>=`` comparisons are all false and would misplace it in bucket
+    0, breaking bucket monotonicity)."""
+    counted = _balanced_sum(
         [F.when(surr >= F.lit(b), 1).otherwise(0) for b in bounds]
     )
+    return F.when(F.isnan(surr), F.lit(len(bounds))).otherwise(counted)
 
 
 def _index_of_literal(col: Column, values: list) -> Column:
@@ -164,7 +168,7 @@ def ranged_with_offsets(
             probe_aggs.append(F.percentile_approx(s1, qs, 10000).alias("_q1"))
         probe = df.agg(*probe_aggs).collect()[0]
 
-        bounds0 = sorted({b for b in (probe["_q0"] or []) if b is not None})
+        bounds0 = sorted({b for b in (probe["_q0"] or []) if b is not None and b == b})
         nd0 = probe["_nd0"] or 0
         if len(bounds0) >= max(4, n_buckets // 4) or (s1 is None and nd0 > _EXACT_CAP):
             # leading key is spread enough: pure range buckets on it
@@ -175,10 +179,19 @@ def ranged_with_offsets(
             # percentiles — monotone because the leading grouping is
             # exact, not ranged
             vals = [r[0] for r in df.select(c0).distinct().collect()]
-            vals.sort(key=lambda v: (v is not None, v))  # Spark: nulls first asc
+
+            def _spark_asc_key(v):
+                # Spark ascending order: NULL first, NaN LAST (greater
+                # than every number). Python's sort chokes on raw NaN
+                # keys (all comparisons False -> arbitrary order), so
+                # flag it out of the comparison.
+                is_nan = isinstance(v, float) and v != v
+                return (v is not None, is_nan, 0 if (v is None or is_nan) else v)
+
+            vals.sort(key=_spark_asc_key)
             idx = _index_of_literal(F.col(c0), vals)
             if s1 is not None:
-                bounds1 = sorted({b for b in (probe["_q1"] or []) if b is not None})
+                bounds1 = sorted({b for b in (probe["_q1"] or []) if b is not None and b == b})
                 sub = _bucket_from_bounds(s1, bounds1)
                 bucket = idx * F.lit(len(bounds1) + 1) + sub
             else:

@@ -182,7 +182,13 @@ def weighted_sample_exact_k(
     score = -F.log(u) / weight
     w = Window.partitionBy(*keys).orderBy(F.asc("es_key"), F.asc(id_col))
     return (
-        df.withColumn("es_key", F.round(score, 10))
+        # weight <= 0 or NULL means "never sample" (probability 0) —
+        # without the filter a NULL key would sort FIRST in Spark
+        # (asc = nulls first) and a negative weight would beat every
+        # valid row; both would also diverge from the oracle's
+        # NULLS-LAST default
+        df.where(weight > 0)
+        .withColumn("es_key", F.round(score, 10))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .drop("rn")

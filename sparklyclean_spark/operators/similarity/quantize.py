@@ -83,23 +83,54 @@ def quantize_int8(
                     {"vec_id": [], "_m": [], "q_digest": [], "q_sum": [], "q_min": [], "q_max": []}
                 )
                 continue
-            embs = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            # ragged/empty vectors must not crash the task the way a
+            # bare np.stack would: right-pad to a rectangle, compute
+            # vectorized, then slice each row back to its true length
+            # for the digest/stats (padding zeros never change max|x|)
+            vecs = [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            true_lens = [v.shape[0] for v in vecs]
+            d = max(true_lens) if true_lens else 0
+            if d == 0:
+                n_rows = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf[id_col].to_numpy(),
+                        "_m": np.zeros(n_rows),
+                        "q_digest": [hashlib.md5(b"").hexdigest()] * n_rows,
+                        "q_sum": np.zeros(n_rows, dtype="int64"),
+                        "q_min": np.zeros(n_rows, dtype="int64"),
+                        "q_max": np.zeros(n_rows, dtype="int64"),
+                    }
+                )
+                continue
+            if len(set(true_lens)) == 1:
+                embs = np.stack(vecs)
+            else:
+                embs = np.zeros((len(vecs), d))
+                for i, v in enumerate(vecs):
+                    embs[i, : v.shape[0]] = v
             m = np.abs(embs).max(axis=1)
             safe = np.where(m == 0.0, 1.0, m)
             # (v * 127.0) / m — same association as the Column form
             q = np.floor(embs * 127.0 / safe[:, None] + 0.5).astype("int64")
             q[m == 0.0] = 0
+            rows = [row[:ln] for row, ln in zip(q, true_lens)]
             dig = [
-                hashlib.md5(",".join(map(str, row)).encode()).hexdigest() for row in q
+                hashlib.md5(",".join(map(str, row)).encode()).hexdigest()
+                for row in rows
             ]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].to_numpy(),
-                    "_m": m,
+                    "_m": np.where(np.array(true_lens) > 0, m, 0.0),
                     "q_digest": dig,
-                    "q_sum": q.sum(axis=1),
-                    "q_min": q.min(axis=1),
-                    "q_max": q.max(axis=1),
+                    "q_sum": np.array([row.sum() for row in rows], dtype="int64"),
+                    "q_min": np.array(
+                        [row.min() if row.size else 0 for row in rows], dtype="int64"
+                    ),
+                    "q_max": np.array(
+                        [row.max() if row.size else 0 for row in rows], dtype="int64"
+                    ),
                 }
             )
 

@@ -349,7 +349,11 @@ def unigram_cross_entropy(docs: DataFrame) -> DataFrame:
     """
     toks = docs.select("doc_id", F.explode(T.words("text")).alias("term"))
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.select(F.count(F.lit(1)).alias("_total"))
+    # total token count derived from the VOCAB-sized aggregate, not a
+    # third corpus-wide explode (the scan count stays at 2 — vocab
+    # build + join probe — the same deliberate 2x-linear trade as
+    # tfidf_top_terms)
+    total = vocab.select(F.sum("c").alias("_total"))
     logp = (
         toks.join(vocab, "term")
         .join(F.broadcast(total))

@@ -531,3 +531,16 @@ def test_standardize_model_and_null_group(spark):
     assert got[("b", 5.0)] is None  # zero variance
     sd_n = statistics.stdev([10.0, 20.0])
     assert got[(None, 10.0)] == round((10.0 - 15.0) / sd_n, 4)
+
+
+def test_quantize_ragged_and_empty_vectors(spark):
+    """The Arrow digest path must degrade gracefully on empty or
+    ragged embedding arrays (np.stack would crash the task)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, []), (3, [3.0, 1.0, -4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert rows[2]["scale"] == 0.0 and rows[2]["q_sum"] == 0
+    assert rows[1]["q_min"] == -127  # -2 is max|x| for row 1
+    assert rows[3]["q_min"] == -127
