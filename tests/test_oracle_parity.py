@@ -29,3 +29,35 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["n_name", "revenue"]
+
+
+def test_driver_window_names_resolve_and_have_checks():
+    """Meta-invariant on the driver contract: every name in the
+    first-50 hash-checked window must (a) exist in queries() and
+    (b) either have an oracle_sql() twin or carry an explicit
+    rows-only rationale in its callable's docstring — so no query
+    silently degrades to an unchecked row."""
+    import re
+
+    import __spark_entry__ as E
+
+    src = open("/root/repo/__spark_entry__.py").read()
+    m = re.search(r"_DRIVER_CHECK_ORDER = \[(.*?)\n\]", src, re.S)
+    names = re.findall(r'"([a-z0-9_]+)"', m.group(1))
+    assert len(names) == len(set(names)), "duplicate names shift the window"
+    q = E.queries()
+    o = E.oracle_sql()
+    window = names[:50]
+    missing = [n for n in window if n not in q]
+    assert not missing, missing
+    for n in window:
+        if n in o:
+            continue
+        fn = q[n]
+        doc = (getattr(fn, "__doc__", None) or "") + (
+            getattr(getattr(fn, "__wrapped__", None), "__doc__", None) or ""
+        )
+        doc = " ".join(doc.lower().split())
+        assert "rows-only" in doc or "rows only" in doc, (
+            f"{n} has no oracle and no rows-only rationale"
+        )
