@@ -202,6 +202,10 @@ def _q(fn, *args, **kwargs) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(_tables(spark, sf_dir)[table], *args, **kwargs)
 
+    # surface the operator's docstring (rows-only rationales etc.)
+    # through the adapter for introspection/meta-tests
+    run.__wrapped__ = fn
+    run.__doc__ = getattr(fn, "__doc__", None)
     return run
 
 
@@ -447,6 +451,18 @@ def _pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pagerank(edges, verts, iters=10)
     return out.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _sketch_distinct_users(events: DataFrame) -> DataFrame:
+    """Mergeable per-day HLL sketches + merged ALL row. Rows-only by
+    design: DataSketches estimates aren't reproducible by DuckDB; the
+    pytest gate asserts merged==direct and accuracy vs exact
+    distinct."""
+    return distinct_rollup(
+        events,
+        F.col("user_id"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"),
     )
 
 
@@ -1034,15 +1050,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_user_steps": _q(
             lambda e: funnel_steps(e, ["view", "click", "purchase"]), table="events"
         ),
-        # mergeable per-day HLL sketches + merged ALL row (rows-only:
-        # DataSketches estimates aren't reproducible by DuckDB; pytest
-        # gates merged==direct and accuracy vs exact distinct)
-        "sketch_distinct_users_daily": _q(
-            lambda e: distinct_rollup(
-                e, F.col("user_id"), F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
-            ),
-            table="events",
-        ),
+        "sketch_distinct_users_daily": _q(_sketch_distinct_users, table="events"),
         # -- multimodal plumbing (mapInPandas decode; deterministic stub) -----
         "multimodal_decode_meta": lambda spark, sf_dir: MM.decode_metadata(
             MM.make_media_table(_tables(spark, sf_dir)["documents"])

@@ -95,7 +95,10 @@ def curate_corpus_lsh(
     this marks ``near_dup`` the exact pipeline marks non-kept too
     (pytest-gated); recall ≥0.8 at the band/threshold defaults. This
     is the variant to run on a real corpus — and the one bench.py
-    times."""
+    times. Driver check is rows-only by design: the LSH edge set is
+    recall-dependent, so no SQL oracle reproduces it; the exact-form
+    ``corpus_curation`` row carries the hash check for the shared
+    pipeline logic."""
     return curate_corpus(
         docs,
         min_tokens=min_tokens,
