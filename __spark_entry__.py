@@ -454,6 +454,31 @@ def _pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdf_orders_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed GENERATION: diff the merge fixture's target
+    snapshot against its post-merge snapshot and emit the op-coded
+    change batch that transforms one into the other (the producer
+    side of the CDC family; round-trip law merge(old, cdf(old,new))
+    == new is pytest-gated)."""
+    from sparklyclean_spark.operators.diff import change_data_feed
+
+    orders = _tables(spark, sf_dir)["orders"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    old = orders.where(F.col("o_orderkey") % 7 != 0).select(*cols)
+    changes = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 21 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+        .select(*cols, "op")
+    )
+    new = merge_changes(old, changes, ["o_orderkey"], broadcast_changes=True)
+    out = change_data_feed(old, new, ["o_orderkey"])
+    return out.withColumn("o_totalprice", F.round("o_totalprice", 4))
+
+
 def _sketch_distinct_users(events: DataFrame) -> DataFrame:
     """Mergeable per-day HLL sketches + merged ALL row. Rows-only by
     design: DataSketches estimates aren't reproducible by DuckDB; the
@@ -700,6 +725,7 @@ _DRIVER_CHECK_ORDER = [
     "events_sessionize_4h",            # new in r4: batch sessionization
     "merge_orders_upsert",             # MERGE INTO shape (null-safe op r5)
     "merge_replay_idempotent",         # r5: apply∘apply == apply, oracled
+    "cdf_orders_snapshots",            # r5: change-feed generation, oracled
     "session_event_sequences_4h",      # new in r4: per-session sequences
     "chunk_dedup_within_doc",          # new in r4: intra-doc span dedup
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
@@ -926,6 +952,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # snapshot (update/delete/pass-through), target never shuffles
         "merge_orders_upsert": _merge_orders_upsert,
         "merge_replay_idempotent": _merge_replay_idempotent,
+        "cdf_orders_snapshots": _cdf_orders_snapshots,
         "pagerank_neardup_graph": _pagerank_neardup_graph,
         "profile_orders_columns": _profile_orders_columns,
         "embedding_quantize": _embedding_quantize,
@@ -2105,6 +2132,28 @@ def oracle_sql() -> dict[str, str]:
                        o_orderdate
                 FROM changes WHERE op IS DISTINCT FROM 'D'
             )
+        """,
+        # the expected change feed derived by SET LOGIC from the
+        # fixture (independent of the engine's join mechanics): U =
+        # price-bumped keys present in old, I = bumped keys absent
+        # from old, D = delete keys present in old (old payload)
+        "cdf_orders_snapshots": """
+            WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice, o_orderdate FROM orders)
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   ROUND(o_totalprice + 1000.0, 4) AS o_totalprice,
+                   o_orderdate, 'U' AS op
+            FROM o WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
+                     AND o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   ROUND(o_totalprice + 1000.0, 4), o_orderdate, 'I'
+            FROM o WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
+                     AND o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   ROUND(o_totalprice, 4), o_orderdate, 'D'
+            FROM o WHERE o_orderkey % 21 = 0 AND o_orderkey % 7 <> 0
         """,
         "cdc_latest_events": """
             SELECT user_id, event_type, ts, event_id, ROUND(value, 4) AS value

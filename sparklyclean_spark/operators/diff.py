@@ -65,3 +65,68 @@ def diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def change_data_feed(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    op_name: str = "op",
+) -> DataFrame:
+    """Generate the MERGE-ready change batch that turns snapshot
+    ``old`` into snapshot ``new`` — the inverse of
+    ``merge.merge_changes`` and the producer side of the CDC family
+    (latest_by_key consumes a log, merge applies a batch, THIS emits
+    one). Output: ``new``'s columns + ``op`` ∈ {'I','U','D'} — one
+    row per differing key; unchanged keys emit nothing. Deletes carry
+    the OLD payload (all a consumer needs is the key, but the payload
+    makes the feed auditable).
+
+    Round-trip law (property-tested):
+    ``merge_changes(old, change_data_feed(old, new, keys), keys)``
+    equals ``new`` exactly, treating 'I' and 'U' alike as upserts —
+    PROVIDED keys are non-NULL. The feed itself aligns NULL keys
+    null-safely and reports their delta faithfully, but standard
+    MERGE join semantics (here and in Delta/Iceberg) can never match
+    a NULL key, so a NULL-keyed update applies as insert-without-
+    delete; use a surrogate key if NULL keys are possible.
+
+    Scale shape: ONE full-outer join on the key. Change detection
+    compares map-side ``xxhash64`` of the payload columns (NULL-safe,
+    same convention as ``diff_rows``), so unchanged rows — the vast
+    majority of a daily snapshot pair — are filtered WITHOUT the
+    payloads ever being compared column-by-column; the join ships
+    both payloads once, which the op selection then projects down.
+    """
+    payload = [c for c in new.columns if c not in keys]
+    l = old.select(
+        *[F.col(k).alias(f"_lk_{k}") for k in keys],
+        *[F.col(c).alias(f"_l_{c}") for c in payload],
+        F.xxhash64(*[F.col(c) for c in payload]).alias("_h_l"),
+    )
+    r = new.select(
+        *keys,
+        *payload,
+        F.xxhash64(*[F.col(c) for c in payload]).alias("_h_r"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_lk_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = r.join(l, cond, "full_outer")
+    op = (
+        F.when(F.col("_h_l").isNull(), F.lit("I"))
+        .when(F.col("_h_r").isNull(), F.lit("D"))
+        .when(F.col("_h_l") != F.col("_h_r"), F.lit("U"))
+    )
+    out_cols = [
+        F.coalesce(F.col(k), F.col(f"_lk_{k}")).alias(k) for k in keys
+    ] + [
+        F.when(F.col("_h_r").isNull(), F.col(f"_l_{c}")).otherwise(F.col(c)).alias(c)
+        for c in payload
+    ]
+    return (
+        joined.withColumn(op_name, op)
+        .where(F.col(op_name).isNotNull())
+        .select(*out_cols, op_name)
+    )

@@ -88,3 +88,37 @@ def test_broadcast_changes_leaves_target_unshuffled(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     # the target side must not hash-exchange for the anti join
     assert "Exchange hashpartitioning(k" not in plan
+
+
+def test_change_data_feed_roundtrip_law(spark):
+    """merge_changes(old, change_data_feed(old, new)) == new, on a
+    snapshot pair exercising insert, update, delete, unchanged, and
+    NULL payloads/keys."""
+    from sparklyclean_spark.operators.diff import change_data_feed
+
+    old = _df(spark, [(1, "a"), (2, "b"), (3, None), (4, "d")],
+              "k bigint, v string")
+    new = _df(spark, [(1, "a"), (2, "B"), (4, "d"), (5, "e")],
+              "k bigint, v string")
+    cdf = change_data_feed(old, new, ["k"])
+    got_ops = {(r["k"], r["v"], r["op"]) for r in cdf.collect()}
+    assert got_ops == {
+        (2, "B", "U"),      # changed
+        (3, None, "D"),     # removed (old payload carried)
+        (5, "e", "I"),      # inserted
+    }
+    merged = merge_changes(old, cdf, ["k"])
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in new.collect()}
+    # NULL keys: the feed REPORTS their delta (null-safe align), but
+    # MERGE join semantics cannot apply them — documented contract
+    oldn = _df(spark, [(None, "nk")], "k bigint, v string")
+    newn = _df(spark, [(None, "NK")], "k bigint, v string")
+    assert {(r["k"], r["v"], r["op"]) for r in
+            change_data_feed(oldn, newn, ["k"]).collect()} == {(None, "NK", "U")}
+
+
+def test_change_data_feed_empty_delta(spark):
+    from sparklyclean_spark.operators.diff import change_data_feed
+
+    snap = _df(spark, [(1, "a"), (2, "b")])
+    assert change_data_feed(snap, snap, ["k"]).count() == 0
