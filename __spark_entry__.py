@@ -479,6 +479,45 @@ def _cdf_orders_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("o_totalprice", F.round("o_totalprice", 4))
 
 
+def _incr_agg_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, driver-checked against a
+    FROM-SCRATCH recomputation: a per-priority count+sum snapshot over
+    the old base is updated ONLY from the change feed (retract old /
+    add new, exact decimal sums); the oracle recomputes the aggregate
+    over the new base directly. Hash equality proves maintenance ==
+    recompute — the materialized-view refresh that never rescans the
+    fact table."""
+    from sparklyclean_spark.operators.diff import change_data_feed
+    from sparklyclean_spark.operators.incremental import maintain_grouped_sums
+
+    orders = _tables(spark, sf_dir)["orders"]
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    old = orders.where(F.col("o_orderkey") % 7 != 0).select(*cols)
+    changes = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 21 == 0, F.lit("D")).otherwise(F.lit("U")),
+        )
+        .select(*cols, "op")
+    )
+    new = merge_changes(old, changes, ["o_orderkey"], broadcast_changes=True)
+    agg_old = old.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("sum_o_totalprice"),
+    )
+    feed = change_data_feed(old, new, ["o_orderkey"], include_old=True)
+    maintained = maintain_grouped_sums(
+        agg_old, feed, ["o_orderpriority"], ["o_totalprice"]
+    )
+    return maintained.select(
+        "o_orderpriority",
+        "n_rows",
+        F.round(F.col("sum_o_totalprice").cast("double"), 4).alias("sum_o_totalprice"),
+    )
+
+
 def _sketch_distinct_users(events: DataFrame) -> DataFrame:
     """Mergeable per-day HLL sketches + merged ALL row. Rows-only by
     design: DataSketches estimates aren't reproducible by DuckDB; the
@@ -726,6 +765,7 @@ _DRIVER_CHECK_ORDER = [
     "merge_orders_upsert",             # MERGE INTO shape (null-safe op r5)
     "merge_replay_idempotent",         # r5: apply∘apply == apply, oracled
     "cdf_orders_snapshots",            # r5: change-feed generation, oracled
+    "incr_agg_orders_priority",        # r5: maintained == recomputed, oracled
     "session_event_sequences_4h",      # new in r4: per-session sequences
     "chunk_dedup_within_doc",          # new in r4: intra-doc span dedup
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
@@ -953,6 +993,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_orders_upsert": _merge_orders_upsert,
         "merge_replay_idempotent": _merge_replay_idempotent,
         "cdf_orders_snapshots": _cdf_orders_snapshots,
+        "incr_agg_orders_priority": _incr_agg_orders_priority,
         "pagerank_neardup_graph": _pagerank_neardup_graph,
         "profile_orders_columns": _profile_orders_columns,
         "embedding_quantize": _embedding_quantize,
@@ -2154,6 +2195,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus,
                    ROUND(o_totalprice, 4), o_orderdate, 'D'
             FROM o WHERE o_orderkey % 21 = 0 AND o_orderkey % 7 <> 0
+        """,
+        # oracle recomputes the aggregate from the NEW base snapshot
+        # (set logic); the engine MAINTAINS it from the change feed —
+        # equality proves the materialized-view refresh correct
+        "incr_agg_orders_priority": """
+            WITH newsnap AS (
+                SELECT o_orderpriority, o_totalprice FROM orders
+                WHERE o_orderkey % 7 <> 0 AND o_orderkey % 3 <> 0
+                UNION ALL
+                SELECT o_orderpriority, o_totalprice + 1000.0 FROM orders
+                WHERE o_orderkey % 3 = 0 AND o_orderkey % 21 <> 0
+            )
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4)
+                       AS sum_o_totalprice
+            FROM newsnap GROUP BY o_orderpriority
         """,
         "cdc_latest_events": """
             SELECT user_id, event_type, ts, event_id, ROUND(value, 4) AS value

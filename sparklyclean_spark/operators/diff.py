@@ -72,13 +72,16 @@ def change_data_feed(
     new: DataFrame,
     keys: list[str],
     op_name: str = "op",
+    include_old: bool = False,
 ) -> DataFrame:
     """Generate the MERGE-ready change batch that turns snapshot
     ``old`` into snapshot ``new`` — the inverse of
     ``merge.merge_changes`` and the producer side of the CDC family
     (latest_by_key consumes a log, merge applies a batch, THIS emits
     one). Output: ``new``'s columns + ``op`` ∈ {'I','U','D'} — one
-    row per differing key; unchanged keys emit nothing. Deletes carry
+    row per differing key; unchanged keys emit nothing; with
+    ``include_old`` each row also carries ``_old_<col>`` (NULL for
+    inserts) for downstream delta/retraction consumers. Deletes carry
     the OLD payload (all a consumer needs is the key, but the payload
     makes the feed auditable).
 
@@ -125,6 +128,10 @@ def change_data_feed(
         F.when(F.col("_h_r").isNull(), F.col(f"_l_{c}")).otherwise(F.col(c)).alias(c)
         for c in payload
     ]
+    if include_old:
+        # the previous payload (NULL for inserts) — what downstream
+        # incremental aggregate maintenance needs to retract
+        out_cols += [F.col(f"_l_{c}").alias(f"_old_{c}") for c in payload]
     return (
         joined.withColumn(op_name, op)
         .where(F.col(op_name).isNotNull())

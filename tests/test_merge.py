@@ -122,3 +122,39 @@ def test_change_data_feed_empty_delta(spark):
 
     snap = _df(spark, [(1, "a"), (2, "b")])
     assert change_data_feed(snap, snap, ["k"]).count() == 0
+
+
+def test_incremental_agg_maintenance_with_group_migration(spark):
+    """Maintained snapshot == from-scratch recompute when updates MOVE
+    rows between groups, plus inserts, deletes, and a group emptying
+    out entirely."""
+    from pyspark.sql import functions as F
+
+    from sparklyclean_spark.operators.diff import change_data_feed
+    from sparklyclean_spark.operators.incremental import maintain_grouped_sums
+
+    old = _df(spark, [(1, "a", 10.5), (2, "a", 20.25), (3, "b", 5.0), (4, "c", 7.75)],
+              "k bigint, g string, v double")
+    new = _df(spark, [(1, "b", 10.5),   # migrates a -> b
+                      (2, "a", 99.0),   # value change, same group
+                      (4, "c", 7.75),   # unchanged
+                      (5, "d", 1.25)],  # insert into new group
+              "k bigint, g string, v double")  # key 3 deleted -> b gains 1, loses 1
+    agg_old = old.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").cast("decimal(28,6)")).alias("sum_v"),
+    )
+    feed = change_data_feed(old, new, ["k"], include_old=True)
+    got = {
+        r["g"]: (r["n_rows"], float(r["sum_v"]))
+        for r in maintain_grouped_sums(agg_old, feed, ["g"], ["v"]).collect()
+    }
+    exp = {
+        r["g"]: (r["n_rows"], float(r["sum_v"]))
+        for r in new.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(28,6)")).alias("sum_v"),
+        ).collect()
+    }
+    assert got == exp
+    assert "d" in got and got["b"] == (1, 10.5)
