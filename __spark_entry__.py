@@ -35,6 +35,7 @@ from sparklyclean_spark.operators.resample import resample_ffill
 from sparklyclean_spark.operators.sessions import session_sequences, session_summary
 from sparklyclean_spark.operators.merge import merge_changes
 from sparklyclean_spark.operators.lateness import out_of_order_stats
+from sparklyclean_spark.operators.retention import cohort_retention
 from sparklyclean_spark.operators.pii import k_anonymity_audit
 from sparklyclean_spark.operators.outliers import quantile_bins, standardize
 from sparklyclean_spark.operators.skew import key_profile
@@ -739,6 +740,7 @@ _DRIVER_CHECK_ORDER = [
     "text_bm25_rank",             # BM25 retrieval scoring (decimal-sum stable)
     "kanon_customer_audit",       # k-anonymity privacy gate
     "events_out_of_order_stats",  # watermark-delay disorder audit
+    "events_cohort_retention",    # r5: cohort retention matrix
     "skew_key_profile_events",    # shuffle-key heavy-hitter diagnostic
     "source_overlap_documents",   # cross-source shingle contamination
     "quantile_bins_order_prices", # r5: quantile discretizer
@@ -754,7 +756,6 @@ _DRIVER_CHECK_ORDER = [
     "cluster_safe_split_docs",
     "dq_orders_constraints",
     "funnel_view_click_purchase",
-    "funnel_user_steps",
     "sketch_distinct_users_daily",
     "diff_orders_snapshots",
     "histogram_order_prices",
@@ -806,6 +807,8 @@ _DRIVER_CHECK_ORDER = [
                               # prefix_jaccard + minhash_lsh_exploded
     "sample_docs_per_lang",  # 1x green r4, untouched — family kept via
                              # mixture_sample + cluster_safe_split
+    "funnel_user_steps",  # 1x green r4, untouched — family kept via
+                          # funnel_view_click_purchase
     "text_token_estimate",   # 1x green r4, untouched — displaced by bm25
     "sample_docs_weighted",  # 1x green r4, untouched — family kept via per_lang
     "q7_nation_volume",
@@ -929,6 +932,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # watermark-delay design input: per-user event-time disorder
         "events_out_of_order_stats": _q(out_of_order_stats, table="events"),
+        # cohort retention matrix (longitudinal comeback curve)
+        "events_cohort_retention": _q(cohort_retention, table="events"),
         # quantile discretizer: per-priority price deciles
         "quantile_bins_order_prices": _q(
             lambda o: quantile_bins(
@@ -1876,6 +1881,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + len(list_filter(bounds, x -> x <= o_totalprice))
                         AS INT) AS o_totalprice_bin
             FROM orders o JOIN b USING (o_orderpriority)
+        """,
+        "events_cohort_retention": """
+            WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS active_day
+                         FROM events),
+            f AS (SELECT u, MIN(active_day) AS cohort_day FROM act GROUP BY u),
+            cs AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM f GROUP BY 1),
+            j AS (SELECT f.cohort_day,
+                         date_diff('day', f.cohort_day, a.active_day) AS day_offset
+                  FROM act a JOIN f ON a.u = f.u),
+            cells AS (SELECT cohort_day, day_offset, COUNT(*) AS n_active
+                      FROM j GROUP BY 1, 2)
+            SELECT cells.cohort_day,
+                   CAST(day_offset AS INT) AS day_offset,
+                   CAST(n_active AS BIGINT) AS n_active,
+                   CAST(cohort_size AS BIGINT) AS cohort_size,
+                   floor(n_active * 10000.0 / cohort_size + 0.5) / 10000.0
+                       AS retention
+            FROM cells JOIN cs ON cs.cohort_day = cells.cohort_day
         """,
         "skew_key_profile_events": """
             WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events

@@ -1,0 +1,65 @@
+"""Cohort retention analysis over an event log.
+
+The standard product-analytics matrix: users are grouped into
+cohorts by their FIRST activity day; for each (cohort_day,
+day_offset) cell, how many of that cohort's users were active again
+``offset`` days later. Distinct from funnels (ordered step
+conversion) and sessionization (gap labeling) — this is the
+longitudinal comeback curve.
+
+Scale shape: one aggregation to (user, first_day) — map-side
+combinable min; one distinct-collapse to (user, active_day); one
+equi-join on the user id (AQE-splittable, no broadcast needed at any
+cardinality); one final hash agg on the (cohort, offset) cell. Every
+shuffle key is either the user id or the bounded cell id — no
+windows over raw events, no driver state.
+
+No reference counterpart; §2.10 capability-gap operator (event
+analytics family, next to funnel and sessionization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int | None = None,
+) -> DataFrame:
+    """(cohort_day, day_offset, n_active, cohort_size, retention):
+    ``n_active`` distinct users of the ``cohort_day`` cohort active
+    exactly ``day_offset`` days after their first day (offset 0 =
+    the cohort itself, so retention(0) = 1.0). ``retention`` is
+    rounded with explicit floor arithmetic (engine-proof, same
+    contract as repetition_signals)."""
+    day = F.to_date(F.col(ts_col))
+    activity = events.select(
+        F.col(user_col).alias("u"), day.alias("active_day")
+    ).distinct()
+    firsts = activity.groupBy("u").agg(F.min("active_day").alias("cohort_day"))
+    cohort_sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = activity.join(firsts, "u").withColumn(
+        "day_offset", F.datediff(F.col("active_day"), F.col("cohort_day"))
+    )
+    if max_offset_days is not None:
+        joined = joined.where(F.col("day_offset") <= max_offset_days)
+    cells = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")  # (u, day) pairs are distinct
+    )
+    out = cells.join(F.broadcast(cohort_sizes), "cohort_day")
+    retention = (
+        F.floor(F.col("n_active") * 10000.0 / F.col("cohort_size") + 0.5) / 10000.0
+    )
+    return out.select(
+        "cohort_day",
+        F.col("day_offset").cast("int").alias("day_offset"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        retention.alias("retention"),
+    )

@@ -150,3 +150,30 @@ def test_session_sequences_order_and_partitioning(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cohort_retention_model(spark):
+    """Retention matrix vs a hand-built cohort: offset-0 retention is
+    1.0, comeback cells count distinct users, quiet days emit no cell."""
+    from sparklyclean_spark.operators.retention import cohort_retention
+
+    rows = [
+        # users 1,2 start day 0; user 1 returns day 2 (twice -> 1 distinct)
+        (1, T0, 1), (2, T0, 2),
+        (1, T0 + timedelta(days=2), 3), (1, T0 + timedelta(days=2, hours=4), 4),
+        # user 3 starts day 1, returns day 2
+        (3, T0 + timedelta(days=1), 5), (3, T0 + timedelta(days=2), 6),
+    ]
+    out = {
+        (str(r["cohort_day"]), r["day_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention"]
+        )
+        for r in cohort_retention(_events(spark, rows)).collect()
+    }
+    d0 = str(T0.date())
+    d1 = str((T0 + timedelta(days=1)).date())
+    assert out[(d0, 0)] == (2, 2, 1.0)
+    assert out[(d0, 2)] == (1, 2, 0.5)
+    assert out[(d1, 0)] == (1, 1, 1.0)
+    assert out[(d1, 1)] == (1, 1, 1.0)
+    assert (d0, 1) not in out  # nobody from cohort d0 active on day 1
