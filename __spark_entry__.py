@@ -616,6 +616,24 @@ def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(_tables(spark, sf_dir)["embeddings"])
 
 
+def _embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of every embedding (pre-index transform: after
+    it dot == cosine). Emits the original norm, the normalized first
+    component (IEEE-identical across engines), and a unit-norm check
+    with a 1e-9 tolerance — 7 orders above float error, 9 below any
+    real deviation."""
+    from sparklyclean_spark.functions.vectors import l2_normalize, norm
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    normalized = l2_normalize(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(norm(F.col("embedding")), 4).alias("pre_norm"),
+        F.round(F.element_at(normalized, 1), 6).alias("first_component"),
+        (F.abs(norm(normalized) - F.lit(1.0)) < 1e-9).alias("is_unit"),
+    )
+
+
 def _dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global dense row ids WITHOUT a single-task global sort:
     range repartition -> local row_number -> broadcast prefix-sum
@@ -728,6 +746,7 @@ _DRIVER_CHECK_ORDER = [
     "winsorize_order_prices",    # NULL guard added
     "cdc_latest_events",         # comparator restructured
     "embedding_quantize",        # r5: digest path moved to mapInPandas
+    "embedding_l2_normalize",    # r5: unit-norm pre-index transform
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
     "q12_priority_by_status",
     "q13_order_count_distribution",
@@ -1002,6 +1021,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_neardup_graph": _pagerank_neardup_graph,
         "profile_orders_columns": _profile_orders_columns,
         "embedding_quantize": _embedding_quantize,
+        "embedding_l2_normalize": _embedding_l2_normalize,
         # -- near-dup dedup over documents ------------------------------------
         "dedup_exact_documents": _q(TD.exact_dedup, table="documents"),
         "chunk_dedup_documents": _chunk_dedup_documents,
@@ -2505,6 +2525,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND({_COS_SQL}, 4) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE {_COS_SQL} >= 0.3
+        """,
+        "embedding_l2_normalize": """
+            WITH n AS (
+                SELECT vec_id, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                FROM embeddings
+            )
+            SELECT vec_id,
+                   ROUND(nrm, 4) AS pre_norm,
+                   ROUND(CASE WHEN nrm = 0.0 THEN CAST(embedding[1] AS DOUBLE)
+                              ELSE CAST(embedding[1] AS DOUBLE) / nrm END, 6)
+                       AS first_component,
+                   (abs(sqrt(list_sum(list_transform(embedding,
+                        x -> (CASE WHEN nrm = 0.0 THEN CAST(x AS DOUBLE)
+                                   ELSE CAST(x AS DOUBLE) / nrm END)
+                             * (CASE WHEN nrm = 0.0 THEN CAST(x AS DOUBLE)
+                                     ELSE CAST(x AS DOUBLE) / nrm END))))
+                        - 1.0) < 1e-9) AS is_unit
+            FROM n
         """,
         "knn_bruteforce_cosine": f"""
             SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cos, CAST(rank AS INT) AS rank

@@ -80,3 +80,17 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-norm projection ``v / ||v||_2`` (zero vectors pass through
+    unchanged — no NaN poisoning). The standard pre-index transform:
+    after it, dot product == cosine, so ANN structures can index raw
+    dots. Column-expression tier (sequential float64, oracle-exact);
+    at corpus scale wrap the same arithmetic in the numpy batch path
+    alongside ``cosine_pandas``."""
+    v = _c(a)
+    n = norm(v)
+    return F.when(n == 0.0, F.transform(v, lambda x: x.cast("double"))).otherwise(
+        F.transform(v, lambda x: x.cast("double") / n)
+    )

@@ -544,3 +544,18 @@ def test_quantize_ragged_and_empty_vectors(spark):
     assert rows[2]["scale"] == 0.0 and rows[2]["q_sum"] == 0
     assert rows[1]["q_min"] == -127  # -2 is max|x| for row 1
     assert rows[3]["q_min"] == -127
+
+
+def test_l2_normalize_unit_and_zero(spark):
+    from sparklyclean_spark.functions.vectors import l2_normalize, norm
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r for r in df.select(
+        "vec_id",
+        l2_normalize(F.col("embedding")).alias("nv"),
+        F.round(norm(l2_normalize(F.col("embedding"))), 9).alias("n"),
+    ).collect()}
+    assert out[1]["nv"] == [0.6, 0.8] and out[1]["n"] == 1.0
+    assert out[2]["nv"] == [0.0, 0.0] and out[2]["n"] == 0.0
