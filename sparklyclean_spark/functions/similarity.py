@@ -91,6 +91,86 @@ def ignore(a: Column | str, b: Column | str) -> Column:
     return F.lit(0.0)
 
 
+
+def _jw_one(a: str, b: str) -> float:
+    """Classic Jaro-Winkler (prefix scale 0.1, prefix cap 4), matching
+    DuckDB's jaro_winkler_similarity including its edge conventions:
+    any empty side scores 0.0 (even '' vs ''), identical non-empty
+    strings score 1.0."""
+    if not a or not b:
+        return 0.0
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    am = [False] * la
+    bm = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not bm[j] and b[j] == ca:
+                am[i] = bm[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if am[i]:
+            while not bm[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    # Winkler boost only above the 0.7 threshold — the convention
+    # DuckDB (and Lucene/rapidfuzz) implement; below it the plain
+    # Jaro score is returned
+    if jaro <= 0.7:
+        return jaro
+    l = 0
+    for x, y in zip(a, b):
+        if x == y and l < 4:
+            l += 1
+        else:
+            break
+    return jaro + l * 0.1 * (1.0 - jaro)
+
+
+def jaro_winkler(a: Column | str, b: Column | str) -> Column:
+    """Jaro-Winkler similarity in [0, 1] — the record-linkage
+    comparator of choice for short name fields (prefix-weighted, more
+    tolerant of transpositions than Levenshtein). NULL-safe (NULL
+    reads as '' -> 0.0, same missing-data convention as the ladder
+    comparators).
+
+    Spark has no built-in JW, so this is an Arrow-batched pandas UDF;
+    it runs only in the COMPARATOR stage (already bounded to blocked
+    candidate pairs), never over the raw corpus. The DuckDB built-in
+    jaro_winkler_similarity is the oracle (edge conventions matched;
+    see _jw_one)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def impl(sa, sb):
+        return pd.Series(
+            [
+                _jw_one(x if x is not None else "", y if y is not None else "")
+                for x, y in zip(sa, sb)
+            ],
+            dtype="float64",
+        )
+
+    return pandas_udf(impl, "double")(
+        _as_col(a).cast("string"), _as_col(b).cast("string")
+    )
+
 # Registry consumed by ComparatorSpec (operators/dedup/compare.py).
 COMPARATORS = {
     "levenshtein": levenshtein_sim,
@@ -98,5 +178,6 @@ COMPARATORS = {
     "sqrt_diff": sqrt_diff,
     "exact": exact_match,
     "jaccard_tokens": jaccard_tokens,
+    "jaro_winkler": jaro_winkler,
     "ignore": ignore,
 }

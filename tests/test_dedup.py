@@ -182,3 +182,20 @@ def test_plan_assignment_deterministic():
         assert len(rids) == l * (l + 1) // 2
         assert len(set(rids)) == len(rids)
     assert p1.reducers_used_by_multi() <= 49
+
+
+def test_jaro_winkler_reference_values(spark):
+    """Classic published JW values + edge conventions (empty -> 0.0,
+    identical -> 1.0, sub-threshold pairs get NO prefix boost)."""
+    from sparklyclean_spark.functions.similarity import _jw_one, jaro_winkler
+
+    assert abs(_jw_one("martha", "marhta") - 0.9611111111111111) < 1e-12
+    assert abs(_jw_one("dwayne", "duane") - 0.84) < 1e-12
+    assert _jw_one("", "") == 0.0 and _jw_one("", "abc") == 0.0
+    assert _jw_one("abc", "abc") == 1.0
+    df = spark.createDataFrame(
+        [("martha", "marhta"), (None, "x"), ("abc", "abc")], "a string, b string"
+    )
+    vals = [r["jw"] for r in df.select(jaro_winkler("a", "b").alias("jw")).collect()]
+    assert abs(vals[0] - 0.9611111111111111) < 1e-12
+    assert vals[1] == 0.0 and vals[2] == 1.0
