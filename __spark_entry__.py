@@ -715,6 +715,23 @@ def _pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "cum_before", "bin_id", "bin_offset")
 
 
+def _diag(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Rows-only in-driver diagnostic for a driver-red row (VERDICT r5
+    item 1): re-runs queries()[name] AND its DuckDB oracle twin
+    IN-PROCESS, compares under the driver-shaped normalization, dumps
+    evidence + env fingerprint to DIAG_r6.json, and returns a DataFrame
+    whose ROW COUNT encodes the verdict (1 = agree, 1+N = N mismatching
+    lines). See sparklyclean_spark/diagnostics.py."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sparklyclean_spark.diagnostics import run_oracle_diag
+
+        return run_oracle_diag(spark, sf_dir, name, _all_queries()[name], oracle_sql()[name])
+
+    run.__name__ = f"_{name}_diag"
+    return run
+
+
 def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup→ML flow on the REFERENCE'S OWN corpus
     (/root/reference/data/test.csv, 1,000 Febrl records → 129,718
@@ -755,7 +772,9 @@ def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all carry green r3 records.
 _DRIVER_CHECK_ORDER = [
     # -- round-4 fix validation -----------------------------------------
-    "pack_training_sequences",   # r3/r4 red row (data-derived buckets r5)
+    "pack_training_sequences",   # r3/r4/r5 red row — UNCHANGED in r6
+                                 # (VERDICT r5 item 2: diagnose, don't touch)
+    "pack_training_sequences_diag",  # r6: in-driver oracle diag (rows-only)
     "dense_ids_documents",       # shares ranged_with_offsets
     "pack_bins_greedy_docs",     # r5: capacity packing (rows-only)
     "dedup_pairs_naive_skewed",      # new skew A/B
@@ -768,9 +787,11 @@ _DRIVER_CHECK_ORDER = [
     "embedding_quantize",        # r5: digest path moved to mapInPandas
     "embedding_l2_normalize",    # r5: unit-norm pre-index transform
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
-    "q12_priority_by_status",
+    "q12_priority_by_status",        # r5 red — UNCHANGED in r6
+    "q12_priority_by_status_diag",   # r6: in-driver oracle diag (rows-only)
     "q13_order_count_distribution",
-    "text_repetition_signals",
+    "text_repetition_signals",       # r4/r5 red — UNCHANGED in r6
+    "text_repetition_signals_diag",  # r6: in-driver oracle diag (rows-only)
     # integer-only diagnostic twin (VERDICT r4 item 2): if this is
     # green while the fraction row above is red, the divergence is in
     # float rounding/formatting, not the count plan
@@ -797,9 +818,6 @@ _DRIVER_CHECK_ORDER = [
     "funnel_view_click_purchase",
     "sketch_distinct_users_daily",
     "diff_orders_snapshots",
-    "histogram_order_prices",
-    "zorder_keys_orders",
-    "bloom_semi_join_orders",
     "neardup_prefix_jaccard",
     "events_sessionize_4h",            # new in r4: batch sessionization
     "merge_orders_upsert",             # MERGE INTO shape (null-safe op r5)
@@ -812,6 +830,12 @@ _DRIVER_CHECK_ORDER = [
     "dedup_pairs_jw_customer",         # r5: Jaro-Winkler comparator
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
+    # histogram_order_prices / zorder_keys_orders / bloom_semi_join_orders
+    # rotated below the window (all 2x green r4+r5, untouched) to make
+    # room for the three r6 *_diag instrumentation rows above
+    "histogram_order_prices",
+    "zorder_keys_orders",
+    "bloom_semi_join_orders",
     # grouping_sets_order_stats + approx_distinct_parts_per_brand rotated
     # below the window (3x green; sibling agg shapes also 3x green) for
     # the new sequences + intra-doc dedup rows
@@ -1033,6 +1057,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_order_prices": _winsorize_order_prices,
         "pack_training_sequences": _pack_training_sequences,
         "pack_bins_greedy_docs": _pack_bins_greedy_docs,
+        # -- r6 in-driver diagnostics for the three driver-red rows ----------
+        # (VERDICT r5 item 1: rows-only; 1 returned row == Spark/DuckDB
+        # agree in the driver's own sandbox; full dump in DIAG_r6.json)
+        "pack_training_sequences_diag": _diag("pack_training_sequences"),
+        "text_repetition_signals_diag": _diag("text_repetition_signals"),
+        "q12_priority_by_status_diag": _diag("q12_priority_by_status"),
         "cdc_latest_events": _cdc_latest_events,
         "scd2_user_values": _scd2_user_values,
         # MERGE INTO shape: broadcast change batch applied to the orders
