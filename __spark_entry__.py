@@ -1881,7 +1881,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_shared AS BIGINT) AS n_shared,
                    CAST(ta.n AS BIGINT) AS n_a,
                    CAST(tb.n AS BIGINT) AS n_b,
-                   ROUND(n_shared / (ta.n + tb.n - n_shared), 4) AS jaccard
+                   floor(n_shared * 10000.0 / (ta.n + tb.n - n_shared) + 0.5)
+                       / 10000.0 AS jaccard
             FROM sh
             JOIN tot ta ON ta.src = sh.src_a
             JOIN tot tb ON tb.src = sh.src_b
@@ -1978,7 +1979,7 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY event_type),
             t AS (SELECT COUNT(*) AS total FROM events)
             SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
-                   ROUND(cnt / total, 4) AS share
+                   floor(cnt * 10000.0 / total + 0.5) / 10000.0 AS share
             FROM c CROSS JOIN t
             ORDER BY cnt DESC, event_type ASC LIMIT 20
         """,
@@ -2004,8 +2005,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-                   ROUND(SUM(CASE WHEN reg > 0 THEN 1 ELSE 0 END) / COUNT(*), 4)
-                       AS late_frac,
+                   floor(SUM(CASE WHEN reg > 0 THEN 1 ELSE 0 END) * 10000.0
+                         / COUNT(*) + 0.5) / 10000.0 AS late_frac,
                    CAST(MAX(reg) AS BIGINT) AS max_regression_us
             FROM r GROUP BY user_id
         """,
@@ -2053,9 +2054,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    COALESCE(agg.n_grams, 0) AS n_grams,
                    COALESCE(agg.n_matched, 0) AS n_matched,
-                   COALESCE(ROUND(agg.n_matched / agg.n_grams, 4), 0.0) AS overlap_frac,
-                   COALESCE(ROUND(agg.n_matched / agg.n_grams, 4), 0.0) >= 0.5
-                       AS contaminated
+                   COALESCE(floor(agg.n_matched * 10000.0 / agg.n_grams + 0.5)
+                            / 10000.0, 0.0) AS overlap_frac,
+                   COALESCE(floor(agg.n_matched * 10000.0 / agg.n_grams + 0.5)
+                            / 10000.0, 0.0) >= 0.5 AS contaminated
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         """,
         "sample_docs_per_lang": """

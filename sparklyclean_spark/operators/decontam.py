@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparklyclean_spark.functions import text as T
+from sparklyclean_spark.functions.rounding import ratio4
 
 
 def _distinct_ngrams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
@@ -72,7 +73,7 @@ def ngram_overlap(
 
     # keep short docs (no grams) in the output with a zero score
     frac = F.when(
-        F.col("n_grams") > 0, F.round(F.col("n_matched") / F.col("n_grams"), 4)
+        F.col("n_grams") > 0, ratio4("n_matched", "n_grams")
     ).otherwise(F.lit(0.0))
     return (
         docs.select(F.col(id_col))
@@ -140,10 +141,10 @@ def source_overlap_matrix(
             F.col("n_shared").cast("bigint").alias("n_shared"),
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
-            F.round(
-                F.col("n_shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
-                4,
+            # floor arithmetic (repo rounding contract)
+            ratio4(
+                F.col("n_shared"),
+                F.col("n_a") + F.col("n_b") - F.col("n_shared"),
             ).alias("jaccard"),
         )
     )

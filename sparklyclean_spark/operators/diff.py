@@ -11,8 +11,14 @@ outer sort-merge join on the key, then a tiny status aggregation.
 Hash equality stands in for value equality (64-bit collision odds at
 1e12 rows ~ 3e-8 per pair under the birthday bound on matched keys —
 and a collision can only mask a CHANGED row as unchanged, never
-corrupt data). ``diff_rows`` returns per-key statuses for drill-down;
-``diff_summary`` the counts.
+corrupt data). One SYSTEMATIC collision class needs explicit defense:
+Spark's ``xxhash64`` folds NULL inputs by leaving the running seed
+unchanged, so payloads that are permutations of the same non-null
+values across NULL slots — ``('x', NULL)`` vs ``(NULL, 'x')`` — would
+collide with probability 1. All hash sites here therefore append a
+per-column null indicator to the hashed tuple, which restores
+positional sensitivity. ``diff_rows`` returns per-key statuses for
+drill-down; ``diff_summary`` the counts.
 
 No reference counterpart; §2.10 training-data-pipeline surface (the
 snapshot-vs-snapshot audit every ingest refresh needs).
@@ -20,8 +26,19 @@ snapshot-vs-snapshot audit every ingest refresh needs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _payload_hash(cols: list[str]) -> Column:
+    """NULL-position-sensitive payload fingerprint. ``xxhash64`` skips
+    NULL inputs (the running seed passes through unchanged), so hashing
+    the values alone would make ``('x', NULL)`` and ``(NULL, 'x')``
+    collide deterministically; appending each column's null indicator
+    (hashed as a boolean) breaks that class while staying map-side."""
+    return F.xxhash64(
+        *[F.col(c) for c in cols], *[F.col(c).isNull() for c in cols]
+    )
 
 
 def diff_rows(
@@ -33,14 +50,13 @@ def diff_rows(
     """Per-key diff status: ``(keys..., status)`` with status in
     {added, removed, changed, unchanged}. ``added`` = in right only;
     ``removed`` = in left only. NULL-safe on compare values (NULL ==
-    NULL for change detection) — hash() treats NULL deterministically."""
+    NULL for change detection), and NULL-position-sensitive (see
+    ``_payload_hash``)."""
     if compare_cols is None:
         compare_cols = [c for c in left.columns if c not in keys]
 
     def side(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
-            *keys, F.xxhash64(*[F.col(c) for c in compare_cols]).alias(f"_h_{tag}")
-        )
+        return df.select(*keys, _payload_hash(compare_cols).alias(f"_h_{tag}"))
 
     l, r = side(left, "l"), side(right, "r")
     joined = l.join(r, on=keys, how="full_outer")
@@ -105,12 +121,12 @@ def change_data_feed(
     l = old.select(
         *[F.col(k).alias(f"_lk_{k}") for k in keys],
         *[F.col(c).alias(f"_l_{c}") for c in payload],
-        F.xxhash64(*[F.col(c) for c in payload]).alias("_h_l"),
+        _payload_hash(payload).alias("_h_l"),
     )
     r = new.select(
         *keys,
         *payload,
-        F.xxhash64(*[F.col(c) for c in payload]).alias("_h_r"),
+        _payload_hash(payload).alias("_h_r"),
     )
     cond = None
     for k in keys:

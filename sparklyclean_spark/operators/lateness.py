@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparklyclean_spark.functions.rounding import ratio4
+
 
 def out_of_order_stats(
     events: DataFrame,
@@ -60,8 +62,10 @@ def out_of_order_stats(
     return flagged.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum((F.col("_reg") > 0).cast("bigint")).alias("n_late"),
-        F.round(
-            F.sum((F.col("_reg") > 0).cast("bigint")) / F.count(F.lit(1)), 4
+        # floor arithmetic, not engine round(): tie semantics at the
+        # 4th decimal must match the DuckDB oracle bit-for-bit
+        ratio4(
+            F.sum((F.col("_reg") > 0).cast("bigint")), F.count(F.lit(1))
         ).alias("late_frac"),
         F.max("_reg").alias("max_regression_us"),
     )

@@ -85,10 +85,13 @@ def quantile_bins(
     each row the 1-based quantile bucket of ``value_col`` within its
     ``by`` group. ``bin = 1 + #{internal boundaries <= value}`` over
     the ``n_bins - 1`` internal percentile boundaries, so output bins
-    are 1..n_bins with ~equal mass (ties/repeated boundary values
-    merge mass into the lower bin — deterministic, value-driven, no
-    rank nondeterminism under duplicate values, unlike ``ntile``
-    which splits equal values across bins by arbitrary row order).
+    are 1..n_bins with ~equal mass. A value exactly EQUAL to a
+    boundary is assigned to the UPPER bin (``<=`` counts the
+    boundary), and duplicated boundary values produce skipped (empty)
+    bin ids — deterministic, value-driven, no rank nondeterminism
+    under duplicate values, unlike ``ntile`` which splits equal
+    values across bins by arbitrary row order. Matches the DuckDB
+    oracle's identical counting rule.
 
     Scale shape: same as ``winsorize`` — ONE grouped percentile
     aggregate (array form, one buffer), broadcast join back,

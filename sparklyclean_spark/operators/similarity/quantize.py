@@ -91,15 +91,20 @@ def quantize_int8(
             true_lens = [v.shape[0] for v in vecs]
             d = max(true_lens) if true_lens else 0
             if d == 0:
+                # all-empty batch: mirror the Column tier's contract —
+                # array_max/array_min over an empty array are NULL, so
+                # scale/q_min/q_max are NULL (nullable dtypes: NaN is a
+                # VALUE to Arrow, None is a null); q_sum keeps the
+                # Column tier's aggregate-with-0-init convention
                 n_rows = len(pdf)
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf[id_col].to_numpy(),
-                        "_m": np.zeros(n_rows),
+                        "_m": pd.array([None] * n_rows, dtype="Float64"),
                         "q_digest": [hashlib.md5(b"").hexdigest()] * n_rows,
                         "q_sum": np.zeros(n_rows, dtype="int64"),
-                        "q_min": np.zeros(n_rows, dtype="int64"),
-                        "q_max": np.zeros(n_rows, dtype="int64"),
+                        "q_min": pd.array([None] * n_rows, dtype="Int64"),
+                        "q_max": pd.array([None] * n_rows, dtype="Int64"),
                     }
                 )
                 continue
@@ -122,14 +127,21 @@ def quantize_int8(
             yield pd.DataFrame(
                 {
                     "vec_id": pdf[id_col].to_numpy(),
-                    "_m": np.where(np.array(true_lens) > 0, m, 0.0),
+                    # empty vectors: NULL scale/min/max (Column-tier
+                    # parity — array_max/min of [] is NULL), q_sum 0
+                    "_m": pd.array(
+                        [mi if ln > 0 else None for mi, ln in zip(m, true_lens)],
+                        dtype="Float64",
+                    ),
                     "q_digest": dig,
                     "q_sum": np.array([row.sum() for row in rows], dtype="int64"),
-                    "q_min": np.array(
-                        [row.min() if row.size else 0 for row in rows], dtype="int64"
+                    "q_min": pd.array(
+                        [int(row.min()) if row.size else None for row in rows],
+                        dtype="Int64",
                     ),
-                    "q_max": np.array(
-                        [row.max() if row.size else 0 for row in rows], dtype="int64"
+                    "q_max": pd.array(
+                        [int(row.max()) if row.size else None for row in rows],
+                        dtype="Int64",
                     ),
                 }
             )

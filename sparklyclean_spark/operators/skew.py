@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparklyclean_spark.functions.rounding import ratio4
+
 _SALT = "__salt"
 
 
@@ -106,7 +108,9 @@ def key_profile(
         .select(
             *keys,
             F.col("cnt").cast("bigint").alias("cnt"),
-            F.round(F.col("cnt") / F.col("_total"), 4).alias("share"),
+            # floor arithmetic (repo rounding contract): engine round()
+            # tie semantics may differ from the DuckDB oracle's
+            ratio4(F.col("cnt"), F.col("_total")).alias("share"),
         )
         .orderBy(F.desc("cnt"), *[F.asc(k) for k in keys])
         .limit(top_n)

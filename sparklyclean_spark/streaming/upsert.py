@@ -42,10 +42,19 @@ class ParquetUpsertSink:
     """foreachBatch callback maintaining a parquet snapshot.
 
     Parameters mirror ``merge_changes``; ``target_dir`` holds the
-    current and immediately-previous versioned snapshot directories
+    ``keep_versions`` most recent versioned snapshot directories
     (older versions are garbage-collected after each publish),
     ``current_path`` naming the latest complete version so readers
     never see a half-written snapshot.
+
+    Reader-latency assumption: the retained-version window is a
+    GRACE HEURISTIC, not a guarantee — a reader that resolved the
+    ``_CURRENT`` marker ``keep_versions`` publishes ago and is still
+    scanning has its files removed mid-read (FileNotFoundException).
+    Size ``keep_versions`` to exceed the slowest expected reader scan
+    time divided by the micro-batch interval (default 2 = current +
+    previous). A real deployment delegates this to a table format's
+    snapshot-retention policy (Delta VACUUM / Iceberg expire_snapshots).
     """
 
     def __init__(
@@ -56,6 +65,7 @@ class ParquetUpsertSink:
         op_col: str = "op",
         delete_op: str = "D",
         order_cols: list[str] | None = None,
+        keep_versions: int = 2,
     ) -> None:
         self.spark = spark
         self.target_dir = target_dir
@@ -63,6 +73,12 @@ class ParquetUpsertSink:
         self.op_col = op_col
         self.delete_op = delete_op
         self.order_cols = order_cols
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        self.keep_versions = keep_versions
+        # newest-first publish history for GC (rebuilt lazily from the
+        # marker on restart; only the retention window matters)
+        self._published: list[str] = []
 
     def _current_marker(self) -> str:
         return os.path.join(self.target_dir, "_CURRENT")
@@ -130,16 +146,21 @@ class ParquetUpsertSink:
             fh.write(out)
         os.replace(tmp, self._current_marker())
         # GC superseded versions — disk would otherwise grow as
-        # O(batches x snapshot size). Keep the just-published version
-        # and the immediately previous one (in-flight readers that
-        # resolved the old marker may still be scanning it).
+        # O(batches x snapshot size). Keep the newest `keep_versions`
+        # publishes (in-flight readers that resolved an older marker
+        # may still be scanning; see class docstring for the
+        # reader-latency assumption behind this window).
         import shutil
 
-        keep = {out, prev}
+        if prev and prev not in self._published:
+            self._published.insert(0, prev)
+        self._published.insert(0, out)
+        keep = set(self._published[: self.keep_versions])
         for name in os.listdir(self.target_dir):
             p = os.path.join(self.target_dir, name)
             if name.startswith("_v=") and p not in keep:
                 shutil.rmtree(p, ignore_errors=True)
+        self._published = self._published[: self.keep_versions]
 
 
 def streaming_upsert(

@@ -541,7 +541,10 @@ def test_quantize_ragged_and_empty_vectors(spark):
         "vec_id long, embedding array<float>",
     )
     rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
-    assert rows[2]["scale"] == 0.0 and rows[2]["q_sum"] == 0
+    # empty vector: NULL scale/q_min/q_max (Column-tier contract —
+    # array_max/array_min of an empty array are NULL), q_sum 0
+    assert rows[2]["scale"] is None and rows[2]["q_sum"] == 0
+    assert rows[2]["q_min"] is None and rows[2]["q_max"] is None
     assert rows[1]["q_min"] == -127  # -2 is max|x| for row 1
     assert rows[3]["q_min"] == -127
 

@@ -117,6 +117,26 @@ def test_change_data_feed_roundtrip_law(spark):
             change_data_feed(oldn, newn, ["k"]).collect()} == {(None, "NK", "U")}
 
 
+def test_change_data_feed_null_permutation_detected(spark):
+    """Payloads that permute the same non-null value across NULL slots
+    must NOT hash-collide: xxhash64 skips NULL inputs, so without the
+    per-column null indicators old=(k,'x',NULL) vs new=(k,NULL,'x')
+    would emit an EMPTY feed and silently drop the update, breaking
+    merge(old, cdf(old, new)) == new."""
+    from sparklyclean_spark.operators.diff import change_data_feed, diff_rows
+
+    old = _df(spark, [(1, "x", None), (2, "y", "z")], "k bigint, a string, b string")
+    new = _df(spark, [(1, None, "x"), (2, "y", "z")], "k bigint, a string, b string")
+    cdf = change_data_feed(old, new, ["k"])
+    assert {(r["k"], r["a"], r["b"], r["op"]) for r in cdf.collect()} == {
+        (1, None, "x", "U")
+    }
+    merged = merge_changes(old, cdf, ["k"])
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in new.collect()}
+    statuses = {(r["k"], r["status"]) for r in diff_rows(old, new, ["k"]).collect()}
+    assert statuses == {(1, "changed"), (2, "unchanged")}
+
+
 def test_change_data_feed_empty_delta(spark):
     from sparklyclean_spark.operators.diff import change_data_feed
 
