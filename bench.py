@@ -129,6 +129,16 @@ def main() -> None:
         "events_sessionize_4h",
         # MERGE INTO: broadcast change batch, un-shuffled target
         "merge_orders_upsert",
+        # round-6 additions (VERDICT r5 item 5): the iterative/CDC
+        # newcomers whose cost is convergence- or delta-dependent —
+        # PageRank (join+agg per power iteration), cohort retention
+        # (user-keyed join + bounded cell agg), incremental aggregate
+        # maintenance (cost ∝ |changes|), change-feed generation (one
+        # full-outer join on (key, payload-hash))
+        "pagerank_neardup_graph",
+        "events_cohort_retention",
+        "incr_agg_orders_priority",
+        "cdf_orders_snapshots",
     ]
 
     def run_once(name: str) -> float:

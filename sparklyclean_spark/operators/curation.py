@@ -36,6 +36,7 @@ def curate_corpus(
     min_tokens: int = 30,
     threshold: float = 0.3,
     pairs_fn: "Callable[[DataFrame], DataFrame] | None" = None,
+    cc_stats: dict | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, status, comp) for EVERY input document.
 
@@ -63,7 +64,9 @@ def curate_corpus(
         pairs = shingle_jaccard_pairs(surv_docs, threshold)
     else:
         pairs = pairs_fn(surv_docs)
-    comp = connected_components(pairs, surv_docs.select("doc_id"), id_col="doc_id")
+    comp = connected_components(
+        pairs, surv_docs.select("doc_id"), id_col="doc_id", stats=cc_stats
+    )
     return (
         norm.select("doc_id", "n_tokens")
         .join(fp_keep, "doc_id", "left")
@@ -98,12 +101,23 @@ def curate_corpus_lsh(
     times. Driver check is rows-only by design: the LSH edge set is
     recall-dependent, so no SQL oracle reproduces it; the exact-form
     ``corpus_curation`` row carries the hash check for the shared
-    pipeline logic."""
-    return curate_corpus(
+    pipeline logic.
+
+    The output carries a constant ``n_rounds`` column: the
+    label-propagation round count, so a bench-time move can be split
+    into "the graph got deeper" (rounds grew) vs "a stage got slower"
+    without re-profiling (VERDICT r5 item 4). The oracled exact form
+    deliberately does NOT carry it (not SQL-derivable)."""
+    stats: dict = {}
+    out = curate_corpus(
         docs,
         min_tokens=min_tokens,
         threshold=threshold,
         pairs_fn=lambda d: minhash_lsh_pairs(
             d, threshold, num_hashes=num_hashes, bands=bands
         ).select("id1", "id2"),
+        cc_stats=stats,
     )
+    # connected_components runs its propagation loop eagerly (each
+    # round collects a convergence witness), so stats is final here
+    return out.withColumn("n_rounds", F.lit(stats.get("n_rounds", -1)))

@@ -37,10 +37,15 @@ def connected_components(
     src_col: str = "id1",
     dst_col: str = "id2",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, comp): every vertex labeled with the min id reachable from
     it via ``edges``. Vertices absent from every edge keep their own
-    id (singleton clusters)."""
+    id (singleton clusters). When ``stats`` is passed, the number of
+    propagation rounds actually run is recorded under
+    ``stats["n_rounds"]`` — the operator's cost is
+    rounds x (join + agg), so the count is the first thing to read
+    when a bench entry moves."""
     sym = tracked_persist(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).unionAll(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
@@ -51,7 +56,9 @@ def connected_components(
     ).localCheckpoint()
     # labels only decrease -> the label sum is a convergence witness
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+    n_rounds = 0
     for _ in range(max_iter):
+        n_rounds += 1
         nbr_min = (
             sym.join(labels, sym.a == labels.v)
             .groupBy("b")
@@ -74,6 +81,8 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds "
             "(graph diameter exceeds the bound; use large-star/small-star)"
         )
+    if stats is not None:
+        stats["n_rounds"] = n_rounds
     return labels.select(F.col("v").alias(id_col), "comp")
 
 
