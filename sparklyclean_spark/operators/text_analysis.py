@@ -278,10 +278,13 @@ def bm25_scores(
     Scale shape: tokens are explode-filtered against the broadcast
     literal term set IMMEDIATELY (map-side — the surviving stream is
     |matching postings|, not the corpus); per-doc length comes from a
-    map-side ``token_count`` projection (no second explode); N and
-    avgdl are a 1-row broadcast agg; per-term document frequencies are
-    a |query|-row agg joined back broadcast. Final top-k is a sorted
-    ``limit`` (TakeOrdered — per-partition heaps, no global sort).
+    map-side ``token_count`` projection (no second explode) that is
+    PERSISTED so the (N, avgdl) corpus stats are a 1-row agg over the
+    cached O(#docs) (doc_id, dl) pairs instead of a third scan of the
+    full text column — the corpus is read exactly TWICE (postings +
+    lengths); per-term document frequencies are a |query|-row agg
+    joined back broadcast. Final top-k is a sorted ``limit``
+    (TakeOrdered — per-partition heaps, no global sort).
 
     Cross-engine determinism: each per-term partial score is rounded
     to DECIMAL(18,6) BEFORE the per-doc sum — decimal addition is
@@ -293,13 +296,26 @@ def bm25_scores(
     terms = docs.select("doc_id", F.explode(T.words("text")).alias("term")).where(
         F.col("term").isin(*query_terms)
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.select(
-        F.count(F.lit(1)).alias("_n"),
-        F.avg(T.token_count("text")).alias("_avgdl"),
+    from sparklyclean_spark.cache import tracked_persist
+
+    # persisted: tf feeds BOTH the per-term scoring join and the
+    # per-term document-frequency agg — without the cache each subtree
+    # re-scans and re-explodes the corpus (O(postings) rows cached,
+    # bounded by #docs x |query_terms|)
+    tf = tracked_persist(
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = docs.select("doc_id", T.token_count("text").cast("double").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # one lengths projection feeds BOTH the per-doc join and the
+    # corpus stats agg — persisted (16 bytes/doc) so the stats don't
+    # pay a third scan of the text column (VERDICT r5 item 6)
+    dl = tracked_persist(
+        docs.select("doc_id", T.token_count("text").cast("double").alias("dl"))
+    )
+    stats = dl.select(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("dl").alias("_avgdl"),
+    )
 
     idf = F.log(
         (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
