@@ -658,6 +658,25 @@ def _embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_l2_normalize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOT-PATH tier of L2 normalization (VERDICT r5 item 7): one
+    Arrow-batched numpy norm+divide per batch — the variant every
+    kNN/index-build path uses, vs the interpreted-HOF Column tier the
+    oracle row keeps. Rows-only (norm sum order differs from a
+    sequential SQL oracle by ~1e-15); tier parity at 1e-9 plus the
+    no-`transform`-HOF plan assertion are pytest-gated
+    (test_cdc_profile.py)."""
+    from sparklyclean_spark.functions.vectors import l2_normalize_pandas
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    normalized = l2_normalize_pandas(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.element_at(normalized, 1).alias("first_component"),
+        F.size(normalized).alias("dim"),
+    )
+
+
 def _dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global dense row ids WITHOUT a single-task global sort:
     range repartition -> local row_number -> broadcast prefix-sum
@@ -790,6 +809,7 @@ _DRIVER_CHECK_ORDER = [
     "cdc_latest_events",         # comparator restructured
     "embedding_quantize",        # r5: digest path moved to mapInPandas
     "embedding_l2_normalize",    # r5: unit-norm pre-index transform
+    "embedding_l2_normalize_batch",  # r6: Arrow hot-path tier (rows-only)
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
     "q12_priority_by_status",        # r5 red — UNCHANGED in r6
     "q12_priority_by_status_diag",   # r6: in-driver oracle diag (rows-only)
@@ -815,13 +835,14 @@ _DRIVER_CHECK_ORDER = [
     "neardup_minhash_lsh_exploded",
     "corpus_curation_lsh",
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
-    "chunk_sliding_documents",
     "mixture_sample_docs",
     "cluster_safe_split_docs",
     "dq_orders_constraints",
     "funnel_view_click_purchase",
     "sketch_distinct_users_daily",
     "diff_orders_snapshots",
+    # chunk_sliding_documents rotated below the window (2x green
+    # r4+r5, untouched) for the r6 embedding_l2_normalize_batch row
     "neardup_prefix_jaccard",
     "events_sessionize_4h",            # new in r4: batch sessionization
     "merge_orders_upsert",             # MERGE INTO shape (null-safe op r5)
@@ -840,6 +861,7 @@ _DRIVER_CHECK_ORDER = [
     "histogram_order_prices",
     "zorder_keys_orders",
     "bloom_semi_join_orders",
+    "chunk_sliding_documents",
     # grouping_sets_order_stats + approx_distinct_parts_per_brand rotated
     # below the window (3x green; sibling agg shapes also 3x green) for
     # the new sequences + intra-doc dedup rows
@@ -1079,6 +1101,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_columns": _profile_orders_columns,
         "embedding_quantize": _embedding_quantize,
         "embedding_l2_normalize": _embedding_l2_normalize,
+        "embedding_l2_normalize_batch": _embedding_l2_normalize_batch,
         # -- near-dup dedup over documents ------------------------------------
         "dedup_exact_documents": _q(TD.exact_dedup, table="documents"),
         "chunk_dedup_documents": _chunk_dedup_documents,

@@ -139,6 +139,9 @@ def main() -> None:
         "events_cohort_retention",
         "incr_agg_orders_priority",
         "cdf_orders_snapshots",
+        # hot-path L2 normalization (Arrow batch tier — the pre-index
+        # transform; the Column/HOF tier is oracle-only by contract)
+        "embedding_l2_normalize_batch",
     ]
 
     def run_once(name: str) -> float:

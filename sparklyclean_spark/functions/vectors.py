@@ -86,11 +86,41 @@ def l2_normalize(a: Column | str) -> Column:
     """Unit-norm projection ``v / ||v||_2`` (zero vectors pass through
     unchanged — no NaN poisoning). The standard pre-index transform:
     after it, dot product == cosine, so ANN structures can index raw
-    dots. Column-expression tier (sequential float64, oracle-exact);
-    at corpus scale wrap the same arithmetic in the numpy batch path
-    alongside ``cosine_pandas``."""
+    dots. Column-expression tier (sequential float64, oracle-exact) —
+    kept for the hash-checked oracle row; ``transform`` HOFs are
+    interpreted per element, so every hot/index-build path must use
+    ``l2_normalize_pandas`` instead (VERDICT r5 item 7 — the exact
+    failure mode that made quantize 19x before its Arrow rewrite)."""
     v = _c(a)
     n = norm(v)
     return F.when(n == 0.0, F.transform(v, lambda x: x.cast("double"))).otherwise(
         F.transform(v, lambda x: x.cast("double") / n)
     )
+
+
+def _l2_normalize_pd_impl(a: pd.Series) -> pd.Series:
+    vecs = [np.asarray(v, dtype=np.float64) for v in a]
+    lens = [v.shape[0] for v in vecs]
+    d = max(lens) if lens else 0
+    if d == 0:
+        return pd.Series([[] for _ in vecs])
+    if len(set(lens)) == 1:
+        m = np.stack(vecs)
+    else:
+        # ragged: right-pad to a rectangle (zero padding never moves
+        # the norm), slice each row back to its true length after
+        m = np.zeros((len(vecs), d))
+        for i, v in enumerate(vecs):
+            m[i, : v.shape[0]] = v
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    out = m / np.where(n == 0.0, 1.0, n)  # zero vectors pass through
+    return pd.Series([row[:ln].tolist() for row, ln in zip(out, lens)])
+
+
+def l2_normalize_pandas(a: Column | str) -> Column:
+    """Arrow-batched numpy tier of ``l2_normalize`` — one vectorized
+    norm+divide per batch, no interpreted per-element HOFs. Same zero-
+    vector passthrough. Sum order inside the norm differs from the
+    sequential Column tier by ~1e-15 (same accepted class as
+    ``cosine_pandas``); parity is pytest-gated at 1e-9."""
+    return pandas_udf(_l2_normalize_pd_impl, "array<double>")(_c(a))

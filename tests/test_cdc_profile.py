@@ -549,6 +549,33 @@ def test_quantize_ragged_and_empty_vectors(spark):
     assert rows[3]["q_min"] == -127
 
 
+def test_l2_normalize_pandas_parity_and_plan(spark):
+    """The Arrow batch tier must (a) match the Column tier within
+    1e-9 (including zero-vector passthrough and ragged lengths) and
+    (b) contain NO interpreted `transform` HOF in its physical plan —
+    the hot-path guarantee for kNN/index-build preprocessing."""
+    from sparklyclean_spark.functions.vectors import l2_normalize, l2_normalize_pandas
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 2.0, 2.0]), (4, [])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = df.select("vec_id", l2_normalize_pandas(F.col("embedding")).alias("nv"))
+    col = df.select("vec_id", l2_normalize(F.col("embedding")).alias("nv"))
+    b = {r["vec_id"]: r["nv"] for r in batch.collect()}
+    c = {r["vec_id"]: r["nv"] for r in col.collect()}
+    assert set(b) == set(c)
+    for k in b:
+        assert len(b[k]) == len(c[k])
+        assert all(abs(x - y) < 1e-9 for x, y in zip(b[k], c[k]))
+    assert b[2] == [0.0, 0.0]  # zero vector passes through
+    assert b[4] == []
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "transform(" not in plan, "interpreted HOF leaked into the hot path"
+    col_plan = col._jdf.queryExecution().executedPlan().toString()
+    assert "transform(" in col_plan  # the oracle tier is the HOF one
+
+
 def test_l2_normalize_unit_and_zero(spark):
     from sparklyclean_spark.functions.vectors import l2_normalize, norm
 
