@@ -814,6 +814,13 @@ _DRIVER_CHECK_ORDER = [
     "q12_priority_by_status",        # r5 red — UNCHANGED in r6
     "q12_priority_by_status_diag",   # r6: in-driver oracle diag (rows-only)
     "q13_order_count_distribution",
+    # -- r6 TPC-H completions (Q8 full 8-table join; Q2/Q9 adapted —
+    # no partsupp in this schema). Displaced: mixture_sample_docs,
+    # merge_orders_upsert, events_sessionize_4h (all 2x green,
+    # untouched; each family keeps an in-window sibling).
+    "q2_best_region_supplier",
+    "q8_market_share",
+    "q9_product_profit",
     "text_repetition_signals",       # r4/r5 red — UNCHANGED in r6
     "text_repetition_signals_diag",  # r6: in-driver oracle diag (rows-only)
     # integer-only diagnostic twin (VERDICT r4 item 2): if this is
@@ -835,7 +842,6 @@ _DRIVER_CHECK_ORDER = [
     "neardup_minhash_lsh_exploded",
     "corpus_curation_lsh",
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
-    "mixture_sample_docs",
     "cluster_safe_split_docs",
     "dq_orders_constraints",
     "funnel_view_click_purchase",
@@ -844,8 +850,6 @@ _DRIVER_CHECK_ORDER = [
     # chunk_sliding_documents rotated below the window (2x green
     # r4+r5, untouched) for the r6 embedding_l2_normalize_batch row
     "neardup_prefix_jaccard",
-    "events_sessionize_4h",            # new in r4: batch sessionization
-    "merge_orders_upsert",             # MERGE INTO shape (null-safe op r5)
     "merge_replay_idempotent",         # r5: apply∘apply == apply, oracled
     "cdf_orders_snapshots",            # r5: change-feed generation, oracled
     "incr_agg_orders_priority",        # r5: maintained == recomputed, oracled
@@ -862,6 +866,9 @@ _DRIVER_CHECK_ORDER = [
     "zorder_keys_orders",
     "bloom_semi_join_orders",
     "chunk_sliding_documents",
+    "mixture_sample_docs",  # 2x green, rotated out for r6 TPC-H rows
+    "merge_orders_upsert",  # 2x green, rotated out for r6 TPC-H rows
+    "events_sessionize_4h",  # 2x green, rotated out for r6 TPC-H rows
     # grouping_sets_order_stats + approx_distinct_parts_per_brand rotated
     # below the window (3x green; sibling agg shapes also 3x green) for
     # the new sequences + intra-doc dedup rows
@@ -944,6 +951,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events_pairs": _t(R.range_join_events_near_orders),
         "asof_purchase_last_click": _asof_purchase_last_click,
         # -- subquery shapes --------------------------------------------------
+        "q2_best_region_supplier": _t(R.q2_best_region_supplier),
+        "q8_market_share": _t(R.q8_market_share),
+        "q9_product_profit": _t(R.q9_product_profit),
         "q10_returned_revenue": _t(R.q10_returned_revenue),
         "q6_forecast_revenue": _t(R.q6_forecast_revenue),
         "q14_promo_revenue_share": _t(R.q14_promo_revenue_share),
@@ -1446,6 +1456,74 @@ def oracle_sql() -> dict[str, str]:
                    c.click_ts, c.click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+        """,
+        # TPC-H Q8 — the full eight-table join (no partsupp needed)
+        "q8_market_share": """
+            SELECT o_year,
+                   ROUND(SUM(CASE WHEN supp_nation = 'NATION_1'
+                                  THEN volume ELSE 0.0 END)
+                         / SUM(volume), 4) AS mkt_share,
+                   COUNT(*) AS n_lines
+            FROM (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                              AND r_name = 'AMERICA'
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            )
+            GROUP BY o_year
+        """,
+        # TPC-H Q9 shape (adapted: unit cost = 10% of p_retailprice —
+        # this schema has no partsupp; identical formula both sides)
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)
+                             - 0.1 * p_retailprice * l_quantity), 4)
+                       AS sum_profit,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        # TPC-H Q2 shape (adapted: lineitem distinct pairs are the
+        # supplies relation, max s_acctbal stands in for min cost)
+        "q2_best_region_supplier": """
+            WITH eu AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ),
+            supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            cand AS (
+                SELECT l_partkey, s_name, s_acctbal, n_name
+                FROM supplies JOIN eu ON l_suppkey = s_suppkey
+            ),
+            best AS (
+                SELECT l_partkey, MAX(s_acctbal) AS best_bal
+                FROM cand GROUP BY l_partkey
+            )
+            SELECT p_partkey, p_brand, CAST(p_size AS INT) AS p_size,
+                   s_name, n_name, ROUND(c.s_acctbal, 4) AS s_acctbal
+            FROM cand c
+            JOIN best b ON c.l_partkey = b.l_partkey
+                       AND c.s_acctbal = b.best_bal
+            JOIN part ON c.l_partkey = p_partkey
+            WHERE p_size IN (1, 9, 23, 45)
         """,
         "q10_returned_revenue": """
             SELECT c_custkey, c_name, n_name,

@@ -551,9 +551,9 @@ def q6_forecast_revenue(t: dict[str, DataFrame]) -> DataFrame:
     three filters (shipdate band, discount band, quantity cap) are
     plain column comparisons, so they reach the parquet scan as
     PushedFilters and row groups outside the year are skipped on
-    statistics; zero shuffles before the 1-row combine. Completes the
-    expressible-TPC-H sweep (Q2/Q8/Q9 need partsupp columns this
-    schema lacks)."""
+    statistics; zero shuffles before the 1-row combine. (Q8 joins all
+    eight tables and needs no partsupp — see q8_market_share; Q2/Q9
+    run as documented adaptations since partsupp is absent.)"""
     l = t["lineitem"]
     lo = F.lit("1995-01-01").cast("timestamp")
     hi = F.lit("1996-01-01").cast("timestamp")
@@ -883,4 +883,135 @@ def q21_waiting_orders_suppliers(t: dict[str, DataFrame], late_days: int = 60) -
         waiting.join(s, waiting.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q8_market_share(
+    t: dict[str, DataFrame],
+    share_nation: str = "NATION_1",
+    region: str = "AMERICA",
+    p_type: str = "ECONOMY",
+) -> DataFrame:
+    """National market share by order year (TPC-H Q8 — the full
+    eight-table join; needs no partsupp, contrary to the r4 note on
+    q6). Volume flows lineitem->orders->customer->nation->region
+    (demand side) and lineitem->supplier->nation (supply side); the
+    share is the supply nation's conditional-sum fraction per year.
+    All four dimension lookups broadcast; the two fact joins shuffle
+    on their keys; the type/region/date filters push into the scans."""
+    l, o, c, s, p = t["lineitem"], t["orders"], t["customer"], t["supplier"], t["part"]
+    n, r = t["nation"], t["region"]
+    n_cust = F.broadcast(
+        n.select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk"))
+    )
+    n_supp = F.broadcast(
+        n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    )
+    reg = F.broadcast(
+        t["region"].where(F.col("r_name") == region).select("r_regionkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p.where(F.col("p_type") == p_type).select("p_partkey")),
+               l.l_partkey == F.col("p_partkey"))
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n_cust, F.col("c_nationkey") == F.col("ck"))
+        .join(reg, F.col("crk") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n_supp, F.col("s_nationkey") == F.col("sk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            _r(
+                F.sum(F.when(F.col("supp_nation") == share_nation, vol).otherwise(0.0))
+                / F.sum(vol)
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q9_product_profit(t: dict[str, DataFrame], name_token: str = "gear") -> DataFrame:
+    """Product-line profit by supplier nation and year (TPC-H Q9
+    shape, ADAPTED: this schema has no partsupp, so unit cost is
+    proxied as 10% of p_retailprice — the plan shape, a five-table
+    join with a LIKE-filtered part dim and a two-key rollup, is the
+    point; the oracle applies the identical formula). Part filter
+    broadcasts; profit = sum(rev - cost*qty) per (nation, year)."""
+    l, o, s, p, n = t["lineitem"], t["orders"], t["supplier"], t["part"], t["nation"]
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(
+            F.broadcast(
+                p.where(F.col("p_name").contains(name_token)).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            l.l_partkey == F.col("p_partkey"),
+        )
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_r(F.sum(profit)).alias("sum_profit"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q2_best_region_supplier(
+    t: dict[str, DataFrame],
+    region: str = "EUROPE",
+    sizes: tuple = (1, 9, 23, 45),
+) -> DataFrame:
+    """Best supplier per part within a region (TPC-H Q2 shape,
+    ADAPTED: no partsupp table, so lineitem's distinct
+    (partkey, suppkey) pairs are the supplies-relation and max
+    s_acctbal stands in for min ps_supplycost). Keeps Q2's defining
+    structure — a correlated per-part aggregate subquery whose result
+    joins back against the same relation, restricted to one region —
+    as a groupBy + self-join (the decorrelated plan every engine
+    lowers Q2 to). Ties on the max emit all tied suppliers, same as
+    SQL Q2."""
+    l, s, p, n, r = t["lineitem"], t["supplier"], t["part"], t["nation"], t["region"]
+    eu_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.where(F.col("r_name") == region).select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supplies = l.select("l_partkey", "l_suppkey").dropDuplicates()
+    cand = supplies.join(eu_sup, supplies.l_suppkey == eu_sup.s_suppkey)
+    best = cand.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.max("s_acctbal").alias("best_bal")
+    )
+    return (
+        cand.join(
+            best,
+            (cand.l_partkey == F.col("bp")) & (cand.s_acctbal == F.col("best_bal")),
+        )
+        .join(
+            F.broadcast(p.where(F.col("p_size").isin(*sizes))),
+            cand.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("p_size").cast("int").alias("p_size"),
+            "s_name",
+            "n_name",
+            _r(F.col("s_acctbal")).alias("s_acctbal"),
+        )
     )
