@@ -752,6 +752,11 @@ def _diag(name: str) -> Callable[[SparkSession, str], DataFrame]:
         return run_oracle_diag(spark, sf_dir, name, _all_queries()[name], oracle_sql()[name])
 
     run.__name__ = f"_{name}_diag"
+    run.__doc__ = (
+        f"Rows-only in-driver diagnostic for {name}: re-runs the query and "
+        "its DuckDB oracle in-process and encodes agree/disagree in the row "
+        "count (1 = agree); evidence dumped to DIAG_r6.json."
+    )
     return run
 
 
@@ -3115,7 +3120,7 @@ _COS_SQL = (
 
 
 def _ivf_centroids_sql(
-    sf_dir: str = "/root/testdata/sf0.01",
+    sf_dir: str,
     n_cells: int = 32,
     sample_cap: int = 4096,
     iters: int = 10,
@@ -3133,11 +3138,14 @@ def _ivf_centroids_sql(
     Sample parity: ivf_topk collects `limit(8*sample_cap)` rows, sorts
     by id, keeps the first `sample_cap` — for any corpus with at most
     8*sample_cap rows (every test SF: 500/2000 vectors) that equals
-    `ORDER BY vec_id LIMIT sample_cap`, which is what this reads. The
-    driver's correctness gate runs at sf0.01, which is the baked-in
-    path; float64 conversion of the float32 parquet values is exact on
-    both engines, and `repr()` literals round-trip to the identical
-    double, so the centroids are bit-equal to the Spark path's."""
+    `ORDER BY vec_id LIMIT sample_cap`, which is what this reads.
+    float64 conversion of the float32 parquet values is exact on both
+    engines, and `repr()` literals round-trip to the identical double,
+    so the centroids are bit-equal to the Spark path's. The oracle SQL
+    has no scale-factor parameter, so `_ivf_recall_sql` renders one
+    centroid set per known SF, each guarded by a corpus fingerprint
+    predicate that selects the set matching whatever data the oracle
+    connection is actually reading."""
     import duckdb
     import numpy as np
 
@@ -3162,14 +3170,43 @@ def _ivf_recall_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
     argmax) -> per-query top-nprobe probe cells -> cell equi-join
     candidates -> exact cosine top-k re-rank vs brute-force top-k.
 
+    The centroid VALUES are rendered once per known test SF, each row
+    set guarded by a corpus-fingerprint predicate (a rounded weighted
+    sum over the embeddings view), so the SAME SQL string picks the
+    centroids trained on whatever corpus the connection reads — the
+    pytest rehearsal runs at sf0.001, the driver at sf0.01.
+
     Float caveat (same class as knn_lsh_recall, accepted): numpy sums
     the cell dot products with SIMD/pairwise order, DuckDB list_sum
     sequentially — a cell argmax or probe-set boundary decided by a
     ~1-ulp gap could differ. For continuous embeddings that event is
     measure-zero, and the underlying brute-force cosine rows have been
     hash-stable for five rounds."""
+    import duckdb
+
+    fp_expr = (
+        "(SELECT ROUND(SUM(CAST(embedding[1] AS DOUBLE) * vec_id), 3)"
+        " FROM embeddings)"
+    )
+    branches = []
+    fps = set()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        fp = duckdb.sql(
+            "SELECT ROUND(SUM(CAST(embedding[1] AS DOUBLE) * vec_id), 3) FROM"
+            f" read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchone()[0]
+        if fp in fps:
+            raise RuntimeError(f"IVF oracle fingerprint collision at {sf_dir}")
+        fps.add(fp)
+        branches.append(
+            f"SELECT * FROM {_ivf_centroids_sql(sf_dir)} AS t(cell, cv)"
+            f" WHERE {fp_expr} = {fp!r}"
+        )
+    cents_union = " UNION ALL ".join(branches)
     return f"""
-            WITH n AS (
+            WITH cents AS ({cents_union}),
+            n AS (
                 SELECT vec_id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
                        GREATEST(sqrt(list_sum(list_transform(embedding,
@@ -3181,7 +3218,7 @@ def _ivf_recall_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
                 SELECT n.vec_id, c.cell,
                        list_sum(list_transform(range(1, {dim} + 1),
                            i -> (n.v[i] / n.nrm) * c.cv[i])) AS sim
-                FROM n CROSS JOIN {_ivf_centroids_sql()} AS c(cell, cv)
+                FROM n CROSS JOIN cents c
             ),
             corpus_cell AS (
                 SELECT vec_id AS neighbor_id, cell FROM (
