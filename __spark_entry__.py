@@ -353,6 +353,30 @@ def _asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "purchase_ts", "click_ts", "click_value")
 
 
+def _asof_next_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance bound: for each purchase,
+    the EARLIEST click at-or-after it by the same user, voided when
+    more than one hour away (the attribution-window shape). Same
+    union+window plan as the backward form — one shuffle on user_id,
+    no pair explosion; the tolerance compares integer MICROSECONDS so
+    Spark and the DuckDB oracle agree exactly."""
+    from sparklyclean_spark.operators.asof import asof_join
+
+    ev = _tables(spark, sf_dir)["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="purchase_ts",
+        right_ts="click_ts", direction="forward", tolerance_seconds=3600,
+        right_prefix="",
+    )
+    return out.select("event_id", "user_id", "purchase_ts", "click_ts", "click_value")
+
+
 def _decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set leakage scan: score every document by distinct-3-gram
     overlap against a deterministic benchmark subset (doc_id % 37 = 0),
@@ -836,6 +860,9 @@ _DRIVER_CHECK_ORDER = [
     "text_bm25_rank",             # BM25 retrieval scoring (decimal-sum stable)
     "kanon_customer_audit",       # k-anonymity privacy gate
     "events_out_of_order_stats",  # watermark-delay disorder audit
+    # r6: forward as-of + tolerance (displaced: dq_orders_constraints,
+    # 2x green untouched; DQ family keeps its pytest gates)
+    "asof_next_click_tolerance",
     "events_cohort_retention",    # r5: cohort retention matrix
     "skew_key_profile_events",    # shuffle-key heavy-hitter diagnostic
     "source_overlap_documents",   # cross-source shingle contamination
@@ -848,7 +875,6 @@ _DRIVER_CHECK_ORDER = [
     "corpus_curation_lsh",
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
     "cluster_safe_split_docs",
-    "dq_orders_constraints",
     "funnel_view_click_purchase",
     "sketch_distinct_users_daily",
     "diff_orders_snapshots",
@@ -871,6 +897,7 @@ _DRIVER_CHECK_ORDER = [
     "zorder_keys_orders",
     "bloom_semi_join_orders",
     "chunk_sliding_documents",
+    "dq_orders_constraints",  # 2x green, rotated out for r6 asof row
     "mixture_sample_docs",  # 2x green, rotated out for r6 TPC-H rows
     "merge_orders_upsert",  # 2x green, rotated out for r6 TPC-H rows
     "events_sessionize_4h",  # 2x green, rotated out for r6 TPC-H rows
@@ -955,6 +982,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_nation_presence": _t(R.full_outer_nation_presence),
         "range_join_events_pairs": _t(R.range_join_events_near_orders),
         "asof_purchase_last_click": _asof_purchase_last_click,
+        "asof_next_click_tolerance": _asof_next_click_tolerance,
         # -- subquery shapes --------------------------------------------------
         "q2_best_region_supplier": _t(R.q2_best_region_supplier),
         "q8_market_share": _t(R.q8_market_share),
@@ -1461,6 +1489,28 @@ def oracle_sql() -> dict[str, str]:
                    c.click_ts, c.click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+        """,
+        # forward as-of with a 1-hour tolerance; DuckDB ASOF is
+        # backward-only, so the oracle decorrelates to ROW_NUMBER
+        # (click_ts unique per user -> the rank order is total); the
+        # bound compares integer microseconds on both engines
+        "asof_next_click_tolerance": """
+            WITH p AS (SELECT event_id, user_id, ts AS purchase_ts
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts AS click_ts, value AS click_value
+                       FROM events WHERE event_type = 'click')
+            SELECT event_id, user_id, purchase_ts, click_ts, click_value
+            FROM (
+                SELECT p.event_id, p.user_id, p.purchase_ts,
+                       c.click_ts, c.click_value,
+                       ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.click_ts ASC) AS rn
+                FROM p LEFT JOIN c
+                  ON p.user_id = c.user_id
+                 AND c.click_ts >= p.purchase_ts
+                 AND date_diff('microsecond', p.purchase_ts, c.click_ts)
+                     <= CAST(3600 AS BIGINT) * 1000000
+            ) WHERE rn = 1
         """,
         # TPC-H Q8 — the full eight-table join (no partsupp needed)
         "q8_market_share": """

@@ -108,15 +108,21 @@ def asof_join(
     if tolerance_seconds is not None:
         ts_type = dict(left.dtypes)[left_ts]
         if ts_type.startswith("timestamp"):
-            # timestampdiff handles TIMESTAMP and TIMESTAMP_NTZ alike
-            # (NTZ refuses a bigint cast)
+            # MICROSECOND diff, not SECOND: Spark's SECOND truncates
+            # and DuckDB's date_diff counts boundary crossings — they
+            # agree only at the finest granularity, so the tolerance
+            # bound is compared exactly in integer microseconds
+            # (timestampdiff handles TIMESTAMP and TIMESTAMP_NTZ
+            # alike; NTZ refuses a bigint cast)
             gap = F.abs(
-                F.expr(f"timestampdiff(SECOND, {_RPAY}.`{right_ts}`, {_TS})")
+                F.expr(f"timestampdiff(MICROSECOND, {_RPAY}.`{right_ts}`, {_TS})")
             )
+            bound = F.lit(int(tolerance_seconds) * 1_000_000).cast("bigint")
         else:
             gap = F.abs(F.col(_TS) - F.col(f"{_RPAY}.`{right_ts}`"))
+            bound = F.lit(tolerance_seconds)
         matched = matched.withColumn(
-            _RPAY, F.when(gap <= tolerance_seconds, F.col(_RPAY))
+            _RPAY, F.when(gap <= bound, F.col(_RPAY))
         )
     if how == "inner":
         matched = matched.where(F.col(_RPAY).isNotNull())

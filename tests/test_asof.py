@@ -88,6 +88,33 @@ def test_tolerance_and_inner(spark):
     assert [r.lid for r in inner.collect()] == [1]
 
 
+def test_tolerance_microsecond_exactness(spark):
+    """The tolerance bound compares integer MICROSECONDS: a gap of
+    tolerance + 1 µs is voided, a gap of exactly tolerance matches.
+    (Spark's SECOND diff truncates and DuckDB's counts boundary
+    crossings — µs is the only granularity both engines agree on.)"""
+    from datetime import datetime
+
+    from sparklyclean_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0, 0, 0), 1),
+         (2, datetime(2024, 1, 1, 12, 0, 0, 0), 2)],
+        "k long, ts timestamp_ntz, lid long",
+    )
+    rdf = spark.createDataFrame(
+        # k=1: exactly 60 s after; k=2: 60 s + 1 µs after
+        [(1, datetime(2024, 1, 1, 12, 1, 0, 0), 10),
+         (2, datetime(2024, 1, 1, 12, 1, 0, 1), 20)],
+        "k long, ts timestamp_ntz, rid long",
+    )
+    out = asof_join(
+        ldf, rdf, on=["k"], left_ts="ts", direction="forward",
+        tolerance_seconds=60,
+    )
+    assert {r.lid: r.r_rid for r in out.collect()} == {1: 10, 2: None}
+
+
 def test_plan_is_sort_based_not_nested_loop(spark):
     from sparklyclean_spark.plans.audit import explain_formatted
 
