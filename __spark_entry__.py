@@ -30,7 +30,7 @@ from sparklyclean_spark.operators.funnel import funnel_steps, funnel_summary
 from sparklyclean_spark.operators.profile import histogram
 from sparklyclean_spark.sources.layout import with_zorder_key
 from sparklyclean_spark.operators.sketches import distinct_rollup
-from sparklyclean_spark.operators.mixing import mixture_sample
+from sparklyclean_spark.operators.mixing import corpus_mix_report, mixture_sample
 from sparklyclean_spark.operators.resample import resample_ffill
 from sparklyclean_spark.operators.sessions import session_sequences, session_summary
 from sparklyclean_spark.operators.merge import merge_changes
@@ -874,7 +874,9 @@ _DRIVER_CHECK_ORDER = [
     "neardup_minhash_lsh_exploded",
     "corpus_curation_lsh",
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
-    "cluster_safe_split_docs",
+    # r6: data-card mix report (displaced: cluster_safe_split_docs,
+    # 2x green untouched; sampling family keeps exact_k_weighted)
+    "corpus_mix_report",
     "funnel_view_click_purchase",
     "sketch_distinct_users_daily",
     "diff_orders_snapshots",
@@ -898,6 +900,7 @@ _DRIVER_CHECK_ORDER = [
     "bloom_semi_join_orders",
     "chunk_sliding_documents",
     "dq_orders_constraints",  # 2x green, rotated out for r6 asof row
+    "cluster_safe_split_docs",  # 2x green, rotated out for r6 mix report
     "mixture_sample_docs",  # 2x green, rotated out for r6 TPC-H rows
     "merge_orders_upsert",  # 2x green, rotated out for r6 TPC-H rows
     "events_sessionize_4h",  # 2x green, rotated out for r6 TPC-H rows
@@ -1121,6 +1124,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             table="documents",
         ),
+        "corpus_mix_report": _q(corpus_mix_report, table="documents"),
         # -- CDC / profiling / quantization (round-3 capability rows) ---------
         "dense_ids_documents": _dense_ids_documents,
         "winsorize_order_prices": _winsorize_order_prices,
@@ -2279,6 +2283,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # feasibility cap T = min(n/p); per-source rate = p*T/n; md5
         # uniform acceptance (same convention as sample_docs_weighted)
+        # data-card mix report: one scan, strata agg + 1-row total;
+        # ratios use the floor contract (exact-integer inputs)
+        "corpus_mix_report": f"""
+            WITH per AS (
+                SELECT source, lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS tok
+                FROM documents
+            ),
+            agg AS (
+                SELECT source, lang, COUNT(*) AS n_docs, SUM(tok) AS n_tokens
+                FROM per GROUP BY 1, 2
+            ),
+            tot AS (SELECT SUM(n_tokens) AS total FROM agg)
+            SELECT source, lang,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   floor(n_tokens * 10000.0 / n_docs + 0.5) / 10000.0
+                       AS mean_tokens,
+                   floor(n_tokens * 10000.0 / total + 0.5) / 10000.0
+                       AS token_share
+            FROM agg CROSS JOIN tot
+        """,
         "mixture_sample_docs": """
             WITH t AS (
                 SELECT * FROM (VALUES

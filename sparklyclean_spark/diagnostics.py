@@ -184,6 +184,15 @@ def run_oracle_diag(spark, sf_dir: str, name: str, query_fn, sql: str):
         "oracle_only_lines": oracle_only[:_MISMATCH_CAP],
         "spark_only_raw_typed": _raw_examples(spark_only, srows, sl),
         "oracle_only_raw_typed": _raw_examples(oracle_only, erows, el),
+        # typed first row from EACH side even when they agree — a
+        # harness that normalizes Decimal/HUGEINT/float differently
+        # than driver_sim.py would diverge exactly here
+        "spark_first_row_typed": (
+            [[type(v).__name__, repr(v)] for v in srows[0]] if srows else []
+        ),
+        "oracle_first_row_typed": (
+            [[type(v).__name__, repr(v)] for v in erows[0]] if erows else []
+        ),
         "spark_physical_plan": plan,
         "fingerprint": _fingerprint(spark),
     }

@@ -60,3 +60,44 @@ def mixture_sample(
         / F.lit(float(16**8))
     )
     return df.join(F.broadcast(rates), source_col).where(u < F.col(rate_name))
+
+
+def corpus_mix_report(
+    docs: DataFrame,
+    by: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """The "data card" aggregation behind every training-mix decision:
+    per stratum (default source x lang) — document count, token count,
+    mean tokens/doc, and the stratum's share of ALL corpus tokens.
+    Run it before and after curation; the deltas are the mix drift.
+
+    Scale shape: ONE corpus scan with a map-side token count, one
+    map-side-combinable hash agg to #strata rows, and a 1-row total
+    broadcast-joined back — no second scan, no window. Ratios follow
+    the repo floor-rounding contract (exact-integer inputs).
+
+    No reference counterpart; §2.10 training-data-pipeline surface.
+    """
+    from sparklyclean_spark.functions import text as T
+    from sparklyclean_spark.functions.rounding import ratio4
+
+    keys = by or ["source", "lang"]
+    per_doc = docs.select(
+        *keys, T.token_count(text_col).cast("bigint").alias("_tok")
+    )
+    agg = per_doc.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+    )
+    total = agg.agg(F.sum("n_tokens").alias("_total"))
+    return (
+        agg.join(F.broadcast(total))
+        .select(
+            *keys,
+            "n_docs",
+            "n_tokens",
+            ratio4("n_tokens", "n_docs").alias("mean_tokens"),
+            ratio4("n_tokens", "_total").alias("token_share"),
+        )
+    )
