@@ -3239,6 +3239,10 @@ def _ivf_centroids_sql(
     return f"(VALUES {vals})"
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def _ivf_recall_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
     """Full DuckDB oracle for knn_ivf_recall: centroid literals ->
     per-vector cell argmax (ties to the LOWEST cell, matching numpy
