@@ -871,6 +871,9 @@ _DRIVER_CHECK_ORDER = [
     "text_unigram_cross_entropy", # r5: corpus-LM quality signal
     "pagerank_neardup_graph",     # r5: graph centrality (rows-only)
     "sample_docs_exact_k_weighted",  # r5: A-ES exact-k weighted sample
+    # r6: exact-N largest-remainder proportional sample (displaced:
+    # neardup_prefix_jaccard, 2x green; family keeps minhash_lsh_exploded)
+    "sample_docs_proportional",
     "neardup_minhash_lsh_exploded",
     "corpus_curation_lsh",
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
@@ -880,9 +883,6 @@ _DRIVER_CHECK_ORDER = [
     "funnel_view_click_purchase",
     "sketch_distinct_users_daily",
     "diff_orders_snapshots",
-    # chunk_sliding_documents rotated below the window (2x green
-    # r4+r5, untouched) for the r6 embedding_l2_normalize_batch row
-    "neardup_prefix_jaccard",
     "merge_replay_idempotent",         # r5: apply∘apply == apply, oracled
     "cdf_orders_snapshots",            # r5: change-feed generation, oracled
     "incr_agg_orders_priority",        # r5: maintained == recomputed, oracled
@@ -901,6 +901,9 @@ _DRIVER_CHECK_ORDER = [
     "chunk_sliding_documents",
     "dq_orders_constraints",  # 2x green, rotated out for r6 asof row
     "cluster_safe_split_docs",  # 2x green, rotated out for r6 mix report
+    "neardup_prefix_jaccard",  # 2x green, rotated out for r6 proportional
+    # chunk_sliding_documents rotated below the window (2x green
+    # r4+r5, untouched) for the r6 embedding_l2_normalize_batch row
     "mixture_sample_docs",  # 2x green, rotated out for r6 TPC-H rows
     "merge_orders_upsert",  # 2x green, rotated out for r6 TPC-H rows
     "events_sessionize_4h",  # 2x green, rotated out for r6 TPC-H rows
@@ -1061,6 +1064,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda d: SP.weighted_sample_exact_k(
                 d, F.col("n_chars").cast("double"), 5, "doc_id", by=["lang"]
             ).select("doc_id", "lang", "es_key"),
+            table="documents",
+        ),
+        # exact-N mix-preserving sample: largest-remainder allocation
+        # over (source, lang), md5-order prefix take per stratum
+        "sample_docs_proportional": _q(
+            lambda d: SP.proportional_sample(
+                d, ["source", "lang"], 150, "doc_id"
+            ).select("doc_id", "source", "lang", "quota"),
             table="documents",
         ),
         # privacy gate: group sizes over quasi-identifier combos
@@ -2255,6 +2266,36 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY es_key ASC, doc_id ASC) AS rn
                 FROM s
             ) WHERE rn <= 5
+        """,
+        # largest-remainder proportional allocation — pure integer
+        # arithmetic (DIV/%), leftover seats by (remainder DESC, key
+        # ASC), md5-order prefix take inside each stratum
+        "sample_docs_proportional": """
+            WITH c AS (SELECT source, lang, COUNT(*) AS cnt
+                       FROM documents GROUP BY 1, 2),
+            t AS (SELECT SUM(cnt) AS tot FROM c),
+            q AS (SELECT source, lang,
+                         (150 * cnt) // tot AS base,
+                         (150 * cnt) % tot AS rem
+                  FROM c CROSS JOIN t),
+            r AS (SELECT *,
+                         ROW_NUMBER() OVER (ORDER BY rem DESC,
+                              source ASC, lang ASC) AS rk,
+                         SUM(base) OVER () AS base_sum
+                  FROM q),
+            quota AS (SELECT source, lang,
+                             CAST(base + CASE WHEN rk <= 150 - base_sum
+                                              THEN 1 ELSE 0 END AS BIGINT)
+                                 AS quota
+                      FROM r),
+            d AS (SELECT doc_id, source, lang,
+                         ROW_NUMBER() OVER (PARTITION BY source, lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rn
+                  FROM documents)
+            SELECT doc_id, source, lang, quota
+            FROM d JOIN quota USING (source, lang)
+            WHERE rn <= quota
         """,
         "hash_split_documents": """
             SELECT doc_id,

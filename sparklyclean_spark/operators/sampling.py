@@ -193,3 +193,62 @@ def weighted_sample_exact_k(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def proportional_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    total_n: int,
+    id_col: str,
+) -> DataFrame:
+    """Exact-N stratified sample with proportional allocation by the
+    largest-remainder (Hamilton) method: every stratum gets
+    ``floor(total_n * |stratum| / |df|)`` rows, and the leftover seats
+    go one each to the strata with the largest remainders (ties broken
+    by stratum key ascending) — the output size is EXACTLY ``total_n``
+    and every step is integer arithmetic, so the allocation is
+    bit-deterministic and engine-portable. Within a stratum the rows
+    taken are the md5-of-id order prefix (same deterministic uniform
+    as ``stratified_sample``).
+
+    The mix-preserving downsample: unlike per-stratum ``n`` (which
+    flattens the mix) or Bernoulli ``fraction`` (which only hits N in
+    expectation), this keeps the corpus composition at an exact budget.
+
+    Scale shape: one strata count agg (map-combinable), a
+    strata-cardinality-sized allocation computed with ONE window over
+    the counts table (dimension-sized — thousands of strata, not
+    rows), quotas broadcast back, one per-stratum window for the
+    prefix take. ``total_n`` must not exceed ``|df|`` (quotas are
+    provably <= stratum sizes in that regime).
+    """
+    sk_order = [F.asc(c) for c in strata_cols]
+    counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    tot = counts.agg(F.sum("_cnt").alias("_tot"))
+    q = counts.join(F.broadcast(tot)).select(
+        *strata_cols,
+        "_cnt",
+        F.expr(f"({total_n} * _cnt) DIV _tot").alias("_base"),
+        F.expr(f"({total_n} * _cnt) % _tot").alias("_rem"),
+    )
+    w_rank = Window.orderBy(F.desc("_rem"), *sk_order)
+    w_all = Window.partitionBy()
+    quotas = (
+        q.withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn("_left", total_n - F.sum("_base").over(w_all))
+        .select(
+            *strata_cols,
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("quota"),
+        )
+    )
+    u = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(u, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), strata_cols)
+        .where(F.col("_rn") <= F.col("quota"))
+        .drop("_rn")
+    )

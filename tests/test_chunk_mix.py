@@ -171,3 +171,32 @@ def test_chunk_dedup_within_doc_semantics_and_plan(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_proportional_sample_exact_n_and_hamilton_law(spark):
+    """Largest-remainder allocation: output is EXACTLY total_n rows,
+    every stratum's take is within 1 of its exact proportional share
+    (the Hamilton quota property), and the result is deterministic."""
+    from pyspark.sql import functions as F
+
+    from sparklyclean_spark.operators.sampling import proportional_sample
+
+    rows = [(i, "s%d" % (i % 3), "en" if i % 5 else "fr") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+    out = proportional_sample(df, ["source", "lang"], 37, "doc_id")
+    got = out.collect()
+    assert len(got) == 37
+    takes = {
+        (r["source"], r["lang"]): r["n"]
+        for r in out.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sizes = {
+        (r["source"], r["lang"]): r["n"]
+        for r in df.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k, n in takes.items():
+        exact = 37 * sizes[k] / 200
+        assert exact - 1 < n < exact + 1 + 1e-9, (k, n, exact)
+    # deterministic: second run identical
+    again = {tuple(r) for r in proportional_sample(df, ["source", "lang"], 37, "doc_id").collect()}
+    assert {tuple(r) for r in got} == again
