@@ -220,7 +220,10 @@ def proportional_sample(
     the counts table (dimension-sized — thousands of strata, not
     rows), quotas broadcast back, one per-stratum window for the
     prefix take. ``total_n`` must not exceed ``|df|`` (quotas are
-    provably <= stratum sizes in that regime).
+    provably <= stratum sizes in that regime). NULL stratum keys are
+    dropped by the quota equi-join — coalesce them to a sentinel first
+    if NULL-keyed strata must participate (same convention as
+    ``stratified_sample``'s plain path).
     """
     sk_order = [F.asc(c) for c in strata_cols]
     counts = df.groupBy(*strata_cols).agg(F.count(F.lit(1)).alias("_cnt"))
