@@ -35,7 +35,12 @@ from sparklyclean_spark.operators.resample import resample_ffill
 from sparklyclean_spark.operators.sessions import session_sequences, session_summary
 from sparklyclean_spark.operators.merge import merge_changes
 from sparklyclean_spark.operators.lateness import out_of_order_stats
-from sparklyclean_spark.operators.retention import cohort_retention
+from sparklyclean_spark.operators.retention import (
+    cohort_retention,
+    rolling_active_users,
+)
+
+_ROLLING_ACTIVE = rolling_active_users
 from sparklyclean_spark.operators.pii import k_anonymity_audit
 from sparklyclean_spark.operators.outliers import quantile_bins, standardize
 from sparklyclean_spark.operators.skew import key_profile
@@ -833,8 +838,6 @@ _DRIVER_CHECK_ORDER = [
     "dedup_pairs_disdedup_skewed",   # new skew A/B
     "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
     "knn_lsh_recall",            # r5: ANN recall with a FULL DuckDB oracle
-    "orders_above_global_avg",   # broadcast hint added
-    "winsorize_order_prices",    # NULL guard added
     "cdc_latest_events",         # comparator restructured
     "embedding_quantize",        # r5: digest path moved to mapInPandas
     "embedding_l2_normalize",    # r5: unit-norm pre-index transform
@@ -850,6 +853,12 @@ _DRIVER_CHECK_ORDER = [
     "q2_best_region_supplier",
     "q8_market_share",
     "q9_product_profit",
+    # r6 analytics shapes (displaced: orders_above_global_avg,
+    # winsorize_order_prices — both 3x green untouched;
+    # funnel_view_click_purchase — 2x green untouched)
+    "supplier_pareto_share",
+    "orders_yoy_growth",
+    "events_rolling_active_7d",
     "text_repetition_signals",       # r4/r5 red — UNCHANGED in r6
     "text_repetition_signals_diag",  # r6: in-driver oracle diag (rows-only)
     # integer-only diagnostic twin (VERDICT r4 item 2): if this is
@@ -880,7 +889,6 @@ _DRIVER_CHECK_ORDER = [
     # r6: data-card mix report (displaced: cluster_safe_split_docs,
     # 2x green untouched; sampling family keeps exact_k_weighted)
     "corpus_mix_report",
-    "funnel_view_click_purchase",
     "sketch_distinct_users_daily",
     "diff_orders_snapshots",
     "merge_replay_idempotent",         # r5: apply∘apply == apply, oracled
@@ -900,6 +908,9 @@ _DRIVER_CHECK_ORDER = [
     "bloom_semi_join_orders",
     "chunk_sliding_documents",
     "dq_orders_constraints",  # 2x green, rotated out for r6 asof row
+    "orders_above_global_avg",  # 3x green, rotated out for r6 pareto row
+    "winsorize_order_prices",  # 3x green, rotated out for r6 yoy row
+    "funnel_view_click_purchase",  # 2x green, rotated out for rolling-DAU
     "cluster_safe_split_docs",  # 2x green, rotated out for r6 mix report
     "neardup_prefix_jaccard",  # 2x green, rotated out for r6 proportional
     # chunk_sliding_documents rotated below the window (2x green
@@ -991,6 +1002,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_next_click_tolerance": _asof_next_click_tolerance,
         # -- subquery shapes --------------------------------------------------
         "q2_best_region_supplier": _t(R.q2_best_region_supplier),
+        "supplier_pareto_share": _t(R.supplier_pareto_share),
+        "orders_yoy_growth": _t(R.orders_yoy_growth),
         "q8_market_share": _t(R.q8_market_share),
         "q9_product_profit": _t(R.q9_product_profit),
         "q10_returned_revenue": _t(R.q10_returned_revenue),
@@ -1083,6 +1096,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_out_of_order_stats": _q(out_of_order_stats, table="events"),
         # cohort retention matrix (longitudinal comeback curve)
         "events_cohort_retention": _q(cohort_retention, table="events"),
+        # trailing 7-day distinct actives via contribution explode
+        "events_rolling_active_7d": _q(_ROLLING_ACTIVE, table="events"),
         # quantile discretizer: per-priority price deciles
         "quantile_bins_order_prices": _q(
             lambda o: quantile_bins(
@@ -1526,6 +1541,60 @@ def oracle_sql() -> dict[str, str]:
                  AND date_diff('microsecond', p.purchase_ts, c.click_ts)
                      <= CAST(3600 AS BIGINT) * 1000000
             ) WHERE rn = 1
+        """,
+        # Pareto cumulative share: per-supplier revenue rounded FIRST,
+        # then both engines sum the identical doubles in the identical
+        # total order -> bit-equal running shares
+        "supplier_pareto_share": """
+            WITH rev AS (
+                SELECT s_suppkey, s_name,
+                       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                           AS revenue
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY 1, 2
+            ),
+            t AS (SELECT SUM(revenue) AS tot FROM rev)
+            SELECT s_suppkey, s_name, revenue,
+                   CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC,
+                        s_suppkey ASC) AS INT) AS rank,
+                   ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, s_suppkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        / tot, 4) AS cum_share,
+                   (SUM(revenue) OVER (ORDER BY revenue DESC, s_suppkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        / tot <= 0.8) AS in_head_80
+            FROM rev CROSS JOIN t
+        """,
+        "orders_yoy_growth": """
+            WITH y AS (
+                SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                       ROUND(SUM(o_totalprice), 4) AS revenue,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT o_year, revenue, n_orders,
+                   ROUND((revenue - LAG(revenue) OVER (ORDER BY o_year))
+                         / LAG(revenue) OVER (ORDER BY o_year), 4) AS yoy_growth
+            FROM y
+        """,
+        # rolling 7-day distinct actives: contribution explode (a
+        # frame-able COUNT DISTINCT does not exist), trimmed to days
+        # that actually had events
+        "events_rolling_active_7d": """
+            WITH pairs AS (
+                SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+            ),
+            rd AS (SELECT DISTINCT d FROM pairs),
+            contrib AS (
+                SELECT u, CAST(unnest(generate_series(
+                           CAST(d AS TIMESTAMP),
+                           CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                           INTERVAL 1 DAY)) AS DATE) AS obs_day
+                FROM pairs
+            )
+            SELECT obs_day, COUNT(DISTINCT u) AS active_7d
+            FROM contrib JOIN rd ON contrib.obs_day = rd.d
+            GROUP BY 1
         """,
         # TPC-H Q8 — the full eight-table join (no partsupp needed)
         "q8_market_share": """

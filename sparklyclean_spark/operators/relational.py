@@ -1015,3 +1015,60 @@ def q2_best_region_supplier(
             _r(F.col("s_acctbal")).alias("s_acctbal"),
         )
     )
+
+
+def supplier_pareto_share(t: dict[str, DataFrame]) -> DataFrame:
+    """Pareto / cumulative-concentration analysis: suppliers ranked by
+    revenue with each one's running share of the total and the 80%%-
+    head flag — "how few suppliers carry 80%% of the value". The
+    cumulative-distribution window shape (running sum over a total
+    order) the relational sweep did not yet cover.
+
+    Determinism: per-supplier revenue is rounded to 4 decimals FIRST,
+    then the running sum adds the identical doubles in the identical
+    total order (revenue DESC, s_suppkey ASC) on both engines, so the
+    cumulative values match bit-for-bit. The global window runs over
+    the supplier-cardinality aggregate (dimension-sized), not raw
+    rows."""
+    l, s = t["lineitem"], t["supplier"]
+    rev = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("s_suppkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = rev.agg(F.sum("revenue").alias("_tot"))
+    return (
+        rev.join(F.broadcast(total))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "revenue",
+            F.row_number().over(
+                Window.orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+            ).cast("int").alias("rank"),
+            _r(F.sum("revenue").over(w) / F.col("_tot")).alias("cum_share"),
+            (F.sum("revenue").over(w) / F.col("_tot") <= 0.8).alias("in_head_80"),
+        )
+    )
+
+
+def orders_yoy_growth(t: dict[str, DataFrame]) -> DataFrame:
+    """Year-over-year revenue growth: yearly rollup + lag window —
+    the time-series comparison shape (LAG over an aggregated series).
+    First year reports NULL growth."""
+    o = t["orders"]
+    yearly = o.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        _r(F.sum("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "o_year",
+        "revenue",
+        "n_orders",
+        _r((F.col("revenue") - prev) / prev).alias("yoy_growth"),
+    )

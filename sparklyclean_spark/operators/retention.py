@@ -63,3 +63,45 @@ def cohort_retention(
         F.col("cohort_size").cast("bigint").alias("cohort_size"),
         retention.alias("retention"),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing ``days``-day distinct active users per calendar day
+    (the rolling-DAU/WAU engagement metric). A distinct-count over a
+    sliding window cannot use a plain window frame (COUNT(DISTINCT)
+    is not frame-able); the scalable shape is contribution explode:
+    each distinct (user, day) pair contributes to the ``days``
+    observation days it covers, then one distinct-agg per observation
+    day. Only days with at least one event are reported (semi-join
+    against the actual day set).
+
+    Scale shape: distinct to (user, day) — |users| x |active days|,
+    the natural grain; a ``days``-way sequence explode (constant
+    fan-out, zero shuffle); one count-distinct hash agg keyed by day
+    (bounded by the calendar); a broadcast semi-join trims phantom
+    trailing days. No raw-event windows, no driver state.
+    """
+    pairs = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    real_days = pairs.select("d").distinct()
+    contrib = pairs.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), days - 1))
+        ).alias("obs_day"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(real_days.select(F.col("d").alias("obs_day"))),
+            "obs_day",
+            "left_semi",
+        )
+        .groupBy("obs_day")
+        .agg(F.count_distinct("u").alias(f"active_{days}d"))
+    )
