@@ -42,6 +42,7 @@ from sparklyclean_spark.operators.retention import (
 
 _ROLLING_ACTIVE = rolling_active_users
 from sparklyclean_spark.operators.pii import k_anonymity_audit
+from sparklyclean_spark.operators import outliers as OUT
 from sparklyclean_spark.operators.outliers import quantile_bins, standardize
 from sparklyclean_spark.operators.skew import key_profile
 from sparklyclean_spark.operators.decontam import source_overlap_matrix
@@ -838,7 +839,6 @@ _DRIVER_CHECK_ORDER = [
     "dedup_pairs_disdedup_skewed",   # new skew A/B
     "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
     "knn_lsh_recall",            # r5: ANN recall with a FULL DuckDB oracle
-    "cdc_latest_events",         # comparator restructured
     "embedding_quantize",        # r5: digest path moved to mapInPandas
     "embedding_l2_normalize",    # r5: unit-norm pre-index transform
     "embedding_l2_normalize_batch",  # r6: Arrow hot-path tier (rows-only)
@@ -859,6 +859,11 @@ _DRIVER_CHECK_ORDER = [
     "supplier_pareto_share",
     "orders_yoy_growth",
     "events_rolling_active_7d",
+    # r6: association mining + robust dispersion (displaced:
+    # cdc_latest_events 3x green; sketch_distinct_users_daily
+    # rows-only 2 rounds — its pytest gate carries it)
+    "brand_cooccurrence_lift",
+    "mad_order_prices",
     "text_repetition_signals",       # r4/r5 red — UNCHANGED in r6
     "text_repetition_signals_diag",  # r6: in-driver oracle diag (rows-only)
     # integer-only diagnostic twin (VERDICT r4 item 2): if this is
@@ -889,7 +894,6 @@ _DRIVER_CHECK_ORDER = [
     # r6: data-card mix report (displaced: cluster_safe_split_docs,
     # 2x green untouched; sampling family keeps exact_k_weighted)
     "corpus_mix_report",
-    "sketch_distinct_users_daily",
     "diff_orders_snapshots",
     "merge_replay_idempotent",         # r5: apply∘apply == apply, oracled
     "cdf_orders_snapshots",            # r5: change-feed generation, oracled
@@ -911,6 +915,8 @@ _DRIVER_CHECK_ORDER = [
     "orders_above_global_avg",  # 3x green, rotated out for r6 pareto row
     "winsorize_order_prices",  # 3x green, rotated out for r6 yoy row
     "funnel_view_click_purchase",  # 2x green, rotated out for rolling-DAU
+    "cdc_latest_events",  # 3x green, rotated out for r6 lift row
+    "sketch_distinct_users_daily",  # rows-only 2 rounds, pytest-gated
     "cluster_safe_split_docs",  # 2x green, rotated out for r6 mix report
     "neardup_prefix_jaccard",  # 2x green, rotated out for r6 proportional
     # chunk_sliding_documents rotated below the window (2x green
@@ -1004,6 +1010,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_best_region_supplier": _t(R.q2_best_region_supplier),
         "supplier_pareto_share": _t(R.supplier_pareto_share),
         "orders_yoy_growth": _t(R.orders_yoy_growth),
+        "brand_cooccurrence_lift": _t(R.brand_cooccurrence_lift),
+        "mad_order_prices": _q(
+            lambda o: OUT.median_abs_deviation(
+                o, "o_totalprice", by=["o_orderpriority"]
+            ),
+            table="orders",
+        ),
         "q8_market_share": _t(R.q8_market_share),
         "q9_product_profit": _t(R.q9_product_profit),
         "q10_returned_revenue": _t(R.q10_returned_revenue),
@@ -1564,6 +1577,45 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         / tot <= 0.8) AS in_head_80
             FROM rev CROSS JOIN t
+        """,
+        # basket co-occurrence lift: integer products first, then the
+        # floor contract (products stay far below 2^53)
+        "brand_cooccurrence_lift": """
+            WITH ob AS (
+                SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            n AS (SELECT COUNT(DISTINCT ok) AS total FROM ob),
+            m AS (SELECT brand, COUNT(*) AS cnt FROM ob GROUP BY 1),
+            pr AS (
+                SELECT a.brand AS brand_a, b.brand AS brand_b,
+                       COUNT(*) AS n_ab
+                FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+                GROUP BY 1, 2 HAVING COUNT(*) >= 10
+            )
+            SELECT brand_a, brand_b,
+                   CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(ma.cnt AS BIGINT) AS n_a,
+                   CAST(mb.cnt AS BIGINT) AS n_b,
+                   floor((n_ab * total) * 10000.0 / (ma.cnt * mb.cnt) + 0.5)
+                       / 10000.0 AS lift
+            FROM pr
+            JOIN m ma ON ma.brand = pr.brand_a
+            JOIN m mb ON mb.brand = pr.brand_b
+            CROSS JOIN n
+        """,
+        # robust dispersion: both engines use linear-interpolation
+        # percentiles, so the medians are the identical doubles
+        "mad_order_prices": """
+            WITH med AS (
+                SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS m
+                FROM orders GROUP BY 1
+            )
+            SELECT o.o_orderpriority,
+                   ROUND(MAX(m), 4) AS median,
+                   ROUND(quantile_cont(ABS(o_totalprice - m), 0.5), 4) AS mad
+            FROM orders o JOIN med USING (o_orderpriority)
+            GROUP BY o.o_orderpriority
         """,
         "orders_yoy_growth": """
             WITH y AS (

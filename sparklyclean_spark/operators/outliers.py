@@ -170,3 +170,40 @@ def standardize(
         .withColumn("grp_std", F.round("_sd", 4))
         .drop("_mu", "_sd")
     )
+
+
+def median_abs_deviation(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Per-group median and MAD (median absolute deviation) — the
+    robust twin of mean/stddev (``standardize``): immune to the heavy
+    tails that drag a standard deviation. Returns one row per group
+    with ``median`` and ``mad`` (both 4-dp rounded).
+
+    Scale shape: one grouped exact-percentile aggregate for the
+    median, broadcast join back, a second grouped percentile over the
+    absolute deviations — two bounded aggregation passes, no window
+    over raw rows. Both engines use the same linear-interpolation
+    percentile definition, so the doubles match."""
+    v = F.col(value_col)
+    keys = by or []
+    med = df.groupBy(*keys).agg(F.percentile(v, F.lit(0.5)).alias("_med"))
+    med_k = med.select(*[F.col(k).alias(f"_k_{k}") for k in keys], "_med")
+    if keys:
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(med_k), cond)
+    else:
+        joined = df.crossJoin(F.broadcast(med_k))
+    dev = joined.select(*keys, "_med", F.abs(v - F.col("_med")).alias("_dev"))
+    return (
+        dev.groupBy(*keys)
+        .agg(
+            F.round(F.first("_med"), 4).alias("median"),
+            F.round(F.percentile(F.col("_dev"), F.lit(0.5)), 4).alias("mad"),
+        )
+    )

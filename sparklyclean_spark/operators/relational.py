@@ -1072,3 +1072,53 @@ def orders_yoy_growth(t: dict[str, DataFrame]) -> DataFrame:
         "n_orders",
         _r((F.col("revenue") - prev) / prev).alias("yoy_growth"),
     )
+
+
+def brand_cooccurrence_lift(t: dict[str, DataFrame], min_pairs: int = 10) -> DataFrame:
+    """Market-basket association over order contents: for every brand
+    pair ordered together at least ``min_pairs`` times, the lift
+    ``P(a,b) / (P(a) P(b))`` — the frequent-itemset-lite co-occurrence
+    statistic (basket = order, item = part brand).
+
+    Scale shape: baskets collapse to DISTINCT (order, brand) first —
+    the self-join key is the ORDER, whose group size is the (small,
+    bounded) number of distinct brands in one order, so the pair
+    explosion is C(brands_per_order, 2) per order, never corpus-
+    quadratic; brand marginals are a tiny broadcast. Lift is computed
+    with the floor-rounding contract on exact integer products
+    (n_ab * N and n_a * n_b stay far below 2^53 at any realistic
+    brand cardinality)."""
+    l, p = t["lineitem"], t["part"]
+    ob = (
+        l.join(p.select("p_partkey", "p_brand"), l.l_partkey == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .dropDuplicates()
+    )
+    n_orders = ob.select(F.count_distinct("ok").alias("_n"))
+    marg = ob.groupBy(F.col("brand")).agg(F.count(F.lit(1)).alias("n"))
+    a = ob.select("ok", F.col("brand").alias("brand_a"))
+    b = ob.select("ok", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs)
+    )
+    ma = F.broadcast(marg.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a")))
+    mb = F.broadcast(marg.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b")))
+    from sparklyclean_spark.functions.rounding import ratio4
+
+    return (
+        pairs.join(ma, "brand_a")
+        .join(mb, "brand_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            ratio4(F.col("n_ab") * F.col("_n"), F.col("n_a") * F.col("n_b")).alias("lift"),
+        )
+    )
