@@ -142,6 +142,9 @@ def main() -> None:
         # hot-path L2 normalization (Arrow batch tier — the pre-index
         # transform; the Column/HOF tier is oracle-only by contract)
         "embedding_l2_normalize_batch",
+        # basket co-occurrence: distinct-collapse + order-keyed
+        # self-join (bounded fan-out) + marginal broadcasts
+        "brand_cooccurrence_lift",
     ]
 
     def run_once(name: str) -> float:
