@@ -359,6 +359,42 @@ def _asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "purchase_ts", "click_ts", "click_value")
 
 
+def _neardup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster audit of the near-dup graph: component size, number
+    of verified edges, and mean edge Jaccard — the quality report that
+    decides whether a dedup threshold is splitting or over-merging.
+    Mean is an integer floor-ratio over 4-dp-scaled edge weights
+    (sum(j*10000) / (n_edges*10000)) so aggregation order cannot move
+    the hash; singleton/edge-less components report NULL. This row
+    runs the EXACT pair path (oracle-checkable); at corpus scale feed
+    the same composition minhash_lsh_pairs output — the stats logic
+    is pair-source-agnostic."""
+    from sparklyclean_spark.cache import tracked_persist
+    from sparklyclean_spark.operators.dedup.clusters import neardup_clusters
+    from sparklyclean_spark.operators.dedup.textdedup import shingle_jaccard_pairs
+    from sparklyclean_spark.functions.rounding import ratio4
+
+    docs = _tables(spark, sf_dir)["documents"]
+    pairs = tracked_persist(shingle_jaccard_pairs(docs, 0.3))
+    comp = neardup_clusters(docs, 0.3, pairs=pairs.select("id1", "id2"))
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("size"))
+    ej = pairs.join(
+        comp.select(F.col("doc_id").alias("id1"), "comp"), "id1"
+    ).select("comp", F.floor(F.col("jaccard") * 10000.0 + 0.5).cast("bigint").alias("j4"))
+    edge_agg = ej.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("_ne"), F.sum("j4").alias("_sj")
+    )
+    return (
+        sizes.join(edge_agg, "comp", "left")
+        .select(
+            "comp",
+            F.col("size").cast("bigint").alias("size"),
+            F.coalesce("_ne", F.lit(0)).cast("bigint").alias("n_edges"),
+            ratio4(F.col("_sj"), F.col("_ne") * 10000).alias("mean_jaccard"),
+        )
+    )
+
+
 def _asof_next_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join with a tolerance bound: for each purchase,
     the EARLIEST click at-or-after it by the same user, voided when
@@ -888,7 +924,9 @@ _DRIVER_CHECK_ORDER = [
     # r6: exact-N largest-remainder proportional sample (displaced:
     # neardup_prefix_jaccard, 2x green; family keeps minhash_lsh_exploded)
     "sample_docs_proportional",
-    "neardup_minhash_lsh_exploded",
+    # r6: per-cluster dedup quality audit (displaced:
+    # neardup_minhash_lsh_exploded, 2x green — same family)
+    "neardup_cluster_stats",
     "corpus_curation_lsh",
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
     # r6: data-card mix report (displaced: cluster_safe_split_docs,
@@ -916,6 +954,7 @@ _DRIVER_CHECK_ORDER = [
     "winsorize_order_prices",  # 3x green, rotated out for r6 yoy row
     "funnel_view_click_purchase",  # 2x green, rotated out for rolling-DAU
     "cdc_latest_events",  # 3x green, rotated out for r6 lift row
+    "neardup_minhash_lsh_exploded",  # 2x green, rotated for cluster stats
     "sketch_distinct_users_daily",  # rows-only 2 rounds, pytest-gated
     "cluster_safe_split_docs",  # 2x green, rotated out for r6 mix report
     "neardup_prefix_jaccard",  # 2x green, rotated out for r6 proportional
@@ -1212,6 +1251,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_simhash": _q(TD.simhash_pairs, 3, table="documents"),
         # pair edges -> cluster assignment (iterative min-label propagation)
         "neardup_clusters": _q(CL.neardup_clusters, 0.3, table="documents"),
+        "neardup_cluster_stats": _neardup_cluster_stats,
         # split by CLUSTER id: near-dups of a doc always share its split
         # (otherwise eval examples leak into train via near-duplicates)
         "cluster_safe_split_docs": _q(
@@ -2842,6 +2882,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # connected components as transitive closure + min-reachable-id
         # (recursive CTE); Spark side is iterative min-label propagation
+        # per-cluster quality audit: integer floor-ratio mean over
+        # 4-dp-scaled edge weights; NULL for edge-less components
+        "neardup_cluster_stats": f"""
+            WITH RECURSIVE
+            p AS ({_shingle_jaccard_sql(0.3)}),
+            e AS (SELECT id1 AS a, id2 AS b FROM p
+                  UNION ALL SELECT id2, id1 FROM p),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+            ),
+            comp AS (SELECT src AS doc_id, MIN(dst) AS comp FROM reach GROUP BY src),
+            sizes AS (SELECT comp, COUNT(*) AS size FROM comp GROUP BY 1),
+            ej AS (SELECT c.comp,
+                          CAST(floor(p.jaccard * 10000.0 + 0.5) AS BIGINT) AS j4
+                   FROM p JOIN comp c ON p.id1 = c.doc_id),
+            ea AS (SELECT comp, COUNT(*) AS ne, SUM(j4) AS sj FROM ej GROUP BY 1)
+            SELECT s.comp,
+                   CAST(s.size AS BIGINT) AS size,
+                   CAST(COALESCE(ea.ne, 0) AS BIGINT) AS n_edges,
+                   floor(ea.sj * 10000.0 / (ea.ne * 10000) + 0.5) / 10000.0
+                       AS mean_jaccard
+            FROM sizes s LEFT JOIN ea ON s.comp = ea.comp
+        """,
         "neardup_clusters": f"""
             WITH RECURSIVE
             p AS ({_shingle_jaccard_sql(0.3)}),
