@@ -359,6 +359,28 @@ def _asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "purchase_ts", "click_ts", "click_value")
 
 
+def _neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al. SoCC'14) — the O(log^2)-round variant for
+    adversarially DEEP graphs, where min-label propagation's
+    O(diameter) rounds would not converge. Same labeling contract as
+    the default path (min reachable id), so the same recursive-CTE
+    SQL oracle hash-checks this algorithm end-to-end."""
+    from sparklyclean_spark.operators.dedup.clusters import connected_components_star
+    from sparklyclean_spark.operators.dedup.textdedup import shingle_jaccard_pairs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    pairs = shingle_jaccard_pairs(docs, 0.3).select("id1", "id2")
+    comp = connected_components_star(
+        pairs, docs.select(F.col("doc_id").alias("id")), id_col="id"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "comp",
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
 def _neardup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster audit of the near-dup graph: component size, number
     of verified edges, and mean edge Jaccard — the quality report that
@@ -927,6 +949,9 @@ _DRIVER_CHECK_ORDER = [
     # r6: per-cluster dedup quality audit (displaced:
     # neardup_minhash_lsh_exploded, 2x green — same family)
     "neardup_cluster_stats",
+    # r6: star-CC oracled end-to-end (displaced: chunk_dedup_within_doc,
+    # 2x green untouched; family keeps its bench row + pytest gates)
+    "neardup_clusters_star",
     "corpus_curation_lsh",
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
     # r6: data-card mix report (displaced: cluster_safe_split_docs,
@@ -936,7 +961,6 @@ _DRIVER_CHECK_ORDER = [
     "merge_replay_idempotent",         # r5: apply∘apply == apply, oracled
     "cdf_orders_snapshots",            # r5: change-feed generation, oracled
     "incr_agg_orders_priority",        # r5: maintained == recomputed, oracled
-    "chunk_dedup_within_doc",          # new in r4: intra-doc span dedup
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "dedup_pair_features_customer",
     "dedup_pairs_jw_customer",         # r5: Jaro-Winkler comparator
@@ -955,6 +979,7 @@ _DRIVER_CHECK_ORDER = [
     "funnel_view_click_purchase",  # 2x green, rotated out for rolling-DAU
     "cdc_latest_events",  # 3x green, rotated out for r6 lift row
     "neardup_minhash_lsh_exploded",  # 2x green, rotated for cluster stats
+    "chunk_dedup_within_doc",  # 2x green, rotated for star-CC row
     "sketch_distinct_users_daily",  # rows-only 2 rounds, pytest-gated
     "cluster_safe_split_docs",  # 2x green, rotated out for r6 mix report
     "neardup_prefix_jaccard",  # 2x green, rotated out for r6 proportional
@@ -1252,6 +1277,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pair edges -> cluster assignment (iterative min-label propagation)
         "neardup_clusters": _q(CL.neardup_clusters, 0.3, table="documents"),
         "neardup_cluster_stats": _neardup_cluster_stats,
+        "neardup_clusters_star": _neardup_clusters_star,
         # split by CLUSTER id: near-dups of a doc always share its split
         # (otherwise eval examples leak into train via near-duplicates)
         "cluster_safe_split_docs": _q(
@@ -2908,6 +2934,22 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes s LEFT JOIN ea ON s.comp = ea.comp
         """,
         "neardup_clusters": f"""
+            WITH RECURSIVE
+            p AS ({_shingle_jaccard_sql(0.3)}),
+            e AS (SELECT id1 AS a, id2 AS b FROM p
+                  UNION ALL SELECT id2, id1 FROM p),
+            reach(src, dst) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+            )
+            SELECT src AS doc_id, MIN(dst) AS comp,
+                   (src = MIN(dst)) AS is_canonical
+            FROM reach GROUP BY src
+        """,
+        # the large-star/small-star variant labels IDENTICALLY (min
+        # reachable id), so the same reachability oracle checks it
+        "neardup_clusters_star": f"""
             WITH RECURSIVE
             p AS ({_shingle_jaccard_sql(0.3)}),
             e AS (SELECT id1 AS a, id2 AS b FROM p
