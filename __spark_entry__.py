@@ -893,8 +893,9 @@ _DRIVER_CHECK_ORDER = [
     "pack_training_sequences_diag",  # r6: in-driver oracle diag (rows-only)
     "dense_ids_documents",       # shares ranged_with_offsets
     "pack_bins_greedy_docs",     # r5: capacity packing (rows-only)
-    "dedup_pairs_naive_skewed",      # new skew A/B
-    "dedup_pairs_disdedup_skewed",   # new skew A/B
+    "dedup_pairs_disdedup_skewed",   # skew A/B (naive arm rotated
+                                     # below, 2x green; this flagship
+                                     # side keeps the recorded row)
     "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
     "knn_lsh_recall",            # r5: ANN recall with a FULL DuckDB oracle
     "embedding_quantize",        # r5: digest path moved to mapInPandas
@@ -966,6 +967,7 @@ _DRIVER_CHECK_ORDER = [
     "dedup_pairs_jw_customer",         # r5: Jaro-Winkler comparator
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
+    "q1_pricing_summary_diag",  # r6: diag CONTROL arm (rows-only)
     # histogram_order_prices / zorder_keys_orders / bloom_semi_join_orders
     # rotated below the window (all 2x green r4+r5, untouched) to make
     # room for the three r6 *_diag instrumentation rows above
@@ -980,6 +982,7 @@ _DRIVER_CHECK_ORDER = [
     "cdc_latest_events",  # 3x green, rotated out for r6 lift row
     "neardup_minhash_lsh_exploded",  # 2x green, rotated for cluster stats
     "chunk_dedup_within_doc",  # 2x green, rotated for star-CC row
+    "dedup_pairs_naive_skewed",  # 2x green, rotated for diag control
     "sketch_distinct_users_daily",  # rows-only 2 rounds, pytest-gated
     "cluster_safe_split_docs",  # 2x green, rotated out for r6 mix report
     "neardup_prefix_jaccard",  # 2x green, rotated out for r6 proportional
@@ -1239,6 +1242,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_training_sequences_diag": _diag("pack_training_sequences"),
         "text_repetition_signals_diag": _diag("text_repetition_signals"),
         "q12_priority_by_status_diag": _diag("q12_priority_by_status"),
+        # CONTROL arm: a 5x-green row's diag twin. If the driver
+        # records agree for all four diags while the targets stay red,
+        # the divergence is in the harness layer; if the control
+        # behaves differently from the targets, that difference is
+        # itself the signal.
+        "q1_pricing_summary_diag": _diag("q1_pricing_summary"),
         "cdc_latest_events": _cdc_latest_events,
         "scd2_user_values": _scd2_user_values,
         # MERGE INTO shape: broadcast change batch applied to the orders
