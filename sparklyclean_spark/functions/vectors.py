@@ -99,22 +99,29 @@ def l2_normalize(a: Column | str) -> Column:
 
 
 def _l2_normalize_pd_impl(a: pd.Series) -> pd.Series:
-    vecs = [np.asarray(v, dtype=np.float64) for v in a]
-    lens = [v.shape[0] for v in vecs]
+    # NULL arrays stay NULL (Column-tier parity: transform on NULL is
+    # NULL) — np.asarray(None) is a 0-d array whose shape[0] raises
+    vecs = [
+        None if v is None else np.asarray(v, dtype=np.float64) for v in a
+    ]
+    lens = [0 if v is None else v.shape[0] for v in vecs]
     d = max(lens) if lens else 0
     if d == 0:
-        return pd.Series([[] for _ in vecs])
-    if len(set(lens)) == 1:
-        m = np.stack(vecs)
-    else:
-        # ragged: right-pad to a rectangle (zero padding never moves
-        # the norm), slice each row back to its true length after
-        m = np.zeros((len(vecs), d))
-        for i, v in enumerate(vecs):
+        return pd.Series([None if v is None else [] for v in vecs])
+    # ragged/NULL: right-pad to a rectangle (zero padding never moves
+    # the norm), slice each row back to its true length after
+    m = np.zeros((len(vecs), d))
+    for i, v in enumerate(vecs):
+        if v is not None:
             m[i, : v.shape[0]] = v
     n = np.linalg.norm(m, axis=1, keepdims=True)
     out = m / np.where(n == 0.0, 1.0, n)  # zero vectors pass through
-    return pd.Series([row[:ln].tolist() for row, ln in zip(out, lens)])
+    return pd.Series(
+        [
+            None if v is None else row[:ln].tolist()
+            for row, ln, v in zip(out, lens, vecs)
+        ]
+    )
 
 
 def l2_normalize_pandas(a: Column | str) -> Column:

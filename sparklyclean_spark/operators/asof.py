@@ -48,7 +48,7 @@ def asof_join(
     left_ts: str,
     right_ts: str | None = None,
     direction: str = "backward",
-    tolerance_seconds: int | None = None,
+    tolerance_seconds: float | None = None,
     right_prefix: str = "r_",
     how: str = "left",
 ) -> DataFrame:
@@ -117,7 +117,9 @@ def asof_join(
             gap = F.abs(
                 F.expr(f"timestampdiff(MICROSECOND, {_RPAY}.`{right_ts}`, {_TS})")
             )
-            bound = F.lit(int(tolerance_seconds) * 1_000_000).cast("bigint")
+            # round, don't truncate: a fractional tolerance (0.5 s)
+            # must mean 500_000 µs, not 0
+            bound = F.lit(int(round(tolerance_seconds * 1_000_000))).cast("bigint")
         else:
             gap = F.abs(F.col(_TS) - F.col(f"{_RPAY}.`{right_ts}`"))
             bound = F.lit(tolerance_seconds)

@@ -907,9 +907,7 @@ def q8_market_share(
     n_supp = F.broadcast(
         n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
     )
-    reg = F.broadcast(
-        t["region"].where(F.col("r_name") == region).select("r_regionkey")
-    )
+    reg = F.broadcast(r.where(F.col("r_name") == region).select("r_regionkey"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(F.broadcast(p.where(F.col("p_type") == p_type).select("p_partkey")),

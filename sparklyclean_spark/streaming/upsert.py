@@ -76,9 +76,6 @@ class ParquetUpsertSink:
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         self.keep_versions = keep_versions
-        # newest-first publish history for GC (rebuilt lazily from the
-        # marker on restart; only the retention window matters)
-        self._published: list[str] = []
 
     def _current_marker(self) -> str:
         return os.path.join(self.target_dir, "_CURRENT")
@@ -149,18 +146,27 @@ class ParquetUpsertSink:
         # O(batches x snapshot size). Keep the newest `keep_versions`
         # publishes (in-flight readers that resolved an older marker
         # may still be scanning; see class docstring for the
-        # reader-latency assumption behind this window).
+        # reader-latency assumption behind this window). Retention is
+        # decided from the DIRECTORY LISTING by mtime, not in-memory
+        # history: a restarted process has no history, and rebuilding
+        # it from just the marker would shrink the window to 2 and
+        # delete snapshots still inside the configured grace.
         import shutil
 
-        if prev and prev not in self._published:
-            self._published.insert(0, prev)
-        self._published.insert(0, out)
-        keep = set(self._published[: self.keep_versions])
-        for name in os.listdir(self.target_dir):
-            p = os.path.join(self.target_dir, name)
-            if name.startswith("_v=") and p not in keep:
+        versions = sorted(
+            (
+                p
+                for name in os.listdir(self.target_dir)
+                if name.startswith("_v=")
+                and os.path.isdir(p := os.path.join(self.target_dir, name))
+            ),
+            key=os.path.getmtime,
+            reverse=True,
+        )
+        keep = set(versions[: self.keep_versions]) | ({out, prev} - {None})
+        for p in versions:
+            if p not in keep:
                 shutil.rmtree(p, ignore_errors=True)
-        self._published = self._published[: self.keep_versions]
 
 
 def streaming_upsert(

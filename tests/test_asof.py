@@ -113,6 +113,12 @@ def test_tolerance_microsecond_exactness(spark):
         tolerance_seconds=60,
     )
     assert {r.lid: r.r_rid for r in out.collect()} == {1: 10, 2: None}
+    # fractional tolerance rounds to microseconds (not truncated to 0)
+    frac = asof_join(
+        ldf, rdf, on=["k"], left_ts="ts", direction="forward",
+        tolerance_seconds=60.000001,
+    )
+    assert {r.lid: r.r_rid for r in frac.collect()} == {1: 10, 2: 20}
 
 
 def test_plan_is_sort_based_not_nested_loop(spark):

@@ -557,7 +557,8 @@ def test_l2_normalize_pandas_parity_and_plan(spark):
     from sparklyclean_spark.functions.vectors import l2_normalize, l2_normalize_pandas
 
     df = spark.createDataFrame(
-        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 2.0, 2.0]), (4, [])],
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 2.0, 2.0]), (4, []),
+         (5, None)],
         "vec_id long, embedding array<double>",
     )
     batch = df.select("vec_id", l2_normalize_pandas(F.col("embedding")).alias("nv"))
@@ -566,10 +567,14 @@ def test_l2_normalize_pandas_parity_and_plan(spark):
     c = {r["vec_id"]: r["nv"] for r in col.collect()}
     assert set(b) == set(c)
     for k in b:
+        if b[k] is None or c[k] is None:
+            assert b[k] == c[k]
+            continue
         assert len(b[k]) == len(c[k])
         assert all(abs(x - y) < 1e-9 for x, y in zip(b[k], c[k]))
     assert b[2] == [0.0, 0.0]  # zero vector passes through
     assert b[4] == []
+    assert b[5] is None  # NULL array stays NULL (Column-tier parity)
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "transform(" not in plan, "interpreted HOF leaked into the hot path"
     col_plan = col._jdf.queryExecution().executedPlan().toString()
