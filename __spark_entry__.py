@@ -29,7 +29,8 @@ from sparklyclean_spark.operators.diff import diff_summary
 from sparklyclean_spark.operators.funnel import funnel_steps, funnel_summary
 from sparklyclean_spark.operators.profile import histogram
 from sparklyclean_spark.sources.layout import with_zorder_key
-from sparklyclean_spark.operators.sketches import distinct_rollup
+from sparklyclean_spark.operators.sketches import distinct_rollup, heavy_hitter_audit
+from sparklyclean_spark.operators import behavior as BH
 from sparklyclean_spark.operators.mixing import corpus_mix_report, mixture_sample
 from sparklyclean_spark.operators.resample import resample_ffill
 from sparklyclean_spark.operators.sessions import session_sequences, session_summary
@@ -891,14 +892,12 @@ _DRIVER_CHECK_ORDER = [
     "pack_training_sequences",   # r3/r4/r5 red row — UNCHANGED in r6
                                  # (VERDICT r5 item 2: diagnose, don't touch)
     "pack_training_sequences_diag",  # r6: in-driver oracle diag (rows-only)
-    "dense_ids_documents",       # shares ranged_with_offsets
+    "event_transition_matrix",   # r6b: Markov next-event profile
     "pack_bins_greedy_docs",     # r5: capacity packing (rows-only)
-    "dedup_pairs_disdedup_skewed",   # skew A/B (naive arm rotated
-                                     # below, 2x green; this flagship
-                                     # side keeps the recorded row)
+    "attribution_last_touch",    # r6b: last-touch conversion attribution
     "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
     "knn_lsh_recall",            # r5: ANN recall with a FULL DuckDB oracle
-    "embedding_quantize",        # r5: digest path moved to mapInPandas
+    "events_interarrival_stats", # r6b: per-type gap percentiles
     "embedding_l2_normalize",    # r5: unit-norm pre-index transform
     "embedding_l2_normalize_batch",  # r6: Arrow hot-path tier (rows-only)
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
@@ -938,9 +937,9 @@ _DRIVER_CHECK_ORDER = [
     "asof_next_click_tolerance",
     "events_cohort_retention",    # r5: cohort retention matrix
     "skew_key_profile_events",    # shuffle-key heavy-hitter diagnostic
-    "source_overlap_documents",   # cross-source shingle contamination
+    "heavy_hitters_orders",       # r6b: Misra-Gries containment audit
     "quantile_bins_order_prices", # r5: quantile discretizer
-    "standardize_order_prices",   # r5: z-score standardization
+    "kfold_docs_by_lang",         # r6b: deterministic k-fold assignment
     "text_unigram_cross_entropy", # r5: corpus-LM quality signal
     "pagerank_neardup_graph",     # r5: graph centrality (rows-only)
     "sample_docs_exact_k_weighted",  # r5: A-ES exact-k weighted sample
@@ -958,7 +957,7 @@ _DRIVER_CHECK_ORDER = [
     # r6: data-card mix report (displaced: cluster_safe_split_docs,
     # 2x green untouched; sampling family keeps exact_k_weighted)
     "corpus_mix_report",
-    "diff_orders_snapshots",
+    "text_oov_rate",                   # r6b: df-thresholded OOV coverage
     "merge_replay_idempotent",         # r5: apply∘apply == apply, oracled
     "cdf_orders_snapshots",            # r5: change-feed generation, oracled
     "incr_agg_orders_priority",        # r5: maintained == recomputed, oracled
@@ -972,6 +971,14 @@ _DRIVER_CHECK_ORDER = [
     # rotated below the window (all 2x green r4+r5, untouched) to make
     # room for the three r6 *_diag instrumentation rows above
     "histogram_order_prices",
+    # r6b rotation: six multi-green untouched rows parked for the six
+    # new capability rows (behavior/MG-sketch/kfold/OOV families)
+    "dense_ids_documents",  # 3x green (r3/r4/r5), prefix-sum anchor
+    "dedup_pairs_disdedup_skewed",  # 2x green, naive arm also parked
+    "embedding_quantize",  # 2x green (r3/r5), mapInPandas digest
+    "diff_orders_snapshots",  # 2x green (r4/r5); cdf/incr keep family
+    "standardize_order_prices",  # 1x green r5; quantile_bins+mad stay
+    "source_overlap_documents",  # 1x green r5; decontam family parked
     "zorder_keys_orders",
     "bloom_semi_join_orders",
     "chunk_sliding_documents",
@@ -1178,6 +1185,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": _q(cohort_retention, table="events"),
         # trailing 7-day distinct actives via contribution explode
         "events_rolling_active_7d": _q(_ROLLING_ACTIVE, table="events"),
+        # r6b behavioral-sequence family: Markov transitions, last-touch
+        # attribution, inter-arrival cadence (one user-keyed window each)
+        "event_transition_matrix": _q(BH.transition_matrix, table="events"),
+        "attribution_last_touch": _q(BH.last_touch_attribution, table="events"),
+        "events_interarrival_stats": _q(BH.interarrival_stats, table="events"),
         # quantile discretizer: per-priority price deciles
         "quantile_bins_order_prices": _q(
             lambda o: quantile_bins(
@@ -1202,6 +1214,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # cross-source contamination matrix over doc fingerprints
         "source_overlap_documents": _q(source_overlap_matrix, table="documents"),
+        # r6b: Misra-Gries frequent-items sketch, containment guarantee
+        # verified in-plan over a constructed 50%-hot key (the same
+        # adversarial-skew shaping as dedup_pairs_*_skewed)
+        "heavy_hitters_orders": _q(
+            lambda o: heavy_hitter_audit(
+                o,
+                key=F.when((F.col("o_orderkey") % 2) == 0, F.lit("HOT")).otherwise(
+                    F.concat(
+                        F.lit("k"), (F.col("o_orderkey") % 1000).cast("string")
+                    )
+                ),
+                capacity=64,
+                top_n=10,
+            ),
+            table="orders",
+        ),
+        # r6b: df-thresholded out-of-vocabulary coverage rate
+        "text_oov_rate": _q(TA.oov_stats, table="documents"),
         "text_token_estimate": _q(TA.token_estimate, table="documents"),
         # deterministic (hash-derived) sampling & splitting
         "sample_docs_weighted": _q(
@@ -1218,6 +1248,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "hash_split_documents": _q(
             lambda d: SP.hash_split(d, "doc_id").select("doc_id", "split"),
+            table="documents",
+        ),
+        # r6b: deterministic k-fold CV assignment, audited as per-fold
+        # stratum counts (uniformity + rerun stability in one row)
+        "kfold_docs_by_lang": _q(
+            lambda d: SP.kfold_assignment(d, "doc_id", 5)
+            .groupBy("fold", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs")),
             table="documents",
         ),
         # sliding-window chunking (RAG/embedding prep) + corpus mixing
@@ -1722,6 +1760,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT obs_day, COUNT(DISTINCT u) AS active_7d
             FROM contrib JOIN rd ON contrib.obs_day = rd.d
             GROUP BY 1
+        """,
+        # r6b behavioral family. Order within a user is total via the
+        # (ts, event_id) tiebreak on BOTH sides; probabilities use the
+        # floor contract over exact integer counts.
+        "event_transition_matrix": """
+            WITH p AS (
+                SELECT event_type AS from_type,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS to_type
+                FROM events
+            ),
+            c AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+                  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT from_type, SUM(n_transitions) AS n_from
+                  FROM c GROUP BY 1)
+            SELECT from_type, to_type,
+                   CAST(n_transitions AS BIGINT) AS n_transitions,
+                   CAST(n_from AS BIGINT) AS n_from,
+                   floor(n_transitions * 10000.0 / n_from + 0.5) / 10000.0
+                       AS prob
+            FROM c JOIN t USING (from_type)
+        """,
+        # last-touch: IGNORE-NULLS carry-forward over the strict
+        # (unbounded, -1) frame; the recency window compares integer
+        # MICROSECONDS (the engine-portable granularity)
+        "attribution_last_touch": """
+            WITH f AS (
+                SELECT ts, event_type, value,
+                       last_value(CASE WHEN event_type IN ('click', 'view')
+                                       THEN ts END IGNORE NULLS)
+                           OVER w AS tts,
+                       last_value(CASE WHEN event_type IN ('click', 'view')
+                                       THEN event_type END IGNORE NULLS)
+                           OVER w AS tty
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT CASE WHEN tts IS NOT NULL
+                             AND date_diff('microsecond', tts, ts)
+                                 <= 7 * 86400000000
+                        THEN tty ELSE 'direct' END AS touch_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM f WHERE event_type = 'purchase' GROUP BY 1
+        """,
+        # inter-arrival gaps in WHOLE SECONDS via integer µs division;
+        # quantile_cont == Spark percentile interpolation
+        "events_interarrival_stats": """
+            WITH g AS (
+                SELECT event_type,
+                       date_diff('microsecond',
+                                 LAG(ts) OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts, event_id),
+                                 ts) // 1000000 AS gap_s
+                FROM events
+            ),
+            p AS (SELECT event_type, COUNT(*) AS n_gaps,
+                         quantile_cont(gap_s, [0.5, 0.9, 0.99]) AS q
+                  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+            SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+                   floor(q[1] * 10000.0 + 0.5) / 10000.0 AS p50_gap_s,
+                   floor(q[2] * 10000.0 + 0.5) / 10000.0 AS p90_gap_s,
+                   floor(q[3] * 10000.0 + 0.5) / 10000.0 AS p99_gap_s
+            FROM p
+        """,
+        # MG heavy-hitter audit: the oracle recomputes the EXACT top-10
+        # and the exact-arithmetic heaviness flag; `covered` is the MG
+        # containment guarantee, which a correct sketch satisfies for
+        # every partitioning — so the oracle asserts TRUE
+        "heavy_hitters_orders": """
+            WITH k AS (
+                SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'HOT'
+                            ELSE 'k' || CAST(o_orderkey % 1000 AS VARCHAR)
+                       END AS key
+                FROM orders
+            ),
+            c AS (SELECT key, COUNT(*) AS exact_count FROM k GROUP BY key),
+            t AS (SELECT SUM(exact_count) AS n FROM c)
+            SELECT key, CAST(exact_count AS BIGINT) AS exact_count,
+                   (exact_count * 65 > n) AS is_heavy,
+                   TRUE AS covered
+            FROM c CROSS JOIN t
+            ORDER BY exact_count DESC, key ASC LIMIT 10
+        """,
+        # k-fold: DuckDB casts '0x'||hex directly to BIGINT (verified
+        # 1.0.0); fold is the identical md5-derived uniform mod k
+        "kfold_docs_by_lang": """
+            SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 5 AS INT) AS fold,
+                   lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1, 2
         """,
         # TPC-H Q8 — the full eight-table join (no partsupp needed)
         "q8_market_share": """
@@ -2260,6 +2390,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # corpus-LM cross-entropy: per-token log-probs rounded to
         # DECIMAL(18,6) before the per-doc sum (associative -> order-free)
+        # df-thresholded OOV rate: integer counts end-to-end, floor
+        # contract on the rate; docs with zero tokens drop out of the
+        # explode on both sides
+        "text_oov_rate": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+            dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                      FROM t GROUP BY term),
+            tagged AS (
+                SELECT doc_id, CASE WHEN df < 2 THEN 1 ELSE 0 END AS oov
+                FROM t JOIN dfreq USING (term)
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(oov) AS BIGINT) AS n_oov,
+                   floor(SUM(oov) * 10000.0 / COUNT(*) + 0.5) / 10000.0
+                       AS oov_rate
+            FROM tagged GROUP BY doc_id
+        """,
         "text_unigram_cross_entropy": f"""
             WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
             v AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),

@@ -1,0 +1,183 @@
+"""Behavioral sequence analytics over an event log: next-event
+transition matrix (Markov profile), last-touch conversion
+attribution, and inter-arrival gap percentiles.
+
+These are the sequence-model cousins of the existing event family
+(funnel = ordered step conversion, sessionize = gap labeling,
+retention = comeback curve): the transition matrix is the
+first-order behavioral LM a training-data pipeline profiles before
+sampling event sequences; attribution and inter-arrival stats are
+the standard product-analytics readouts over the same log.
+
+Scale shape shared by all three: ONE window (or lag) over ONE
+``hashpartitioning(user)`` exchange derives the per-row sequence
+feature map-side; every downstream aggregation is keyed on a
+BOUNDED domain (event-type, type-pair, or touch-type), so the final
+shuffles carry O(#types²) rows regardless of corpus size. No
+driver state, no raw-event re-sorts.
+
+No reference counterpart; SURVEY §2.10 capability-gap operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.functions.rounding import ratio4
+
+
+def transition_matrix(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order event-type transition counts and probabilities.
+
+    For each user's chronological event sequence (``ts`` order,
+    ``tiebreak_col`` makes the order total — timestamps can tie at
+    microsecond resolution), every consecutive pair contributes one
+    ``(from_type, to_type)`` transition. Output probabilities are
+    row-normalized per ``from_type`` with the repo's engine-portable
+    floor rounding.
+
+    Scale: the lead() window rides one hashpartitioning(user)
+    exchange; the pair aggregation is map-side combinable and its
+    key domain is #types² — the totals join is a broadcast of a
+    #types-row table.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.col("n_from").cast("bigint").alias("n_from"),
+        ratio4("n_transitions", "n_from").alias("prob"),
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_days: int = 7,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Attribute each purchase to the user's most recent PRIOR touch
+    event (click/view) within ``window_days``; purchases with no
+    in-window touch are 'direct'. Output: per touch-type purchase
+    count and attributed revenue.
+
+    The carry-forward is ``last(..., ignorenulls)`` over a
+    ``(unboundedPreceding, -1)`` frame in (ts, tiebreak) order — the
+    strict -1 upper bound excludes the purchase row itself, and the
+    recency window compares integer MICROSECONDS (`timestamp_diff`),
+    the engine-portable granularity (Spark SECOND truncates, DuckDB
+    date_diff counts boundaries; they agree only at µs).
+
+    Scale: one hashpartitioning(user) window exchange; the final
+    aggregation's key domain is len(touch_types)+1.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(list(touch_types))
+    touch_ts = F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True).over(w)
+    touch_ty = F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True).over(w)
+    limit_us = F.lit(window_days * 86_400_000_000).cast("bigint")
+    touch = F.when(
+        F.col("_tts").isNotNull()
+        & (F.timestamp_diff("MICROSECOND", F.col("_tts"), F.col(ts_col)) <= limit_us),
+        F.col("_tty"),
+    ).otherwise(F.lit("direct"))
+    flagged = events.select(
+        F.col(ts_col),
+        F.col(type_col),
+        F.col(value_col),
+        touch_ts.alias("_tts"),
+        touch_ty.alias("_tty"),
+    ).where(F.col(type_col) == purchase_type)
+    return (
+        flagged.select(touch.alias("touch_type"), F.col(value_col).alias("_v"))
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            # q1-precedent rounding: ROUND(SUM(double), 4) — the sum's
+            # associativity error is orders of magnitude below the
+            # 4-decimal grid at any realistic row count
+            F.round(F.sum("_v"), 4).alias("total_value"),
+        )
+        .select(
+            "touch_type",
+            F.col("n_purchases").cast("bigint").alias("n_purchases"),
+            "total_value",
+        )
+    )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per event-type inter-arrival gap percentiles (p50/p90/p99)
+    between consecutive events of the same (user, type) stream —
+    the cadence profile behind watermark and session-gap tuning.
+
+    Gaps are measured in WHOLE SECONDS via integer µs division
+    (``µs div 1_000_000`` — exact in both engines, and it keeps the
+    percentile interpolation inputs small enough that the 4-decimal
+    floor rounding stays inside exact double range; raw µs × 10⁴
+    would overflow the 2^53 integer-exact window).
+
+    Scale: the lag() rides one hashpartitioning(user, type)
+    exchange. The exact grouped percentile then gathers each type's
+    gaps onto one reducer — the documented exact-percentile shape
+    (same trade as price_percentiles_by_priority); at corpus scale
+    flip to approx_percentile, which is mergeable and map-side.
+    """
+    w = Window.partitionBy(user_col, type_col).orderBy(ts_col, tiebreak_col)
+    gap_us = F.timestamp_diff(
+        "MICROSECOND", F.lag(ts_col).over(w), F.col(ts_col)
+    )
+    gaps = (
+        events.select(
+            F.col(type_col).alias("event_type"), gap_us.alias("_gap_us")
+        )
+        .where(F.col("_gap_us").isNotNull())
+        # integer division (gaps are >= 0 within an ordered stream):
+        # exact in both engines, unlike a double divide + truncate
+        .select("event_type", F.expr("_gap_us div 1000000").alias("_gap_s"))
+    )
+    pct = F.percentile("_gap_s", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    out = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"), pct.alias("_p")
+    )
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return out.select(
+        "event_type",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        r4(F.col("_p")[0]).alias("p50_gap_s"),
+        r4(F.col("_p")[1]).alias("p90_gap_s"),
+        r4(F.col("_p")[2]).alias("p99_gap_s"),
+    )

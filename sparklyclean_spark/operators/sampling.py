@@ -121,6 +121,25 @@ def hash_split(
     )
 
 
+def kfold_assignment(df: DataFrame, id_col: str, k: int = 5) -> DataFrame:
+    """Append a ``fold`` column (0..k-1): deterministic k-fold
+    cross-validation assignment from the first 8 hex chars of
+    md5(id) mod k — pure map-side, no shuffle, rerun-stable, and
+    engine-portable (the DuckDB oracle recomputes the identical
+    md5-uniform). The ≤ 1-in-2³² modulo bias is far below any
+    statistical concern and, unlike a seeded RNG, identical across
+    engines, partitionings, and reruns.
+
+    Same md5-derivation family as ``hash_split`` — a fold here is a
+    deterministic function of the ROW ID alone, so folds survive
+    repartitioning, incremental appends, and engine migration (the
+    property seeded ``randomSplit`` lacks)."""
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return df.withColumn("fold", F.pmod(u, F.lit(k)).cast("int"))
+
+
 def weighted_sample(
     df: DataFrame,
     weight: "F.Column",

@@ -70,3 +70,102 @@ def distinct_rollup(
         F.hll_sketch_estimate("sketch").alias("est_distinct"),
     )
     return per_shard.unionByName(merged)
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries frequent-items sketch (mergeable heavy-hitter candidates)
+# ---------------------------------------------------------------------------
+
+def mg_candidates(df: DataFrame, key_col: str, capacity: int = 64) -> DataFrame:
+    """Per-partition Misra–Gries summaries of ``key_col``, unioned:
+    ``(key string, weight bigint)`` with at most ``capacity`` rows per
+    input partition.
+
+    The MG guarantee (Misra & Gries '82; mergeable form Agarwal et
+    al. PODS'12): each partition's summary underestimates any key's
+    true partition count by at most ``n_p / (capacity + 1)``, so every
+    key with GLOBAL frequency > n/(capacity+1) appears in at least one
+    partition's summary (pigeonhole) — regardless of how rows are
+    partitioned. That containment is exactly what
+    ``heavy_hitter_audit`` verifies in-plan.
+
+    Implementation: one Arrow ``mapInPandas`` pass; the per-batch
+    exact counts come from vectorized ``value_counts`` and are merged
+    into the running summary with the standard subtract-the-
+    (capacity+1)-th-largest step — no per-row Python. The output is
+    O(#partitions × capacity) rows: driver-safe at any corpus size.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("key", StringType()), StructField("weight", LongType())]
+    )
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf[key_col].dropna().astype(str).value_counts()
+            for k, c in vc.items():
+                counters[k] = counters.get(k, 0) + int(c)
+            if len(counters) > capacity:
+                # subtract the (capacity+1)-th largest weight from all,
+                # drop the non-positive — the mergeable MG reduction
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    k: v - cut for k, v in counters.items() if v - cut > 0
+                }
+        yield pd.DataFrame(
+            {"key": list(counters.keys()), "weight": list(counters.values())}
+        )
+
+    return df.select(F.col(key_col).cast("string").alias(key_col)).mapInPandas(
+        summarize, out_schema
+    )
+
+
+def heavy_hitter_audit(
+    df: DataFrame,
+    key: Column,
+    capacity: int = 64,
+    top_n: int = 10,
+) -> DataFrame:
+    """Exact top-``top_n`` keys with the MG containment guarantee
+    verified in-plan: ``(key, exact_count, is_heavy, covered)`` where
+    ``is_heavy`` marks keys with ``count · (capacity+1) > n_total``
+    (exact integer arithmetic) and ``covered`` asserts the guarantee
+    — TRUE iff the key is not heavy OR the sketch caught it. Any
+    FALSE means the sketch implementation is broken, independent of
+    partitioning (``covered`` is partitioning-invariant even though
+    the raw candidate set is not, which is why the candidate flag
+    itself is deliberately NOT in the output contract).
+
+    Scale: exact counts are one map-side-combinable hash agg; the
+    candidate union is O(#partitions × capacity) and broadcast; the
+    top-n sort runs over the (bounded) distinct-key aggregate.
+    """
+    keyed = df.select(key.cast("string").alias("_k"))
+    exact = keyed.groupBy("_k").agg(F.count(F.lit(1)).alias("exact_count"))
+    total = exact.select(F.sum("exact_count").alias("_n"))
+    cands = (
+        mg_candidates(keyed, "_k", capacity)
+        .select(F.col("key").alias("_k"))
+        .distinct()
+        .withColumn("_in_sketch", F.lit(True))
+    )
+    top = (
+        exact.orderBy(F.col("exact_count").desc(), F.col("_k").asc())
+        .limit(top_n)
+        .join(F.broadcast(total))
+        .join(F.broadcast(cands), "_k", "left")
+    )
+    is_heavy = (F.col("exact_count") * (capacity + 1)) > F.col("_n")
+    return top.select(
+        F.col("_k").alias("key"),
+        F.col("exact_count").cast("bigint").alias("exact_count"),
+        is_heavy.alias("is_heavy"),
+        (~is_heavy | F.coalesce(F.col("_in_sketch"), F.lit(False))).alias(
+            "covered"
+        ),
+    )

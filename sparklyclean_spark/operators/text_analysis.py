@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparklyclean_spark.functions import text as T
+from sparklyclean_spark.functions.rounding import ratio4
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -392,5 +393,47 @@ def unigram_cross_entropy(docs: DataFrame) -> DataFrame:
             F.round(-(F.col("_s").cast("double")) / F.col("n_tokens"), 4).alias(
                 "cross_entropy"
             ),
+        )
+    )
+
+
+def oov_stats(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Tokenizer/vocab coverage signal: per-doc out-of-vocabulary
+    rate against the corpus's own document-frequency-thresholded
+    vocabulary (a token occurrence is OOV when its term appears in
+    fewer than ``min_df`` distinct documents). High-OOV docs are
+    garbled/rare-script/boilerplate-free outliers — the cheap
+    pre-tokenizer screen before budgeting BPE token counts.
+
+    The vocabulary is df-THRESHOLDED, not top-V: a top-V cut has
+    nondeterministic membership at the boundary under count ties,
+    while ``df >= min_df`` is a pure function of the corpus.
+
+    Scale shape: same as ``unigram_cross_entropy`` — one explode →
+    distinct → hash agg builds the (vocab-sized) df table; token
+    occurrences join it ON THE TERM (AQE-splittable, deliberately
+    not broadcast: a 100 TB corpus's vocab does not broadcast); one
+    final per-doc aggregation. Integer counts end-to-end; the rate
+    uses the repo's floor rounding.
+
+    No reference counterpart; §2.10 capability-gap operator.
+    """
+    toks = docs.select("doc_id", F.explode(T.words("text")).alias("term"))
+    dfreq = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    tagged = toks.join(dfreq, "term").select(
+        "doc_id", (F.col("_df") < min_df).cast("bigint").alias("_oov")
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_oov").alias("n_oov"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            ratio4("n_oov", "n_tokens").alias("oov_rate"),
         )
     )

@@ -1,0 +1,230 @@
+"""Semantics tests for the r6b batch: behavioral-sequence operators
+(transition matrix, last-touch attribution, inter-arrival stats),
+the Misra-Gries heavy-hitter sketch (containment guarantee under
+adversarial partitionings), deterministic k-fold assignment, and the
+df-thresholded OOV rate. The DuckDB hash parity for each registered
+row is covered by test_oracle_parity; these tests pin the hand-
+computable semantics and the partitioning invariances the oracle
+cannot see.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.operators import behavior as BH
+from sparklyclean_spark.operators.sampling import kfold_assignment
+from sparklyclean_spark.operators.sketches import heavy_hitter_audit, mg_candidates
+from sparklyclean_spark.operators.text_analysis import oov_stats
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    rows = [
+        # user 1: view -> click -> purchase(10.0) ; attribution: click
+        (1, _ts("2024-01-01T00:00:00"), 1, "view", 0.0),
+        (2, _ts("2024-01-01T00:01:00"), 1, "click", 0.0),
+        (3, _ts("2024-01-01T00:02:00"), 1, "purchase", 10.0),
+        # user 2: view then purchase 8 days later -> out of 7d window
+        (4, _ts("2024-01-01T00:00:00"), 2, "view", 0.0),
+        (5, _ts("2024-01-09T00:00:01"), 2, "purchase", 5.0),
+        # user 3: purchase with no prior touch -> direct
+        (6, _ts("2024-01-01T00:00:00"), 3, "purchase", 2.5),
+        # user 4: same-timestamp tie broken by event_id (view id=7
+        # sorts before click id=8 -> last prior touch is click)
+        (7, _ts("2024-01-02T00:00:00"), 4, "view", 0.0),
+        (8, _ts("2024-01-02T00:00:00"), 4, "click", 0.0),
+        (9, _ts("2024-01-02T00:00:01"), 4, "purchase", 4.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+
+
+def test_transition_matrix_counts_and_probs(spark, tiny_events):
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in BH.transition_matrix(tiny_events).collect()
+    }
+    # user1: view->click, click->purchase; user2: view->purchase;
+    # user4: view->click, click->purchase
+    assert out[("view", "click")]["n_transitions"] == 2
+    assert out[("view", "purchase")]["n_transitions"] == 1
+    assert out[("click", "purchase")]["n_transitions"] == 2
+    assert len(out) == 3
+    r = out[("view", "click")]
+    assert r["n_from"] == 3 and r["prob"] == pytest.approx(0.6667)
+    assert out[("click", "purchase")]["prob"] == 1.0
+
+
+def test_transition_matrix_single_event_user_contributes_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), 9, "view", 0.0)],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double",
+    )
+    assert BH.transition_matrix(df).count() == 0
+
+
+def test_last_touch_attribution(spark, tiny_events):
+    out = {r["touch_type"]: r for r in BH.last_touch_attribution(tiny_events).collect()}
+    # user1 -> click(10.0), user4 -> click(4.0); user2 out-of-window
+    # and user3 no-touch both land in 'direct'
+    assert out["click"]["n_purchases"] == 2
+    assert out["click"]["total_value"] == pytest.approx(14.0)
+    assert out["direct"]["n_purchases"] == 2
+    assert out["direct"]["total_value"] == pytest.approx(7.5)
+    assert set(out) == {"click", "direct"}
+
+
+def test_last_touch_window_boundary_inclusive(spark):
+    # exactly 7 days is attributed (<= bound), 7d + 1µs is direct
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "click", 0.0),
+        (2, _ts("2024-01-08T00:00:00"), 1, "purchase", 1.0),
+        (3, _ts("2024-02-01T00:00:00"), 2, "click", 0.0),
+        (4, _ts("2024-02-08T00:00:00.000001"), 2, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    out = {r["touch_type"]: r["n_purchases"]
+           for r in BH.last_touch_attribution(df).collect()}
+    assert out == {"click": 1, "direct": 1}
+
+
+def test_interarrival_stats_known_gaps(spark):
+    # user 1, type 'a': gaps 10s, 20s, 30s -> p50=20, p90/p99 interpolate
+    base = datetime(2024, 1, 1)
+    times = [0, 10, 30, 60]
+    rows = [
+        (i, datetime.fromtimestamp(base.timestamp() + t), 1, "a", 0.0)
+        for i, t in enumerate(times)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    [r] = BH.interarrival_stats(df).collect()
+    assert r["event_type"] == "a" and r["n_gaps"] == 3
+    assert r["p50_gap_s"] == 20.0
+    # linear interpolation over sorted [10,20,30]: p90 = 28, p99 = 29.8
+    assert r["p90_gap_s"] == pytest.approx(28.0)
+    assert r["p99_gap_s"] == pytest.approx(29.8)
+
+
+def test_interarrival_streams_are_per_user_and_type(spark):
+    # two users interleaved: gaps never cross users or types
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "a", 0.0),
+        (2, _ts("2024-01-01T00:00:05"), 2, "a", 0.0),
+        (3, _ts("2024-01-01T00:00:10"), 1, "a", 0.0),
+        (4, _ts("2024-01-01T00:00:12"), 1, "b", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    out = {r["event_type"]: r for r in BH.interarrival_stats(df).collect()}
+    assert out["a"]["n_gaps"] == 1 and out["a"]["p50_gap_s"] == 10.0
+    assert "b" not in out  # single-event stream -> no gap
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries sketch
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 16])
+def test_mg_containment_under_partitionings(spark, nparts):
+    """The MG guarantee is partitioning-invariant: any key with global
+    frequency > n/(capacity+1) must appear in the candidate union, no
+    matter how rows land in partitions. 50% hot key + uniform tail."""
+    n = 4000
+    df = (
+        spark.range(n)
+        .repartition(nparts)
+        .select(
+            F.when((F.col("id") % 2) == 0, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string")))
+            .alias("k")
+        )
+    )
+    cands = {r["key"] for r in mg_candidates(df, "k", capacity=8).collect()}
+    assert "HOT" in cands
+
+    audit = heavy_hitter_audit(
+        df, F.col("k"), capacity=8, top_n=10
+    ).collect()
+    assert all(r["covered"] for r in audit)
+    by_key = {r["key"]: r for r in audit}
+    assert by_key["HOT"]["is_heavy"]
+    assert by_key["HOT"]["exact_count"] == n // 2
+
+
+def test_mg_candidate_set_is_bounded(spark):
+    df = spark.range(10_000).repartition(4).select(
+        F.col("id").cast("string").alias("k")
+    )
+    # all-distinct stream: each partition emits <= capacity rows
+    assert mg_candidates(df, "k", capacity=16).count() <= 4 * 16
+
+
+def test_mg_exact_when_under_capacity(spark):
+    # fewer distinct keys than capacity -> MG degrades to exact counts
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3, "k string"
+    ).coalesce(1)
+    got = {r["key"]: r["weight"] for r in mg_candidates(df, "k", 64).collect()}
+    assert got == {"a": 5, "b": 3}
+
+
+# ---------------------------------------------------------------------------
+# k-fold assignment
+# ---------------------------------------------------------------------------
+
+
+def test_kfold_deterministic_and_total(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = kfold_assignment(df, "doc_id", 5)
+    counts = {r["fold"]: r["count"] for r in a.groupBy("fold").count().collect()}
+    assert set(counts) == {0, 1, 2, 3, 4}
+    assert sum(counts.values()) == 1000
+    # roughly uniform (md5-uniform: each fold within 3 sigma of 200)
+    assert all(140 <= c <= 260 for c in counts.values())
+    # partitioning-invariant: identical assignment after a repartition
+    b = kfold_assignment(df.repartition(13), "doc_id", 5)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# OOV rate
+# ---------------------------------------------------------------------------
+
+
+def test_oov_stats_df_threshold(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),   # apple df=2, banana df=1
+            (2, "apple cherry"),          # cherry df=1
+            (3, "   "),                   # tokenizes to nothing -> dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in oov_stats(docs, min_df=2).collect()}
+    assert set(out) == {1, 2}
+    # doc1: 3 tokens, banana (df=1) is the 1 OOV occurrence
+    assert out[1]["n_tokens"] == 3 and out[1]["n_oov"] == 1
+    assert out[1]["oov_rate"] == pytest.approx(0.3333)
+    # doc2: 2 tokens, cherry OOV
+    assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1
+    assert out[2]["oov_rate"] == 0.5
