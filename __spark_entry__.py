@@ -29,7 +29,11 @@ from sparklyclean_spark.operators.diff import diff_summary
 from sparklyclean_spark.operators.funnel import funnel_steps, funnel_summary
 from sparklyclean_spark.operators.profile import histogram
 from sparklyclean_spark.sources.layout import with_zorder_key
-from sparklyclean_spark.operators.sketches import distinct_rollup, heavy_hitter_audit
+from sparklyclean_spark.operators.sketches import (
+    cms_freq_audit,
+    distinct_rollup,
+    heavy_hitter_audit,
+)
 from sparklyclean_spark.operators import behavior as BH
 from sparklyclean_spark.operators.mixing import corpus_mix_report, mixture_sample
 from sparklyclean_spark.operators.resample import resample_ffill
@@ -177,6 +181,28 @@ def _dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         DQ.ForeignKeyRule("o_custkey", t["customer"], "c_custkey"),
     ]
     return DQ.check_constraints(t["orders"], rules)
+
+
+def _fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema-wide referential-integrity audit: the four real FK
+    edges of this schema plus one DELIBERATELY broken edge (part
+    truncated to p_partkey <= 1000) so the orphan-counting path is
+    exercised with non-zero counts, mirroring the dq_orders strict
+    in_range precedent."""
+    t = _tables(spark, sf_dir)
+    edges = [
+        ("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey",
+         t["orders"], "o_orderkey"),
+        ("orders.o_custkey->customer", t["orders"], "o_custkey",
+         t["customer"], "c_custkey"),
+        ("customer.c_nationkey->nation", t["customer"], "c_nationkey",
+         t["nation"], "n_nationkey"),
+        ("supplier.s_nationkey->nation", t["supplier"], "s_nationkey",
+         t["nation"], "n_nationkey"),
+        ("lineitem.l_partkey->part_head", t["lineitem"], "l_partkey",
+         t["part"].where(F.col("p_partkey") <= 1000), "p_partkey"),
+    ]
+    return DQ.fk_integrity_audit(edges)
 
 
 def _diff_orders_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,7 +929,7 @@ _DRIVER_CHECK_ORDER = [
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
     "q12_priority_by_status",        # r5 red — UNCHANGED in r6
     "q12_priority_by_status_diag",   # r6: in-driver oracle diag (rows-only)
-    "q13_order_count_distribution",
+    "daily_revenue_rolling7",        # r6b: RANGE-frame rolling mean
     # -- r6 TPC-H completions (Q8 full 8-table join; Q2/Q9 adapted —
     # no partsupp in this schema). Displaced: mixture_sample_docs,
     # merge_orders_upsert, events_sessionize_4h (all 2x green,
@@ -936,7 +962,7 @@ _DRIVER_CHECK_ORDER = [
     # 2x green untouched; DQ family keeps its pytest gates)
     "asof_next_click_tolerance",
     "events_cohort_retention",    # r5: cohort retention matrix
-    "skew_key_profile_events",    # shuffle-key heavy-hitter diagnostic
+    "cms_freq_orders",            # r6b: in-plan count-min sketch
     "heavy_hitters_orders",       # r6b: Misra-Gries containment audit
     "quantile_bins_order_prices", # r5: quantile discretizer
     "kfold_docs_by_lang",         # r6b: deterministic k-fold assignment
@@ -967,12 +993,17 @@ _DRIVER_CHECK_ORDER = [
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
     "q1_pricing_summary_diag",  # r6: diag CONTROL arm (rows-only)
-    # histogram_order_prices / zorder_keys_orders / bloom_semi_join_orders
-    # rotated below the window (all 2x green r4+r5, untouched) to make
-    # room for the three r6 *_diag instrumentation rows above
+    # zorder_keys_orders / bloom_semi_join_orders rotated below the
+    # window (2x green r4+r5, untouched) to make room for the three
+    # r6 *_diag instrumentation rows above
+    "fk_integrity_audit",       # r6b: star-schema FK orphan audit
+    # r6b rotation: nine green untouched rows parked for the nine
+    # new capability rows (behavior/MG+CMS-sketch/kfold/OOV/rolling/
+    # FK-audit families). histogram (2x), q13 + skew_key_profile (1x
+    # green r5, families kept via q1/q2/q8/q9 and heavy_hitters/mad)
     "histogram_order_prices",
-    # r6b rotation: six multi-green untouched rows parked for the six
-    # new capability rows (behavior/MG-sketch/kfold/OOV families)
+    "q13_order_count_distribution",
+    "skew_key_profile_events",
     "dense_ids_documents",  # 3x green (r3/r4/r5), prefix-sum anchor
     "dedup_pairs_disdedup_skewed",  # 2x green, naive arm also parked
     "embedding_quantize",  # 2x green (r3/r5), mapInPandas digest
@@ -1084,6 +1115,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_best_region_supplier": _t(R.q2_best_region_supplier),
         "supplier_pareto_share": _t(R.supplier_pareto_share),
         "orders_yoy_growth": _t(R.orders_yoy_growth),
+        # r6b: trailing 7-day rolling mean over the daily revenue
+        # series (RANGE frame on the day axis; integer-exact rolling)
+        "daily_revenue_rolling7": _t(R.daily_revenue_rolling7),
+        # r6b: star-schema-wide FK orphan audit (one broken edge on
+        # purpose so non-zero orphan counts are exercised)
+        "fk_integrity_audit": _fk_integrity_audit,
+        # r6b: in-plan count-min sketch point queries vs exact counts
+        # (completes the sketch family: HLL distinct + MG heavy
+        # hitters + CMS frequency)
+        "cms_freq_orders": _q(
+            lambda o: cms_freq_audit(
+                o,
+                key=F.concat(
+                    F.lit("k"), (F.col("o_orderkey") % 1000).cast("string")
+                ),
+                probes=[f"k{i}" for i in range(10)],
+            ),
+            table="orders",
+        ),
         "brand_cooccurrence_lift": _t(R.brand_cooccurrence_lift),
         "mad_order_prices": _q(
             lambda o: OUT.median_abs_deviation(
@@ -1852,6 +1902,94 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) % 5 AS INT) AS fold,
                    lang, CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        # rolling mean over the daily series: daily sums snap to an
+        # exact 1e-4 BIGINT grid BEFORE the window, so frame-evaluation
+        # order cannot move the hash; RANGE honors calendar gaps
+        "daily_revenue_rolling7": """
+            WITH d AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       CAST(floor(SUM(o_totalprice) * 10000.0 + 0.5)
+                            AS BIGINT) AS rev_e4,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT day,
+                   CAST(n_orders AS BIGINT) AS n_orders,
+                   rev_e4 / 10000.0 AS revenue,
+                   rev_e4 AS revenue_e4,
+                   floor(CAST(SUM(rev_e4) OVER w AS DOUBLE)
+                         / COUNT(*) OVER w + 0.5) / 10000.0 AS roll7_mean,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS roll7_days
+            FROM d
+            WINDOW w AS (ORDER BY day
+                         RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                   AND CURRENT ROW)
+        """,
+        # FK audit: NOT EXISTS per edge (NULL-safe), orphan_frac on the
+        # floor contract; the part_head edge is the deliberately broken
+        # one (parent truncated to p_partkey <= 1000)
+        "fk_integrity_audit": """
+            WITH edge AS (
+                SELECT 'lineitem.l_orderkey->orders' AS fk,
+                       COUNT(*) AS n_child,
+                       COUNT(*) FILTER (l_orderkey IS NULL) AS n_null_fk,
+                       COUNT(*) FILTER (l_orderkey IS NOT NULL AND NOT EXISTS
+                           (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+                           AS n_orphans
+                FROM lineitem
+                UNION ALL
+                SELECT 'orders.o_custkey->customer',
+                       COUNT(*),
+                       COUNT(*) FILTER (o_custkey IS NULL),
+                       COUNT(*) FILTER (o_custkey IS NOT NULL AND NOT EXISTS
+                           (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+                FROM orders
+                UNION ALL
+                SELECT 'customer.c_nationkey->nation',
+                       COUNT(*),
+                       COUNT(*) FILTER (c_nationkey IS NULL),
+                       COUNT(*) FILTER (c_nationkey IS NOT NULL AND NOT EXISTS
+                           (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+                FROM customer
+                UNION ALL
+                SELECT 'supplier.s_nationkey->nation',
+                       COUNT(*),
+                       COUNT(*) FILTER (s_nationkey IS NULL),
+                       COUNT(*) FILTER (s_nationkey IS NOT NULL AND NOT EXISTS
+                           (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey))
+                FROM supplier
+                UNION ALL
+                SELECT 'lineitem.l_partkey->part_head',
+                       COUNT(*),
+                       COUNT(*) FILTER (l_partkey IS NULL),
+                       COUNT(*) FILTER (l_partkey IS NOT NULL AND NOT EXISTS
+                           (SELECT 1 FROM part
+                            WHERE p_partkey = l_partkey AND p_partkey <= 1000))
+                FROM lineitem
+            )
+            SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+                   CAST(n_null_fk AS BIGINT) AS n_null_fk,
+                   CAST(n_orphans AS BIGINT) AS n_orphans,
+                   floor(n_orphans * 10000.0 / n_child + 0.5) / 10000.0
+                       AS orphan_frac
+            FROM edge
+        """,
+        # CMS point queries: at width 8192 x depth 4 over a ~1k-key
+        # domain the estimate is empirically exact at the checked SFs
+        # (same convention as the HLL rsd=0.01 row), so the oracle
+        # demands equality; the sketch bound itself is pytest-gated
+        "cms_freq_orders": """
+            WITH k AS (
+                SELECT 'k' || CAST(o_orderkey % 1000 AS VARCHAR) AS key
+                FROM orders
+            )
+            SELECT key,
+                   CAST(COUNT(*) AS BIGINT) AS exact_count,
+                   CAST(COUNT(*) AS BIGINT) AS cms_estimate
+            FROM k
+            WHERE key IN ('k0','k1','k2','k3','k4','k5','k6','k7','k8','k9')
+            GROUP BY key
         """,
         # TPC-H Q8 — the full eight-table join (no partsupp needed)
         "q8_market_share": """

@@ -155,3 +155,56 @@ def check_constraints(
             out = out.unionByName(misses.crossJoin(F.broadcast(n_rows_df)))
 
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def fk_integrity_audit(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table referential-integrity audit: one row per foreign-key
+    edge ``(name, child_df, fk_col, parent_df, pk_col)`` with the child
+    row count, NULL-key count, orphan count (non-null keys absent from
+    the parent), and the orphan fraction (floor contract).
+
+    This is the schema-wide sibling of ``ForeignKeyRule``: a lakehouse
+    ingest gate runs it over the whole star schema in one job and
+    alerts on any non-zero orphan row.
+
+    Scale shape: each edge column-prunes the child to the key, counts
+    NULLs map-side, and counts orphans via a LEFT ANTI join against
+    the DISTINCT-projected parent key — AQE picks broadcast when the
+    parent key set is small (dimensions) and a shuffled anti-join when
+    it is not (fact-to-fact edges); nothing ever widens beyond the key
+    columns. The per-edge single-row aggregates union into a bounded
+    O(#edges) result.
+    """
+    from sparklyclean_spark.functions.rounding import ratio4
+
+    outs = []
+    for name, child, fk, parent, pk in edges:
+        keys = child.select(F.col(fk).alias("_fk"))
+        base = keys.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("_fk").isNull().cast("bigint")).alias("n_null_fk"),
+        )
+        orphans = (
+            keys.where(F.col("_fk").isNotNull())
+            .join(
+                parent.select(F.col(pk).alias("_fk")).distinct(),
+                "_fk",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        outs.append(
+            base.join(orphans).select(
+                F.lit(name).alias("fk"),
+                F.col("n_child").cast("bigint").alias("n_child"),
+                F.col("n_null_fk").cast("bigint").alias("n_null_fk"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                ratio4("n_orphans", "n_child").alias("orphan_frac"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

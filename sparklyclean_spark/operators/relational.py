@@ -1120,3 +1120,44 @@ def brand_cooccurrence_lift(t: dict[str, DataFrame], min_pairs: int = 10) -> Dat
             ratio4(F.col("n_ab") * F.col("_n"), F.col("n_a") * F.col("n_b")).alias("lift"),
         )
     )
+
+
+def daily_revenue_rolling7(t: dict[str, DataFrame]) -> DataFrame:
+    """Daily order revenue with a trailing 7-day rolling mean — the
+    time-series smoothing shape (RANGE frame over a day axis, so
+    calendar gaps are honored: a missing day shrinks the window
+    rather than silently stretching it the way a ROWS frame would).
+
+    Hash-stable arithmetic: the daily SUM(double) is snapped to an
+    exact 1e-4 grid as a BIGINT (``floor(sum*10000+0.5)``) BEFORE the
+    rolling sum, so the window aggregation is exact integer addition
+    in any engine and any frame-evaluation order (segment trees vs
+    sequential scans cannot move the result); the mean then divides
+    two exact integers with the repo's floor contract.
+
+    Scale: one hash agg to days (map-side combinable), then a window
+    over the (tiny, bounded: #days) daily series — the window input
+    is the AGGREGATE, never the raw fact table.
+    """
+    o = t["orders"]
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.floor(F.sum("o_totalprice") * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("_rev_e4"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long")
+    w = (
+        Window.orderBy(day_num)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    roll_sum = F.sum("_rev_e4").over(w)
+    roll_days = F.count(F.lit(1)).over(w)
+    return daily.select(
+        "day",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        (F.col("_rev_e4") / 10000.0).alias("revenue"),
+        F.col("_rev_e4").alias("revenue_e4"),
+        (F.floor(roll_sum / roll_days + 0.5) / 10000.0).alias("roll7_mean"),
+        roll_days.cast("bigint").alias("roll7_days"),
+    )

@@ -169,3 +169,94 @@ def heavy_hitter_audit(
             "covered"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (in-plan, declarative — no sketch binaries)
+# ---------------------------------------------------------------------------
+
+def cms_table(
+    df: DataFrame, key_col: str, width: int = 8192, depth: int = 4
+) -> DataFrame:
+    """Count-Min sketch of ``key_col`` as a PLAIN TABLE
+    ``(depth int, slot int, weight bigint)`` — at most depth×width
+    rows. Row i of the sketch hashes with ``xxhash64(key, i)``; a
+    point estimate for k is ``min_i weight[i, h_i(k)]`` and never
+    undercounts (Cormode & Muthukrishnan '05).
+
+    Declarative on purpose: the build is ONE explode(depth) + ONE
+    map-side-combinable hash agg (no UDF, no binary blob), so the
+    sketch is engine-portable, mergeable by simple ``sum`` over
+    (depth, slot), and incrementally maintainable by adding a delta
+    batch's sketch — the properties a 100 TB rollup pipeline
+    actually needs from CMS.
+    """
+    rows = df.select(
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("depth"),
+        F.col(key_col).cast("string").alias("_k"),
+    )
+    return (
+        rows.groupBy(
+            "depth",
+            F.pmod(F.xxhash64(F.col("_k"), F.col("depth")), F.lit(width))
+            .cast("int")
+            .alias("slot"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def cms_freq_audit(
+    df: DataFrame,
+    key: Column,
+    probes: list[str],
+    width: int = 8192,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the in-plan CMS for ``probes`` and compare against
+    the exact counts: ``(key, exact_count, cms_estimate)``.
+
+    At the registered parameters (≈1k-key domain vs width 8192 × 4
+    rows) the estimate is empirically EXACT at the checked scale
+    factors — the same convention as ``approx_distinct_parts_per_brand``
+    (HLL at rsd=0.01), so the DuckDB oracle can demand
+    ``cms_estimate == exact_count``. The sketch property itself
+    (never undercounts, overcount bounded by the row minimum) is
+    pytest-gated on an adversarial small-width configuration where
+    collisions are forced.
+
+    Scale: sketch build as in ``cms_table``; the probe side is a
+    #probes×depth literal table joined to the sketch on (depth, slot)
+    — a broadcast of the PROBES against the bounded sketch, then a
+    #probes-row min-aggregate. The exact side is one filtered hash agg.
+    """
+    keyed = df.select(key.cast("string").alias("_k"))
+    sketch = cms_table(keyed, "_k", width, depth)
+    spark = df.sparkSession
+    probe_rows = spark.createDataFrame(
+        [(p,) for p in probes], "key string"
+    ).select(
+        "key",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("depth"),
+    ).select(
+        "key",
+        "depth",
+        F.pmod(F.xxhash64(F.col("key"), F.col("depth")), F.lit(width))
+        .cast("int")
+        .alias("slot"),
+    )
+    est = (
+        sketch.join(F.broadcast(probe_rows), ["depth", "slot"])
+        .groupBy("key")
+        .agg(F.min("weight").alias("cms_estimate"))
+    )
+    exact = (
+        keyed.where(F.col("_k").isin(probes))
+        .groupBy(F.col("_k").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return exact.join(est, "key", "left").select(
+        "key",
+        F.col("exact_count").cast("bigint").alias("exact_count"),
+        F.coalesce("cms_estimate", F.lit(0)).cast("bigint").alias("cms_estimate"),
+    )

@@ -228,3 +228,111 @@ def test_oov_stats_df_threshold(spark):
     # doc2: 2 tokens, cherry OOV
     assert out[2]["n_tokens"] == 2 and out[2]["n_oov"] == 1
     assert out[2]["oov_rate"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (in-plan)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """Adversarial config: width 32 forces collisions over a 500-key
+    domain. CMS must never undercount any probe; the overcount is
+    bounded by the total stream weight (trivial bound) and in
+    practice far below it — assert the one-sided guarantee plus a
+    loose eps*n bound with the standard CMS eps = e/width."""
+    import math
+
+    from sparklyclean_spark.operators.sketches import cms_freq_audit
+
+    n = 5000
+    df = spark.range(n).select(
+        F.concat(F.lit("k"), (F.col("id") % 500).cast("string")).alias("k")
+    )
+    probes = [f"k{i}" for i in range(20)]
+    rows = cms_freq_audit(
+        df, F.col("k"), probes, width=32, depth=4
+    ).collect()
+    assert len(rows) == 20
+    eps_n = math.e / 32 * n
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"], r
+        assert r["cms_estimate"] <= r["exact_count"] + eps_n, r
+
+
+def test_cms_exact_when_wide(spark):
+    from sparklyclean_spark.operators.sketches import cms_freq_audit
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("k"), (F.col("id") % 50).cast("string")).alias("k")
+    )
+    rows = cms_freq_audit(
+        df, F.col("k"), [f"k{i}" for i in range(5)], width=65536, depth=4
+    ).collect()
+    for r in rows:
+        assert r["cms_estimate"] == r["exact_count"] == 20
+
+
+def test_cms_absent_probe_reports_zero_exact(spark):
+    from sparklyclean_spark.operators.sketches import cms_freq_audit
+
+    df = spark.range(100).select(F.lit("present").alias("k"))
+    rows = cms_freq_audit(df, F.col("k"), ["present"], width=1024, depth=4)
+    [r] = rows.collect()
+    assert r["exact_count"] == 100 and r["cms_estimate"] == 100
+
+
+# ---------------------------------------------------------------------------
+# FK integrity audit
+# ---------------------------------------------------------------------------
+
+
+def test_fk_integrity_audit_counts(spark):
+    from sparklyclean_spark.operators.quality import fk_integrity_audit
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (99,)], "fk bigint"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    [r] = fk_integrity_audit([("edge", child, "fk", parent, "pk")]).collect()
+    assert r["fk"] == "edge"
+    assert r["n_child"] == 5
+    assert r["n_null_fk"] == 1
+    assert r["n_orphans"] == 1  # 99 only; NULL is not an orphan
+    assert r["orphan_frac"] == 0.2
+
+
+def test_fk_integrity_audit_duplicate_parent_keys_do_not_multiply(spark):
+    from sparklyclean_spark.operators.quality import fk_integrity_audit
+
+    child = spark.createDataFrame([(1,), (1,)], "fk bigint")
+    parent = spark.createDataFrame([(1,), (1,), (1,)], "pk bigint")
+    [r] = fk_integrity_audit([("e", child, "fk", parent, "pk")]).collect()
+    assert r["n_child"] == 2 and r["n_orphans"] == 0
+
+
+# ---------------------------------------------------------------------------
+# rolling daily revenue
+# ---------------------------------------------------------------------------
+
+
+def test_daily_revenue_rolling7_honors_calendar_gaps(spark):
+    from sparklyclean_spark.operators.relational import daily_revenue_rolling7
+
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 100.0),
+        (2, _ts("2024-01-02T00:00:00"), 200.0),
+        # gap: Jan 3..9 missing; Jan 10 is > 6 days after Jan 2, so
+        # its trailing window contains ONLY itself
+        (3, _ts("2024-01-10T00:00:00"), 400.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderdate timestamp_ntz, o_totalprice double"
+    )
+    out = {str(r["day"]): r for r in daily_revenue_rolling7({"orders": df}).collect()}
+    assert out["2024-01-01"]["roll7_mean"] == 100.0
+    assert out["2024-01-01"]["roll7_days"] == 1
+    assert out["2024-01-02"]["roll7_mean"] == 150.0
+    assert out["2024-01-02"]["roll7_days"] == 2
+    assert out["2024-01-10"]["roll7_mean"] == 400.0
+    assert out["2024-01-10"]["roll7_days"] == 1
