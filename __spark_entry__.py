@@ -46,7 +46,8 @@ from sparklyclean_spark.operators.retention import (
 )
 
 _ROLLING_ACTIVE = rolling_active_users
-from sparklyclean_spark.operators.pii import k_anonymity_audit
+from sparklyclean_spark.operators.pii import k_anonymity_audit, l_diversity_audit
+from sparklyclean_spark.operators import encoding as EN
 from sparklyclean_spark.operators import outliers as OUT
 from sparklyclean_spark.operators.outliers import quantile_bins, standardize
 from sparklyclean_spark.operators.skew import key_profile
@@ -955,20 +956,20 @@ _DRIVER_CHECK_ORDER = [
     # float rounding/formatting, not the count plan
     "text_repetition_signals_counts",
     # -- new r5 capability rows ------------------------------------------
-    "text_bm25_rank",             # BM25 retrieval scoring (decimal-sum stable)
+    "ldiversity_customer_audit",  # r6b: homogeneity-attack privacy gate
     "kanon_customer_audit",       # k-anonymity privacy gate
-    "events_out_of_order_stats",  # watermark-delay disorder audit
+    "events_daily_anomaly",       # r6b: daily volume z-score flags
     # r6: forward as-of + tolerance (displaced: dq_orders_constraints,
     # 2x green untouched; DQ family keeps its pytest gates)
     "asof_next_click_tolerance",
     "events_cohort_retention",    # r5: cohort retention matrix
     "cms_freq_orders",            # r6b: in-plan count-min sketch
     "heavy_hitters_orders",       # r6b: Misra-Gries containment audit
-    "quantile_bins_order_prices", # r5: quantile discretizer
+    "target_encode_priority",     # r6b: smoothed target encoding
     "kfold_docs_by_lang",         # r6b: deterministic k-fold assignment
     "text_unigram_cross_entropy", # r5: corpus-LM quality signal
     "pagerank_neardup_graph",     # r5: graph centrality (rows-only)
-    "sample_docs_exact_k_weighted",  # r5: A-ES exact-k weighted sample
+    "temporal_split_events",      # r6b: time holdout + leakage audit
     # r6: exact-N largest-remainder proportional sample (displaced:
     # neardup_prefix_jaccard, 2x green; family keeps minhash_lsh_exploded)
     "sample_docs_proportional",
@@ -997,13 +998,19 @@ _DRIVER_CHECK_ORDER = [
     # window (2x green r4+r5, untouched) to make room for the three
     # r6 *_diag instrumentation rows above
     "fk_integrity_audit",       # r6b: star-schema FK orphan audit
-    # r6b rotation: nine green untouched rows parked for the nine
-    # new capability rows (behavior/MG+CMS-sketch/kfold/OOV/rolling/
-    # FK-audit families). histogram (2x), q13 + skew_key_profile (1x
-    # green r5, families kept via q1/q2/q8/q9 and heavy_hitters/mad)
+    # r6b rotation: thirteen green untouched rows parked for the
+    # thirteen new capability rows (behavior/MG+CMS-sketch/kfold/OOV/
+    # rolling/FK-audit/privacy/encoding/temporal-split families).
+    # histogram (2x); the rest 1x green r5 with their families kept
+    # in-window (q1/q2/q8/q9, heavy_hitters+mad, cross_entropy+oov,
+    # cohort+interarrival+transition, mad+rolling, proportional+kfold)
     "histogram_order_prices",
     "q13_order_count_distribution",
     "skew_key_profile_events",
+    "text_bm25_rank",
+    "events_out_of_order_stats",
+    "quantile_bins_order_prices",
+    "sample_docs_exact_k_weighted",
     "dense_ids_documents",  # 3x green (r3/r4/r5), prefix-sum anchor
     "dedup_pairs_disdedup_skewed",  # 2x green, naive arm also parked
     "embedding_quantize",  # 2x green (r3/r5), mapInPandas digest
@@ -1229,6 +1236,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda c: k_anonymity_audit(c, ["c_nationkey", "c_mktsegment"], k=200),
             table="customer",
         ),
+        # r6b: l-diversity — distinct sensitive values per QI group
+        # (homogeneity-attack gate on top of k-anonymity)
+        "ldiversity_customer_audit": _q(
+            lambda c: l_diversity_audit(c, ["c_nationkey"], "c_mktsegment", l=5),
+            table="customer",
+        ),
+        # r6b: time-based holdout split + user-overlap leakage audit
+        "temporal_split_events": _q(
+            lambda e: SP.temporal_split_audit(e, "ts", "user_id", 0.8),
+            table="events",
+        ),
+        # r6b: smoothed target encoding table (empirical-Bayes shrink)
+        "target_encode_priority": _q(
+            lambda o: EN.target_encode(o, "o_orderpriority", "o_totalprice", 10.0),
+            table="orders",
+        ),
+        # r6b: per-type daily volume z-score anomaly flags
+        "events_daily_anomaly": _q(BH.daily_volume_anomaly, table="events"),
         # watermark-delay design input: per-user event-time disorder
         "events_out_of_order_stats": _q(out_of_order_stats, table="events"),
         # cohort retention matrix (longitudinal comeback curve)
@@ -2645,6 +2670,106 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS group_n,
                    (COUNT(*) >= 200) AS k_anonymous
             FROM customer GROUP BY c_nationkey, c_mktsegment
+        """,
+        # l-diversity: COUNT(DISTINCT) skips NULLs in SQL, so a NULL
+        # sensitive value is re-added as one distinct value to match
+        # the Spark groupBy semantics (all-NULL groups are homogeneous,
+        # not exempt)
+        "ldiversity_customer_audit": """
+            SELECT c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS group_n,
+                   CAST(COUNT(DISTINCT c_mktsegment)
+                        + MAX(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sensitive,
+                   (COUNT(DISTINCT c_mktsegment)
+                    + MAX(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                    >= 5) AS l_diverse
+            FROM customer GROUP BY c_nationkey
+        """,
+        # temporal holdout: the cutoff interpolates over exact integer
+        # MICROSECONDS (quantile_cont == Spark percentile) and floors
+        # to a µs integer before the boundary compare
+        "temporal_split_events": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       date_diff('microsecond',
+                                 TIMESTAMP '1970-01-01 00:00:00', ts) AS us
+                FROM events
+            ),
+            c AS (SELECT CAST(floor(quantile_cont(us, 0.8)) AS BIGINT)
+                         AS cut FROM e),
+            l AS (SELECT user_id, ts,
+                         CASE WHEN us <= cut THEN 'train' ELSE 'test' END
+                             AS split
+                  FROM e CROSS JOIN c),
+            s AS (SELECT split, COUNT(*) AS n_events,
+                         COUNT(DISTINCT user_id) AS n_entities,
+                         MIN(ts) AS min_ts, MAX(ts) AS max_ts
+                  FROM l GROUP BY 1),
+            o AS (SELECT COUNT(*) AS n_overlap FROM (
+                      SELECT user_id FROM l GROUP BY user_id
+                      HAVING COUNT(DISTINCT split) = 2))
+            SELECT split, CAST(n_events AS BIGINT) AS n_events,
+                   CAST(n_entities AS BIGINT) AS n_entities,
+                   min_ts, max_ts,
+                   CAST(n_overlap AS BIGINT) AS n_overlap_entities
+            FROM s CROSS JOIN o
+        """,
+        # smoothed target encoding (q1-precedent ROUND on double sums)
+        "target_encode_priority": """
+            WITH per AS (
+                SELECT o_orderpriority, COUNT(*) AS n,
+                       SUM(o_totalprice) AS s
+                FROM orders GROUP BY 1
+            ),
+            p AS (SELECT SUM(o_totalprice) / COUNT(*) AS prior FROM orders)
+            SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+                   ROUND(s / n, 4) AS raw_mean,
+                   ROUND((s + 10.0 * prior) / (n + 10.0), 4) AS encoded,
+                   ROUND(prior, 4) AS prior
+            FROM per CROSS JOIN p
+        """,
+        # daily volume anomaly: the z expression mirrors the Spark CASE
+        # tree op-for-op (guarded divisions, sum-of-squares variance
+        # clamped at 0, floor-grid snap)
+        "events_daily_anomaly": """
+            WITH d AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT event_type, day, n_events,
+                       COUNT(*) OVER w AS bn,
+                       SUM(n_events) OVER w AS bs,
+                       SUM(n_events * n_events) OVER w AS bss
+                FROM d
+                WINDOW w AS (PARTITION BY event_type ORDER BY day
+                             RANGE BETWEEN INTERVAL 28 DAY PRECEDING
+                                       AND INTERVAL 1 DAY PRECEDING)
+            ),
+            v AS (
+                SELECT event_type, day, n_events, bn,
+                       CASE WHEN bn > 0 THEN CAST(bs AS DOUBLE) / bn END
+                           AS mean,
+                       CASE WHEN bn > 1 THEN sqrt(greatest(
+                            (bss - CAST(bs AS DOUBLE) * bs / bn) / (bn - 1),
+                            0.0)) END AS sd
+                FROM s
+            ),
+            z AS (
+                SELECT event_type, day, n_events, bn,
+                       CASE WHEN bn >= 7 AND sd > 0.0
+                            THEN floor((n_events - mean) / sd * 10000.0 + 0.5)
+                                 / 10000.0 END AS zz
+                FROM v
+            )
+            SELECT event_type, day,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(bn AS BIGINT) AS baseline_days,
+                   zz AS z,
+                   COALESCE(abs(zz) >= 3.0, FALSE) AS is_anomaly
+            FROM z
         """,
         # disorder audit: µs-integer regressions (date_diff at
         # microsecond granularity == Spark timestamp_diff bit-for-bit)

@@ -145,6 +145,14 @@ def main() -> None:
         # basket co-occurrence: distinct-collapse + order-keyed
         # self-join (bounded fan-out) + marginal broadcasts
         "brand_cooccurrence_lift",
+        # round-6b additions: behavioral window over the raw event log
+        # (lead over one user-keyed exchange), the two frequency
+        # sketches (MG mapInPandas pass; CMS depth-explode + hash agg),
+        # and the multi-edge anti-join FK audit (scan-dominated)
+        "event_transition_matrix",
+        "heavy_hitters_orders",
+        "cms_freq_orders",
+        "fk_integrity_audit",
     ]
 
     def run_once(name: str) -> float:

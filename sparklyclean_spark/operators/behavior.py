@@ -181,3 +181,79 @@ def interarrival_stats(
         r4(F.col("_p")[1]).alias("p90_gap_s"),
         r4(F.col("_p")[2]).alias("p99_gap_s"),
     )
+
+
+def daily_volume_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    baseline_days: int = 28,
+    min_baseline: int = 7,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Per-type daily event-volume anomaly flags: each day's count is
+    z-scored against its own trailing ``baseline_days`` window
+    (EXCLUDING the current day — the day under test must not dilute
+    its own baseline), flagged when ``|z| >= z_thresh`` with at least
+    ``min_baseline`` prior days observed. The volume-monitoring alarm
+    every ingest pipeline runs.
+
+    Hash-stable arithmetic: the window aggregates are exact integer
+    sums (count, sum, sum of squares), and every derived double
+    (mean, variance via the sum-of-squares identity, sqrt, z) is the
+    SAME single-IEEE-op expression tree on both engines, so the
+    result is bit-identical; z is then snapped to the 4-decimal floor
+    grid. Variance is clamped at 0 (the identity can go ~-1e-12 on
+    constant streams).
+
+    Scale: one hash agg to (type, day) — map-side combinable — then a
+    RANGE window over the per-type DAILY series (bounded: #types ×
+    #days rows), never over raw events.
+    """
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(ts_col).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(day_num)
+        .rangeBetween(-baseline_days, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("_bn"),
+        F.sum("n_events").over(w).cast("bigint").alias("_bs"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w)
+        .cast("bigint")
+        .alias("_bss"),
+    )
+    # every division sits under a WHEN guard: ANSI mode (the driver
+    # runs with spark.sql.ansi.enabled=true) turns an unguarded /0 on
+    # the first/second day of a type into a query-killing error, and
+    # the DuckDB oracle mirrors the same CASE tree
+    bn = F.col("_bn")
+    mean = F.when(bn > 0, F.col("_bs") / bn)
+    var = F.when(
+        bn > 1,
+        F.greatest(
+            (F.col("_bss") - F.col("_bs") * F.col("_bs") / bn) / (bn - 1),
+            F.lit(0.0),
+        ),
+    )
+    sd = F.sqrt(var)
+    z = F.when(
+        (bn >= min_baseline) & (sd > 0.0),
+        (F.col("n_events") - mean) / sd,
+    )
+    z4 = F.floor(z * 10000.0 + 0.5) / 10000.0
+    return stats.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("_bn").alias("baseline_days"),
+        z4.alias("z"),
+        F.coalesce(F.abs(z4) >= z_thresh, F.lit(False)).alias("is_anomaly"),
+    )

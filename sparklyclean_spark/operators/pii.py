@@ -73,3 +73,44 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).alias("group_n"))
         .withColumn("k_anonymous", F.col("group_n") >= k)
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit: k-anonymity's stronger sibling. A group can
+    be large (k-anonymous) yet still leak — if every member shares
+    the same SENSITIVE value, membership alone discloses it
+    (homogeneity attack, Machanavajjhala et al. '07). One row per
+    quasi-identifier combo with the group size, the number of
+    DISTINCT sensitive values, and an ``l_diverse`` flag
+    (``n_sensitive >= l``).
+
+    Scale shape: one two-level hash aggregation — dedupe
+    (quasi, sensitive) tuples map-side, then aggregate per quasi
+    combo; output cardinality is the quasi space. NULL sensitive
+    values count as one value (a group of all-NULLs is maximally
+    homogeneous, not exempt).
+
+    No reference counterpart; §2.10 privacy family next to
+    ``k_anonymity_audit``.
+    """
+    per = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        per.groupBy(*quasi_cols)
+        .agg(
+            F.sum("_n").alias("group_n"),
+            F.count(F.lit(1)).alias("n_sensitive"),
+        )
+        .select(
+            *quasi_cols,
+            F.col("group_n").cast("bigint").alias("group_n"),
+            F.col("n_sensitive").cast("bigint").alias("n_sensitive"),
+            (F.col("n_sensitive") >= l).alias("l_diverse"),
+        )
+    )

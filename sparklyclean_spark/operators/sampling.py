@@ -274,3 +274,69 @@ def proportional_sample(
         .where(F.col("_rn") <= F.col("quota"))
         .drop("_rn")
     )
+
+
+def temporal_split_audit(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    cutoff_frac: float = 0.8,
+) -> DataFrame:
+    """Time-based holdout split + its leakage audit in one result:
+    rows at or before the ``cutoff_frac`` quantile of event time go
+    to 'train', later rows to 'test' — the standard leakage-safe
+    evaluation protocol for event data (a random split would let the
+    model see the future). One row per split with event count,
+    distinct entities, and the time range, plus ``n_overlap_entities``
+    (entities present in BOTH splits — the population for whom
+    per-entity history leaks across the boundary; temporal splits
+    must REPORT it even though they permit it).
+
+    Engine-portable cutoff: the quantile interpolates over exact
+    integer MICROSECONDS (Spark ``percentile`` == DuckDB
+    ``quantile_cont``) and is floored to a µs integer before the
+    boundary compare, so both engines split identically.
+
+    Scale shape: one pass computes µs + the 1-row quantile aggregate
+    (broadcast back — the accepted 1-row cross-join shape); the split
+    aggregation is map-side combinable with a 2-row output; the
+    overlap count aggregates the (entity, split) dedup table — one
+    shuffle keyed on the entity.
+    """
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    us = F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+    e = df.select(F.col(entity_col).alias("_ent"), F.col(ts_col).alias("_ts"),
+                  us.alias("_us"))
+    cutoff = e.agg(
+        F.floor(F.percentile("_us", F.lit(cutoff_frac)))
+        .cast("bigint")
+        .alias("_cut")
+    )
+    labeled = e.join(F.broadcast(cutoff)).select(
+        "_ent", "_ts",
+        F.when(F.col("_us") <= F.col("_cut"), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    per_split = labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("_ent").alias("n_entities"),
+        F.min("_ts").alias("min_ts"),
+        F.max("_ts").alias("max_ts"),
+    )
+    overlap = (
+        labeled.select("_ent", "split")
+        .distinct()
+        .groupBy("_ent")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .where(F.col("_k") == 2)
+        .agg(F.count(F.lit(1)).alias("n_overlap_entities"))
+    )
+    return per_split.join(F.broadcast(overlap)).select(
+        "split",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_entities").cast("bigint").alias("n_entities"),
+        "min_ts",
+        "max_ts",
+        F.col("n_overlap_entities").cast("bigint").alias("n_overlap_entities"),
+    )

@@ -336,3 +336,140 @@ def test_daily_revenue_rolling7_honors_calendar_gaps(spark):
     assert out["2024-01-02"]["roll7_days"] == 2
     assert out["2024-01-10"]["roll7_mean"] == 400.0
     assert out["2024-01-10"]["roll7_days"] == 1
+
+
+# ---------------------------------------------------------------------------
+# l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    from sparklyclean_spark.operators.pii import l_diversity_audit
+
+    df = spark.createDataFrame(
+        [
+            ("g1", "a"), ("g1", "a"), ("g1", "a"),        # homogeneous
+            ("g2", "a"), ("g2", "b"),                      # diverse
+            ("g3", None), ("g3", None),                    # all-NULL: 1 value
+        ],
+        "qi string, sens string",
+    )
+    out = {r["qi"]: r for r in l_diversity_audit(df, ["qi"], "sens", l=2).collect()}
+    assert out["g1"]["group_n"] == 3 and out["g1"]["n_sensitive"] == 1
+    assert not out["g1"]["l_diverse"]
+    assert out["g2"]["n_sensitive"] == 2 and out["g2"]["l_diverse"]
+    # NULL counts as ONE sensitive value, not zero and not exempt
+    assert out["g3"]["n_sensitive"] == 1 and not out["g3"]["l_diverse"]
+
+
+# ---------------------------------------------------------------------------
+# temporal split
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_split_boundary_and_overlap(spark):
+    from sparklyclean_spark.operators.sampling import temporal_split_audit
+
+    # 10 events, one per day; 0.8 quantile of day index 0..9 = 7.2 ->
+    # floor(µs) boundary lands inside day 7, so days 0..7 are train
+    rows = [
+        (i, _ts(f"2024-01-{i+1:02d}T00:00:00"), 1 if i < 8 else 2, "e", 0.0)
+        for i in range(10)
+    ]
+    # user 1 appears only in train, user 2 only in test -> overlap 0;
+    # add user 3 straddling the boundary -> overlap 1
+    rows += [
+        (100, _ts("2024-01-02T12:00:00"), 3, "e", 0.0),
+        (101, _ts("2024-01-10T12:00:00"), 3, "e", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    out = {r["split"]: r for r in
+           temporal_split_audit(df, "ts", "user_id", 0.8).collect()}
+    assert set(out) == {"train", "test"}
+    assert out["train"]["n_events"] + out["test"]["n_events"] == 12
+    # every train event strictly precedes every test event
+    assert out["train"]["max_ts"] < out["test"]["min_ts"]
+    assert out["train"]["n_overlap_entities"] == 1
+    assert out["test"]["n_overlap_entities"] == 1
+
+
+# ---------------------------------------------------------------------------
+# target encoding
+# ---------------------------------------------------------------------------
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    from sparklyclean_spark.operators.encoding import target_encode
+
+    # global prior = 55.0; 'big' (n=100, mean 10) barely shrinks;
+    # 'rare' (n=1, mean 100) shrinks most of the way to the prior
+    rows = [("big", 10.0)] * 100 + [("rare", 100.0)] + [("mid", 100.0)] * 10
+    df = spark.createDataFrame(rows, "cat string, y double")
+    out = {r["cat"]: r for r in target_encode(df, "cat", "y", m=10.0).collect()}
+    prior = (100 * 10.0 + 100.0 + 10 * 100.0) / 111
+    assert out["big"]["raw_mean"] == 10.0
+    assert abs(out["big"]["encoded"] - (1000 + 10 * prior) / 110) < 1e-3
+    # rare category: encoded sits between its own mean and the prior,
+    # much closer to the prior (weight 1 vs pseudo-count 10)
+    assert prior < out["rare"]["encoded"] < 100.0
+    assert out["rare"]["encoded"] - prior < (100.0 - prior) * 0.15
+
+
+def test_frequency_encode_shares_sum_to_one(spark):
+    from sparklyclean_spark.operators.encoding import frequency_encode
+
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)], "cat string")
+    out = {r["cat"]: r for r in frequency_encode(df, "cat").collect()}
+    assert out["a"]["freq"] == 0.75 and out["b"]["freq"] == 0.25
+
+
+# ---------------------------------------------------------------------------
+# daily volume anomaly
+# ---------------------------------------------------------------------------
+
+
+def test_daily_volume_anomaly_flags_spike(spark):
+    from sparklyclean_spark.operators.behavior import daily_volume_anomaly
+
+    # 14 quiet days (10±1 events) then a 100-event spike on day 15
+    rows = []
+    eid = 0
+    for d in range(14):
+        n = 10 + (d % 2)  # alternate 10/11 -> nonzero variance
+        for j in range(n):
+            rows.append((eid, _ts(f"2024-01-{d+1:02d}T06:00:00"), 1, "e", 0.0))
+            eid += 1
+    for j in range(100):
+        rows.append((eid, _ts("2024-01-15T06:00:00"), 1, "e", 0.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    out = {str(r["day"]): r for r in daily_volume_anomaly(df).collect()}
+    assert out["2024-01-15"]["is_anomaly"]
+    assert out["2024-01-15"]["z"] > 3.0
+    # warm-up days (baseline < 7) carry NULL z and no flag
+    assert out["2024-01-02"]["z"] is None
+    assert not out["2024-01-02"]["is_anomaly"]
+    # quiet days inside the baseline are not flagged
+    assert not out["2024-01-14"]["is_anomaly"]
+
+
+def test_daily_volume_anomaly_constant_stream_no_flags(spark):
+    from sparklyclean_spark.operators.behavior import daily_volume_anomaly
+
+    rows = []
+    for d in range(12):
+        for j in range(5):
+            rows.append((d * 5 + j, _ts(f"2024-02-{d+1:02d}T00:00:00"), 1, "e", 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    out = daily_volume_anomaly(df).collect()
+    # zero variance -> sd == 0 -> z NULL everywhere, nothing flagged
+    assert all(r["z"] is None and not r["is_anomaly"] for r in out)
