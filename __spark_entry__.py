@@ -35,7 +35,11 @@ from sparklyclean_spark.operators.sketches import (
     heavy_hitter_audit,
 )
 from sparklyclean_spark.operators import behavior as BH
-from sparklyclean_spark.operators.mixing import corpus_mix_report, mixture_sample
+from sparklyclean_spark.operators.mixing import (
+    corpus_mix_report,
+    lang_mix_entropy,
+    mixture_sample,
+)
 from sparklyclean_spark.operators.resample import resample_ffill
 from sparklyclean_spark.operators.sessions import session_sequences, session_summary
 from sparklyclean_spark.operators.merge import merge_changes
@@ -962,12 +966,12 @@ _DRIVER_CHECK_ORDER = [
     # r6: forward as-of + tolerance (displaced: dq_orders_constraints,
     # 2x green untouched; DQ family keeps its pytest gates)
     "asof_next_click_tolerance",
-    "events_cohort_retention",    # r5: cohort retention matrix
+    "user_activity_streaks",      # r6b: gaps-and-islands streaks
     "cms_freq_orders",            # r6b: in-plan count-min sketch
     "heavy_hitters_orders",       # r6b: Misra-Gries containment audit
     "target_encode_priority",     # r6b: smoothed target encoding
     "kfold_docs_by_lang",         # r6b: deterministic k-fold assignment
-    "text_unigram_cross_entropy", # r5: corpus-LM quality signal
+    "corpus_lang_entropy",        # r6b: per-source lang-mix entropy
     "pagerank_neardup_graph",     # r5: graph centrality (rows-only)
     "temporal_split_events",      # r6b: time holdout + leakage audit
     # r6: exact-N largest-remainder proportional sample (displaced:
@@ -989,7 +993,7 @@ _DRIVER_CHECK_ORDER = [
     "cdf_orders_snapshots",            # r5: change-feed generation, oracled
     "incr_agg_orders_priority",        # r5: maintained == recomputed, oracled
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
-    "dedup_pair_features_customer",
+    "source_freshness_events",         # r6b: ingest freshness audit
     "dedup_pairs_jw_customer",         # r5: Jaro-Winkler comparator
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
@@ -1011,6 +1015,9 @@ _DRIVER_CHECK_ORDER = [
     "events_out_of_order_stats",
     "quantile_bins_order_prices",
     "sample_docs_exact_k_weighted",
+    "events_cohort_retention",
+    "text_unigram_cross_entropy",
+    "dedup_pair_features_customer",
     "dense_ids_documents",  # 3x green (r3/r4/r5), prefix-sum anchor
     "dedup_pairs_disdedup_skewed",  # 2x green, naive arm also parked
     "embedding_quantize",  # 2x green (r3/r5), mapInPandas digest
@@ -1254,6 +1261,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # r6b: per-type daily volume z-score anomaly flags
         "events_daily_anomaly": _q(BH.daily_volume_anomaly, table="events"),
+        # r6b: gaps-and-islands daily activity streaks (all-integer)
+        "user_activity_streaks": _q(BH.activity_streaks, table="events"),
+        # r6b: per-group ingest freshness vs the corpus watermark
+        "source_freshness_events": _q(
+            lambda e: DQ.freshness_audit(e, "event_type", "ts"),
+            table="events",
+        ),
+        # r6b: per-source language-mix Shannon entropy (data-card
+        # diversity metric; decimal-rounded terms like cross-entropy)
+        "corpus_lang_entropy": _q(lang_mix_entropy, table="documents"),
         # watermark-delay design input: per-user event-time disorder
         "events_out_of_order_stats": _q(out_of_order_stats, table="events"),
         # cohort retention matrix (longitudinal comeback curve)
@@ -2728,6 +2745,72 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((s + 10.0 * prior) / (n + 10.0), 4) AS encoded,
                    ROUND(prior, 4) AS prior
             FROM per CROSS JOIN p
+        """,
+        # gaps-and-islands: (day_number - row_number) is constant
+        # across each run of consecutive days; all-integer output
+        "user_activity_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ),
+            g AS (
+                SELECT user_id, day,
+                       date_diff('day', DATE '1970-01-01', day)
+                       - ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS island
+                FROM days
+            ),
+            s AS (SELECT user_id, island, COUNT(*) AS len, MAX(day) AS e
+                  FROM g GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(SUM(len) AS BIGINT) AS n_active_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_streaks,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak,
+                   CAST(arg_max(len, e) AS BIGINT) AS last_streak
+            FROM s GROUP BY user_id
+        """,
+        # ingest freshness: all comparisons exact µs integers
+        "source_freshness_events": """
+            WITH per AS (SELECT event_type AS grp, COUNT(*) AS n_rows,
+                                MAX(ts) AS latest_ts
+                         FROM events GROUP BY 1),
+            g AS (SELECT MAX(ts) AS gmax FROM events),
+            l AS (SELECT event_type AS grp, COUNT(*) AS n24
+                  FROM events CROSS JOIN g
+                  WHERE date_diff('microsecond', ts, gmax) <= 86400000000
+                  GROUP BY 1)
+            SELECT per.grp AS event_type,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   latest_ts,
+                   CAST(date_diff('microsecond', latest_ts, gmax) AS BIGINT)
+                       AS lag_us,
+                   CAST(COALESCE(n24, 0) AS BIGINT) AS n_last_24h,
+                   (date_diff('microsecond', latest_ts, gmax)
+                    > 24 * 3600000000) AS stale
+            FROM per CROSS JOIN g LEFT JOIN l ON l.grp = per.grp
+        """,
+        # lang-mix entropy: p·ln(p) terms DECIMAL-rounded before the
+        # sum (cross-entropy precedent), floor snap on the outputs
+        "corpus_lang_entropy": """
+            WITH per AS (SELECT source, lang, COUNT(*) AS c
+                         FROM documents GROUP BY 1, 2),
+            t AS (SELECT source, SUM(c) AS n FROM per GROUP BY 1),
+            e AS (
+                SELECT per.source,
+                       COUNT(*) AS n_langs,
+                       MAX(n) AS n1,
+                       -CAST(SUM(CAST(ROUND((c / n) * ln(c / n), 6)
+                                      AS DECIMAL(18,6))) AS DOUBLE) AS h
+                FROM per JOIN t USING (source) GROUP BY 1
+            )
+            SELECT source,
+                   CAST(n1 AS BIGINT) AS n_docs,
+                   CAST(n_langs AS BIGINT) AS n_langs,
+                   floor(h * 10000.0 + 0.5) / 10000.0 AS entropy,
+                   CASE WHEN n_langs > 1
+                        THEN floor(h / ln(CAST(n_langs AS DOUBLE))
+                                   * 10000.0 + 0.5) / 10000.0
+                   END AS entropy_norm
+            FROM e
         """,
         # daily volume anomaly: the z expression mirrors the Spark CASE
         # tree op-for-op (guarded divisions, sum-of-squares variance

@@ -257,3 +257,46 @@ def daily_volume_anomaly(
         z4.alias("z"),
         F.coalesce(F.abs(z4) >= z_thresh, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def activity_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user daily-activity streaks via the gaps-and-islands
+    identity: within a user's sorted DISTINCT active days, the value
+    ``day_number - row_number`` is constant across each run of
+    consecutive days, so grouping on it recovers every streak with
+    plain aggregation — no iterative logic, no self-join.
+
+    Output: ``(user_id, n_active_days, n_streaks, longest_streak,
+    last_streak)`` where ``last_streak`` is the length of the streak
+    containing the user's most recent active day.
+
+    All-integer arithmetic end-to-end (hash-exact on any engine).
+
+    Scale: one distinct (user, day) projection — map-side combinable
+    — then ONE hashpartitioning(user) window for row_number; both
+    downstream aggregations ride the same partitioning (Catalyst
+    reuses the exchange), and per-user state is bounded by #days.
+    """
+    days = events.select(
+        F.col(user_col).alias("user_id"), F.to_date(ts_col).alias("_day")
+    ).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("_day")
+    )
+    day_num = F.datediff(F.col("_day"), F.lit("1970-01-01")).cast("long")
+    grouped = days.select(
+        "user_id", "_day", (day_num - rn).alias("_island")
+    )
+    streaks = grouped.groupBy("user_id", "_island").agg(
+        F.count(F.lit(1)).alias("_len"), F.max("_day").alias("_end")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("_len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("_len").cast("bigint").alias("longest_streak"),
+        F.max_by("_len", "_end").cast("bigint").alias("last_streak"),
+    )

@@ -101,3 +101,47 @@ def corpus_mix_report(
             ratio4("n_tokens", "_total").alias("token_share"),
         )
     )
+
+
+def lang_mix_entropy(docs: DataFrame) -> DataFrame:
+    """Per-source language-mix Shannon entropy — the data-card
+    diversity number next to ``corpus_mix_report``'s raw counts: 0
+    means a monolingual source; ln(#langs) means a perfectly
+    balanced one. Also emits the normalized form
+    (entropy / ln(n_langs), NULL-safe for single-language sources).
+
+    Hash-stable float recipe (the cross-entropy precedent): each
+    term ``p·ln(p)`` is rounded to DECIMAL(18,6) BEFORE the per-
+    source sum — decimal addition is exact and associative, so
+    engine aggregation order cannot move the hash; ``p`` itself is
+    one IEEE divide of exact integer counts.
+
+    Scale: two map-side-combinable hash aggs ((source, lang) then
+    source) — output bounded by the label domains, never by corpus
+    size.
+    """
+    per = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("_c"))
+    tot = per.groupBy("source").agg(F.sum("_c").alias("_n"))
+    p = F.col("_c") / F.col("_n")
+    term = F.round(p * F.log(p), 6).cast("decimal(18,6)")
+    ent = (
+        per.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max("_n").alias("_n1"),
+            (-F.sum(term)).cast("double").alias("_h"),
+        )
+    )
+    norm = F.when(
+        F.col("n_langs") > 1,
+        F.floor(F.col("_h") / F.log(F.col("n_langs").cast("double"))
+                * 10000.0 + 0.5) / 10000.0,
+    )
+    return ent.select(
+        "source",
+        F.col("_n1").cast("bigint").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        (F.floor(F.col("_h") * 10000.0 + 0.5) / 10000.0).alias("entropy"),
+        norm.alias("entropy_norm"),
+    )

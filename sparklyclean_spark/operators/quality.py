@@ -208,3 +208,50 @@ def fk_integrity_audit(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def freshness_audit(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    stale_after_hours: int = 24,
+) -> DataFrame:
+    """Per-group data-freshness audit: latest event time, staleness
+    relative to the NEWEST event anywhere in the batch (integer
+    MICROSECONDS — the engine-portable granularity), event count in
+    the group's last 24 h, and a ``stale`` flag. The standing ingest
+    monitor: a source whose lag against the corpus watermark keeps
+    growing has silently stopped delivering.
+
+    All comparisons are exact µs integers; no floats anywhere.
+
+    Scale: one map-side-combinable hash agg per group + a 1-row
+    global max broadcast back (the accepted 1-row cross-join shape).
+    """
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(ts_col).alias("latest_ts"),
+    )
+    glob = df.agg(F.max(ts_col).alias("_gmax"))
+    last24 = (
+        df.join(F.broadcast(glob))
+        .where(
+            F.timestamp_diff("MICROSECOND", F.col(ts_col), F.col("_gmax"))
+            <= F.lit(86_400_000_000).cast("bigint")
+        )
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_last_24h"))
+    )
+    lag_us = F.timestamp_diff("MICROSECOND", F.col("latest_ts"), F.col("_gmax"))
+    return (
+        per.join(F.broadcast(glob))
+        .join(F.broadcast(last24), "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("latest_ts"),
+            lag_us.cast("bigint").alias("lag_us"),
+            F.coalesce("n_last_24h", F.lit(0)).cast("bigint").alias("n_last_24h"),
+            (lag_us > F.lit(stale_after_hours * 3_600_000_000)).alias("stale"),
+        )
+    )

@@ -473,3 +473,90 @@ def test_daily_volume_anomaly_constant_stream_no_flags(spark):
     out = daily_volume_anomaly(df).collect()
     # zero variance -> sd == 0 -> z NULL everywhere, nothing flagged
     assert all(r["z"] is None and not r["is_anomaly"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# activity streaks (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+def test_activity_streaks_islands(spark):
+    from sparklyclean_spark.operators.behavior import activity_streaks
+
+    # user 1: days 1,2,3 then 5,6 then 10 -> streaks 3,2,1; last = 1
+    # user 2: one day -> one streak of 1
+    days_u1 = [1, 2, 3, 5, 6, 10]
+    rows = [
+        (i, _ts(f"2024-03-{d:02d}T0{i % 2}:00:00"), 1, "e", 0.0)
+        for i, d in enumerate(days_u1)
+    ]
+    # duplicate events on the same day must not split or lengthen streaks
+    rows.append((99, _ts("2024-03-02T23:00:00"), 1, "e", 0.0))
+    rows.append((100, _ts("2024-03-07T00:00:00"), 2, "e", 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    out = {r["user_id"]: r for r in activity_streaks(df).collect()}
+    u1 = out[1]
+    assert u1["n_active_days"] == 6
+    assert u1["n_streaks"] == 3
+    assert u1["longest_streak"] == 3
+    assert u1["last_streak"] == 1  # the day-10 singleton is most recent
+    u2 = out[2]
+    assert (u2["n_active_days"], u2["n_streaks"], u2["longest_streak"],
+            u2["last_streak"]) == (1, 1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# freshness audit
+# ---------------------------------------------------------------------------
+
+
+def test_freshness_audit_lag_and_staleness(spark):
+    from sparklyclean_spark.operators.quality import freshness_audit
+
+    rows = [
+        (1, _ts("2024-01-10T00:00:00"), 1, "fresh", 0.0),
+        (2, _ts("2024-01-09T23:00:00"), 1, "fresh", 0.0),
+        (3, _ts("2024-01-08T00:00:00"), 1, "stale", 0.0),  # 48h behind
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    out = {r["event_type"]: r
+           for r in freshness_audit(df, "event_type", "ts").collect()}
+    assert out["fresh"]["lag_us"] == 0 and not out["fresh"]["stale"]
+    assert out["fresh"]["n_last_24h"] == 2
+    assert out["stale"]["lag_us"] == 48 * 3_600_000_000
+    assert out["stale"]["stale"] and out["stale"]["n_last_24h"] == 0
+
+
+# ---------------------------------------------------------------------------
+# language-mix entropy
+# ---------------------------------------------------------------------------
+
+
+def test_lang_mix_entropy_bounds(spark):
+    import math
+
+    from sparklyclean_spark.operators.mixing import lang_mix_entropy
+
+    docs = spark.createDataFrame(
+        # s1: perfectly balanced 2 langs -> H = ln 2, norm = 1
+        [(1, "t", "en", "s1", 1), (2, "t", "de", "s1", 1),
+         # s2: monolingual -> H = 0, norm NULL
+         (3, "t", "en", "s2", 1), (4, "t", "en", "s2", 1),
+         # s3: 3:1 skew over 2 langs -> 0 < H < ln 2
+         (5, "t", "en", "s3", 1), (6, "t", "en", "s3", 1),
+         (7, "t", "en", "s3", 1), (8, "t", "fr", "s3", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {r["source"]: r for r in lang_mix_entropy(docs).collect()}
+    assert out["s1"]["entropy"] == pytest.approx(math.log(2), abs=1e-3)
+    assert out["s1"]["entropy_norm"] == pytest.approx(1.0, abs=1e-3)
+    assert out["s2"]["entropy"] == 0.0 and out["s2"]["entropy_norm"] is None
+    expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert out["s3"]["entropy"] == pytest.approx(expected, abs=1e-3)
+    assert 0 < out["s3"]["entropy_norm"] < 1
