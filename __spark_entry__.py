@@ -46,6 +46,7 @@ from sparklyclean_spark.operators.merge import merge_changes
 from sparklyclean_spark.operators.lateness import out_of_order_stats
 from sparklyclean_spark.operators.retention import (
     cohort_retention,
+    dau_wau_stickiness,
     rolling_active_users,
 )
 
@@ -990,11 +991,12 @@ _DRIVER_CHECK_ORDER = [
     "corpus_mix_report",
     "text_oov_rate",                   # r6b: df-thresholded OOV coverage
     "merge_replay_idempotent",         # r5: apply∘apply == apply, oracled
-    "cdf_orders_snapshots",            # r5: change-feed generation, oracled
-    "incr_agg_orders_priority",        # r5: maintained == recomputed, oracled
+                                       # (kept as the CDC-family rep)
+    "events_dau_wau_stickiness",       # r6b: DAU/WAU engagement ratio
+    "orders_rfm_segments",             # r6b: NTILE RFM cube
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "source_freshness_events",         # r6b: ingest freshness audit
-    "dedup_pairs_jw_customer",         # r5: Jaro-Winkler comparator
+    "events_conversion_wilson",        # r6b: Wilson-bounded conversion
     # -- family representatives (all green in r3) -----------------------
     "q1_pricing_summary",
     "q1_pricing_summary_diag",  # r6: diag CONTROL arm (rows-only)
@@ -1018,6 +1020,9 @@ _DRIVER_CHECK_ORDER = [
     "events_cohort_retention",
     "text_unigram_cross_entropy",
     "dedup_pair_features_customer",
+    "cdf_orders_snapshots",
+    "incr_agg_orders_priority",
+    "dedup_pairs_jw_customer",
     "dense_ids_documents",  # 3x green (r3/r4/r5), prefix-sum anchor
     "dedup_pairs_disdedup_skewed",  # 2x green, naive arm also parked
     "embedding_quantize",  # 2x green (r3/r5), mapInPandas digest
@@ -1263,6 +1268,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_anomaly": _q(BH.daily_volume_anomaly, table="events"),
         # r6b: gaps-and-islands daily activity streaks (all-integer)
         "user_activity_streaks": _q(BH.activity_streaks, table="events"),
+        # r6b: DAU/WAU engagement ratio (shared (user, day) grain)
+        "events_dau_wau_stickiness": _q(dau_wau_stickiness, table="events"),
+        # r6b: per-day conversion rate with Wilson score interval
+        "events_conversion_wilson": _q(BH.conversion_wilson, table="events"),
+        # r6b: RFM quintile segmentation cube (NTILE with total orders)
+        "orders_rfm_segments": _t(R.rfm_segments),
         # r6b: per-group ingest freshness vs the corpus watermark
         "source_freshness_events": _q(
             lambda e: DQ.freshness_audit(e, "event_type", "ts"),
@@ -2745,6 +2756,100 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((s + 10.0 * prior) / (n + 10.0), 4) AS encoded,
                    ROUND(prior, 4) AS prior
             FROM per CROSS JOIN p
+        """,
+        # DAU/WAU: the WAU side is the proven contribution-explode
+        # shape from events_rolling_active_7d; stickiness on the floor
+        # contract over two exact integers
+        "events_dau_wau_stickiness": """
+            WITH pairs AS (
+                SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+            ),
+            dau AS (SELECT d AS obs_day, COUNT(DISTINCT u) AS dau
+                    FROM pairs GROUP BY 1),
+            rd AS (SELECT DISTINCT d FROM pairs),
+            contrib AS (
+                SELECT u, CAST(unnest(generate_series(
+                           CAST(d AS TIMESTAMP),
+                           CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                           INTERVAL 1 DAY)) AS DATE) AS obs_day
+                FROM pairs
+            ),
+            wau AS (SELECT obs_day, COUNT(DISTINCT u) AS wau
+                    FROM contrib JOIN rd ON contrib.obs_day = rd.d
+                    GROUP BY 1)
+            SELECT obs_day,
+                   CAST(dau AS BIGINT) AS dau,
+                   CAST(wau AS BIGINT) AS wau,
+                   floor(dau * 10000.0 / wau + 0.5) / 10000.0 AS stickiness
+            FROM dau JOIN wau USING (obs_day)
+        """,
+        # Wilson interval: the identical single-IEEE-op arithmetic
+        # tree on exact integer (n, s); no engine round() anywhere
+        "events_conversion_wilson": """
+            WITH base AS (
+                SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+                FROM events
+            ),
+            t AS (SELECT day, COUNT(*) AS n FROM base GROUP BY 1),
+            sc AS (
+                SELECT day, COUNT(*) AS s FROM (
+                    SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+                    FROM events WHERE event_type = 'purchase'
+                ) GROUP BY 1
+            ),
+            j AS (SELECT t.day, CAST(n AS BIGINT) AS n,
+                         CAST(COALESCE(s, 0) AS BIGINT) AS s
+                  FROM t LEFT JOIN sc ON t.day = sc.day),
+            w AS (
+                SELECT day, n, s,
+                       s / n AS p,
+                       CAST(n AS DOUBLE) AS nn
+                FROM j
+            ),
+            v AS (
+                SELECT day, n, s, p,
+                       p + 1.96 * 1.96 / (2.0 * nn) AS center,
+                       1.96 * sqrt(p * (1.0 - p) / nn
+                                   + 1.96 * 1.96 / (4.0 * nn * nn)) AS margin,
+                       1.0 + 1.96 * 1.96 / nn AS denom
+                FROM w
+            )
+            SELECT day, n, s,
+                   floor(p * 10000.0 + 0.5) / 10000.0 AS rate,
+                   floor((center - margin) / denom * 10000.0 + 0.5) / 10000.0
+                       AS wilson_lo,
+                   floor((center + margin) / denom * 10000.0 + 0.5) / 10000.0
+                       AS wilson_hi
+            FROM v
+        """,
+        # RFM cube: NTILE over TOTAL orders (custkey tiebreaks);
+        # recency in exact integer days vs the corpus max date;
+        # monetary snapped to the 1e-4 grid before ranking/summing
+        "orders_rfm_segments": """
+            WITH g AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS gmax FROM orders),
+            per AS (
+                SELECT o_custkey,
+                       date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                                 (SELECT gmax FROM g)) AS recency_days,
+                       COUNT(*) AS frequency,
+                       CAST(floor(SUM(o_totalprice) * 10000.0 + 0.5) AS BIGINT)
+                           AS money_e4
+                FROM orders GROUP BY o_custkey
+            ),
+            tiled AS (
+                SELECT NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+                           AS r_tile,
+                       NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+                           AS f_tile,
+                       NTILE(5) OVER (ORDER BY money_e4 DESC, o_custkey ASC)
+                           AS m_tile,
+                       money_e4
+                FROM per
+            )
+            SELECT r_tile, f_tile, m_tile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(money_e4) AS DOUBLE) / 10000.0 AS total_monetary
+            FROM tiled GROUP BY 1, 2, 3
         """,
         # gaps-and-islands: (day_number - row_number) is constant
         # across each run of consecutive days; all-integer output

@@ -300,3 +300,64 @@ def activity_streaks(
         F.max("_len").cast("bigint").alias("longest_streak"),
         F.max_by("_len", "_end").cast("bigint").alias("last_streak"),
     )
+
+
+def conversion_wilson(
+    events: DataFrame,
+    success_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-day user conversion rate with a Wilson score interval —
+    the rate you can actually rank small days by (a raw proportion
+    over 3 users says nothing; the Wilson lower bound penalizes the
+    sample size). trials = the day's distinct active users;
+    successes = those who fired ``success_type`` that day.
+
+    Determinism: n and s are exact integers; the Wilson expression
+    is the SAME arithmetic tree on both engines (each step one IEEE
+    op — divide, multiply, sqrt — on deterministic inputs), then the
+    floor snap. No engine round() anywhere.
+
+    Scale: two distinct-aggs over the (user, day [, type]) grain,
+    both keyed by calendar day.
+    """
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.to_date(ts_col).alias("day"),
+        F.col(type_col).alias("ty"),
+    )
+    trials = base.select("u", "day").distinct().groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    succ = (
+        base.where(F.col("ty") == success_type)
+        .select("u", "day")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    joined = trials.join(succ, "day", "left").select(
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.coalesce("s", F.lit(0)).cast("bigint").alias("s"),
+    )
+    zz = z * z  # folded to the identical double literal on both sides
+    p = F.col("s") / F.col("n")
+    nn = F.col("n").cast("double")
+    center = p + F.lit(zz) / (2.0 * nn)
+    margin = F.lit(z) * F.sqrt(
+        p * (1.0 - p) / nn + F.lit(zz) / (4.0 * nn * nn)
+    )
+    denom = 1.0 + F.lit(zz) / nn
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return joined.select(
+        "day",
+        "n",
+        "s",
+        r4(p).alias("rate"),
+        r4((center - margin) / denom).alias("wilson_lo"),
+        r4((center + margin) / denom).alias("wilson_hi"),
+    )

@@ -1161,3 +1161,62 @@ def daily_revenue_rolling7(t: dict[str, DataFrame]) -> DataFrame:
         (F.floor(roll_sum / roll_days + 0.5) / 10000.0).alias("roll7_mean"),
         roll_days.cast("bigint").alias("roll7_days"),
     )
+
+
+def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary):
+    per-customer metrics quintiled with NTILE(5) and aggregated to
+    the 125-cell segment grid — the classic CRM cube.
+
+    Determinism: every NTILE order is made TOTAL with the customer
+    key as tiebreak (NTILE on a non-total order is engine-dependent
+    at ties); recency is exact integer days against the corpus's own
+    max order date; monetary is snapped to the 1e-4 integer grid
+    before ranking and summing, so the output is hash-exact.
+
+    Scale: one hash agg to customers, then three NTILE windows over
+    the CUSTOMER aggregate (|customers| rows, not |orders|) sharing
+    one global sort each — the documented exact-rank shape; at
+    corpus scale swap NTILE for approx-percentile bucket joins. The
+    final cube agg is bounded at 5^3 cells.
+    """
+    o = t["orders"]
+    gmax = o.agg(F.max(F.to_date("o_orderdate")).alias("_gmax"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.floor(F.sum("o_totalprice") * 10000.0 + 0.5)
+            .cast("bigint")
+            .alias("_money_e4"),
+        )
+        .join(F.broadcast(gmax))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_gmax"), F.col("_last"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "_money_e4",
+        )
+    )
+    r_tile = F.ntile(5).over(
+        Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    )
+    f_tile = F.ntile(5).over(
+        Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    )
+    m_tile = F.ntile(5).over(
+        Window.orderBy(F.desc("_money_e4"), F.asc("o_custkey"))
+    )
+    tiled = per.select(
+        r_tile.alias("r_tile"),
+        f_tile.alias("f_tile"),
+        m_tile.alias("m_tile"),
+        "_money_e4",
+    )
+    return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        (F.sum("_money_e4") / 10000.0).alias("total_monetary"),
+    )

@@ -105,3 +105,35 @@ def rolling_active_users(
         .groupBy("obs_day")
         .agg(F.count_distinct("u").alias(f"active_{days}d"))
     )
+
+
+def dau_wau_stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day DAU/WAU stickiness — the engagement ratio product teams
+    track (what share of the week's users showed up today). DAU is
+    the day's distinct actives; WAU is the trailing-7-day distinct
+    actives from ``rolling_active_users``; the ratio uses the floor
+    contract over the two exact integers.
+
+    Scale: the DAU agg and the WAU contribution explode share the one
+    distinct (user, day) projection; both aggregations are keyed by
+    calendar day (bounded).
+    """
+    pairs = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    dau = pairs.groupBy(F.col("d").alias("obs_day")).agg(
+        F.count_distinct("u").alias("dau")
+    )
+    wau = rolling_active_users(events, 7, user_col, ts_col)
+    from sparklyclean_spark.functions.rounding import ratio4
+
+    return dau.join(wau, "obs_day").select(
+        "obs_day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("active_7d").cast("bigint").alias("wau"),
+        ratio4("dau", "active_7d").alias("stickiness"),
+    )

@@ -560,3 +560,107 @@ def test_lang_mix_entropy_bounds(spark):
     expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert out["s3"]["entropy"] == pytest.approx(expected, abs=1e-3)
     assert 0 < out["s3"]["entropy_norm"] < 1
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness
+# ---------------------------------------------------------------------------
+
+
+def test_dau_wau_stickiness_ratio(spark):
+    from sparklyclean_spark.operators.retention import dau_wau_stickiness
+
+    # 3 users on day 1; 1 of them returns on day 2
+    rows = [
+        (1, _ts("2024-01-01T01:00:00"), 1, "e", 0.0),
+        (2, _ts("2024-01-01T02:00:00"), 2, "e", 0.0),
+        (3, _ts("2024-01-01T03:00:00"), 3, "e", 0.0),
+        (4, _ts("2024-01-02T01:00:00"), 1, "e", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    out = {str(r["obs_day"]): r for r in dau_wau_stickiness(df).collect()}
+    assert out["2024-01-01"]["dau"] == 3 and out["2024-01-01"]["wau"] == 3
+    assert out["2024-01-01"]["stickiness"] == 1.0
+    # day 2: DAU 1, trailing-7d WAU still 3 -> 1/3
+    assert out["2024-01-02"]["dau"] == 1 and out["2024-01-02"]["wau"] == 3
+    assert out["2024-01-02"]["stickiness"] == pytest.approx(0.3333)
+
+
+# ---------------------------------------------------------------------------
+# Wilson conversion bounds
+# ---------------------------------------------------------------------------
+
+
+def test_conversion_wilson_interval(spark):
+    from sparklyclean_spark.operators.behavior import conversion_wilson
+
+    # day with 4 actives, 1 purchaser -> p=0.25; Wilson 95% for
+    # (1, 4): lo ~0.0456, hi ~0.6994
+    rows = [
+        (1, _ts("2024-01-01T01:00:00"), 1, "view", 0.0),
+        (2, _ts("2024-01-01T02:00:00"), 2, "view", 0.0),
+        (3, _ts("2024-01-01T03:00:00"), 3, "view", 0.0),
+        (4, _ts("2024-01-01T04:00:00"), 4, "view", 0.0),
+        (5, _ts("2024-01-01T05:00:00"), 4, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    [r] = conversion_wilson(df).collect()
+    assert r["n"] == 4 and r["s"] == 1 and r["rate"] == 0.25
+    assert r["wilson_lo"] == pytest.approx(0.0456, abs=2e-4)
+    assert r["wilson_hi"] == pytest.approx(0.6994, abs=2e-4)
+    assert r["wilson_lo"] < r["rate"] < r["wilson_hi"]
+
+
+def test_conversion_wilson_zero_success_day(spark):
+    from sparklyclean_spark.operators.behavior import conversion_wilson
+
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01T01:00:00"), 1, "view", 0.0)],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double",
+    )
+    [r] = conversion_wilson(df).collect()
+    assert r["s"] == 0 and r["rate"] == 0.0
+    assert r["wilson_lo"] == 0.0 and r["wilson_hi"] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_segments_partition_customers_once(spark):
+    from sparklyclean_spark.operators.relational import rfm_segments
+
+    rows = []
+    # 10 customers, customer i places i+1 orders of 100*(i+1) on day i+1
+    for i in range(10):
+        for j in range(i + 1):
+            rows.append(
+                (i * 100 + j, i, _ts(f"2024-01-{i+1:02d}T00:00:00"),
+                 100.0 * (i + 1))
+            )
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_custkey bigint, "
+        "o_orderdate timestamp_ntz, o_totalprice double"
+    )
+    out = rfm_segments({"orders": df}).collect()
+    # every customer lands in exactly one cell
+    assert sum(r["n_customers"] for r in out) == 10
+    # NTILE(5) over 10 rows -> every tile value in 1..5
+    for r in out:
+        assert 1 <= r["r_tile"] <= 5
+        assert 1 <= r["f_tile"] <= 5
+        assert 1 <= r["m_tile"] <= 5
+    # customer 9 (most recent, most frequent, biggest spender) is a
+    # (1,1,1) champion; customer 0 is the (5,5,5) lost cell
+    cells = {(r["r_tile"], r["f_tile"], r["m_tile"]) for r in out}
+    assert (1, 1, 1) in cells and (5, 5, 5) in cells
+    total = sum(r["total_monetary"] for r in out)
+    assert total == pytest.approx(sum(100.0 * (i + 1) * (i + 1) for i in range(10)))
