@@ -53,6 +53,7 @@ from sparklyclean_spark.operators.retention import (
 _ROLLING_ACTIVE = rolling_active_users
 from sparklyclean_spark.operators.pii import k_anonymity_audit, l_diversity_audit
 from sparklyclean_spark.operators import encoding as EN
+from sparklyclean_spark.operators import drift as DR
 from sparklyclean_spark.operators import outliers as OUT
 from sparklyclean_spark.operators.outliers import quantile_bins, standardize
 from sparklyclean_spark.operators.skew import key_profile
@@ -209,6 +210,19 @@ def _fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
          t["part"].where(F.col("p_partkey") <= 1000), "p_partkey"),
     ]
     return DQ.fk_integrity_audit(edges)
+
+
+def _psi_order_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the order-price distribution between the pre-1996
+    baseline and the 1996+ snapshot, binned on the baseline's own
+    deciles — the standard feature-drift monitor."""
+    o = _tables(spark, sf_dir)["orders"]
+    cut = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    return DR.psi_drift(
+        o.where(F.col("o_orderdate") < cut),
+        o.where(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+    )
 
 
 def _diff_orders_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,9 +942,9 @@ _DRIVER_CHECK_ORDER = [
     "pack_bins_greedy_docs",     # r5: capacity packing (rows-only)
     "attribution_last_touch",    # r6b: last-touch conversion attribution
     "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
-    "knn_lsh_recall",            # r5: ANN recall with a FULL DuckDB oracle
+    "chi2_lang_source",          # r6b: chi-square independence test
     "events_interarrival_stats", # r6b: per-type gap percentiles
-    "embedding_l2_normalize",    # r5: unit-norm pre-index transform
+    "ks_price_by_status",        # r6b: two-sample KS drift test
     "embedding_l2_normalize_batch",  # r6: Arrow hot-path tier (rows-only)
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
     "q12_priority_by_status",        # r5 red — UNCHANGED in r6
@@ -990,8 +1004,7 @@ _DRIVER_CHECK_ORDER = [
     # 2x green untouched; sampling family keeps exact_k_weighted)
     "corpus_mix_report",
     "text_oov_rate",                   # r6b: df-thresholded OOV coverage
-    "merge_replay_idempotent",         # r5: apply∘apply == apply, oracled
-                                       # (kept as the CDC-family rep)
+    "psi_order_price_drift",           # r6b: PSI feature-drift monitor
     "events_dau_wau_stickiness",       # r6b: DAU/WAU engagement ratio
     "orders_rfm_segments",             # r6b: NTILE RFM cube
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
@@ -1023,6 +1036,9 @@ _DRIVER_CHECK_ORDER = [
     "cdf_orders_snapshots",
     "incr_agg_orders_priority",
     "dedup_pairs_jw_customer",
+    "knn_lsh_recall",
+    "embedding_l2_normalize",
+    "merge_replay_idempotent",
     "dense_ids_documents",  # 3x green (r3/r4/r5), prefix-sum anchor
     "dedup_pairs_disdedup_skewed",  # 2x green, naive arm also parked
     "embedding_quantize",  # 2x green (r3/r5), mapInPandas digest
@@ -1274,6 +1290,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conversion_wilson": _q(BH.conversion_wilson, table="events"),
         # r6b: RFM quintile segmentation cube (NTILE with total orders)
         "orders_rfm_segments": _t(R.rfm_segments),
+        # r6b drift/stat-test family: chi-square independence, PSI
+        # feature drift, two-sample Kolmogorov-Smirnov
+        "chi2_lang_source": _q(
+            lambda d: DR.chi_square_independence(d, "lang", "source"),
+            table="documents",
+        ),
+        "psi_order_price_drift": _psi_order_price_drift,
+        "ks_price_by_status": _q(
+            lambda o: DR.ks_test(o, "o_totalprice", "o_orderstatus", "O", "F"),
+            table="orders",
+        ),
         # r6b: per-group ingest freshness vs the corpus watermark
         "source_freshness_events": _q(
             lambda e: DQ.freshness_audit(e, "event_type", "ts"),
@@ -2756,6 +2783,111 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((s + 10.0 * prior) / (n + 10.0), 4) AS encoded,
                    ROUND(prior, 4) AS prior
             FROM per CROSS JOIN p
+        """,
+        # chi-square independence: expected counts from exact integer
+        # margin products; per-cell terms DECIMAL-rounded before the sum
+        "chi2_lang_source": """
+            WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS o
+                           FROM documents GROUP BY 1, 2),
+            r AS (SELECT a, SUM(o) AS r FROM cells GROUP BY 1),
+            c AS (SELECT b, SUM(o) AS c FROM cells GROUP BY 1),
+            t AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS nr,
+                         COUNT(DISTINCT b) AS nc FROM cells),
+            grid AS (SELECT a, b, r.r, c.c FROM r CROSS JOIN c),
+            per AS (
+                SELECT n, nr, nc,
+                       CAST(ROUND((COALESCE(o, 0) - r * c / n)
+                                  * (COALESCE(o, 0) - r * c / n)
+                                  / (r * c / n), 6) AS DECIMAL(18,6)) AS term
+                FROM grid LEFT JOIN cells USING (a, b) CROSS JOIN t
+            )
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+                   floor(CAST(SUM(term) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                       AS chi2,
+                   CASE WHEN least(nr - 1, nc - 1) > 0
+                             AND CAST(SUM(term) AS DOUBLE) >= 0.0
+                        THEN floor(sqrt(CAST(SUM(term) AS DOUBLE)
+                                        / (n * least(nr - 1, nc - 1)))
+                                   * 10000.0 + 0.5) / 10000.0
+                   END AS cramers_v
+            FROM per GROUP BY n, nr, nc
+        """,
+        # PSI: baseline deciles define the grid (quantile_cont ==
+        # Spark percentile); +0.5 additive smoothing per bin; terms
+        # DECIMAL-rounded before the total
+        "psi_order_price_drift": """
+            WITH exp AS (SELECT o_totalprice AS v FROM orders
+                         WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                           AND o_totalprice IS NOT NULL),
+            act AS (SELECT o_totalprice AS v FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                      AND o_totalprice IS NOT NULL),
+            b AS (SELECT quantile_cont(v,
+                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                      AS bounds FROM exp),
+            eb AS (SELECT CAST(1 + len(list_filter(bounds, x -> x <= v))
+                               AS INT) AS bin,
+                          COUNT(*) AS n_expected
+                   FROM exp CROSS JOIN b GROUP BY 1),
+            ab AS (SELECT CAST(1 + len(list_filter(bounds, x -> x <= v))
+                               AS INT) AS bin,
+                          COUNT(*) AS n_actual
+                   FROM act CROSS JOIN b GROUP BY 1),
+            j AS (SELECT COALESCE(eb.bin, ab.bin) AS bin,
+                         COALESCE(n_expected, 0) AS n_expected,
+                         COALESCE(n_actual, 0) AS n_actual
+                  FROM eb FULL OUTER JOIN ab ON eb.bin = ab.bin),
+            t AS (SELECT SUM(n_expected) AS ne, SUM(n_actual) AS na FROM j),
+            per AS (
+                SELECT bin, n_expected, n_actual,
+                       CAST(ROUND(
+                           ((n_expected + 0.5) / (ne + 0.5 * 10)
+                            - (n_actual + 0.5) / (na + 0.5 * 10))
+                           * ln(((n_expected + 0.5) / (ne + 0.5 * 10))
+                                / ((n_actual + 0.5) / (na + 0.5 * 10))),
+                           6) AS DECIMAL(18,6)) AS term
+                FROM j CROSS JOIN t
+            ),
+            tot AS (SELECT CAST(SUM(term) AS DOUBLE) AS psi FROM per)
+            SELECT bin,
+                   CAST(n_expected AS BIGINT) AS n_expected,
+                   CAST(n_actual AS BIGINT) AS n_actual,
+                   CAST(term AS DOUBLE) AS psi_term,
+                   floor(psi * 10000.0 + 0.5) / 10000.0 AS psi_total
+            FROM per CROSS JOIN tot
+        """,
+        # two-sample KS: ECDF gaps over the distinct-value table;
+        # reject flag compared on the unrounded doubles
+        "ks_price_by_status": """
+            WITH per AS (
+                SELECT o_totalprice AS v,
+                       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                           AS ca,
+                       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                           AS cb
+                FROM orders
+                WHERE o_orderstatus IN ('O', 'F')
+                  AND o_totalprice IS NOT NULL
+                GROUP BY 1
+            ),
+            t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per),
+            s AS (
+                SELECT abs(SUM(ca) OVER w / na - SUM(cb) OVER w / nb) AS d,
+                       na, nb
+                FROM per CROSS JOIN t
+                WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW)
+            )
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   floor(MAX(d) * 10000.0 + 0.5) / 10000.0 AS ks_d,
+                   floor(1.358 * sqrt((na + nb) / (na * nb))
+                         * 10000.0 + 0.5) / 10000.0 AS ks_crit,
+                   (MAX(d) > 1.358 * sqrt((na + nb) / (na * nb)))
+                       AS significant
+            FROM s GROUP BY na, nb
         """,
         # DAU/WAU: the WAU side is the proven contribution-explode
         # shape from events_rolling_active_7d; stickiness on the floor

@@ -664,3 +664,73 @@ def test_rfm_segments_partition_customers_once(spark):
     assert (1, 1, 1) in cells and (5, 5, 5) in cells
     total = sum(r["total_monetary"] for r in out)
     assert total == pytest.approx(sum(100.0 * (i + 1) * (i + 1) for i in range(10)))
+
+
+# ---------------------------------------------------------------------------
+# drift / statistical tests
+# ---------------------------------------------------------------------------
+
+
+def test_chi_square_independent_labels_near_zero(spark):
+    from sparklyclean_spark.operators.drift import chi_square_independence
+
+    # perfectly independent 2x2 table: chi2 == 0 exactly
+    rows = (
+        [("x", "p")] * 20 + [("x", "q")] * 20
+        + [("y", "p")] * 30 + [("y", "q")] * 30
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = chi_square_independence(df, "a", "b").collect()
+    assert r["n_rows"] == 100 and r["n_cells"] == 4 and r["dof"] == 1
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_chi_square_perfect_association(spark):
+    from sparklyclean_spark.operators.drift import chi_square_independence
+
+    # deterministic mapping a->b: chi2 == n, Cramer's V == 1
+    rows = [("x", "p")] * 25 + [("y", "q")] * 25
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = chi_square_independence(df, "a", "b").collect()
+    assert r["chi2"] == pytest.approx(50.0, abs=1e-3)
+    assert r["cramers_v"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_psi_identical_distributions_small(spark):
+    from sparklyclean_spark.operators.drift import psi_drift
+
+    base = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    out = psi_drift(base, base, "v").collect()
+    # identical snapshots: every term 0 (same smoothed p and q)
+    assert all(r["psi_term"] == 0.0 for r in out)
+    assert out[0]["psi_total"] == 0.0
+
+
+def test_psi_detects_shift(spark):
+    from sparklyclean_spark.operators.drift import psi_drift
+
+    base = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = base.select((F.col("v") + 60.0).alias("v"))
+    out = psi_drift(base, shifted, "v").collect()
+    # a 60-point shift on a 0-99 support is massive drift
+    assert out[0]["psi_total"] > 0.25
+    total = sum(r["n_actual"] for r in out)
+    assert total == 1000  # every actual row lands in some bin
+
+
+def test_ks_identical_and_shifted(spark):
+    from sparklyclean_spark.operators.drift import ks_test
+
+    a = [(float(i % 50), "g1") for i in range(500)]
+    b_same = [(float(i % 50), "g2") for i in range(500)]
+    df = spark.createDataFrame(a + b_same, "v double, g string")
+    [r] = ks_test(df, "v", "g", "g1", "g2").collect()
+    assert r["ks_d"] == 0.0 and not r["significant"]
+
+    b_shift = [(float(i % 50) + 25.0, "g2") for i in range(500)]
+    df2 = spark.createDataFrame(a + b_shift, "v double, g string")
+    [r2] = ks_test(df2, "v", "g", "g1", "g2").collect()
+    assert r2["ks_d"] == 0.5  # exactly half the mass is disjoint
+    assert r2["significant"]
+    # critical value for n=m=500: 1.358*sqrt(1000/250000) ~ 0.0859
+    assert r2["ks_crit"] == pytest.approx(0.0859, abs=2e-4)
