@@ -54,6 +54,7 @@ _ROLLING_ACTIVE = rolling_active_users
 from sparklyclean_spark.operators.pii import k_anonymity_audit, l_diversity_audit
 from sparklyclean_spark.operators import encoding as EN
 from sparklyclean_spark.operators import drift as DR
+from sparklyclean_spark.operators.graph import triangle_stats
 from sparklyclean_spark.operators import outliers as OUT
 from sparklyclean_spark.operators.outliers import quantile_bins, standardize
 from sparklyclean_spark.operators.skew import key_profile
@@ -939,13 +940,13 @@ _DRIVER_CHECK_ORDER = [
                                  # (VERDICT r5 item 2: diagnose, don't touch)
     "pack_training_sequences_diag",  # r6: in-driver oracle diag (rows-only)
     "event_transition_matrix",   # r6b: Markov next-event profile
-    "pack_bins_greedy_docs",     # r5: capacity packing (rows-only)
+    "text_zipf_slope",           # r6b: Zipf rank-frequency fit
     "attribution_last_touch",    # r6b: last-touch conversion attribution
     "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
     "chi2_lang_source",          # r6b: chi-square independence test
     "events_interarrival_stats", # r6b: per-type gap percentiles
     "ks_price_by_status",        # r6b: two-sample KS drift test
-    "embedding_l2_normalize_batch",  # r6: Arrow hot-path tier (rows-only)
+    "orders_revenue_gini",       # r6b: revenue concentration Gini
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
     "q12_priority_by_status",        # r5 red — UNCHANGED in r6
     "q12_priority_by_status_diag",   # r6: in-driver oracle diag (rows-only)
@@ -976,7 +977,7 @@ _DRIVER_CHECK_ORDER = [
     "text_repetition_signals_counts",
     # -- new r5 capability rows ------------------------------------------
     "ldiversity_customer_audit",  # r6b: homogeneity-attack privacy gate
-    "kanon_customer_audit",       # k-anonymity privacy gate
+    "neardup_triangle_count",     # r6b: triangle census (exact edges)
     "events_daily_anomaly",       # r6b: daily volume z-score flags
     # r6: forward as-of + tolerance (displaced: dq_orders_constraints,
     # 2x green untouched; DQ family keeps its pytest gates)
@@ -1039,6 +1040,9 @@ _DRIVER_CHECK_ORDER = [
     "knn_lsh_recall",
     "embedding_l2_normalize",
     "merge_replay_idempotent",
+    "kanon_customer_audit",
+    "pack_bins_greedy_docs",
+    "embedding_l2_normalize_batch",
     "dense_ids_documents",  # 3x green (r3/r4/r5), prefix-sum anchor
     "dedup_pairs_disdedup_skewed",  # 2x green, naive arm also parked
     "embedding_quantize",  # 2x green (r3/r5), mapInPandas digest
@@ -1301,6 +1305,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda o: DR.ks_test(o, "o_totalprice", "o_orderstatus", "O", "F"),
             table="orders",
         ),
+        # r6b: triangle census over the EXACT prefix-jaccard near-dup
+        # graph (ordered node-iterator join, a<b<c counted once)
+        "neardup_triangle_count": _q(
+            lambda d: triangle_stats(
+                TD.prefix_jaccard_pairs(d, 0.7).select("id1", "id2")
+            ),
+            table="documents",
+        ),
+        # r6b: Zipf rank-frequency slope (corpus-health statistic)
+        "text_zipf_slope": _q(TA.zipf_slope, table="documents"),
+        # r6b: revenue Gini coefficient (inequality single-number)
+        "orders_revenue_gini": _t(R.revenue_gini),
         # r6b: per-group ingest freshness vs the corpus watermark
         "source_freshness_events": _q(
             lambda e: DQ.freshness_audit(e, "event_type", "ts"),
@@ -2783,6 +2799,111 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((s + 10.0 * prior) / (n + 10.0), 4) AS encoded,
                    ROUND(prior, 4) AS prior
             FROM per CROSS JOIN p
+        """,
+        # triangle census: edge set = the EXACT prefix-jaccard pairs
+        # (same subquery as the neardup_prefix_jaccard oracle); ordered
+        # node-iterator join counts each a<b<c triangle once
+        "neardup_triangle_count": f"""
+            WITH t AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks
+                       FROM documents),
+            e AS (
+                SELECT id1 AS a, id2 AS b FROM (
+                    SELECT x.doc_id AS id1, y.doc_id AS id2,
+                           ROUND(CASE WHEN len(list_distinct(
+                                     list_concat(x.toks, y.toks))) = 0 THEN 0.0
+                                 ELSE CAST(len(list_intersect(x.toks, y.toks))
+                                           AS DOUBLE)
+                                      / len(list_distinct(
+                                            list_concat(x.toks, y.toks)))
+                                 END, 4) AS jaccard
+                    FROM t x JOIN t y ON x.doc_id < y.doc_id
+                ) WHERE jaccard >= 0.7
+            ),
+            tri AS (SELECT COUNT(*) AS n_triangles
+                    FROM e e1 JOIN e e2 ON e1.b = e2.a
+                    WHERE EXISTS (SELECT 1 FROM e e3
+                                  WHERE e3.a = e1.a AND e3.b = e2.b)),
+            deg AS (SELECT v, COUNT(*) AS d FROM (
+                        SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+                    GROUP BY v),
+            s AS (SELECT COUNT(*) AS n_nodes,
+                         CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges
+                  FROM deg),
+            m AS (SELECT COUNT(*) AS n_edges FROM e)
+            SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n_edges AS BIGINT) AS n_edges,
+                   CAST(n_triangles AS BIGINT) AS n_triangles,
+                   CASE WHEN n_wedges > 0
+                        THEN floor(3.0 * n_triangles / n_wedges
+                                   * 10000.0 + 0.5) / 10000.0
+                   END AS clustering_coeff
+            FROM s CROSS JOIN m CROSS JOIN tri
+        """,
+        # Zipf fit: regression inputs DECIMAL-rounded per term before
+        # the four sums; closed-form slope on the double-cast sums
+        "text_zipf_slope": f"""
+            WITH f AS (
+                SELECT term, COUNT(*) AS c FROM (
+                    SELECT unnest({_TOKS_SQL}) AS term FROM documents)
+                GROUP BY term
+            ),
+            r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC)
+                             AS rank FROM f),
+            per AS (
+                SELECT c,
+                       CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) AS x,
+                       CAST(ROUND(ln(CAST(c AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) AS y,
+                       CAST(ROUND(ln(CAST(rank AS DOUBLE))
+                                  * ln(CAST(c AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) AS xy,
+                       CAST(ROUND(ln(CAST(rank AS DOUBLE))
+                                  * ln(CAST(rank AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) AS xx
+                FROM r
+            ),
+            a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                         SUM(c) AS n_tokens,
+                         CAST(SUM(x) AS DOUBLE) AS sx,
+                         CAST(SUM(y) AS DOUBLE) AS sy,
+                         CAST(SUM(xy) AS DOUBLE) AS sxy,
+                         CAST(SUM(xx) AS DOUBLE) AS sxx
+                  FROM per)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CASE WHEN n * sxx - sx * sx <> 0.0
+                        THEN floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                                   * 10000.0 + 0.5) / 10000.0
+                   END AS zipf_slope,
+                   CASE WHEN n * sxx - sx * sx <> 0.0
+                        THEN floor((sy - (n * sxy - sx * sy)
+                                         / (n * sxx - sx * sx) * sx) / n
+                                   * 10000.0 + 0.5) / 10000.0
+                   END AS zipf_intercept
+            FROM a
+        """,
+        # Gini: rank formula over ascending e4-grid revenue; exact
+        # integer sums, two final IEEE divides
+        "orders_revenue_gini": """
+            WITH per AS (
+                SELECT o_custkey,
+                       CAST(floor(SUM(o_totalprice) * 10000.0 + 0.5)
+                            AS BIGINT) AS m
+                FROM orders GROUP BY 1
+            ),
+            r AS (SELECT m,
+                         ROW_NUMBER() OVER (ORDER BY m ASC, o_custkey ASC)
+                         * m AS im
+                  FROM per),
+            a AS (SELECT COUNT(*) AS n, SUM(m) AS s, SUM(im) AS si FROM r)
+            SELECT CAST(n AS BIGINT) AS n_customers,
+                   s / 10000.0 AS total_revenue,
+                   CASE WHEN s > 0
+                        THEN floor((2.0 * si / (n * s) - (n + 1) / n)
+                                   * 10000.0 + 0.5) / 10000.0
+                   END AS gini
+            FROM a
         """,
         # chi-square independence: expected counts from exact integer
         # margin products; per-cell terms DECIMAL-rounded before the sum

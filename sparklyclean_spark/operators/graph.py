@@ -117,3 +117,62 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select(F.col("v").alias(id_col), "rank")
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph given as
+    canonical edges ``(id1 < id2)``: one row with node count, edge
+    count, triangle count, and the global clustering coefficient
+    ``3·triangles / open_wedges`` (floor contract; NULL when the
+    graph has no wedges).
+
+    Triangles are enumerated with the ordered node-iterator join
+    (a<b<c): edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c) — each triangle
+    counted exactly once. Wedges come from per-node degrees
+    (Σ d·(d-1)/2, exact integers).
+
+    Scale shape: two equi-joins on edge endpoints; the canonical
+    a<b<c orientation bounds the join fan-out by the out-degree of
+    the ORDERED graph (max out-degree ≤ √(2m) after degree
+    orientation — here orientation is by id, the standard first
+    cut; switch to degree-ordering for adversarial skew). Degrees
+    are one explode + hash agg.
+    """
+    e = edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    tri = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            F.col("e1.b") == F.col("e2.a"),
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = e.select(F.explode(F.array("a", "b")).alias("v"))
+    deg = nodes.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    m = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    out = summary.join(F.broadcast(m)).join(F.broadcast(tri))
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.floor(
+            3.0 * F.col("n_triangles") / F.col("n_wedges") * 10000.0 + 0.5
+        )
+        / 10000.0,
+    )
+    return out.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        cc.alias("clustering_coeff"),
+    )

@@ -1220,3 +1220,48 @@ def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         (F.sum("_money_e4") / 10000.0).alias("total_monetary"),
     )
+
+
+def revenue_gini(t: dict[str, DataFrame]) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the single-number inequality readout behind the Pareto share
+    table (0 = perfectly even, →1 = one whale). One result row:
+    ``(n_customers, total_revenue, gini)`` from the rank formula
+    ``G = 2·Σ(i·x_i) / (n·Σx) - (n+1)/n`` over ascending revenue.
+
+    Hash-stable: per-customer revenue snaps to the 1e-4 integer grid
+    before ranking; ranks are total (revenue, custkey); every sum is
+    exact integer arithmetic (the rank-weighted sum stays below 2^63
+    up to ~10^8 customers at 10^6 revenue — beyond that switch the
+    accumulators to DECIMAL(38,0)); the final two divides are single
+    IEEE ops.
+
+    Scale: one hash agg to customers, ONE global sort of the customer
+    aggregate for ranks (the documented exact-rank trade), one 1-row
+    aggregate.
+    """
+    o = t["orders"]
+    per = o.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("_m")
+    )
+    i = F.row_number().over(
+        Window.orderBy(F.asc("_m"), F.asc("o_custkey"))
+    ).cast("bigint")
+    ranked = per.select("_m", (i * F.col("_m")).alias("_im"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_m").alias("_s"),
+        F.sum("_im").alias("_si"),
+    )
+    gini = F.when(
+        F.col("_s") > 0,
+        2.0 * F.col("_si") / (F.col("_n") * F.col("_s"))
+        - (F.col("_n") + 1) / F.col("_n"),
+    )
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n_customers"),
+        (F.col("_s") / 10000.0).alias("total_revenue"),
+        (F.floor(gini * 10000.0 + 0.5) / 10000.0).alias("gini"),
+    )

@@ -437,3 +437,63 @@ def oov_stats(docs: DataFrame, min_df: int = 2) -> DataFrame:
             ratio4("n_oov", "n_tokens").alias("oov_rate"),
         )
     )
+
+
+def zipf_slope(docs: DataFrame) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: the
+    least-squares slope of ln(freq) against ln(rank) — a healthy
+    natural-language corpus sits near -1; templated/synthetic text
+    drifts toward 0. One result row:
+    ``(n_terms, n_tokens, zipf_slope, zipf_intercept)``.
+
+    Hash-stable recipe: rank is a TOTAL order (freq desc, term asc);
+    the per-term regression inputs ln(rank), ln(freq), and their
+    products are each rounded to DECIMAL(18,6) before the four sums
+    (exact associative addition), the sums cast to double, and the
+    closed-form slope computed as the same single-IEEE-op tree on
+    both engines.
+
+    Scale: one explode + hash agg to the vocabulary, one global sort
+    of the (bounded) vocab table for ranks, one 1-row aggregate.
+
+    No reference counterpart; §2.10 corpus-statistics operator.
+    """
+    freqs = (
+        docs.select(F.explode(T.words("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("c"), F.asc("term"))
+    )
+    x = F.log(rank.cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    d6 = lambda col: F.round(col, 6).cast("decimal(18,6)")  # noqa: E731
+    per = freqs.select(
+        F.col("c"),
+        d6(x).alias("_x"),
+        d6(y).alias("_y"),
+        d6(x * y).alias("_xy"),
+        d6(x * x).alias("_xx"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum("_xy").cast("double").alias("_sxy"),
+        F.sum("_xx").cast("double").alias("_sxx"),
+    )
+    denom = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        denom != 0.0,
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / denom,
+    )
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
+    r4 = lambda col: F.floor(col * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n_terms"),
+        "n_tokens",
+        r4(slope).alias("zipf_slope"),
+        r4(intercept).alias("zipf_intercept"),
+    )

@@ -734,3 +734,75 @@ def test_ks_identical_and_shifted(spark):
     assert r2["significant"]
     # critical value for n=m=500: 1.358*sqrt(1000/250000) ~ 0.0859
     assert r2["ks_crit"] == pytest.approx(0.0859, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# triangle census / Zipf / Gini
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_stats_known_graph(spark):
+    from sparklyclean_spark.operators.graph import triangle_stats
+
+    # K4 on {1,2,3,4} (4 triangles) plus pendant edge 4-5 (0 new)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((4, 5))
+    df = spark.createDataFrame(edges, "id1 bigint, id2 bigint")
+    [r] = triangle_stats(df).collect()
+    assert r["n_nodes"] == 5 and r["n_edges"] == 7
+    assert r["n_triangles"] == 4
+    # wedges: deg (3,3,3,4,1) -> sum d(d-1)/2 = 3+3+3+6+0 = 15
+    assert r["clustering_coeff"] == pytest.approx(12 / 15, abs=1e-4)
+
+
+def test_triangle_stats_triangle_free(spark):
+    from sparklyclean_spark.operators.graph import triangle_stats
+
+    # path graph 1-2-3-4: wedges exist, no triangles
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id1 bigint, id2 bigint"
+    )
+    [r] = triangle_stats(df).collect()
+    assert r["n_triangles"] == 0 and r["clustering_coeff"] == 0.0
+
+
+def test_zipf_slope_power_law(spark):
+    from sparklyclean_spark.operators.text_analysis import zipf_slope
+
+    # construct a corpus whose term frequencies are ~1000/rank: the
+    # fitted slope must sit near -1
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:02d}"] * max(1, round(1000 / rank))
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id bigint, text string"
+    )
+    [r] = zipf_slope(docs).collect()
+    assert r["n_terms"] == 50
+    assert -1.05 < r["zipf_slope"] < -0.95
+    # intercept ~ ln(1000) ~ 6.9
+    assert 6.0 < r["zipf_intercept"] < 7.6
+
+
+def test_revenue_gini_extremes(spark):
+    from sparklyclean_spark.operators.relational import revenue_gini
+
+    # perfectly equal: G = 0
+    eq = spark.createDataFrame(
+        [(i, i, _ts("2024-01-01T00:00:00"), 100.0) for i in range(10)],
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp_ntz, "
+        "o_totalprice double",
+    )
+    [r] = revenue_gini({"orders": eq}).collect()
+    assert r["gini"] == 0.0 and r["n_customers"] == 10
+    assert r["total_revenue"] == pytest.approx(1000.0)
+
+    # one whale holds everything except epsilon: G -> (n-1)/n = 0.9
+    wh_rows = [(i, i, _ts("2024-01-01T00:00:00"), 0.0001) for i in range(9)]
+    wh_rows.append((9, 9, _ts("2024-01-01T00:00:00"), 1_000_000.0))
+    wh = spark.createDataFrame(
+        wh_rows, "o_orderkey bigint, o_custkey bigint, "
+        "o_orderdate timestamp_ntz, o_totalprice double"
+    )
+    [r2] = revenue_gini({"orders": wh}).collect()
+    assert r2["gini"] == pytest.approx(0.9, abs=1e-3)
