@@ -55,6 +55,7 @@ from sparklyclean_spark.operators.pii import k_anonymity_audit, l_diversity_audi
 from sparklyclean_spark.operators import encoding as EN
 from sparklyclean_spark.operators import drift as DR
 from sparklyclean_spark.operators.graph import triangle_stats
+from sparklyclean_spark.operators.similarity.stats import embedding_norm_stats
 from sparklyclean_spark.operators import outliers as OUT
 from sparklyclean_spark.operators.outliers import quantile_bins, standardize
 from sparklyclean_spark.operators.skew import key_profile
@@ -988,7 +989,7 @@ _DRIVER_CHECK_ORDER = [
     "target_encode_priority",     # r6b: smoothed target encoding
     "kfold_docs_by_lang",         # r6b: deterministic k-fold assignment
     "corpus_lang_entropy",        # r6b: per-source lang-mix entropy
-    "pagerank_neardup_graph",     # r5: graph centrality (rows-only)
+    "embedding_norm_stats",       # r6b: pre-index vector hygiene
     "temporal_split_events",      # r6b: time holdout + leakage audit
     # r6: exact-N largest-remainder proportional sample (displaced:
     # neardup_prefix_jaccard, 2x green; family keeps minhash_lsh_exploded)
@@ -999,7 +1000,7 @@ _DRIVER_CHECK_ORDER = [
     # r6: star-CC oracled end-to-end (displaced: chunk_dedup_within_doc,
     # 2x green untouched; family keeps its bench row + pytest gates)
     "neardup_clusters_star",
-    "corpus_curation_lsh",
+    "negative_pairs_docs",          # r6b: contrastive negative sampler
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
     # r6: data-card mix report (displaced: cluster_safe_split_docs,
     # 2x green untouched; sampling family keeps exact_k_weighted)
@@ -1043,6 +1044,8 @@ _DRIVER_CHECK_ORDER = [
     "kanon_customer_audit",
     "pack_bins_greedy_docs",
     "embedding_l2_normalize_batch",
+    "pagerank_neardup_graph",  # rows-only record kept from r5
+    "corpus_curation_lsh",  # rows-only record kept r3-r5; bench watches perf
     "dense_ids_documents",  # 3x green (r3/r4/r5), prefix-sum anchor
     "dedup_pairs_disdedup_skewed",  # 2x green, naive arm also parked
     "embedding_quantize",  # 2x green (r3/r5), mapInPandas digest
@@ -1317,6 +1320,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf_slope": _q(TA.zipf_slope, table="documents"),
         # r6b: revenue Gini coefficient (inequality single-number)
         "orders_revenue_gini": _t(R.revenue_gini),
+        # r6b: pre-index embedding hygiene audit (zero/NaN/ragged/norms)
+        "embedding_norm_stats": _q(embedding_norm_stats, table="embeddings"),
+        # r6b: deterministic contrastive negative sampling (md5-drawn
+        # partners over a dense id index, never self)
+        "negative_pairs_docs": _q(
+            lambda d: SP.negative_pairs(d, "doc_id", 3), table="documents"
+        ),
         # r6b: per-group ingest freshness vs the corpus watermark
         "source_freshness_events": _q(
             lambda e: DQ.freshness_audit(e, "event_type", "ts"),
@@ -2799,6 +2809,66 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((s + 10.0 * prior) / (n + 10.0), 4) AS encoded,
                    ROUND(prior, 4) AS prior
             FROM per CROSS JOIN p
+        """,
+        # vector hygiene: norms via the proven list_sum fold (==
+        # Spark's sequential float64 aggregate); empty vectors
+        # coalesce to norm 0.0 to match Spark's 0.0-init fold
+        "embedding_norm_stats": """
+            WITH r AS (
+                SELECT CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+                       CASE WHEN embedding IS NOT NULL
+                            THEN len(embedding) END AS dim,
+                       CASE WHEN embedding IS NOT NULL
+                            THEN sqrt(COALESCE(list_sum(list_transform(
+                                 embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                                 0.0)) END AS nrm,
+                       CASE WHEN embedding IS NOT NULL
+                            THEN CASE WHEN len(list_filter(embedding,
+                                      x -> isnan(CAST(x AS DOUBLE)))) > 0
+                                 THEN 1 ELSE 0 END END AS has_nan
+                FROM embeddings
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                   CAST(COALESCE(SUM(is_null), 0) AS BIGINT) AS n_null,
+                   CAST(COALESCE(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS n_zero,
+                   CAST(COALESCE(SUM(has_nan), 0) AS BIGINT) AS n_nonfinite,
+                   CAST(MIN(dim) AS BIGINT) AS dim_min,
+                   CAST(MAX(dim) AS BIGINT) AS dim_max,
+                   floor(quantile_cont(nrm, 0.01) * 10000.0 + 0.5) / 10000.0
+                       AS norm_p01,
+                   floor(quantile_cont(nrm, 0.5) * 10000.0 + 0.5) / 10000.0
+                       AS norm_p50,
+                   floor(quantile_cont(nrm, 0.99) * 10000.0 + 0.5) / 10000.0
+                       AS norm_p99,
+                   floor(MIN(nrm) * 10000.0 + 0.5) / 10000.0 AS norm_min,
+                   floor(MAX(nrm) * 10000.0 + 0.5) / 10000.0 AS norm_max
+            FROM r
+        """,
+        # negative sampling: identical md5-uniform, dense id index via
+        # ROW_NUMBER over the id, skip-self bijection
+        "negative_pairs_docs": """
+            WITH idx AS (SELECT doc_id AS id,
+                                ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS ix
+                         FROM documents),
+            n AS (SELECT COUNT(*) AS n FROM idx),
+            drawn AS (
+                SELECT id, ix, n.n, j.j AS neg_rank,
+                       CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':'
+                                               || CAST(j.j AS VARCHAR)), 1, 8)
+                            AS BIGINT) % (n.n - 1) AS base
+                FROM idx CROSS JOIN n
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+            ),
+            p AS (SELECT id, neg_rank,
+                         CASE WHEN base >= ix THEN base + 1 ELSE base END
+                             AS pidx
+                  FROM drawn)
+            SELECT p.id AS doc_id,
+                   CAST(neg_rank AS INT) AS neg_rank,
+                   idx.id AS partner_id
+            FROM p JOIN idx ON idx.ix = p.pidx
         """,
         # triangle census: edge set = the EXACT prefix-jaccard pairs
         # (same subquery as the neardup_prefix_jaccard oracle); ordered

@@ -340,3 +340,74 @@ def temporal_split_audit(
         "max_ts",
         F.col("n_overlap_entities").cast("bigint").alias("n_overlap_entities"),
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive
+    training: each row gets ``k`` pseudo-random partners drawn from
+    the OTHER rows — md5-derived (rerun-stable, partition-invariant,
+    engine-portable), never self, as ``(id, neg_rank, partner_id)``.
+
+    Mechanics: rows get a dense index by id order (ROW_NUMBER over
+    the id — a global sort of the id column only); draw j's partner
+    index as ``md5_uniform(id, j) mod (n-1)`` and shift past the
+    row's own index (the classic skip-self bijection onto the other
+    n-1 rows); join the index back to ids. Collisions between a
+    row's k partners are allowed (sampling WITH replacement across
+    j), exactly like a hash-based negative sampler at corpus scale.
+
+    Scale: one global id sort (the documented exact-rank trade — at
+    corpus scale derive the dense index with operators.ids instead),
+    a k-way literal explode, and one equi-join on the dense index.
+    """
+    from pyspark.sql import Window
+
+    idx = df.select(F.col(id_col).alias("_id")).select(
+        "_id",
+        (F.row_number().over(Window.orderBy("_id")) - 1)
+        .cast("bigint")
+        .alias("_idx"),
+    )
+    n = idx.agg(F.count(F.lit(1)).alias("_n"))
+    j = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_rank")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("_id").cast("string"), F.lit(":"),
+                    F.col("neg_rank").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    drawn = (
+        idx.join(F.broadcast(n))
+        .select("_id", "_idx", "_n", j)
+        .select(
+            "_id",
+            "neg_rank",
+            # skip-self bijection onto the other n-1 indices
+            F.when(
+                F.pmod(u, F.col("_n") - 1) >= F.col("_idx"),
+                F.pmod(u, F.col("_n") - 1) + 1,
+            )
+            .otherwise(F.pmod(u, F.col("_n") - 1))
+            .alias("_pidx"),
+        )
+    )
+    partner = idx.select(
+        F.col("_idx").alias("_pidx"), F.col("_id").alias("partner_id")
+    )
+    return drawn.join(partner, "_pidx").select(
+        F.col("_id").alias(id_col),
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+        "partner_id",
+    )

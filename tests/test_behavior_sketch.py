@@ -806,3 +806,56 @@ def test_revenue_gini_extremes(spark):
     )
     [r2] = revenue_gini({"orders": wh}).collect()
     assert r2["gini"] == pytest.approx(0.9, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# embedding hygiene / negative sampling
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_norm_stats_flags(spark):
+    from sparklyclean_spark.operators.similarity.stats import (
+        embedding_norm_stats,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),        # norm 5
+        (2, [0.0, 0.0]),        # zero vector
+        (3, None),              # null row
+        (4, [1.0, 0.0, 0.0]),   # ragged dim 3, norm 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    [r] = embedding_norm_stats(df).collect()
+    assert r["n_vectors"] == 4 and r["n_null"] == 1
+    assert r["n_zero"] == 1 and r["n_nonfinite"] == 0
+    assert r["dim_min"] == 2 and r["dim_max"] == 3
+    assert r["norm_min"] == 0.0 and r["norm_max"] == 5.0
+    assert r["norm_p50"] == 1.0
+
+
+def test_negative_pairs_never_self_and_deterministic(spark):
+    from sparklyclean_spark.operators.sampling import negative_pairs
+
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    a = negative_pairs(df, "doc_id", 3)
+    rows = a.collect()
+    assert len(rows) == 150
+    assert all(r["partner_id"] != r["doc_id"] for r in rows)
+    assert all(0 <= r["partner_id"] < 50 for r in rows)
+    # partition-invariant rerun stability
+    b = negative_pairs(df.repartition(7), "doc_id", 3)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_negative_pairs_roughly_uniform(spark):
+    from sparklyclean_spark.operators.sampling import negative_pairs
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    counts = (
+        negative_pairs(df, "doc_id", 10)
+        .groupBy("partner_id")
+        .count()
+        .collect()
+    )
+    # 1000 draws over 100 partners: expect ~10 each, allow wide slack
+    assert all(1 <= r["count"] <= 30 for r in counts)
