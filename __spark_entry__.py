@@ -1046,6 +1046,10 @@ _DRIVER_CHECK_ORDER = [
     "embedding_l2_normalize_batch",
     "pagerank_neardup_graph",  # rows-only record kept from r5
     "corpus_curation_lsh",  # rows-only record kept r3-r5; bench watches perf
+    # r6b overflow: oracled + stress-stable locally but no window slot
+    # left this round — FIRST candidates to rotate IN next round
+    "events_time_to_convert",
+    "events_hourly_seasonality",
     "dense_ids_documents",  # 3x green (r3/r4/r5), prefix-sum anchor
     "dedup_pairs_disdedup_skewed",  # 2x green, naive arm also parked
     "embedding_quantize",  # 2x green (r3/r5), mapInPandas digest
@@ -1327,6 +1331,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_pairs_docs": _q(
             lambda d: SP.negative_pairs(d, "doc_id", 3), table="documents"
         ),
+        # r6b: first-view -> first-purchase latency percentiles
+        "events_time_to_convert": _q(BH.time_to_convert, table="events"),
+        # r6b: 7x24 day-of-week x hour traffic profile (engine-free dow)
+        "events_hourly_seasonality": _q(BH.hourly_seasonality, table="events"),
         # r6b: per-group ingest freshness vs the corpus watermark
         "source_freshness_events": _q(
             lambda e: DQ.freshness_audit(e, "event_type", "ts"),
@@ -2809,6 +2817,53 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((s + 10.0 * prior) / (n + 10.0), 4) AS encoded,
                    ROUND(prior, 4) AS prior
             FROM per CROSS JOIN p
+        """,
+        # first-exposure -> first-conversion latency: min-per-type agg,
+        # whole-second gaps via integer µs division
+        "events_time_to_convert": """
+            WITH f AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+                FROM events
+                WHERE event_type IN ('view', 'purchase')
+                GROUP BY user_id
+                HAVING MIN(CASE WHEN event_type = 'view' THEN ts END)
+                       IS NOT NULL
+            ),
+            g AS (
+                SELECT CASE WHEN fp IS NOT NULL
+                                 AND date_diff('microsecond', fv, fp) >= 0
+                            THEN date_diff('microsecond', fv, fp) // 1000000
+                       END AS gap_s
+                FROM f
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exposed,
+                   CAST(COUNT(gap_s) AS BIGINT) AS n_converted,
+                   floor(COUNT(gap_s) * 10000.0 / COUNT(*) + 0.5) / 10000.0
+                       AS conversion_rate,
+                   floor(quantile_cont(gap_s, 0.5) * 10000.0 + 0.5) / 10000.0
+                       AS p50_gap_s,
+                   floor(quantile_cont(gap_s, 0.9) * 10000.0 + 0.5) / 10000.0
+                       AS p90_gap_s
+            FROM g
+        """,
+        # 7x24 seasonality: engine-free day-of-week from the epoch day
+        # number ((days + 4) mod 7, 0 = Sunday)
+        "events_hourly_seasonality": """
+            WITH per AS (
+                SELECT CAST((date_diff('day', DATE '1970-01-01',
+                                       CAST(ts AS DATE)) + 4) % 7 AS INT)
+                           AS dow,
+                       CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            t AS (SELECT SUM(n_events) AS tot FROM per)
+            SELECT dow, hour,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   floor(n_events * 10000.0 / tot + 0.5) / 10000.0 AS share
+            FROM per CROSS JOIN t
         """,
         # vector hygiene: norms via the proven list_sum fold (==
         # Spark's sequential float64 aggregate); empty vectors

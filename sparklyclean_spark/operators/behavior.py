@@ -361,3 +361,89 @@ def conversion_wilson(
         r4((center - margin) / denom).alias("wilson_lo"),
         r4((center + margin) / denom).alias("wilson_hi"),
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Latency from a user's FIRST ``from_type`` to their FIRST
+    subsequent ``to_type`` — the funnel-speed metric behind "how long
+    does a buyer take". One result row: converting-user count,
+    total exposed users, conversion share, and gap percentiles in
+    whole seconds (p50/p90).
+
+    Whole-second gaps via integer µs division (the engine-portable
+    granularity); only non-negative gaps count (a purchase BEFORE
+    first view is not a conversion of that exposure).
+
+    Scale: one (user)-keyed min-aggregate per type — shared scan,
+    map-side combinable — then a user-keyed join and a 1-row
+    percentile aggregate.
+    """
+    first = (
+        events.where(F.col(type_col).isin([from_type, to_type]))
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.min(F.when(F.col(type_col) == from_type, F.col(ts_col))).alias("_f"),
+            F.min(F.when(F.col(type_col) == to_type, F.col(ts_col))).alias("_t"),
+        )
+        .where(F.col("_f").isNotNull())
+    )
+    gap_us = F.timestamp_diff("MICROSECOND", F.col("_f"), F.col("_t"))
+    gaps = first.select(
+        F.when(
+            F.col("_t").isNotNull() & (gap_us >= 0),
+            F.expr(
+                f"timestampdiff(MICROSECOND, _f, _t) div {1_000_000}"
+            ),
+        ).alias("_gap_s")
+    )
+    pct = F.percentile("_gap_s", F.array(F.lit(0.5), F.lit(0.9)))
+    agg = gaps.agg(
+        F.count(F.lit(1)).alias("n_exposed"),
+        F.count("_gap_s").alias("n_converted"),
+        pct.alias("_p"),
+    )
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return agg.select(
+        F.col("n_exposed").cast("bigint").alias("n_exposed"),
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        ratio4("n_converted", "n_exposed").alias("conversion_rate"),
+        r4(F.col("_p")[0]).alias("p50_gap_s"),
+        r4(F.col("_p")[1]).alias("p90_gap_s"),
+    )
+
+
+def hourly_seasonality(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Traffic seasonality profile: event counts and share by
+    (day-of-week, hour-of-day) — the 7x24 heatmap behind capacity
+    planning and anomaly baselines.
+
+    Day-of-week is computed from the epoch day number
+    (``(days_since_epoch + 4) mod 7``, 0 = Sunday — 1970-01-01 was a
+    Thursday) instead of engine ``dayofweek()``, whose numbering
+    conventions differ between engines; hour comes from the NTZ
+    timestamp directly (no timezone dependence).
+
+    Scale: one map-side-combinable hash agg onto a 168-cell domain.
+    """
+    day_num = F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+    dow = F.pmod(day_num + 4, F.lit(7)).cast("int")
+    per = events.groupBy(
+        dow.alias("dow"), F.hour(ts_col).cast("int").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = per.agg(F.sum("n_events").alias("_tot"))
+    return per.join(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        ratio4("n_events", "_tot").alias("share"),
+    )

@@ -859,3 +859,54 @@ def test_negative_pairs_roughly_uniform(spark):
     )
     # 1000 draws over 100 partners: expect ~10 each, allow wide slack
     assert all(1 <= r["count"] <= 30 for r in counts)
+
+
+# ---------------------------------------------------------------------------
+# time-to-convert / seasonality
+# ---------------------------------------------------------------------------
+
+
+def test_time_to_convert_gaps_and_rate(spark):
+    from sparklyclean_spark.operators.behavior import time_to_convert
+
+    rows = [
+        # user 1: view then purchase 60s later
+        (1, _ts("2024-01-01T00:00:00"), 1, "view", 0.0),
+        (2, _ts("2024-01-01T00:01:00"), 1, "purchase", 1.0),
+        # user 2: view, never purchases
+        (3, _ts("2024-01-01T00:00:00"), 2, "view", 0.0),
+        # user 3: purchase BEFORE first view -> exposed, not converted
+        (4, _ts("2024-01-01T00:00:00"), 3, "purchase", 1.0),
+        (5, _ts("2024-01-01T00:05:00"), 3, "view", 0.0),
+        # user 4: purchase only, no view -> not exposed at all
+        (6, _ts("2024-01-01T00:00:00"), 4, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    [r] = time_to_convert(df).collect()
+    assert r["n_exposed"] == 3 and r["n_converted"] == 1
+    assert r["conversion_rate"] == pytest.approx(0.3333)
+    assert r["p50_gap_s"] == 60.0 and r["p90_gap_s"] == 60.0
+
+
+def test_hourly_seasonality_cells(spark):
+    from sparklyclean_spark.operators.behavior import hourly_seasonality
+
+    rows = [
+        # 2024-01-07 was a Sunday (dow 0); 2024-01-08 Monday (dow 1)
+        (1, _ts("2024-01-07T09:00:00"), 1, "e", 0.0),
+        (2, _ts("2024-01-07T09:30:00"), 2, "e", 0.0),
+        (3, _ts("2024-01-08T23:10:00"), 1, "e", 0.0),
+        (4, _ts("2024-01-08T00:00:00"), 1, "e", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    out = {(r["dow"], r["hour"]): r for r in hourly_seasonality(df).collect()}
+    assert out[(0, 9)]["n_events"] == 2 and out[(0, 9)]["share"] == 0.5
+    assert out[(1, 23)]["n_events"] == 1
+    assert out[(1, 0)]["n_events"] == 1
+    assert len(out) == 3
