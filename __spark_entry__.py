@@ -964,7 +964,10 @@ _DRIVER_CHECK_ORDER = [
     # funnel_view_click_purchase — 2x green untouched)
     "supplier_pareto_share",
     "orders_yoy_growth",
-    "events_rolling_active_7d",
+    "fk_integrity_audit",         # r6b: star-schema FK orphan audit
+                                  # (rolling_active parked: its
+                                  # contribution-explode core is also
+                                  # driver-checked via dau_wau's WAU)
     # r6: association mining + robust dispersion (displaced:
     # cdc_latest_events 3x green; sketch_distinct_users_daily
     # rows-only 2 rounds — its pytest gate carries it)
@@ -1018,7 +1021,7 @@ _DRIVER_CHECK_ORDER = [
     # zorder_keys_orders / bloom_semi_join_orders rotated below the
     # window (2x green r4+r5, untouched) to make room for the three
     # r6 *_diag instrumentation rows above
-    "fk_integrity_audit",       # r6b: star-schema FK orphan audit
+    "events_rolling_active_7d",  # r6 oracled; WAU twin is in-window
     # r6b rotation: thirteen green untouched rows parked for the
     # thirteen new capability rows (behavior/MG+CMS-sketch/kfold/OOV/
     # rolling/FK-audit/privacy/encoding/temporal-split families).
@@ -2783,7 +2786,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts,
                        date_diff('microsecond',
                                  TIMESTAMP '1970-01-01 00:00:00', ts) AS us
-                FROM events
+                FROM events WHERE ts IS NOT NULL
             ),
             c AS (SELECT CAST(floor(quantile_cont(us, 0.8)) AS BIGINT)
                          AS cut FROM e),
@@ -2874,13 +2877,19 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN embedding IS NOT NULL
                             THEN len(embedding) END AS dim,
                        CASE WHEN embedding IS NOT NULL
+                                 AND len(list_filter(embedding,
+                                     x -> isnan(CAST(x AS DOUBLE))
+                                          OR abs(CAST(x AS DOUBLE))
+                                             = CAST('inf' AS DOUBLE))) = 0
                             THEN sqrt(COALESCE(list_sum(list_transform(
                                  embedding,
                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
                                  0.0)) END AS nrm,
                        CASE WHEN embedding IS NOT NULL
                             THEN CASE WHEN len(list_filter(embedding,
-                                      x -> isnan(CAST(x AS DOUBLE)))) > 0
+                                      x -> isnan(CAST(x AS DOUBLE))
+                                           OR abs(CAST(x AS DOUBLE))
+                                              = CAST('inf' AS DOUBLE))) > 0
                                  THEN 1 ELSE 0 END END AS has_nan
                 FROM embeddings
             )
@@ -3034,7 +3043,9 @@ def oracle_sql() -> dict[str, str]:
         # margin products; per-cell terms DECIMAL-rounded before the sum
         "chi2_lang_source": """
             WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS o
-                           FROM documents GROUP BY 1, 2),
+                           FROM documents
+                           WHERE lang IS NOT NULL AND source IS NOT NULL
+                           GROUP BY 1, 2),
             r AS (SELECT a, SUM(o) AS r FROM cells GROUP BY 1),
             c AS (SELECT b, SUM(o) AS c FROM cells GROUP BY 1),
             t AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS nr,
@@ -3269,7 +3280,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(n24, 0) AS BIGINT) AS n_last_24h,
                    (date_diff('microsecond', latest_ts, gmax)
                     > 24 * 3600000000) AS stale
-            FROM per CROSS JOIN g LEFT JOIN l ON l.grp = per.grp
+            FROM per CROSS JOIN g
+            LEFT JOIN l ON l.grp IS NOT DISTINCT FROM per.grp
         """,
         # lang-mix entropy: p·ln(p) terms DECIMAL-rounded before the
         # sum (cross-entropy precedent), floor snap on the outputs
@@ -3319,7 +3331,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN bn > 0 THEN CAST(bs AS DOUBLE) / bn END
                            AS mean,
                        CASE WHEN bn > 1 THEN sqrt(greatest(
-                            (bss - CAST(bs AS DOUBLE) * bs / bn) / (bn - 1),
+                            (bss - bs * bs / bn) / (bn - 1),
                             0.0)) END AS sd
                 FROM s
             ),

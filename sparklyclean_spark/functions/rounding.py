@@ -25,3 +25,12 @@ def ratio4(num: Column | str, den: Column | str) -> Column:
     num_c = F.col(num) if isinstance(num, str) else num
     den_c = F.col(den) if isinstance(den, str) else den
     return F.floor(num_c * 10000.0 / den_c + 0.5) / 10000.0
+
+
+def round4(col: Column | str) -> Column:
+    """``floor(col * 10000.0 + 0.5) / 10000.0`` — the scalar form of
+    the same contract, for values already derived deterministically
+    (percentiles, z-scores, entropy sums). NULL propagates; do not
+    feed non-finite values (floor(inf) diverges between engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 10000.0 + 0.5) / 10000.0

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sparklyclean_spark.functions.rounding import ratio4
+from sparklyclean_spark.functions.rounding import ratio4, round4
 
 
 def transition_matrix(
@@ -173,13 +173,12 @@ def interarrival_stats(
     out = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"), pct.alias("_p")
     )
-    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
     return out.select(
         "event_type",
         F.col("n_gaps").cast("bigint").alias("n_gaps"),
-        r4(F.col("_p")[0]).alias("p50_gap_s"),
-        r4(F.col("_p")[1]).alias("p90_gap_s"),
-        r4(F.col("_p")[2]).alias("p99_gap_s"),
+        round4(F.col("_p")[0]).alias("p50_gap_s"),
+        round4(F.col("_p")[1]).alias("p90_gap_s"),
+        round4(F.col("_p")[2]).alias("p99_gap_s"),
     )
 
 
@@ -204,7 +203,13 @@ def daily_volume_anomaly(
     SAME single-IEEE-op expression tree on both engines, so the
     result is bit-identical; z is then snapped to the 4-decimal floor
     grid. Variance is clamped at 0 (the identity can go ~-1e-12 on
-    constant streams).
+    constant streams). The ``bs²`` square is EXACT integer arithmetic
+    on both sides (the oracle multiplies the raw integers too — a
+    double-side multiply would round one op earlier and can differ by
+    1 ulp once bs exceeds 2^26); under ANSI mode the bigint square
+    overflows loudly (not wrongly) past bs ≈ 3·10⁹ events per
+    baseline window — switch the accumulators to DECIMAL(38,0) if a
+    single (type, 28-day) cell can ever hold that much.
 
     Scale: one hash agg to (type, day) — map-side combinable — then a
     RANGE window over the per-type DAILY series (bounded: #types ×
@@ -248,7 +253,7 @@ def daily_volume_anomaly(
         (bn >= min_baseline) & (sd > 0.0),
         (F.col("n_events") - mean) / sd,
     )
-    z4 = F.floor(z * 10000.0 + 0.5) / 10000.0
+    z4 = round4(z)
     return stats.select(
         "event_type",
         "day",
@@ -352,14 +357,13 @@ def conversion_wilson(
         p * (1.0 - p) / nn + F.lit(zz) / (4.0 * nn * nn)
     )
     denom = 1.0 + F.lit(zz) / nn
-    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
     return joined.select(
         "day",
         "n",
         "s",
-        r4(p).alias("rate"),
-        r4((center - margin) / denom).alias("wilson_lo"),
-        r4((center + margin) / denom).alias("wilson_hi"),
+        round4(p).alias("rate"),
+        round4((center - margin) / denom).alias("wilson_lo"),
+        round4((center + margin) / denom).alias("wilson_hi"),
     )
 
 
@@ -409,13 +413,12 @@ def time_to_convert(
         F.count("_gap_s").alias("n_converted"),
         pct.alias("_p"),
     )
-    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
     return agg.select(
         F.col("n_exposed").cast("bigint").alias("n_exposed"),
         F.col("n_converted").cast("bigint").alias("n_converted"),
         ratio4("n_converted", "n_exposed").alias("conversion_rate"),
-        r4(F.col("_p")[0]).alias("p50_gap_s"),
-        r4(F.col("_p")[1]).alias("p90_gap_s"),
+        round4(F.col("_p")[0]).alias("p50_gap_s"),
+        round4(F.col("_p")[1]).alias("p90_gap_s"),
     )
 
 

@@ -20,9 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _r4(c):
-    return F.floor(c * 10000.0 + 0.5) / 10000.0
+from sparklyclean_spark.functions.rounding import round4 as _r4
 
 
 def chi_square_independence(
@@ -42,9 +40,15 @@ def chi_square_independence(
     broadcast joins; nothing scales with corpus size after the first
     agg.
     """
-    cells = df.groupBy(
-        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
-    ).agg(F.count(F.lit(1)).alias("_o"))
+    # rows with a NULL label are excluded up front: the grid join is
+    # an equality join (NULL never matches), so keeping them would
+    # inflate margins while their observed count silently coalesced
+    # to zero — a wrong chi2 the mirrored oracle could never catch
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
     rows = cells.groupBy("_a").agg(F.sum("_o").alias("_r"))
     cols = cells.groupBy("_b").agg(F.sum("_o").alias("_c"))
     tot = cells.agg(

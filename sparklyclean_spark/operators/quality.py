@@ -243,9 +243,13 @@ def freshness_audit(
         .agg(F.count(F.lit(1)).alias("n_last_24h"))
     )
     lag_us = F.timestamp_diff("MICROSECOND", F.col("latest_ts"), F.col("_gmax"))
+    # null-safe join key: a NULL group (untagged rows) must still get
+    # its last-24h count — a plain equality join drops it to 0
+    l24 = F.broadcast(last24.withColumnRenamed("grp", "_g24"))
     return (
         per.join(F.broadcast(glob))
-        .join(F.broadcast(last24), "grp", "left")
+        .join(l24, F.col("grp").eqNullSafe(F.col("_g24")), "left")
+        .drop("_g24")
         .select(
             F.col("grp").alias(group_col),
             F.col("n_rows").cast("bigint").alias("n_rows"),

@@ -305,8 +305,12 @@ def temporal_split_audit(
     """
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
     us = F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
-    e = df.select(F.col(entity_col).alias("_ent"), F.col(ts_col).alias("_ts"),
-                  us.alias("_us"))
+    # rows with a NULL event time are EXCLUDED: an un-timestamped row
+    # cannot be placed on either side of a temporal boundary, and the
+    # otherwise() branch would silently dump it into 'test'
+    e = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(entity_col).alias("_ent"), F.col(ts_col).alias("_ts"),
+        us.alias("_us"))
     cutoff = e.agg(
         F.floor(F.percentile("_us", F.lit(cutoff_frac)))
         .cast("bigint")
@@ -366,11 +370,17 @@ def negative_pairs(
     """
     from pyspark.sql import Window
 
-    idx = df.select(F.col(id_col).alias("_id")).select(
-        "_id",
-        (F.row_number().over(Window.orderBy("_id")) - 1)
-        .cast("bigint")
-        .alias("_idx"),
+    from sparklyclean_spark.cache import tracked_persist
+
+    # persisted: the index table feeds BOTH the draw side and the
+    # partner lookup — without it Catalyst duplicates the global sort
+    idx = tracked_persist(
+        df.select(F.col(id_col).alias("_id")).select(
+            "_id",
+            (F.row_number().over(Window.orderBy("_id")) - 1)
+            .cast("bigint")
+            .alias("_idx"),
+        )
     )
     n = idx.agg(F.count(F.lit(1)).alias("_n"))
     j = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_rank")
@@ -390,6 +400,10 @@ def negative_pairs(
     ).cast("bigint")
     drawn = (
         idx.join(F.broadcast(n))
+        # a 1-row input has no other rows to draw from; the filter
+        # both defines the (empty) result and keeps pmod(_, n-1) from
+        # dividing by zero under ANSI mode
+        .where(F.col("_n") > 1)
         .select("_id", "_idx", "_n", j)
         .select(
             "_id",

@@ -12,11 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparklyclean_spark.functions.rounding import round4 as _r4
 from sparklyclean_spark.functions.vectors import norm
-
-
-def _r4(c):
-    return F.floor(c * 10000.0 + 0.5) / 10000.0
 
 
 def embedding_norm_stats(
@@ -37,14 +34,21 @@ def embedding_norm_stats(
     batch tier if this ever lands in a per-batch hot path.
     """
     v = F.col(vec_col)
+    inf = F.lit(float("inf"))
+    nonfinite = F.exists(
+        v,
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == inf),
+    )
     rows = embeddings.select(
         v.isNull().cast("bigint").alias("_is_null"),
         F.when(v.isNotNull(), F.size(v)).alias("_dim"),
-        F.when(v.isNotNull(), norm(v)).alias("_norm"),
-        F.when(
-            v.isNotNull(),
-            F.exists(v, lambda x: F.isnan(x.cast("double"))).cast("bigint"),
-        ).alias("_has_nan"),
+        # non-finite vectors are COUNTED but excluded from the norm
+        # distribution: one Inf/NaN component would otherwise poison
+        # norm_max / the percentiles (and floor() on an infinite norm
+        # diverges between engines under ANSI mode)
+        F.when(v.isNotNull() & ~nonfinite, norm(v)).alias("_norm"),
+        F.when(v.isNotNull(), nonfinite.cast("bigint")).alias("_has_nan"),
     )
     pct = F.percentile(
         "_norm", F.array(F.lit(0.01), F.lit(0.5), F.lit(0.99))

@@ -245,18 +245,33 @@ def cms_freq_audit(
         .cast("int")
         .alias("slot"),
     )
+    # LEFT join probe slots to the sketch: a slot no key hashed to is
+    # absent from the sketch table, and its true CMS counter is 0 —
+    # an inner join would take min() over the non-empty slots only
+    # and inflate the estimate of an absent key
     est = (
-        sketch.join(F.broadcast(probe_rows), ["depth", "slot"])
+        probe_rows.join(sketch, ["depth", "slot"], "left")
         .groupBy("key")
-        .agg(F.min("weight").alias("cms_estimate"))
+        .agg(F.min(F.coalesce("weight", F.lit(0))).alias("cms_estimate"))
     )
     exact = (
         keyed.where(F.col("_k").isin(probes))
         .groupBy(F.col("_k").alias("key"))
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
-    return exact.join(est, "key", "left").select(
-        "key",
-        F.col("exact_count").cast("bigint").alias("exact_count"),
-        F.coalesce("cms_estimate", F.lit(0)).cast("bigint").alias("cms_estimate"),
+    # the PROBES drive the output: a probe absent from the data still
+    # reports (exact_count=0, its sketch estimate)
+    spine = spark.createDataFrame([(p,) for p in probes], "key string")
+    return (
+        spine.join(exact, "key", "left")
+        .join(est, "key", "left")
+        .select(
+            "key",
+            F.coalesce("exact_count", F.lit(0))
+            .cast("bigint")
+            .alias("exact_count"),
+            F.coalesce("cms_estimate", F.lit(0))
+            .cast("bigint")
+            .alias("cms_estimate"),
+        )
     )

@@ -277,9 +277,20 @@ def test_cms_absent_probe_reports_zero_exact(spark):
     from sparklyclean_spark.operators.sketches import cms_freq_audit
 
     df = spark.range(100).select(F.lit("present").alias("k"))
-    rows = cms_freq_audit(df, F.col("k"), ["present"], width=1024, depth=4)
-    [r] = rows.collect()
-    assert r["exact_count"] == 100 and r["cms_estimate"] == 100
+    rows = {
+        r["key"]: r
+        for r in cms_freq_audit(
+            df, F.col("k"), ["present", "ghost"], width=1024, depth=4
+        ).collect()
+    }
+    assert set(rows) == {"present", "ghost"}
+    assert rows["present"]["exact_count"] == 100
+    assert rows["present"]["cms_estimate"] == 100
+    # a probe absent from the data must still appear, with exact 0
+    # and an estimate that never undercounts (here: its slots hold
+    # at most the single present key's collisions, usually 0)
+    assert rows["ghost"]["exact_count"] == 0
+    assert rows["ghost"]["cms_estimate"] >= 0
 
 
 # ---------------------------------------------------------------------------
@@ -910,3 +921,76 @@ def test_hourly_seasonality_cells(spark):
     assert out[(1, 23)]["n_events"] == 1
     assert out[(1, 0)]["n_events"] == 1
     assert len(out) == 3
+
+
+# ---------------------------------------------------------------------------
+# review-fix edge cases (NULL labels / NULL ts / Inf vectors / n=1)
+# ---------------------------------------------------------------------------
+
+
+def test_chi_square_null_labels_excluded(spark):
+    from sparklyclean_spark.operators.drift import chi_square_independence
+
+    rows = [("x", "p")] * 10 + [("y", "q")] * 10 + [(None, "p"), ("x", None)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    [r] = chi_square_independence(df, "a", "b").collect()
+    # the two NULL-labeled rows are excluded everywhere: n, margins,
+    # and grid stay mutually consistent
+    assert r["n_rows"] == 20 and r["n_cells"] == 4 and r["dof"] == 1
+
+
+def test_temporal_split_null_ts_excluded(spark):
+    from sparklyclean_spark.operators.sampling import temporal_split_audit
+
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "e", 0.0),
+        (2, _ts("2024-01-02T00:00:00"), 2, "e", 0.0),
+        (3, None, 3, "e", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    out = temporal_split_audit(df, "ts", "user_id", 0.5).collect()
+    assert sum(r["n_events"] for r in out) == 2  # NULL-ts row dropped
+
+
+def test_embedding_norm_stats_infinity(spark):
+    from sparklyclean_spark.operators.similarity.stats import (
+        embedding_norm_stats,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),
+        (2, [1.0, float("inf")]),
+        (3, [float("nan"), 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    [r] = embedding_norm_stats(df).collect()
+    assert r["n_nonfinite"] == 2  # Inf AND NaN both flagged
+    # non-finite vectors are excluded from the norm distribution
+    assert r["norm_max"] == 5.0 and r["norm_min"] == 5.0
+
+
+def test_negative_pairs_single_row_empty(spark):
+    from sparklyclean_spark.operators.sampling import negative_pairs
+
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    assert negative_pairs(df, "doc_id", 3).count() == 0
+
+
+def test_freshness_audit_null_group_key(spark):
+    from sparklyclean_spark.operators.quality import freshness_audit
+
+    rows = [
+        (1, _ts("2024-01-10T00:00:00"), 1, "typed", 0.0),
+        (2, _ts("2024-01-10T00:00:00"), 1, None, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    out = {r["event_type"]: r
+           for r in freshness_audit(df, "event_type", "ts").collect()}
+    # the NULL group keeps its own last-24h count (null-safe join)
+    assert out[None]["n_last_24h"] == 1 and out[None]["lag_us"] == 0
