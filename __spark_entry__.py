@@ -57,7 +57,12 @@ from sparklyclean_spark.operators import drift as DR
 from sparklyclean_spark.operators.graph import triangle_stats
 from sparklyclean_spark.operators.similarity.stats import embedding_norm_stats
 from sparklyclean_spark.operators import outliers as OUT
-from sparklyclean_spark.operators.outliers import quantile_bins, standardize
+from sparklyclean_spark.operators.outliers import (
+    quantile_bins,
+    quantile_transform,
+    standardize,
+    trimmed_mean,
+)
 from sparklyclean_spark.operators.skew import key_profile
 from sparklyclean_spark.operators.decontam import source_overlap_matrix
 from sparklyclean_spark.operators.dedup.chunks import chunk_dedup_within_doc
@@ -1053,6 +1058,9 @@ _DRIVER_CHECK_ORDER = [
     # left this round — FIRST candidates to rotate IN next round
     "events_time_to_convert",
     "events_hourly_seasonality",
+    "quantile_transform_prices",
+    "trimmed_mean_order_prices",
+    "text_char_entropy",
     "dense_ids_documents",  # 3x green (r3/r4/r5), prefix-sum anchor
     "dedup_pairs_disdedup_skewed",  # 2x green, naive arm also parked
     "embedding_quantize",  # 2x green (r3/r5), mapInPandas digest
@@ -1338,6 +1346,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_to_convert": _q(BH.time_to_convert, table="events"),
         # r6b: 7x24 day-of-week x hour traffic profile (engine-free dow)
         "events_hourly_seasonality": _q(BH.hourly_seasonality, table="events"),
+        # r6b: rank-based quantile transform (uniform-output feature
+        # normalizer; PERCENT_RANK tie semantics identical cross-engine)
+        "quantile_transform_prices": _q(
+            lambda o: quantile_transform(
+                o, "o_totalprice", by=["o_orderpriority"]
+            ).select(
+                "o_orderkey", "o_orderpriority", "o_totalprice_q"
+            ),
+            table="orders",
+        ),
+        # r6b: robust location via percentile-band trimmed mean
+        "trimmed_mean_order_prices": _q(
+            lambda o: trimmed_mean(o, "o_totalprice", by=["o_orderpriority"]),
+            table="orders",
+        ),
+        # r6b: per-doc character entropy (compression-proxy quality)
+        "text_char_entropy": _q(TA.char_entropy, table="documents"),
         # r6b: per-group ingest freshness vs the corpus watermark
         "source_freshness_events": _q(
             lambda e: DQ.freshness_audit(e, "event_type", "ts"),
@@ -2820,6 +2845,64 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((s + 10.0 * prior) / (n + 10.0), 4) AS encoded,
                    ROUND(prior, 4) AS prior
             FROM per CROSS JOIN p
+        """,
+        # rank-based quantile transform: PERCENT_RANK tie semantics
+        # identical across engines; NULL values pass through
+        "quantile_transform_prices": """
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_totalprice IS NOT NULL
+                        THEN floor(PERCENT_RANK() OVER (
+                                 PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice) * 10000.0 + 0.5)
+                             / 10000.0
+                   END AS o_totalprice_q
+            FROM orders WHERE o_totalprice IS NOT NULL
+            UNION ALL
+            SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE)
+            FROM orders WHERE o_totalprice IS NULL
+        """,
+        # trimmed mean: quantile_cont bounds == Spark percentile;
+        # inclusive band, q1-precedent ROUND on the double mean
+        "trimmed_mean_order_prices": """
+            WITH b AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.05) AS lo,
+                       quantile_cont(o_totalprice, 0.95) AS hi
+                FROM orders GROUP BY 1
+            )
+            SELECT o.o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                      AND o_totalprice >= lo
+                                      AND o_totalprice <= hi
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+                   ROUND(MIN(lo), 4) AS lo_bound,
+                   ROUND(MIN(hi), 4) AS hi_bound,
+                   ROUND(AVG(CASE WHEN o_totalprice IS NOT NULL
+                                       AND o_totalprice >= lo
+                                       AND o_totalprice <= hi
+                                  THEN o_totalprice END), 4) AS trimmed_mean
+            FROM orders o JOIN b USING (o_orderpriority)
+            GROUP BY 1
+        """,
+        # per-doc char entropy: position explode + 1-char substr
+        # (DuckDB text[i] indexing); p*ln(p) DECIMAL-rounded terms
+        "text_char_entropy": """
+            WITH ch AS (
+                SELECT doc_id, text[i] AS c FROM (
+                    SELECT doc_id, text,
+                           unnest(range(1, length(text) + 1)) AS i
+                    FROM documents WHERE length(text) > 0)
+            ),
+            per AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+            t AS (SELECT doc_id, SUM(n) AS tot FROM per GROUP BY 1)
+            SELECT per.doc_id,
+                   CAST(MAX(tot) AS BIGINT) AS n_chars,
+                   CAST(COUNT(*) AS BIGINT) AS n_uniq_chars,
+                   floor(-CAST(SUM(CAST(ROUND((n / tot) * ln(n / tot), 6)
+                                        AS DECIMAL(18,6))) AS DOUBLE)
+                         * 10000.0 + 0.5) / 10000.0 AS char_entropy
+            FROM per JOIN t USING (doc_id) GROUP BY 1
         """,
         # first-exposure -> first-conversion latency: min-per-type agg,
         # whole-second gaps via integer µs division

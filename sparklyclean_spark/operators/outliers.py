@@ -207,3 +207,85 @@ def median_abs_deviation(
             F.round(F.percentile(F.col("_dev"), F.lit(0.5)), 4).alias("mad"),
         )
     )
+
+
+def quantile_transform(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    q_name: str | None = None,
+) -> DataFrame:
+    """Rank-based quantile transform of a numeric feature to [0, 1]
+    (the uniform-output normalizer, robust to any marginal
+    distribution): ``q = (rank - 1) / (n - 1)`` per group — exactly
+    SQL ``PERCENT_RANK``, whose tie semantics (equal values share a
+    rank, hence an equal quantile) are identical across engines.
+    Single-row groups map to 0.0.
+
+    Scale shape: one window per group partition — a hot group
+    serializes into one task like any exact-rank transform; at
+    corpus scale swap to the `quantile_bins` + within-bin
+    interpolation composite. NULL values pass through with NULL q.
+    """
+    from pyspark.sql import Window
+
+    keys = by or []
+    name = q_name or f"{value_col}_q"
+    w = Window.partitionBy(*keys).orderBy(value_col) if keys else (
+        Window.orderBy(value_col)
+    )
+    q = F.when(
+        F.col(value_col).isNotNull(), F.percent_rank().over(w)
+    )
+    out = df.where(F.col(value_col).isNotNull()).withColumn(
+        name, F.floor(q * 10000.0 + 0.5) / 10000.0
+    )
+    nulls = df.where(F.col(value_col).isNull()).withColumn(
+        name, F.lit(None).cast("double")
+    )
+    return out.unionByName(nulls)
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group trimmed mean: the mean over values inside the
+    [lo, hi] percentile band (inclusive) — the robust-location
+    estimator next to winsorize (which CLIPS rather than drops) and
+    MAD. One row per group: ``(keys..., n_rows, n_used, lo_bound,
+    hi_bound, trimmed_mean)``.
+
+    Scale shape: the winsorize shape — ONE grouped percentile agg,
+    broadcast bounds join, one more grouped agg; no raw-row window.
+    """
+    keys = by or []
+    pcts = F.array(F.lit(lo), F.lit(hi))
+    bounds = df.groupBy(*keys).agg(
+        F.percentile(F.col(value_col), pcts).alias("_b")
+    )
+    bounds = bounds.select(
+        *[F.col(k).alias(f"_k_{k}") for k in keys], "_b"
+    )
+    if keys:
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(bounds), cond).drop(
+            *[f"_k_{k}" for k in keys]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    v = F.col(value_col)
+    inside = v.isNotNull() & (v >= F.col("_b")[0]) & (v <= F.col("_b")[1])
+    return joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(inside.cast("bigint")).cast("bigint").alias("n_used"),
+        F.round(F.min(F.col("_b")[0]), 4).alias("lo_bound"),
+        F.round(F.min(F.col("_b")[1]), 4).alias("hi_bound"),
+        F.round(F.avg(F.when(inside, v)), 4).alias("trimmed_mean"),
+    )

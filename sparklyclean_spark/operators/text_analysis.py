@@ -497,3 +497,55 @@ def zipf_slope(docs: DataFrame) -> DataFrame:
         r4(slope).alias("zipf_slope"),
         r4(intercept).alias("zipf_intercept"),
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-level Shannon entropy — the
+    compression-ratio proxy quality signal: natural text sits around
+    4-4.5 bits/char (here in nats), repeated-character garbage and
+    base64 blobs sit far off in either direction. Output:
+    ``(doc_id, n_chars, n_uniq_chars, char_entropy)``.
+
+    Characters come from position explode + substr (mirrorable —
+    DuckDB has no empty-separator split); entropy terms p·ln(p) are
+    DECIMAL-rounded before the per-doc sum (the lang-entropy /
+    cross-entropy precedent).
+
+    Scale shape: the explode multiplies rows by characters — the
+    same cost class as the token explodes that back the text stack;
+    the per-(doc, char) agg is map-side combinable and the per-doc
+    state is bounded by the alphabet. For a hot path, fold this into
+    one Arrow `mapInPandas` pass with numpy bincount instead.
+    """
+    # length > 0 guard: Spark sequence(1, 0) DESCENDS ([1, 0]) while
+    # DuckDB range(1, 1) is empty — zero-length docs must be excluded
+    # identically on both sides
+    chars = (
+        docs.where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("_i"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id", F.col("text").substr(F.col("_i"), F.lit(1)).alias("_ch")
+        )
+    )
+    per = chars.groupBy("doc_id", "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    tot = per.groupBy("doc_id").agg(F.sum("_c").alias("_n"))
+    p = F.col("_c") / F.col("_n")
+    term = F.round(p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        per.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("_n").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_uniq_chars"),
+            (
+                F.floor(
+                    (-F.sum(term)).cast("double") * 10000.0 + 0.5
+                )
+                / 10000.0
+            ).alias("char_entropy"),
+        )
+    )

@@ -994,3 +994,58 @@ def test_freshness_audit_null_group_key(spark):
            for r in freshness_audit(df, "event_type", "ts").collect()}
     # the NULL group keeps its own last-24h count (null-safe join)
     assert out[None]["n_last_24h"] == 1 and out[None]["lag_us"] == 0
+
+
+# ---------------------------------------------------------------------------
+# quantile transform / trimmed mean / char entropy
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_transform_uniform_and_ties(spark):
+    from sparklyclean_spark.operators.outliers import quantile_transform
+
+    rows = [
+        (i, "g", float(v) if v is not None else None)
+        for i, v in enumerate([10, 20, 20, 30, None])
+    ]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    out = {r["id"]: r["v_q"] for r in
+           quantile_transform(df, "v", by=["grp"]).collect()}
+    assert out[0] == 0.0
+    # equal values share the quantile (rank-based, tie-stable)
+    assert out[1] == out[2] == pytest.approx(1 / 3, abs=1e-4)
+    assert out[3] == 1.0
+    assert out[4] is None  # NULL passes through
+
+
+def test_trimmed_mean_drops_tails(spark):
+    from sparklyclean_spark.operators.outliers import trimmed_mean
+
+    # 1..100 plus a wild outlier; 5-95% band excludes it
+    rows = [(i, "g", float(i)) for i in range(1, 101)]
+    rows.append((999, "g", 1e9))
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    [r] = trimmed_mean(df, "v", by=["grp"]).collect()
+    assert r["n_rows"] == 101
+    assert r["n_used"] < 101  # tails trimmed
+    assert 40.0 < r["trimmed_mean"] < 60.0  # outlier neutralized
+
+
+def test_char_entropy_extremes(spark):
+    import math
+
+    from sparklyclean_spark.operators.text_analysis import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),          # zero entropy
+            (2, "abcdabcd"),          # uniform over 4 chars -> ln 4
+            (3, ""),                  # zero-length: excluded entirely
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["char_entropy"] == 0.0 and out[1]["n_uniq_chars"] == 1
+    assert out[2]["char_entropy"] == pytest.approx(math.log(4), abs=1e-3)
+    assert out[2]["n_chars"] == 8 and out[2]["n_uniq_chars"] == 4
