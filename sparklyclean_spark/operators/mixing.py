@@ -98,7 +98,11 @@ def corpus_mix_report(
             "n_docs",
             "n_tokens",
             ratio4("n_tokens", "n_docs").alias("mean_tokens"),
-            ratio4("n_tokens", "_total").alias("token_share"),
+            # ANSI-safe: an all-zero-token corpus must yield NULL share,
+            # not a divide-by-zero error (driver runs ansi.enabled=true)
+            F.when(F.col("_total") > 0, ratio4("n_tokens", "_total")).alias(
+                "token_share"
+            ),
         )
     )
 

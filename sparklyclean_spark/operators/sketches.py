@@ -145,7 +145,13 @@ def heavy_hitter_audit(
     candidate union is O(#partitions × capacity) and broadcast; the
     top-n sort runs over the (bounded) distinct-key aggregate.
     """
-    keyed = df.select(key.cast("string").alias("_k"))
+    # NULL keys are outside the audit universe on BOTH sides: the MG
+    # sketch drops them (dropna in mg_candidates), so counting them on
+    # the exact side would falsely indict the sketch if NULL qualified
+    # as heavy (r7 ADVICE item)
+    keyed = df.select(key.cast("string").alias("_k")).where(
+        F.col("_k").isNotNull()
+    )
     exact = keyed.groupBy("_k").agg(F.count(F.lit(1)).alias("exact_count"))
     total = exact.select(F.sum("exact_count").alias("_n"))
     cands = (
