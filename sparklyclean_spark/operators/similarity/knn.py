@@ -199,10 +199,10 @@ def lsh_cosine_pairs(
     )
     sig.count()
 
-    def bucket(b: int) -> F.Column:
+    def bucket(b: int, col: str = "w") -> F.Column:
         word, shift = (b * r) // 64, (b * r) % 64
         return (
-            F.shiftrightunsigned(F.element_at("w", word + 1), shift)
+            F.shiftrightunsigned(F.element_at(col, word + 1), shift)
             .bitwiseAND(F.lit((1 << r) - 1))
             .cast("int")
         )
@@ -218,12 +218,23 @@ def lsh_cosine_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # NOTE deliberately NO dropDuplicates here: deduping the full
+    # band-collision stream was the single largest exchange in the plan
+    # (r6 bench pathology) — at corpus scale the signature table cannot
+    # broadcast, so the id joins below already shuffle the candidate
+    # stream; an extra pre-join dedup pass repeats that full-stream
+    # exchange just to drop multi-band duplicates (overwhelmingly true
+    # near-dups, a small set). Duplicates are removed after the Hamming
+    # prefilter instead, where the stream is orders of magnitude smaller.
+    # (A map-side min-band emit guard was also measured — recomputing
+    # per-band bucket equality from the packed words — but the 96-term
+    # comparison expression costs more CPU per candidate row than the
+    # small post-filter dedup exchange saves.)
     cands = (
         banded.select("band", "bucket", F.col("id").alias("id1"))
         .join(banded.select("band", "bucket", F.col("id").alias("id2")), ["band", "bucket"])
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
-        .dropDuplicates(["id1", "id2"])
     )
 
     # Hamming prefilter: pure codegen (element_at + xor + bit_count),
@@ -243,6 +254,10 @@ def lsh_cosine_pairs(
         .join(sig.select(F.col("id").alias("id2"), F.col("w").alias("w2")), "id2")
         .where(hamming <= F.lit(cutoff))
         .select("id1", "id2")
+        # exactly-once: dedup multi-band collisions AFTER the prefilter,
+        # where the stream is survivors-only (vs the full candidate
+        # stream, the r6 bottleneck exchange)
+        .dropDuplicates(["id1", "id2"])
     )
 
     # Exact verify on survivors only: vector join + Arrow-batched cosine.
