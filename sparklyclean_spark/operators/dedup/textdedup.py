@@ -450,8 +450,22 @@ def _simhash_pack_impl(hs):
     return pd.Series(packed)
 
 
+def _md5_token_hash(s):
+    """64-bit token hash from the first 16 hex chars of md5, built as
+    two 32-bit conv() halves (each < 2^32, ANSI-safe) OR-ed into one
+    bigint whose bit pattern equals the unsigned md5 prefix — the
+    repo's engine-portable hash recipe, recomputable in DuckDB as
+    ('0x' || substr(md5(tok), 1, 16))::UBIGINT."""
+    hi = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash64_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, sh64): 64-bit SimHash per document.
 
@@ -463,13 +477,23 @@ def simhash64_table(
     every later query in the session (bench.py ordering note). The
     Arrow path is faster at every scale and side-effect-free; rows
     with no tokens are dropped, matching the explode-based plan.
+
+    ``token_hash``: "xxhash64" (default, fastest — JVM codegen) or
+    "md5" (engine-portable 64-bit md5 prefix so a DuckDB oracle can
+    recompute the identical signatures end-to-end).
     """
     from pyspark.sql.functions import pandas_udf
 
+    if token_hash == "xxhash64":
+        hash_fn = F.xxhash64
+    elif token_hash == "md5":
+        hash_fn = _md5_token_hash
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     hashed = docs.select(
         F.col(id_col).alias("id"),
         F.transform(
-            F.array_distinct(T.words(text_col)), lambda s: F.xxhash64(s)
+            F.array_distinct(T.words(text_col)), lambda s: hash_fn(s)
         ).alias("hs"),
     ).where(F.size("hs") > 0)
     pack = pandas_udf(_simhash_pack_impl, "long")
@@ -481,14 +505,18 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dups: candidates share at least one of 4 16-bit
-    bands (guarantees recall for hamming ≤ 3), verified by exact
-    hamming distance ≤ max_hamming via bit_count(xor)."""
+    bands (EXACT for hamming ≤ 3 by pigeonhole — at most 3 differing
+    bits cannot touch all 4 bands), verified by exact hamming
+    distance ≤ max_hamming via bit_count(xor). With
+    ``token_hash="md5"`` the whole pipeline is recomputable in SQL,
+    so a brute-force all-pairs oracle checks banding AND signatures."""
     # both join sides derive from the simhash table — persist (tiny:
     # id + one bigint per doc) and materialize so the 64-vote
     # aggregation runs once, not once per join branch
-    t = tracked_persist(simhash64_table(docs, id_col, text_col))
+    t = tracked_persist(simhash64_table(docs, id_col, text_col, token_hash))
     t.count()
     banded = t.select(
         "id",
