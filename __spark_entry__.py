@@ -39,6 +39,7 @@ from sparklyclean_spark.operators.mixing import (
     corpus_mix_report,
     lang_mix_entropy,
     mixture_sample,
+    temperature_mix_weights,
 )
 from sparklyclean_spark.operators.resample import resample_ffill
 from sparklyclean_spark.operators.sessions import session_sequences, session_summary
@@ -992,12 +993,6 @@ _DRIVER_CHECK_ORDER = [
     # r6 analytics shapes (displaced: orders_above_global_avg,
     # winsorize_order_prices — both 3x green untouched;
     # funnel_view_click_purchase — 2x green untouched)
-    "supplier_pareto_share",
-    "orders_yoy_growth",
-    "fk_integrity_audit",         # r6b: star-schema FK orphan audit
-                                  # (rolling_active parked: its
-                                  # contribution-explode core is also
-                                  # driver-checked via dau_wau's WAU)
     # r6: association mining + robust dispersion (displaced:
     # cdc_latest_events 3x green; sketch_distinct_users_daily
     # rows-only 2 rounds — its pytest gate carries it)
@@ -1019,7 +1014,6 @@ _DRIVER_CHECK_ORDER = [
     "heavy_hitters_orders",       # r6b: Misra-Gries containment audit
     "target_encode_priority",     # r6b: smoothed target encoding
     "kfold_docs_by_lang",         # r6b: deterministic k-fold assignment
-    "corpus_lang_entropy",        # r6b: per-source lang-mix entropy
     "embedding_norm_stats",       # r6b: pre-index vector hygiene
     "temporal_split_events",      # r6b: time holdout + leakage audit
     # r6: exact-N largest-remainder proportional sample (displaced:
@@ -1032,12 +1026,16 @@ _DRIVER_CHECK_ORDER = [
     # 2x green untouched; family keeps its bench row + pytest gates)
     "neardup_clusters_star",
     "neardup_simhash_md5",  # r7: portable-hash simhash, brute-force oracle
+    "neardup_containment",  # r7: asymmetric quote/subset containment
+    "dedup_survivors_longest",  # r7: policy-based survivor selection
     "negative_pairs_docs",          # r6b: contrastive negative sampler
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
     # r6: data-card mix report (displaced: cluster_safe_split_docs,
     # 2x green untouched; sampling family keeps exact_k_weighted)
     "corpus_mix_report",
+    "corpus_temperature_weights",  # r7: sqrt-chain temperature weights
     "text_oov_rate",                   # r6b: df-thresholded OOV coverage
+    "text_bigram_pmi",                 # r7: collocation PMI
     "psi_order_price_drift",           # r6b: PSI feature-drift monitor
     "orders_rfm_segments",             # r6b: NTILE RFM cube
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
@@ -1087,6 +1085,10 @@ _DRIVER_CHECK_ORDER = [
     # r6b overflow: oracled + stress-stable locally but no window slot
     # left this round — FIRST candidates to rotate IN next round
     "event_transition_matrix",  # 1x green r6; behavior family keeps 4 in-window
+    "supplier_pareto_share",  # 1x green r6; relational family well-covered
+    "orders_yoy_growth",  # 1x green r6; relational family well-covered
+    "fk_integrity_audit",  # 1x green r6; quality family keeps freshness
+    "corpus_lang_entropy",  # 1x green r6; mixing family keeps report+weights
     "q1_pricing_summary",  # 6x green; fetch_path_diag control arm
     "text_repetition_signals_counts",  # 2x green; diagnostic twin, purpose served
     "ks_price_by_status",  # 1x green r6; drift family keeps chi2 + psi
@@ -1403,6 +1405,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6b: per-source language-mix Shannon entropy (data-card
         # diversity metric; decimal-rounded terms like cross-entropy)
         "corpus_lang_entropy": _q(lang_mix_entropy, table="documents"),
+        "text_bigram_pmi": _q(TA.bigram_pmi, table="documents"),
         # watermark-delay design input: per-user event-time disorder
         "events_out_of_order_stats": _q(out_of_order_stats, table="events"),
         # cohort retention matrix (longitudinal comeback curve)
@@ -1493,6 +1496,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             table="documents",
         ),
         "corpus_mix_report": _q(corpus_mix_report, table="documents"),
+        # temperature-scaled mix weights (r7): alpha=0.5 -> sqrt chain,
+        # the only cross-engine bit-exact power (see operator docstring)
+        "corpus_temperature_weights": _q(
+            temperature_mix_weights, table="documents", by=["lang"], alpha=0.5
+        ),
         # -- CDC / profiling / quantization (round-3 capability rows) ---------
         "dense_ids_documents": _dense_ids_documents,
         "winsorize_order_prices": _winsorize_order_prices,
@@ -1522,6 +1530,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_l2_normalize_batch": _embedding_l2_normalize_batch,
         # -- near-dup dedup over documents ------------------------------------
         "dedup_exact_documents": _q(TD.exact_dedup, table="documents"),
+        # policy-based survivor selection (r7): keep the LONGEST copy of
+        # each exact-dup group, not the arbitrary min id
+        "dedup_survivors_longest": _q(
+            TD.dedup_survivors, table="documents", policy="longest"
+        ),
+        # asymmetric containment (r7): quote/subset detection jaccard misses
+        "neardup_containment": _q(TD.containment_pairs, table="documents"),
         "chunk_dedup_documents": _chunk_dedup_documents,
         # intra-doc repeated-span removal: zero-shuffle projection
         "chunk_dedup_within_doc": lambda spark, sf_dir: chunk_dedup_within_doc(
@@ -4554,6 +4569,108 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         pass
     sql["neardup_simhash_md5"] = _simhash_md5_sql()
+    # r7 additions: temperature mix weights (sqrt chain + integer-grid
+    # snap BEFORE the normalizing sum), bigram PMI (one ln over a single
+    # exact-integer quotient), asymmetric containment (df-capped inverted
+    # index, floor-ratios of exact ints), survivor policy (total-order
+    # window champion)
+    sql["corpus_temperature_weights"] = """
+        WITH per AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS _n FROM per),
+        s AS (
+            SELECT lang, n_docs, _n,
+                   CAST(floor(sqrt(n_docs / _n) * 1000000.0 + 0.5) AS BIGINT)
+                       AS _t
+            FROM per, t
+        ),
+        nrm AS (SELECT CAST(SUM(_t) AS BIGINT) AS _tsum FROM s)
+        SELECT lang, n_docs,
+               floor(n_docs * 10000.0 / _n + 0.5) / 10000.0 AS natural_share,
+               CASE WHEN _tsum > 0
+                    THEN floor(_t * 10000.0 / _tsum + 0.5) / 10000.0 END
+                   AS temp_weight
+        FROM s, nrm
+    """
+    sql["text_bigram_pmi"] = f"""
+        WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+        toks AS (SELECT unnest(w) AS w1 FROM w),
+        prs AS (
+            SELECT unnest(w[1:len(w) - 1]) AS w1,
+                   unnest(w[2:len(w)]) AS w2
+            FROM w WHERE len(w) > 1
+        ),
+        uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w1),
+        tt AS (SELECT CAST(SUM(c) AS BIGINT) AS _T FROM uni),
+        big AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM prs GROUP BY w1, w2
+        ),
+        tb AS (SELECT CAST(SUM(c12) AS BIGINT) AS _B FROM big)
+        SELECT b.w1 || ' ' || b.w2 AS bigram,
+               c12 AS count,
+               floor(ln((c12 * _T * _T) / (_B * u1.c * u2.c))
+                     * 10000.0 + 0.5) / 10000.0 AS pmi
+        FROM big b
+        JOIN uni u1 ON b.w1 = u1.w1
+        JOIN uni u2 ON b.w2 = u2.w1
+        CROSS JOIN tt CROSS JOIN tb
+        WHERE c12 >= 5
+        ORDER BY c12 DESC, bigram ASC
+        LIMIT 30
+    """
+    sql["neardup_containment"] = f"""
+        WITH base AS (
+            SELECT doc_id AS id, lang, source,
+                   list_distinct({_TOKS_SQL}) AS toks
+            FROM documents
+        ),
+        posts AS (SELECT id, lang, source, unnest(toks) AS tok FROM base),
+        dfk AS (
+            SELECT lang, source, tok, COUNT(*) AS _df
+            FROM posts GROUP BY lang, source, tok
+        ),
+        rare AS (
+            SELECT p.lang, p.source, p.tok, p.id
+            FROM posts p JOIN dfk USING (lang, source, tok)
+            WHERE _df <= 50
+        ),
+        inter AS (
+            SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM rare a
+            JOIN rare b ON a.lang = b.lang AND a.source = b.source
+                       AND a.tok = b.tok AND a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_toks FROM rare GROUP BY id)
+        SELECT id1, id2, n_shared,
+               floor(n_shared * 10000.0 / s1.n_toks + 0.5) / 10000.0
+                   AS containment_1in2,
+               floor(n_shared * 10000.0 / s2.n_toks + 0.5) / 10000.0
+                   AS containment_2in1
+        FROM inter
+        JOIN sizes s1 ON id1 = s1.id
+        JOIN sizes s2 ON id2 = s2.id
+        WHERE floor(n_shared * 10000.0 / s1.n_toks + 0.5) / 10000.0 >= 0.5
+           OR floor(n_shared * 10000.0 / s2.n_toks + 0.5) / 10000.0 >= 0.5
+    """
+    sql["dedup_survivors_longest"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_FP_SQL} AS fp, length(trim(text)) AS _len
+            FROM documents
+        )
+        SELECT doc_id, fp,
+               CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS group_size,
+               CAST(FIRST_VALUE(doc_id) OVER (
+                        PARTITION BY fp ORDER BY _len DESC, doc_id ASC
+                    ) AS BIGINT) AS survivor_id,
+               doc_id = FIRST_VALUE(doc_id) OVER (
+                   PARTITION BY fp ORDER BY _len DESC, doc_id ASC
+               ) AS is_survivor
+        FROM t
+    """
     # ML gate contract: the blocked-pair universe is a deterministic
     # function of the static Febrl fixture (129,718 pairs — matches the
     # pytest parity gate), and the seeded GBT clears 0.95 recall/precision

@@ -710,3 +710,127 @@ def prefix_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    min_containment: float = 0.5,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    max_token_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: token-set containment
+    ``|A∩B| / |A|`` in both directions. Jaccard misses the
+    quote/subset relation — a doc fully embedded in a 10× larger one
+    scores jaccard ≈ 0.1 but containment 1.0 — and containment is the
+    signal that matters for quote detection, snippet provenance, and
+    "small doc swallowed by aggregator page" curation calls.
+
+    Candidates: pairs sharing ≥1 *discriminative* token (document
+    frequency ≤ ``max_token_df``) within the same blocking stratum —
+    the standard inverted-index candidate bound (linear in postings,
+    never all-pairs; stop-word-like tokens are df-capped out exactly
+    like ``common_ngram_pairs``). The intersection counted for the
+    emitted score is over discriminative tokens only — the SAME
+    universe the index can see — making the operator a closed,
+    oracle-checkable contract (floor-ratio of exact ints).
+
+    Scale: explode to postings, one df agg + broadcast-out of hot
+    tokens, posting self-join bounded by df-cap, hash agg per pair,
+    two bounded set-size joins.
+    """
+    from sparklyclean_spark.functions.rounding import ratio4
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(T.words(text_col)).alias("toks"),
+    )
+    posts = base.select(
+        "id", *block_cols, F.explode("toks").alias("tok")
+    )
+    # df-cap within stratum: hot tokens generate quadratic candidates
+    # and carry no identity signal
+    df_tok = posts.groupBy(*block_cols, "tok").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    rare = posts.join(
+        F.broadcast(df_tok.where(F.col("_df") <= max_token_df)),
+        [*block_cols, "tok"],
+    ).select(*block_cols, "tok", "id")
+    inter = (
+        rare.select(*block_cols, "tok", F.col("id").alias("id1"))
+        .join(
+            rare.select(*block_cols, "tok", F.col("id").alias("id2")),
+            [*block_cols, "tok"],
+        )
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # per-doc DISCRIMINATIVE token counts (same universe as n_shared)
+    sizes = rare.groupBy("id").agg(F.count(F.lit(1)).alias("n_toks"))
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id1"), F.col("n_toks").alias("n1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("n_toks").alias("n2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            ratio4("n_shared", "n1").alias("containment_1in2"),
+            ratio4("n_shared", "n2").alias("containment_2in1"),
+        )
+    )
+    return out.where(
+        (F.col("containment_1in2") >= min_containment)
+        | (F.col("containment_2in1") >= min_containment)
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    policy: str = "longest",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Policy-based survivor selection for exact-duplicate groups —
+    the curation decision AFTER detection. ``exact_dedup`` keeps the
+    min id (stable but arbitrary); real pipelines keep the BEST copy:
+
+    - ``"longest"``: most characters (whitespace-trimmed), id asc
+      tie-break — the usual "fullest capture wins" rule;
+    - ``"min_id"``: the exact_dedup convention, for parity.
+
+    Emits one row per document: ``(doc_id, fp, group_size,
+    survivor_id, is_survivor)`` — the full disposition table a
+    downstream filter consumes, not just the survivors.
+
+    Determinism: the champion is a ``max_by`` over a TOTAL order
+    (length, then -id), so ties cannot flap across partitionings.
+
+    Scale: one fingerprint hash agg (map-side combinable max_by) +
+    one broadcast-or-shuffle join back on the fingerprint.
+    """
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        T.fingerprint_md5(text_col).alias("fp"),
+        F.length(F.trim(F.col(text_col))).alias("_len"),
+    )
+    if policy == "longest":
+        champ_key = F.struct(F.col("_len").alias("a"), (-F.col("doc_id")).alias("b"))
+    elif policy == "min_id":
+        champ_key = F.struct(F.lit(0).alias("a"), (-F.col("doc_id")).alias("b"))
+    else:
+        raise ValueError(f"unknown policy {policy!r}")
+    groups = t.groupBy("fp").agg(
+        F.max_by("doc_id", champ_key).alias("survivor_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return t.join(groups, "fp").select(
+        "doc_id",
+        "fp",
+        F.col("group_size").cast("bigint").alias("group_size"),
+        F.col("survivor_id").cast("bigint").alias("survivor_id"),
+        (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
+    )

@@ -149,3 +149,63 @@ def lang_mix_entropy(docs: DataFrame) -> DataFrame:
         (F.floor(F.col("_h") * 10000.0 + 0.5) / 10000.0).alias("entropy"),
         norm.alias("entropy_norm"),
     )
+
+
+def temperature_mix_weights(
+    docs: DataFrame,
+    by: list[str] | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per stratum — the standard
+    multilingual/multi-source rebalancing knob (sample stratum i with
+    probability ∝ p_i^α): α=1 keeps the natural mix, α→0 approaches
+    uniform, α≈0.3–0.7 is the usual "upsample the tail without
+    drowning the head" regime for low-resource languages.
+
+    Determinism contract: α must be a dyadic power chain of sqrt
+    (0.5 or 0.25) — sqrt is a correctly-rounded IEEE op, so
+    ``sqrt(n_i / N)`` is bit-identical on every engine, unlike
+    ``pow(x, α)`` whose libm differs across JVMs and DuckDB. Each
+    scaled share is snapped to an exact 1e6 integer grid BEFORE the
+    global normalizing sum (integer addition is associative →
+    aggregation order cannot move the hash), and the final weight is
+    the floor-ratio of those exact ints.
+
+    Scale: one map-side-combinable hash agg to #strata rows + a 1-row
+    broadcast total — corpus size never shuffles.
+    """
+    from sparklyclean_spark.functions.rounding import ratio4
+
+    if alpha not in (0.5, 0.25):
+        raise ValueError(
+            "alpha must be 0.5 or 0.25 (sqrt chains are the only "
+            "cross-engine bit-exact powers; see docstring)"
+        )
+    keys = by or ["lang"]
+    per = docs.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = per.agg(F.sum("n_docs").cast("double").alias("_n"))
+    scaled = F.sqrt(F.col("n_docs") / F.col("_n"))
+    if alpha == 0.25:
+        scaled = F.sqrt(scaled)
+    snapped = per.join(F.broadcast(total)).withColumn(
+        "_t", F.floor(scaled * 1000000.0 + 0.5).cast("bigint")
+    )
+    # The normalizing sum is a GLOBAL WINDOW over the already-aggregated
+    # strata frame (#strata rows, bounded by the label domain — single
+    # task over a dozen rows at any corpus size). An agg+rejoin would be
+    # a self-join on shared lineage, which Spark 4's relation dedup
+    # rejects as an ambiguous reference.
+    from pyspark.sql import Window
+
+    # "_tsum", not "_T": column resolution is case-insensitive in BOTH
+    # engines, so a name differing from "_t" only by case would silently
+    # REPLACE it (withColumn) or bind ambiguously (DuckDB)
+    with_total = snapped.withColumn(
+        "_tsum", F.sum("_t").over(Window.partitionBy(F.lit(1)))
+    )
+    return with_total.select(
+        *keys,
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        ratio4("n_docs", "_n").alias("natural_share"),
+        F.when(F.col("_tsum") > 0, ratio4("_t", "_tsum")).alias("temp_weight"),
+    )

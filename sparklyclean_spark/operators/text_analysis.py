@@ -549,3 +549,57 @@ def char_entropy(docs: DataFrame) -> DataFrame:
             ).alias("char_entropy"),
         )
     )
+
+
+def bigram_pmi(docs: DataFrame, min_count: int = 5, top_k: int = 30) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    classic collocation detector (vocabulary construction, multi-word
+    phrase mining, template/boilerplate discovery in a pretraining
+    corpus). Emits the ``top_k`` bigrams by count with their PMI:
+    ``ln((c12/B) / ((c1/T)·(c2/T)))``.
+
+    Hash-stable recipe: PMI is computed as ONE quotient of exact
+    integer products, ``ln((c12·T·T) / (B·c1·c2))`` — each side fits
+    int64 far past sf1 (T² · c12 < 2^63 while T < 3e6 · c12 < 1e6),
+    so every engine performs the identical single divide + ln, then
+    the floor snap. Ordering is total (count desc, bigram asc).
+
+    Scale: one token explode with a lead() window per doc for the
+    adjacent pair (doc-bounded window, parallel across docs), two
+    hash aggs (unigram + bigram vocab), broadcast joins of the
+    bounded vocab tables, top-k sorted limit.
+    """
+    toks = docs.select(
+        "doc_id", F.posexplode(T.words("text")).alias("pos", "w1")
+    )
+    nxt = F.lead("w1").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    pairs = toks.select("w1", nxt.alias("w2")).where(F.col("w2").isNotNull())
+    uni = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").cast("bigint").alias("_T"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    totb = big.agg(F.sum("c12").cast("bigint").alias("_B"))
+    scored = (
+        big.where(F.col("c12") >= min_count)
+        .join(F.broadcast(uni.select("w1", F.col("c").alias("c1"))), "w1")
+        .join(
+            F.broadcast(uni.select(F.col("w1").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+        )
+        .join(F.broadcast(tot))
+        .join(F.broadcast(totb))
+    )
+    pmi = F.log(
+        (F.col("c12") * F.col("_T") * F.col("_T"))
+        / (F.col("_B") * F.col("c1") * F.col("c2"))
+    )
+    return (
+        scored.select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c12").cast("bigint").alias("count"),
+            (F.floor(pmi * 10000.0 + 0.5) / 10000.0).alias("pmi"),
+        )
+        .orderBy(F.desc("count"), F.asc("bigram"))
+        .limit(top_k)
+    )

@@ -1,0 +1,179 @@
+"""Invariant tests for the r7 operators: temperature mix weights,
+bigram PMI, asymmetric containment, survivor policy, and the
+portable-hash (md5) SimHash twin. Value-level oracle parity is the
+driver gate (driver_sim / CORRECTNESS); these tests pin the algebraic
+invariants that an oracle hash can't articulate on its own."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from sparklyclean_spark.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def test_temperature_weights_flatten_the_mix(docs):
+    """Weights sum to ~1, every stratum keeps positive mass, and
+    α=0.5 moves mass from the head to the tail: the largest stratum's
+    weight drops below its natural share, the smallest one's rises."""
+    from sparklyclean_spark.operators.mixing import temperature_mix_weights
+
+    rows = temperature_mix_weights(docs, by=["lang"], alpha=0.5).collect()
+    assert rows
+    total = sum(r["temp_weight"] for r in rows)
+    assert abs(total - 1.0) < 1e-3  # floor-grid rounding slack
+    assert all(r["temp_weight"] > 0 for r in rows)
+    head = max(rows, key=lambda r: r["n_docs"])
+    tail = min(rows, key=lambda r: r["n_docs"])
+    if head["n_docs"] > tail["n_docs"]:
+        assert head["temp_weight"] < head["natural_share"]
+        assert tail["temp_weight"] > tail["natural_share"]
+
+
+def test_temperature_weights_rejects_unportable_alpha(docs):
+    from sparklyclean_spark.operators.mixing import temperature_mix_weights
+
+    with pytest.raises(ValueError):
+        temperature_mix_weights(docs, alpha=0.3)
+
+
+def test_bigram_pmi_matches_python_reference(spark):
+    """PMI values and ranking agree with a from-scratch Python
+    recomputation on a tiny corpus with known collocations."""
+    import math
+    from collections import Counter
+
+    from sparklyclean_spark.operators.text_analysis import bigram_pmi
+
+    texts = [
+        (0, "new york is big and new york is old"),
+        (1, "san francisco and new york"),
+        (2, "san francisco fog and san francisco hills"),
+        (3, "the cat and the dog and the cat"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {r["bigram"]: (r["count"], r["pmi"]) for r in bigram_pmi(df, min_count=2, top_k=50).collect()}
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for _, t in texts:
+        ws = t.split()
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    T = sum(uni.values())
+    B = sum(big.values())
+    for (w1, w2), c12 in big.items():
+        if c12 < 2:
+            continue
+        pmi = math.log((c12 * T * T) / (B * uni[w1] * uni[w2]))
+        pmi = math.floor(pmi * 10000.0 + 0.5) / 10000.0
+        key = f"{w1} {w2}"
+        assert key in got, key
+        assert got[key] == (c12, pmi), (key, got[key], (c12, pmi))
+    # a true collocation outranks a stop-word pair in PMI
+    assert got["new york"][1] > got["and the"][1]
+
+
+def test_containment_detects_subset_docs(spark):
+    """A doc fully embedded in a larger one scores containment 1.0 in
+    the subset direction even when jaccard would be low."""
+    from sparklyclean_spark.operators.dedup.textdedup import containment_pairs
+
+    small = "quantum flux capacitor resonance"
+    big = small + " " + " ".join(f"filler{i}" for i in range(28))
+    df = spark.createDataFrame(
+        [(1, small, "en", "s"), (2, big, "en", "s"), (3, "totally unrelated words here", "en", "s")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    rows = {(r["id1"], r["id2"]): r for r in containment_pairs(df, min_containment=0.9).collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r["containment_1in2"] == 1.0       # small fully inside big
+    assert r["containment_2in1"] < 0.2        # big barely inside small
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_survivors_longest_policy(spark):
+    """Exactly one survivor per fingerprint group; the survivor has the
+    maximal trimmed length (min doc_id on ties); singleton docs survive."""
+    from sparklyclean_spark.operators.dedup.textdedup import dedup_survivors
+
+    # doc 1/2/3 normalize to the same fingerprint ("a b"); doc 2 is longest
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a  b!!"), (3, "A b"), (4, "unique doc")],
+        "doc_id bigint, text string",
+    )
+    rows = dedup_survivors(df, policy="longest").collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 4
+    grp = [r for r in rows if r["group_size"] == 3]
+    assert {r["doc_id"] for r in grp} == {1, 2, 3}
+    assert all(r["survivor_id"] == 2 for r in grp)  # "a  b!!" is longest raw
+    assert by_id[2]["is_survivor"] and not by_id[1]["is_survivor"]
+    assert by_id[4]["is_survivor"] and by_id[4]["group_size"] == 1
+    # exactly one survivor per group
+    surv = [r for r in rows if r["is_survivor"]]
+    assert len({r["fp"] for r in surv}) == len(surv) == 2
+
+
+def test_survivors_min_id_matches_exact_dedup(docs):
+    from sparklyclean_spark.operators.dedup.textdedup import (
+        dedup_survivors,
+        exact_dedup,
+    )
+
+    surv = {
+        r["fp"]: r["survivor_id"]
+        for r in dedup_survivors(docs, policy="min_id").collect()
+        if r["is_survivor"]
+    }
+    keep = {r["fp"]: r["keep_id"] for r in exact_dedup(docs).collect()}
+    assert surv == keep
+
+
+def test_simhash_md5_brute_force_parity(spark):
+    """The md5-token-hash simhash pipeline (banded) equals a pure-Python
+    brute-force recomputation — signature packing, banding recall at
+    hamming<=3, and the verify filter all at once."""
+    from sparklyclean_spark.operators.dedup.textdedup import simhash_pairs
+
+    texts = [
+        (i, " ".join(f"w{j}" for j in range(20) if (j + i) % 7 != i % 3))
+        for i in range(12)
+    ] + [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta epsilon")]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=3, token_hash="md5").collect()
+    }
+
+    def sig(text: str) -> int:
+        toks = sorted(set(text.lower().split()))
+        votes = [0] * 64
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(64) if votes[b] > 0)
+
+    sigs = {i: sig(t) for i, t in texts}
+    want = {}
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= 3:
+                want[(a, b)] = ham
+    assert got == want
+    # the corpus is built so identical-token-set docs exist: the banded
+    # path must emit at least those hamming-0 pairs
+    assert want and 0 in set(want.values())
