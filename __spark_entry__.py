@@ -1028,7 +1028,8 @@ _DRIVER_CHECK_ORDER = [
     "neardup_simhash_md5",  # r7: portable-hash simhash, brute-force oracle
     "neardup_containment",  # r7: asymmetric quote/subset containment
     "dedup_survivors_longest",  # r7: policy-based survivor selection
-    "negative_pairs_docs",          # r6b: contrastive negative sampler
+    "multimodal_frame_sample",  # r7: NEWLY ORACLED (frame-window geometry)
+    "multimodal_features",      # r7: NEWLY ORACLED (byte-histogram f0)
     # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
     # r6: data-card mix report (displaced: cluster_safe_split_docs,
     # 2x green untouched; sampling family keeps exact_k_weighted)
@@ -1037,7 +1038,6 @@ _DRIVER_CHECK_ORDER = [
     "text_oov_rate",                   # r6b: df-thresholded OOV coverage
     "text_bigram_pmi",                 # r7: collocation PMI
     "psi_order_price_drift",           # r6b: PSI feature-drift monitor
-    "orders_rfm_segments",             # r6b: NTILE RFM cube
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "source_freshness_events",         # r6b: ingest freshness audit
     "events_conversion_wilson",        # r6b: Wilson-bounded conversion
@@ -1085,6 +1085,8 @@ _DRIVER_CHECK_ORDER = [
     # r6b overflow: oracled + stress-stable locally but no window slot
     # left this round — FIRST candidates to rotate IN next round
     "event_transition_matrix",  # 1x green r6; behavior family keeps 4 in-window
+    "negative_pairs_docs",  # 1x green r6; sampling family keeps 3 in-window
+    "orders_rfm_segments",  # 1x green r6; relational family well-covered
     "supplier_pareto_share",  # 1x green r6; relational family well-covered
     "orders_yoy_growth",  # 1x green r6; relational family well-covered
     "fk_integrity_audit",  # 1x green r6; quality family keeps freshness
@@ -1674,9 +1676,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": lambda spark, sf_dir: MM.frame_sample(
             MM.make_media_table(_tables(spark, sf_dir)["documents"])
         ).select("media_id", "frame_idx", F.length("frame").alias("n_bytes")),
+        # f0 snapped with the floor contract (one IEEE divide of exact
+        # ints in the UDF, then floor(x*1e4+0.5)) so the DuckDB oracle's
+        # identical arithmetic is bit-equal — engine round() is not
         "multimodal_features": lambda spark, sf_dir: MM.extract_features(
             MM.make_media_table(_tables(spark, sf_dir)["documents"])
-        ).select("media_id", F.round(F.element_at("feat", 1), 4).alias("f0")),
+        ).select(
+            "media_id",
+            (F.floor(F.element_at("feat", 1) * 10000.0 + 0.5) / 10000.0).alias("f0"),
+        ),
     }
 
 
@@ -4574,6 +4582,41 @@ def oracle_sql() -> dict[str, str]:
     # exact-integer quotient), asymmetric containment (df-capped inverted
     # index, floor-ratios of exact ints), survivor policy (total-order
     # window champion)
+    # multimodal plumbing twins (r7): the fake-codec pipeline is a pure
+    # function of the payload bytes, and the corpus is ASCII (strlen ==
+    # length asserted in tests), so frame-window geometry and the
+    # byte-histogram feature are both SQL-recomputable
+    sql["multimodal_frame_sample"] = """
+        WITH m AS (SELECT doc_id AS media_id, strlen(text) AS L FROM documents),
+        n AS (
+            SELECT media_id, L,
+                   LEAST(4, GREATEST(L // 256,
+                                     CASE WHEN L > 0 THEN 1 ELSE 0 END)) AS n
+            FROM m
+        ),
+        f AS (
+            SELECT media_id, L, n, unnest(range(0, n)) AS i
+            FROM n WHERE n > 0
+        )
+        SELECT media_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(CASE WHEN n > 1 THEN 256 ELSE LEAST(256, L) END AS INT)
+                   AS n_bytes
+        FROM f
+    """
+    sql["multimodal_features"] = """
+        WITH m AS (SELECT doc_id AS media_id, text, strlen(text) AS L FROM documents),
+        c AS (
+            SELECT media_id, L,
+                   CAST(len(list_filter(range(1, L + 1),
+                                        i -> ord(text[i]) % 16 = 0)) AS BIGINT)
+                       AS b0
+            FROM m
+        )
+        SELECT media_id,
+               floor(b0 / GREATEST(L, 1) * 10000.0 + 0.5) / 10000.0 AS f0
+        FROM c
+    """
     sql["corpus_temperature_weights"] = """
         WITH per AS (
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs

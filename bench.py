@@ -153,6 +153,13 @@ def main() -> None:
         "heavy_hitters_orders",
         "cms_freq_orders",
         "fk_integrity_audit",
+        # round-7 additions: md5-hash simhash A/B (portable-hash cost vs
+        # the xxhash64 row above), df-capped posting self-join
+        # (containment — a new physical shape: inverted-index candidate
+        # join), and the lead-window + broadcast-vocab PMI
+        "neardup_simhash_md5",
+        "neardup_containment",
+        "text_bigram_pmi",
     ]
 
     def run_once(name: str) -> float:
