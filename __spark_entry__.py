@@ -804,10 +804,12 @@ def _embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_l2_normalize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HOT-PATH tier of L2 normalization (VERDICT r5 item 7): one
     Arrow-batched numpy norm+divide per batch — the variant every
-    kNN/index-build path uses, vs the interpreted-HOF Column tier the
-    oracle row keeps. Rows-only (norm sum order differs from a
-    sequential SQL oracle by ~1e-15); tier parity at 1e-9 plus the
-    no-`transform`-HOF plan assertion are pytest-gated
+    kNN/index-build path uses, vs the interpreted-HOF Column tier.
+    ORACLED since r7: the numpy norm now accumulates dims left-to-right
+    (a j-loop, vectorized across rows), bit-identical to list_sum /
+    the Column fold, so the batch tier gets the same value-level
+    DuckDB oracle instead of a rows-only pass. Tier parity plus the
+    no-`transform`-HOF plan assertion stay pytest-gated
     (test_cdc_profile.py)."""
     from sparklyclean_spark.functions.vectors import l2_normalize_pandas
 
@@ -815,7 +817,7 @@ def _embedding_l2_normalize_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     normalized = l2_normalize_pandas(F.col("embedding"))
     return emb.select(
         "vec_id",
-        F.element_at(normalized, 1).alias("first_component"),
+        F.round(F.element_at(normalized, 1), 6).alias("first_component"),
         F.size(normalized).alias("dim"),
     )
 
@@ -4586,6 +4588,22 @@ def oracle_sql() -> dict[str, str]:
     # function of the payload bytes, and the corpus is ASCII (strlen ==
     # length asserted in tests), so frame-window geometry and the
     # byte-histogram feature are both SQL-recomputable
+    # batch-tier L2 normalize (r7): same math as the Column tier's green
+    # oracle — the numpy j-loop accumulation made the sums bit-equal
+    sql["embedding_l2_normalize_batch"] = """
+        WITH n AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        )
+        SELECT vec_id,
+               ROUND(CASE WHEN nrm = 0.0 THEN CAST(embedding[1] AS DOUBLE)
+                          ELSE CAST(embedding[1] AS DOUBLE) / nrm END, 6)
+                   AS first_component,
+               CAST(len(embedding) AS INT) AS dim
+        FROM n
+    """
     sql["multimodal_frame_sample"] = """
         WITH m AS (SELECT doc_id AS media_id, strlen(text) AS L FROM documents),
         n AS (

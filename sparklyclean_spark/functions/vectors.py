@@ -114,7 +114,15 @@ def _l2_normalize_pd_impl(a: pd.Series) -> pd.Series:
     for i, v in enumerate(vecs):
         if v is not None:
             m[i, : v.shape[0]] = v
-    n = np.linalg.norm(m, axis=1, keepdims=True)
+    # Sequential left-to-right sum over dims (a j-loop, still fully
+    # vectorized across rows): bit-identical to the Column tier's
+    # aggregate() fold AND DuckDB's list_sum, unlike np.linalg.norm's
+    # pairwise summation (~1e-15 off) — this is what lets the batch
+    # tier share the Column tier's value-level oracle.
+    n2 = np.zeros(len(vecs))
+    for j in range(d):
+        n2 += m[:, j] * m[:, j]
+    n = np.sqrt(n2)[:, None]
     out = m / np.where(n == 0.0, 1.0, n)  # zero vectors pass through
     return pd.Series(
         [
