@@ -33,6 +33,7 @@ from sparklyclean_spark.operators.sketches import (
     cms_freq_audit,
     distinct_rollup,
     heavy_hitter_audit,
+    quantile_sketch_audit,
 )
 from sparklyclean_spark.operators import behavior as BH
 from sparklyclean_spark.operators.mixing import (
@@ -42,7 +43,11 @@ from sparklyclean_spark.operators.mixing import (
     temperature_mix_weights,
 )
 from sparklyclean_spark.operators.resample import resample_ffill
-from sparklyclean_spark.operators.sessions import session_sequences, session_summary
+from sparklyclean_spark.operators.sessions import (
+    session_path_ngrams,
+    session_sequences,
+    session_summary,
+)
 from sparklyclean_spark.operators.merge import merge_changes
 from sparklyclean_spark.operators.lateness import out_of_order_stats
 from sparklyclean_spark.operators.retention import (
@@ -978,13 +983,11 @@ _DRIVER_CHECK_ORDER = [
                         # materialization pairing (dump: DIAG_r7.json)
     "text_zipf_slope",           # r6b: Zipf rank-frequency fit
     "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
-    "chi2_lang_source",          # r6b: chi-square independence test
     "events_interarrival_stats", # r6b: per-type gap percentiles
     "orders_revenue_gini",       # r6b: revenue concentration Gini
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
     "q12_priority_by_status",   # r5/r6 red; r7 FIX: integer SUMs cast
                                 # HUGEINT -> BIGINT in the oracle
-    "daily_revenue_rolling7",        # r6b: RANGE-frame rolling mean
     # -- r6 TPC-H completions (Q8 full 8-table join; Q2/Q9 adapted —
     # no partsupp in this schema). Displaced: mixture_sample_docs,
     # merge_orders_upsert, events_sessionize_4h (all 2x green,
@@ -1007,13 +1010,14 @@ _DRIVER_CHECK_ORDER = [
     # -- new r5 capability rows ------------------------------------------
     "ldiversity_customer_audit",  # r6b: homogeneity-attack privacy gate
     "neardup_triangle_count",     # r6b: triangle census (exact edges)
-    "events_daily_anomaly",       # r6b: daily volume z-score flags
     # r6: forward as-of + tolerance (displaced: dq_orders_constraints,
     # 2x green untouched; DQ family keeps its pytest gates)
     "asof_next_click_tolerance",
     "user_activity_streaks",      # r6b: gaps-and-islands streaks
+    "session_path_trigrams_4h",   # r7: funnel discovery n-grams
     "cms_freq_orders",            # r6b: in-plan count-min sketch
     "heavy_hitters_orders",       # r6b: Misra-Gries containment audit
+    "quantile_sketch_audit_orders",  # r7: GK rank-error audit (3rd sketch)
     "target_encode_priority",     # r6b: smoothed target encoding
     "kfold_docs_by_lang",         # r6b: deterministic k-fold assignment
     "embedding_norm_stats",       # r6b: pre-index vector hygiene
@@ -1039,6 +1043,7 @@ _DRIVER_CHECK_ORDER = [
     "corpus_temperature_weights",  # r7: sqrt-chain temperature weights
     "text_oov_rate",                   # r6b: df-thresholded OOV coverage
     "text_bigram_pmi",                 # r7: collocation PMI
+    "text_source_term_lift",           # r7: source fingerprint terms
     "psi_order_price_drift",           # r6b: PSI feature-drift monitor
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "source_freshness_events",         # r6b: ingest freshness audit
@@ -1087,6 +1092,9 @@ _DRIVER_CHECK_ORDER = [
     # r6b overflow: oracled + stress-stable locally but no window slot
     # left this round — FIRST candidates to rotate IN next round
     "event_transition_matrix",  # 1x green r6; behavior family keeps 4 in-window
+    "daily_revenue_rolling7",  # 1x green r6; relational family well-covered
+    "chi2_lang_source",  # 1x green r6; drift family keeps psi + ks parked
+    "events_daily_anomaly",  # 1x green r6; behavior family keeps 5 in-window
     "negative_pairs_docs",  # 1x green r6; sampling family keeps 3 in-window
     "orders_rfm_segments",  # 1x green r6; relational family well-covered
     "supplier_pareto_share",  # 1x green r6; relational family well-covered
@@ -1448,6 +1456,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6b: Misra-Gries frequent-items sketch, containment guarantee
         # verified in-plan over a constructed 50%-hot key (the same
         # adversarial-skew shaping as dedup_pairs_*_skewed)
+        # r7: GK quantile-sketch rank-error audit (third sketch audit)
+        "quantile_sketch_audit_orders": _q(
+            lambda o: quantile_sketch_audit(o, "o_totalprice"), table="orders"
+        ),
         "heavy_hitters_orders": _q(
             lambda o: heavy_hitter_audit(
                 o,
@@ -1463,6 +1475,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # r6b: df-thresholded out-of-vocabulary coverage rate
         "text_oov_rate": _q(TA.oov_stats, table="documents"),
+        # r7: source-characteristic terms by log-lift (PMI arithmetic)
+        "text_source_term_lift": _q(TA.source_term_lift, table="documents"),
         "text_token_estimate": _q(TA.token_estimate, table="documents"),
         # deterministic (hash-derived) sampling & splitting
         "sample_docs_weighted": _q(
@@ -1622,6 +1636,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             session_sequences,
             14400,
             table="events",
+            tiebreaker="event_id",
+        ),
+        # r7: funnel discovery — top within-session event-type trigrams
+        "session_path_trigrams_4h": _q(
+            session_path_ngrams,
+            table="events",
+            n=3,
+            gap_seconds=14400,
             tiebreaker="event_id",
         ),
         # regular per-user hourly grid, last observation carried forward
@@ -4588,6 +4610,73 @@ def oracle_sql() -> dict[str, str]:
     # function of the payload bytes, and the corpus is ASCII (strlen ==
     # length asserted in tests), so frame-window geometry and the
     # byte-histogram feature are both SQL-recomputable
+    # GK quantile-sketch audit (r7): only the guarantee booleans and the
+    # exact row count are partitioning-invariant, so that's the contract
+    sql["quantile_sketch_audit_orders"] = """
+        WITH n AS (SELECT CAST(COUNT(o_totalprice) AS BIGINT) AS n_rows FROM orders)
+        SELECT CAST(p AS DOUBLE) AS p, n_rows, true AS within_bound
+        FROM n, (VALUES (0.25), (0.5), (0.9), (0.99)) probs(p)
+    """
+    # source-characteristic terms (r7): PMI-style single-quotient ln,
+    # total-order ranking on bit-identical doubles
+    sql["text_source_term_lift"] = f"""
+        WITH toks AS (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents),
+        per AS (
+            SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_s
+            FROM toks GROUP BY source, term
+        ),
+        ts AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS t_s FROM per GROUP BY source),
+        cg AS (SELECT term, CAST(SUM(c_s) AS BIGINT) AS c FROM per GROUP BY term),
+        tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cg),
+        r AS (
+            SELECT per.source, per.term, c_s,
+                   ln((c_s * t) / (t_s * c)) AS _lift,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY per.source
+                       ORDER BY ln((c_s * t) / (t_s * c)) DESC, per.term ASC
+                   ) AS rank
+            FROM per JOIN ts USING (source) JOIN cg USING (term) CROSS JOIN tt
+            WHERE c_s >= 20
+        )
+        SELECT source, CAST(rank AS INT) AS rank, term,
+               c_s AS count_in_source,
+               floor(_lift * 10000.0 + 0.5) / 10000.0 AS log_lift
+        FROM r WHERE rank <= 10
+    """
+    # within-session trigram paths (r7): same sessionization SQL as the
+    # green 4h-sequences oracle, plus a session-keyed lead window
+    sql["session_path_trigrams_4h"] = """
+        WITH g AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                             > 14400000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        lab AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+            FROM g
+        ),
+        seq AS (
+            SELECT event_type AS e1,
+                   LEAD(event_type, 1) OVER s AS e2,
+                   LEAD(event_type, 2) OVER s AS e3
+            FROM lab
+            WINDOW s AS (PARTITION BY user_id, session_idx
+                         ORDER BY ts, event_id)
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               CAST(COUNT(*) AS BIGINT) AS count
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY e1, e2, e3
+        ORDER BY count DESC, path ASC
+        LIMIT 20
+    """
     # batch-tier L2 normalize (r7): same math as the Column tier's green
     # oracle — the numpy j-loop accumulation made the sums bit-equal
     sql["embedding_l2_normalize_batch"] = """

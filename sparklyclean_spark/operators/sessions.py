@@ -163,3 +163,50 @@ def session_summary(
             / F.lit(1_000_000)
         ).alias("duration_sec"),
     )
+
+
+def session_path_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    gap_seconds: int = 1800,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreaker: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Most common within-session event-type paths of length ``n`` —
+    the funnel-discovery complement to ``funnel_steps`` (which checks
+    a KNOWN path; this mines the paths worth checking). One row per
+    surviving n-gram: ``(path, count)``, top_k by (count desc, path
+    asc).
+
+    Paths never cross a session boundary: the lead window is keyed by
+    (user, session_idx), so the (n-1) trailing events of every session
+    produce NULL leads and drop out.
+
+    Scale: sessionize's single user-keyed exchange, then a lead window
+    on the same partitioning (no extra exchange), one hash agg onto
+    the bounded path vocabulary, top-k sorted limit.
+    """
+    from pyspark.sql import Window
+
+    order_cols = [ts_col] + ([tiebreaker] if tiebreaker else [])
+    labeled = _sessionize_ordered(events, gap_seconds, user_col, order_cols)
+    w = Window.partitionBy(user_col, "session_idx").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, j).over(w) for j in range(1, n)
+    ]
+    paths = labeled.select(
+        F.concat_ws(sep, *steps).alias("path"),
+        steps[-1].isNotNull().alias("_full"),
+    ).where(F.col("_full"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+        .orderBy(F.desc("count"), F.asc("path"))
+        .limit(top_k)
+    )

@@ -281,3 +281,75 @@ def cms_freq_audit(
             .alias("cms_estimate"),
         )
     )
+
+
+def quantile_sketch_audit(
+    df: DataFrame,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    accuracy: int = 100,
+) -> DataFrame:
+    """Greenwald-Khanna quantile-sketch audit — the third leg of the
+    sketch-audit family (Misra-Gries containment, Count-Min point
+    queries, and now approximate quantiles): verify IN-PLAN that every
+    ``percentile_approx`` answer honors its rank-error contract
+    ``|rank(answer) - p·n| <= n/accuracy``, independent of partition
+    merge order (the raw sketch answer itself is NOT
+    partitioning-stable, which is why the audit emits the guarantee
+    booleans, not the values).
+
+    One row per probed quantile: ``(p, n_rows, within_bound)``.
+    ``within_bound`` checks that the exact rank span of the sketch's
+    answer (ties widen the span) intersects ``[(p-eps)n, (p+eps)n]``
+    — any FALSE means the sketch violated its contract. The raw ranks
+    are deliberately NOT in the output: the sketch answer itself is
+    partition-merge-order sensitive, so only the guarantee booleans
+    (and the exact row count) are partitioning-invariant and
+    hash-checkable.
+
+    Scale: two 1-row aggregates over one column (the sketch agg, then
+    conditional rank counts against the broadcast answers) + a
+    #probs-element explode. Nothing scales with row count except the
+    scans.
+    """
+    vals = df.select(F.col(value_col).alias("_v")).where(F.col("_v").isNotNull())
+    qs = vals.agg(
+        F.percentile_approx("_v", F.array(*[F.lit(p) for p in probs]), accuracy).alias("_qs")
+    )
+    counted = vals.join(F.broadcast(qs)).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.when(F.col("_v") < F.element_at("_qs", i + 1), 1).otherwise(0)
+            ).cast("bigint").alias(f"_lo{i}")
+            for i in range(len(probs))
+        ],
+        *[
+            F.sum(
+                F.when(F.col("_v") <= F.element_at("_qs", i + 1), 1).otherwise(0)
+            ).cast("bigint").alias(f"_hi{i}")
+            for i in range(len(probs))
+        ],
+    )
+    eps = 1.0 / accuracy
+    rows = counted.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(p)).alias("p"),
+                        F.col("_n").cast("bigint").alias("n_rows"),
+                        # the answer's achievable rank span [lo+1, hi]
+                        # must intersect [(p-eps)n, (p+eps)n] (one rank
+                        # of boundary slack on each side)
+                        (
+                            (F.col(f"_hi{i}") >= (F.lit(p - eps)) * F.col("_n"))
+                            & ((F.col(f"_lo{i}") + 1) <= (F.lit(p + eps)) * F.col("_n") + 1.0)
+                        ).alias("within_bound"),
+                    )
+                    for i, p in enumerate(probs)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.p", "r.n_rows", "r.within_bound")

@@ -603,3 +603,56 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5, top_k: int = 30) -> DataFram
         .orderBy(F.desc("count"), F.asc("bigram"))
         .limit(top_k)
     )
+
+
+def source_term_lift(
+    docs: DataFrame, min_count: int = 20, top_k: int = 10
+) -> DataFrame:
+    """Source-characteristic terms: for every source, the ``top_k``
+    terms most over-represented vs the corpus, ranked by log-lift
+    ``ln((c_s/T_s) / (c/T))`` — the "what is this source actually
+    full of" fingerprint used to spot scraped boilerplate, SEO spam
+    sources, and domain skews before they enter the training mix.
+
+    Hash-stable recipe (the PMI precedent): lift is ONE ln over a
+    single quotient of exact integer products ``(c_s·T)/(T_s·c)``;
+    ranking is a total order (lift desc — bit-identical doubles on
+    both engines — then term asc).
+
+    Scale: one explode + two hash aggs (per-source vocab, corpus
+    vocab), broadcast joins of the bounded vocab tables, per-source
+    row_number window over the filtered candidates.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("source", F.explode(T.words("text")).alias("term"))
+    per = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_s"))
+    tot_s = per.groupBy("source").agg(F.sum("c_s").cast("bigint").alias("t_s"))
+    corpus = per.groupBy("term").agg(F.sum("c_s").cast("bigint").alias("c"))
+    tot = corpus.agg(F.sum("c").cast("bigint").alias("t"))
+    lift = F.log(
+        (F.col("c_s") * F.col("t")) / (F.col("t_s") * F.col("c"))
+    )
+    ranked = (
+        per.where(F.col("c_s") >= min_count)
+        .join(F.broadcast(tot_s), "source")
+        .join(F.broadcast(corpus), "term")
+        .join(F.broadcast(tot))
+        .withColumn("_lift", lift)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("_lift"), F.asc("term")
+                )
+            ),
+        )
+        .where(F.col("rank") <= top_k)
+    )
+    return ranked.select(
+        "source",
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        F.col("c_s").cast("bigint").alias("count_in_source"),
+        (F.floor(F.col("_lift") * 10000.0 + 0.5) / 10000.0).alias("log_lift"),
+    )
