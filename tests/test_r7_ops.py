@@ -177,3 +177,60 @@ def test_simhash_md5_brute_force_parity(spark):
     # the corpus is built so identical-token-set docs exist: the banded
     # path must emit at least those hamming-0 pairs
     assert want and 0 in set(want.values())
+
+
+def test_quantile_sketch_audit_bounds_hold(spark):
+    """Every probed quantile satisfies the GK rank-error contract on a
+    skewed synthetic column, under hostile partitioning."""
+    from sparklyclean_spark.operators.sketches import quantile_sketch_audit
+
+    df = spark.range(0, 5000, 1, 13).select(
+        (F.col("id") * F.col("id") % 9973).cast("double").alias("v")
+    )
+    rows = quantile_sketch_audit(df, "v", accuracy=50).collect()
+    assert len(rows) == 4
+    assert all(r["within_bound"] for r in rows)
+    assert all(r["n_rows"] == 5000 for r in rows)
+
+
+def test_source_term_lift_ranks_exclusive_terms_first(spark):
+    """A term appearing only in one source outranks shared vocabulary
+    in that source's lift table."""
+    from sparklyclean_spark.operators.text_analysis import source_term_lift
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "common words everywhere " + "zebra " * 3, "en", "a"))
+    for i in range(40, 80):
+        rows.append((i, "common words everywhere " + "yak " * 3, "en", "b"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    got = source_term_lift(df, min_count=10, top_k=3).collect()
+    top = {r["source"]: r["term"] for r in got if r["rank"] == 1}
+    assert top == {"a": "zebra", "b": "yak"}
+    # exclusive terms have positive lift; shared terms do not rank above them
+    assert all(r["log_lift"] > 0 for r in got if r["term"] in ("zebra", "yak"))
+
+
+def test_session_path_trigrams_never_cross_sessions(spark):
+    """A path ending one session and starting the next must NOT appear:
+    trigram windows are keyed by (user, session)."""
+    from datetime import datetime
+
+    from sparklyclean_spark.operators.sessions import session_path_ngrams
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(mins):
+        return datetime(2024, 1, 1, mins // 60, mins % 60, 0)
+
+    rows = [
+        # session 1: a>b>c ; 3h gap ; session 2: d>e>f
+        (1, ts(0), 1, "a"), (1, ts(1), 2, "b"), (1, ts(2), 3, "c"),
+        (1, ts(300), 4, "d"), (1, ts(301), 5, "e"), (1, ts(302), 6, "f"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz, event_id bigint, event_type string")
+    got = {r["path"]: r["count"] for r in session_path_ngrams(
+        df, n=3, gap_seconds=1800, tiebreaker="event_id"
+    ).collect()}
+    assert got == {"a>b>c": 1, "d>e>f": 1}
+    assert "b>c>d" not in got and "c>d>e" not in got
