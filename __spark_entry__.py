@@ -983,7 +983,6 @@ _DRIVER_CHECK_ORDER = [
                         # materialization pairing (dump: DIAG_r7.json)
     "text_zipf_slope",           # r6b: Zipf rank-frequency fit
     "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
-    "events_interarrival_stats", # r6b: per-type gap percentiles
     "orders_revenue_gini",       # r6b: revenue concentration Gini
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
     "q12_priority_by_status",   # r5/r6 red; r7 FIX: integer SUMs cast
@@ -1015,6 +1014,7 @@ _DRIVER_CHECK_ORDER = [
     "asof_next_click_tolerance",
     "user_activity_streaks",      # r6b: gaps-and-islands streaks
     "session_path_trigrams_4h",   # r7: funnel discovery n-grams
+    "attribution_linear",         # r7: equal-credit multi-touch
     "cms_freq_orders",            # r6b: in-plan count-min sketch
     "heavy_hitters_orders",       # r6b: Misra-Gries containment audit
     "quantile_sketch_audit_orders",  # r7: GK rank-error audit (3rd sketch)
@@ -1092,6 +1092,7 @@ _DRIVER_CHECK_ORDER = [
     # r6b overflow: oracled + stress-stable locally but no window slot
     # left this round — FIRST candidates to rotate IN next round
     "event_transition_matrix",  # 1x green r6; behavior family keeps 4 in-window
+    "events_interarrival_stats",  # 1x green r6; behavior family keeps 6 in-window
     "daily_revenue_rolling7",  # 1x green r6; relational family well-covered
     "chi2_lang_source",  # 1x green r6; drift family keeps psi + ks parked
     "events_daily_anomaly",  # 1x green r6; behavior family keeps 5 in-window
@@ -1428,6 +1429,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # attribution, inter-arrival cadence (one user-keyed window each)
         "event_transition_matrix": _q(BH.transition_matrix, table="events"),
         "attribution_last_touch": _q(BH.last_touch_attribution, table="events"),
+        # r7: equal-credit multi-touch counterpart (no ordering enters
+        # the result — all qualifying touches share 1/n)
+        "attribution_linear": _q(BH.linear_attribution, table="events"),
         "events_interarrival_stats": _q(BH.interarrival_stats, table="events"),
         # quantile discretizer: per-priority price deciles
         "quantile_bins_order_prices": _q(
@@ -4610,6 +4614,43 @@ def oracle_sql() -> dict[str, str]:
     # function of the payload bytes, and the corpus is ASCII (strlen ==
     # length asserted in tests), so frame-window geometry and the
     # byte-histogram feature are both SQL-recomputable
+    # linear multi-touch attribution (r7): decimal-snapped 1/n shares,
+    # strict same-µs exclusion, window count per purchase
+    sql["attribution_linear"] = """
+        WITH p AS (
+            SELECT user_id AS u, ts AS pts, event_id AS pid, value AS v
+            FROM events WHERE event_type = 'purchase'
+        ),
+        t AS (
+            SELECT user_id AS u, ts AS tts, event_type AS tty
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        j AS (
+            SELECT p.u, p.pid, p.v, t.tty
+            FROM p LEFT JOIN t
+              ON p.u = t.u AND t.tts < p.pts
+             AND date_diff('microsecond', t.tts, p.pts) <= 604800000000
+        ),
+        c AS (
+            SELECT u, pid, v, tty,
+                   COUNT(tty) OVER (PARTITION BY u, pid) AS n
+            FROM j
+        ),
+        cr AS (
+            SELECT CASE WHEN tty IS NULL THEN 'direct' ELSE tty END AS touch_type,
+                   CAST(CASE WHEN n > 0 THEN ROUND(1.0 / n, 6)
+                             ELSE 1.0 END AS DECIMAL(18,6)) AS share,
+                   CAST(CASE WHEN n > 0 THEN ROUND(v / n, 6)
+                             ELSE ROUND(v, 6) END AS DECIMAL(18,6)) AS vshare
+            FROM c
+        )
+        SELECT touch_type,
+               floor(CAST(SUM(share) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                   AS attributed_purchases,
+               floor(CAST(SUM(vshare) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                   AS attributed_value
+        FROM cr GROUP BY touch_type
+    """
     # GK quantile-sketch audit (r7): only the guarantee booleans and the
     # exact row count are partitioning-invariant, so that's the contract
     sql["quantile_sketch_audit_orders"] = """

@@ -450,3 +450,76 @@ def hourly_seasonality(
         F.col("n_events").cast("bigint").alias("n_events"),
         ratio4("n_events", "_tot").alias("share"),
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_days: int = 7,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Linear multi-touch attribution — the equal-credit counterpart
+    of ``last_touch_attribution``: every prior touch within
+    ``window_days`` shares the purchase equally (1/n of the count and
+    of the revenue); purchases with no in-window touch credit
+    'direct' in full. Output per touch type: ``(touch_type,
+    attributed_purchases, attributed_value)``.
+
+    Determinism is EASIER than last-touch: all qualifying touches are
+    credited, so no ordering/tiebreak enters the result — only the
+    strict ``touch.ts < purchase.ts`` bound (same-µs touches are
+    excluded on both engines) and integer-MICROSECOND window
+    comparison. Fractions follow the decimal-snap contract: each 1/n
+    and value/n term rounds to DECIMAL(18,6) BEFORE the global sum
+    (exact associative addition), final floor-snap to 4.
+
+    Scale: one user-keyed join (per-user touches bounded by the
+    window), a purchase-keyed window count on the same partitioning,
+    one hash agg onto len(touch_types)+1 rows.
+    """
+    p = events.where(F.col(type_col) == purchase_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_pts"),
+        F.col(tiebreak_col).alias("_pid"),
+        F.col(value_col).alias("_v"),
+    )
+    t = events.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tts"),
+        F.col(type_col).alias("_tty"),
+    )
+    limit_us = F.lit(window_days * 86_400_000_000).cast("bigint")
+    j = p.join(
+        t,
+        (p["_u"] == t["_u"])
+        & (t["_tts"] < p["_pts"])
+        & (F.timestamp_diff("MICROSECOND", t["_tts"], p["_pts"]) <= limit_us),
+        "left",
+    ).select(p["_u"], "_pid", "_pts", "_v", "_tty")
+    n = F.count("_tty").over(Window.partitionBy("_u", "_pid"))
+    credited = j.select(
+        F.when(F.col("_tty").isNull(), F.lit("direct"))
+        .otherwise(F.col("_tty"))
+        .alias("touch_type"),
+        F.when(n > 0, F.round(F.lit(1.0) / n, 6))
+        .otherwise(F.lit(1.0))
+        .cast("decimal(18,6)")
+        .alias("_share"),
+        F.when(n > 0, F.round(F.col("_v") / n, 6))
+        .otherwise(F.round(F.col("_v"), 6))
+        .cast("decimal(18,6)")
+        .alias("_vshare"),
+    )
+    return credited.groupBy("touch_type").agg(
+        (F.floor(F.sum("_share").cast("double") * 10000.0 + 0.5) / 10000.0).alias(
+            "attributed_purchases"
+        ),
+        (F.floor(F.sum("_vshare").cast("double") * 10000.0 + 0.5) / 10000.0).alias(
+            "attributed_value"
+        ),
+    )

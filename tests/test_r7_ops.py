@@ -234,3 +234,38 @@ def test_session_path_trigrams_never_cross_sessions(spark):
     ).collect()}
     assert got == {"a>b>c": 1, "d>e>f": 1}
     assert "b>c>d" not in got and "c>d>e" not in got
+
+
+def test_linear_attribution_conserves_purchases_and_value(spark):
+    """Credit shares sum to the number of purchases and total purchase
+    value (decimal-snap slack) across touch types + direct."""
+    from datetime import datetime, timedelta
+
+    from sparklyclean_spark.operators.behavior import linear_attribution
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: click, view, purchase(10.0) -> click 1/2 + view 1/2
+        (1, t0, 1, "click", 0.0),
+        (1, t0 + timedelta(hours=1), 2, "view", 0.0),
+        (1, t0 + timedelta(hours=2), 3, "purchase", 10.0),
+        # user 2: purchase with no touch -> direct 1
+        (2, t0, 4, "purchase", 4.0),
+        # user 3: stale click (30 days before) -> direct
+        (3, t0 - timedelta(days=30), 5, "click", 0.0),
+        (3, t0, 6, "purchase", 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id bigint, ts timestamp_ntz, event_id bigint, event_type string, value double",
+    )
+    got = {r["touch_type"]: r for r in linear_attribution(df).collect()}
+    assert got["click"]["attributed_purchases"] == 0.5
+    assert got["view"]["attributed_purchases"] == 0.5
+    assert got["direct"]["attributed_purchases"] == 2.0
+    assert abs(got["click"]["attributed_value"] - 5.0) < 1e-6
+    assert abs(got["direct"]["attributed_value"] - 10.0) < 1e-6
+    total_p = sum(r["attributed_purchases"] for r in got.values())
+    total_v = sum(r["attributed_value"] for r in got.values())
+    assert abs(total_p - 3.0) < 1e-3
+    assert abs(total_v - 20.0) < 1e-3
