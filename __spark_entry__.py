@@ -981,9 +981,7 @@ _DRIVER_CHECK_ORDER = [
     "fetch_path_diag",  # r7: one probe replaces the four r6 *_diag rows —
                         # verifies all 3 fixes under every Spark×DuckDB
                         # materialization pairing (dump: DIAG_r7.json)
-    "text_zipf_slope",           # r6b: Zipf rank-frequency fit
     "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
-    "orders_revenue_gini",       # r6b: revenue concentration Gini
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
     "q12_priority_by_status",   # r5/r6 red; r7 FIX: integer SUMs cast
                                 # HUGEINT -> BIGINT in the oracle
@@ -1021,7 +1019,6 @@ _DRIVER_CHECK_ORDER = [
     "target_encode_priority",     # r6b: smoothed target encoding
     "kfold_docs_by_lang",         # r6b: deterministic k-fold assignment
     "embedding_norm_stats",       # r6b: pre-index vector hygiene
-    "temporal_split_events",      # r6b: time holdout + leakage audit
     # r6: exact-N largest-remainder proportional sample (displaced:
     # neardup_prefix_jaccard, 2x green; family keeps minhash_lsh_exploded)
     "sample_docs_proportional",
@@ -1044,7 +1041,10 @@ _DRIVER_CHECK_ORDER = [
     "text_oov_rate",                   # r6b: df-thresholded OOV coverage
     "text_bigram_pmi",                 # r7: collocation PMI
     "text_source_term_lift",           # r7: source fingerprint terms
+    "text_gopher_gate",                # r7: Gopher rule bundle
     "psi_order_price_drift",           # r6b: PSI feature-drift monitor
+    "mi_lang_source",                  # r7: mutual information (nats)
+    "corr_price_qty_by_status",        # r7: deterministic Pearson r
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "source_freshness_events",         # r6b: ingest freshness audit
     "events_conversion_wilson",        # r6b: Wilson-bounded conversion
@@ -1093,6 +1093,9 @@ _DRIVER_CHECK_ORDER = [
     # left this round — FIRST candidates to rotate IN next round
     "event_transition_matrix",  # 1x green r6; behavior family keeps 4 in-window
     "events_interarrival_stats",  # 1x green r6; behavior family keeps 6 in-window
+    "orders_revenue_gini",  # 1x green r6; relational family well-covered
+    "text_zipf_slope",  # 1x green r6; text family keeps 6 in-window
+    "temporal_split_events",  # 1x green r6; sampling family keeps 2 in-window
     "daily_revenue_rolling7",  # 1x green r6; relational family well-covered
     "chi2_lang_source",  # 1x green r6; drift family keeps psi + ks parked
     "events_daily_anomaly",  # 1x green r6; behavior family keeps 5 in-window
@@ -1294,6 +1297,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- text analysis ----------------------------------------------------
         "text_token_stats": _q(TA.token_stats, table="documents"),
         "text_quality_scores": _q(TA.quality_scores, table="documents"),
+        # r7: Gopher rule bundle with per-rule pass flags (exact integer
+        # cross-multiplication ratios — no division anywhere)
+        "text_gopher_gate": _q(TA.gopher_quality_gate, table="documents"),
         "text_language_id": _q(TA.language_id, table="documents"),
         "text_fingerprints": _q(TA.fingerprints, table="documents"),
         "text_tfidf_top_terms": _q(TA.tfidf_top_terms, table="documents"),
@@ -1361,6 +1367,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rfm_segments": _t(R.rfm_segments),
         # r6b drift/stat-test family: chi-square independence, PSI
         # feature drift, two-sample Kolmogorov-Smirnov
+        # r7: mutual information (nats) — the effect-size companion of chi2
+        "mi_lang_source": _q(
+            lambda d: DR.mutual_information(d, "lang", "source"), table="documents"
+        ),
+        # r7: hash-checkable Pearson r (decimal-snapped moments; built-in
+        # corr cannot be hash-checked — partition-order double sums)
+        "corr_price_qty_by_status": _q(
+            lambda l: DR.grouped_correlation(
+                l, "l_extendedprice", "l_quantity", by=["l_linestatus"]
+            ),
+            table="lineitem",
+        ),
         "chi2_lang_source": _q(
             lambda d: DR.chi_square_independence(d, "lang", "source"),
             table="documents",
@@ -4614,6 +4632,126 @@ def oracle_sql() -> dict[str, str]:
     # function of the payload bytes, and the corpus is ASCII (strlen ==
     # length asserted in tests), so frame-window geometry and the
     # byte-histogram feature are both SQL-recomputable
+    # Gopher rule bundle (r7): exact-int cross-multiplication ratios
+    sql["text_gopher_gate"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+        per_tok AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+        ),
+        stats AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+                   CAST(SUM(CASE WHEN regexp_matches(tok, '(#|\\.\\.\\.)')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol,
+                   CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha
+            FROM toks t GROUP BY t.doc_id
+        ),
+        tops AS (
+            SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_tok
+            FROM per_tok GROUP BY doc_id
+        ),
+        j AS (
+            SELECT d.doc_id, s.n_words, s.n_chars, s.n_symbol, s.n_alpha,
+                   tp.top_tok
+            FROM documents d
+            LEFT JOIN stats s ON d.doc_id = s.doc_id
+            LEFT JOIN tops tp ON d.doc_id = tp.doc_id
+        ),
+        r AS (
+            SELECT doc_id,
+                   COALESCE(n_words, 0) AS n_words,
+                   CASE WHEN COALESCE(n_words, 0) > 0
+                        THEN floor(n_chars * 10000.0 / n_words + 0.5) / 10000.0
+                        END AS mean_word_len,
+                   (COALESCE(n_words, 0) >= 50 AND COALESCE(n_words, 0) <= 100000)
+                       AS r_wordcount,
+                   COALESCE(
+                       floor(n_chars * 10000.0 / n_words + 0.5) / 10000.0 >= 3.0
+                       AND floor(n_chars * 10000.0 / n_words + 0.5) / 10000.0 <= 10.0,
+                       FALSE) AS r_meanlen,
+                   COALESCE(n_symbol * 10 <= n_words, FALSE) AS r_symbol,
+                   COALESCE(n_alpha * 5 >= n_words * 4, FALSE) AS r_alpha,
+                   COALESCE(top_tok * 10 <= n_words * 9, FALSE) AS r_repeat
+            FROM j
+        )
+        SELECT doc_id, n_words, mean_word_len,
+               r_wordcount, r_meanlen, r_symbol, r_alpha, r_repeat,
+               (r_wordcount AND r_meanlen AND r_symbol AND r_alpha AND r_repeat)
+                   AS keep
+        FROM r
+    """
+    # mutual information (r7): chi2/entropy decimal-snap recipe
+    sql["mi_lang_source"] = """
+        WITH pairs AS (
+            SELECT COALESCE(CAST(lang AS VARCHAR), ' NULL ') AS a,
+                   COALESCE(CAST(source AS VARCHAR), ' NULL ') AS b
+            FROM documents
+        ),
+        joint AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b),
+        ma AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM joint GROUP BY a),
+        mb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM joint GROUP BY b),
+        n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS nn FROM joint),
+        mi AS (
+            SELECT CAST(SUM(CAST(ROUND(
+                       (c_ab / nn) * ln((c_ab * nn) / (c_a * c_b)), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS mi
+            FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN n
+        ),
+        ha AS (
+            SELECT -CAST(SUM(CAST(ROUND((c_a / nn) * ln(c_a / nn), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS ha
+            FROM ma CROSS JOIN n
+        ),
+        hb AS (
+            SELECT -CAST(SUM(CAST(ROUND((c_b / nn) * ln(c_b / nn), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS hb
+            FROM mb CROSS JOIN n
+        )
+        SELECT floor(mi * 10000.0 + 0.5) / 10000.0 AS mi_nats,
+               floor(ha * 10000.0 + 0.5) / 10000.0 AS entropy_a,
+               floor(hb * 10000.0 + 0.5) / 10000.0 AS entropy_b,
+               CASE WHEN LEAST(ha, hb) > 0
+                    THEN floor(mi / LEAST(ha, hb) * 10000.0 + 0.5) / 10000.0
+                    END AS mi_normalized
+        FROM mi CROSS JOIN ha CROSS JOIN hb
+    """
+    # deterministic Pearson r (r7): decimal-snapped raw moments
+    sql["corr_price_qty_by_status"] = """
+        WITH base AS (
+            SELECT l_linestatus,
+                   CAST(l_extendedprice AS DOUBLE) AS x,
+                   CAST(l_quantity AS DOUBLE) AS y
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        ),
+        agg AS (
+            SELECT l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS sx,
+                   SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS sy,
+                   SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS sxx,
+                   SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS syy,
+                   SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS sxy
+            FROM base GROUP BY l_linestatus
+        ),
+        d AS (
+            SELECT l_linestatus, n_pairs,
+                   CAST(n_pairs AS DOUBLE) AS n,
+                   CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                   CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+                   CAST(sxy AS DOUBLE) AS sxy
+            FROM agg
+        )
+        SELECT l_linestatus, n_pairs,
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                    THEN floor((n * sxy - sx * sy)
+                               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                               * 10000.0 + 0.5) / 10000.0
+                    END AS r
+        FROM d
+    """
     # linear multi-touch attribution (r7): decimal-snapped 1/n shares,
     # strict same-µs exclusion, window count per purchase
     sql["attribution_linear"] = """

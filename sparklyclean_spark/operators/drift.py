@@ -214,3 +214,111 @@ def ks_test(
         _r4(crit).alias("ks_crit"),
         (F.col("_ks") > crit).alias("significant"),
     )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns (nats), plus
+    the normalized form MI / min(H(a), H(b)) — the feature-selection
+    companion of ``chi_square_independence`` (chi2 answers "is there
+    association"; MI answers "how much of one label the other
+    carries", which is what you rank candidate features by).
+
+    Hash-stable recipe (the chi2/entropy precedent): joint and
+    marginal counts are exact integers; each cell term
+    ``p_xy * ln(p_xy*n / (c_x*c_y))`` is one IEEE expression over
+    exact ints rounded to DECIMAL(18,6) BEFORE the sum; entropies use
+    the same treatment. NULL categories are kept as their own level
+    via a sentinel (groupBy keeps NULL groups; the joins back are on
+    non-null sentinels, so no rows drop).
+
+    Scale: one scan + three hash aggs bounded by the label domains;
+    marginals broadcast back onto the (bounded) contingency table.
+    """
+    s = " NULL "  # sentinel: joins drop NULL keys, groupBy keeps them
+    pairs = df.select(
+        F.coalesce(F.col(col_a).cast("string"), F.lit(s)).alias("_a"),
+        F.coalesce(F.col(col_b).cast("string"), F.lit(s)).alias("_b"),
+    )
+    joint = pairs.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ma = joint.groupBy("_a").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    mb = joint.groupBy("_b").agg(F.sum("c_ab").cast("bigint").alias("c_b"))
+    n = joint.agg(F.sum("c_ab").cast("bigint").alias("_n"))
+
+    full = joint.join(F.broadcast(ma), "_a").join(F.broadcast(mb), "_b").join(
+        F.broadcast(n)
+    )
+    p_ab = F.col("c_ab") / F.col("_n")
+    mi_term = F.round(
+        p_ab * F.log((F.col("c_ab") * F.col("_n")) / (F.col("c_a") * F.col("c_b"))),
+        6,
+    ).cast("decimal(18,6)")
+    mi = full.agg(F.sum(mi_term).cast("double").alias("_mi"))
+
+    def _entropy(marg, c_col, alias):
+        p = F.col(c_col) / F.col("_n")
+        term = F.round(p * F.log(p), 6).cast("decimal(18,6)")
+        return (
+            marg.join(F.broadcast(n))
+            .agg((-F.sum(term)).cast("double").alias(alias))
+        )
+
+    out = (
+        mi.join(F.broadcast(_entropy(ma, "c_a", "_ha")))
+        .join(F.broadcast(_entropy(mb, "c_b", "_hb")))
+    )
+    hmin = F.least("_ha", "_hb")
+    return out.select(
+        _r4("_mi").alias("mi_nats"),
+        _r4("_ha").alias("entropy_a"),
+        _r4("_hb").alias("entropy_b"),
+        F.when(hmin > 0, _r4(F.col("_mi") / hmin)).alias("mi_normalized"),
+    )
+
+
+def grouped_correlation(
+    df: DataFrame, x_col: str, y_col: str, by: list[str] | None = None
+) -> DataFrame:
+    """Per-group Pearson correlation with a DETERMINISTIC summation:
+    Spark's built-in ``corr`` aggregates doubles in partition order, so
+    its last decimals wobble across partitionings and can never be
+    hash-checked. Here every raw moment term (x, y, x*x, y*y, x*y) is
+    rounded to DECIMAL(28,6) BEFORE the group sum (exact associative
+    addition), and the closed-form
+    ``r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))``
+    is the same single-IEEE-op tree on both engines.
+
+    Pairs with a NULL on either side are excluded (the standard corr
+    contract). Output: ``(group..., n_pairs, r)`` — r is NULL for
+    degenerate (zero-variance) groups instead of NaN/inf.
+
+    Scale: one map-side-combinable hash agg; output bounded by the
+    group domain.
+    """
+    keys = by or []
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+
+    def dec(c):
+        return F.round(c, 6).cast("decimal(28,6)")
+
+    agg = base.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(dec(x)).alias("_sx"),
+        F.sum(dec(y)).alias("_sy"),
+        F.sum(dec(x * x)).alias("_sxx"),
+        F.sum(dec(y * y)).alias("_syy"),
+        F.sum(dec(x * y)).alias("_sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov = n * F.col("_sxy").cast("double") - sx * sy
+    vx = n * F.col("_sxx").cast("double") - sx * sx
+    vy = n * F.col("_syy").cast("double") - sy * sy
+    r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return agg.select(
+        *keys,
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.when(r.isNotNull(), F.floor(r * 10000.0 + 0.5) / 10000.0).alias("r"),
+    )

@@ -656,3 +656,65 @@ def source_term_lift(
         F.col("c_s").cast("bigint").alias("count_in_source"),
         (F.floor(F.col("_lift") * 10000.0 + 0.5) / 10000.0).alias("log_lift"),
     )
+
+
+def gopher_quality_gate(docs: DataFrame) -> DataFrame:
+    """Gopher-style rule bundle (Rae et al. 2021, Table A1 — the
+    de-facto standard pretraining quality filter), evaluated per
+    document with PER-RULE pass flags so a data card can report which
+    rule kills what, not just a pass rate:
+
+    - 50 <= word count <= 100,000
+    - 3 <= mean word length <= 10 (floor-ratio of exact char/word ints)
+    - symbol-to-word ratio <= 0.1 ('#' or ellipsis words)
+    - >= 80% of words contain at least one alphabetic character
+    - the single most frequent token carries <= 90% of all tokens
+      (repetition guard)
+
+    ``keep`` is the conjunction. Ratio rules are EXACT integer
+    cross-multiplications — no division, no rounding, no engine can
+    disagree. Token stats come from one explode + two-level hash agg
+    keyed on doc_id (map-side combinable, same shape as
+    ``repetition_counts``) — deliberately NOT per-row array HOFs,
+    which are interpreted and quadratic in the repetition rule.
+
+    Scale: one scan, one doc-keyed exchange, one join back on doc_id.
+    """
+    toks = docs.select("doc_id", F.explode(T.words("text")).alias("tok"))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+            F.sum(F.when(F.col("tok").rlike(r"(#|\.\.\.)"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_symbol"),
+            F.sum(F.when(F.col("tok").rlike("[a-z]"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_alpha"),
+        )
+        .join(
+            per_tok.groupBy("doc_id").agg(F.max("c").alias("top_tok")),
+            "doc_id",
+        )
+    )
+    out = docs.select("doc_id").join(stats, "doc_id", "left")
+    n_words = F.coalesce(F.col("n_words"), F.lit(0))
+    mean_wl = F.when(n_words > 0, ratio4("n_chars", "n_words"))
+    r_wordcount = (n_words >= 50) & (n_words <= 100_000)
+    r_meanlen = F.coalesce((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(False))
+    r_symbol = F.coalesce((F.col("n_symbol") * 10) <= n_words, F.lit(False))
+    r_alpha = F.coalesce((F.col("n_alpha") * 5) >= (n_words * 4), F.lit(False))
+    r_repeat = F.coalesce((F.col("top_tok") * 10) <= (n_words * 9), F.lit(False))
+    return out.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        r_wordcount.alias("r_wordcount"),
+        r_meanlen.alias("r_meanlen"),
+        r_symbol.alias("r_symbol"),
+        r_alpha.alias("r_alpha"),
+        r_repeat.alias("r_repeat"),
+        (r_wordcount & r_meanlen & r_symbol & r_alpha & r_repeat).alias("keep"),
+    )

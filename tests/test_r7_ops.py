@@ -269,3 +269,65 @@ def test_linear_attribution_conserves_purchases_and_value(spark):
     total_v = sum(r["attributed_value"] for r in got.values())
     assert abs(total_p - 3.0) < 1e-3
     assert abs(total_v - 20.0) < 1e-3
+
+
+def test_gopher_gate_rules(spark):
+    """Known-bad docs fail the right rules; a clean doc passes all."""
+    from sparklyclean_spark.operators.text_analysis import gopher_quality_gate
+
+    clean = " ".join(f"word{i} nice text here" for i in range(20))  # 80 words
+    short = "too short"
+    symbols = " ".join(["###"] * 30 + ["ok"] * 30)
+    repeated = " ".join(["spam"] * 60 + ["x"])
+    df = spark.createDataFrame(
+        [(1, clean), (2, short), (3, symbols), (4, repeated)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_gate(df).collect()}
+    assert got[1]["keep"] and all(
+        got[1][k] for k in ("r_wordcount", "r_meanlen", "r_symbol", "r_alpha", "r_repeat")
+    )
+    assert not got[2]["r_wordcount"] and not got[2]["keep"]
+    assert not got[3]["r_symbol"] and not got[3]["keep"]
+    assert not got[4]["r_repeat"] and not got[4]["keep"]
+
+
+def test_mutual_information_independence_and_identity(spark):
+    """MI ~ 0 for independent columns; MI == H for identical columns
+    (normalized form == 1)."""
+    from sparklyclean_spark.operators.drift import mutual_information
+
+    rows = [(i, f"a{i % 3}", f"b{(i // 3) % 4}") for i in range(120)]
+    df = spark.createDataFrame(rows, "id bigint, x string, y string")
+    indep = mutual_information(df, "x", "y").collect()[0]
+    assert abs(indep["mi_nats"]) < 1e-3
+
+    same = spark.createDataFrame(
+        [(i, f"a{i % 3}") for i in range(120)], "id bigint, x string"
+    ).withColumn("y", F.col("x"))
+    ident = mutual_information(same, "x", "y").collect()[0]
+    assert abs(ident["mi_normalized"] - 1.0) < 1e-3
+    assert abs(ident["mi_nats"] - ident["entropy_a"]) < 1e-2
+
+
+def test_grouped_correlation_matches_numpy(spark):
+    """r agrees with numpy corrcoef to the 4-decimal grid; a
+    zero-variance group yields NULL."""
+    import numpy as np
+
+    from sparklyclean_spark.operators.drift import grouped_correlation
+
+    rng_rows = []
+    xs, ys = [], []
+    for i in range(200):
+        x = (i * 37 % 101) / 7.0
+        y = 2.5 * x + ((i * 53) % 13) - 6.0
+        xs.append(x); ys.append(y)
+        rng_rows.append(("g", x, y))
+    rng_rows += [("flat", 1.0, float(i)) for i in range(10)]  # zero x-variance
+    df = spark.createDataFrame(rng_rows, "grp string, x double, y double")
+    got = {r["grp"]: r for r in grouped_correlation(df, "x", "y", by=["grp"]).collect()}
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    assert abs(got["g"]["r"] - round(want, 4)) <= 2e-4
+    assert got["flat"]["r"] is None
+    assert got["g"]["n_pairs"] == 200
