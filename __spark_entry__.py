@@ -911,6 +911,62 @@ def _fetch_path_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_fetch_path_diag(spark, sf_dir, targets)
 
 
+def _lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: confusion matrix between the corpus's lang
+    LABELS and the marker-token language-ID prediction — the check a
+    curation pipeline runs before trusting upstream metadata (a
+    high-disagreement source usually means scraped mislabels). One row
+    per (lang, lang_pred): count + the labeled language's share that
+    the prediction agrees with (floor-ratio of exact ints)."""
+    from sparklyclean_spark.functions.rounding import ratio4
+    from sparklyclean_spark.operators.text_analysis import language_id
+
+    docs = _tables(spark, sf_dir)["documents"]
+    pred = language_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    cell = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cell.groupBy("lang").agg(F.sum("n").cast("bigint").alias("_t"))
+    return cell.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("bigint").alias("n"),
+        ratio4("n", "_t").alias("share_of_label"),
+    )
+
+
+def _blocking_quality_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme quality (the record-linkage evaluation metric):
+    reduction ratio = 1 - |candidate pairs| / |all pairs| for the
+    customer blocking rules. A good scheme prunes >99% of the
+    quadratic space while keeping true matches (pairs completeness is
+    gated on the Febrl fixture in pytest, where ground truth exists).
+    One row: (n_rows, n_candidate_pairs, n_total_pairs,
+    reduction_ratio)."""
+    from sparklyclean_spark.functions.rounding import ratio4
+    from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
+
+    c = _tables(spark, sf_dir)["customer"]
+    pairs = candidate_pairs_naive(c, _CUST_RULES, "c_custkey")
+    n = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    cand = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"))
+    return (
+        n.join(F.broadcast(cand))
+        .select(
+            "n_rows",
+            "n_candidate_pairs",
+            (F.col("n_rows") * (F.col("n_rows") - 1) / 2)
+            .cast("bigint")
+            .alias("n_total_pairs"),
+            ratio4(
+                (F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("bigint")
+                - F.col("n_candidate_pairs"),
+                (F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("bigint"),
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
 def _ml_dedup_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible ML quality gate (VERDICT r6 item 7): the full
     dedup→GBT flow on the reference's own Febrl corpus, reduced to a
@@ -1017,7 +1073,6 @@ _DRIVER_CHECK_ORDER = [
     "heavy_hitters_orders",       # r6b: Misra-Gries containment audit
     "quantile_sketch_audit_orders",  # r7: GK rank-error audit (3rd sketch)
     "target_encode_priority",     # r6b: smoothed target encoding
-    "kfold_docs_by_lang",         # r6b: deterministic k-fold assignment
     "embedding_norm_stats",       # r6b: pre-index vector hygiene
     # r6: exact-N largest-remainder proportional sample (displaced:
     # neardup_prefix_jaccard, 2x green; family keeps minhash_lsh_exploded)
@@ -1042,13 +1097,14 @@ _DRIVER_CHECK_ORDER = [
     "text_bigram_pmi",                 # r7: collocation PMI
     "text_source_term_lift",           # r7: source fingerprint terms
     "text_gopher_gate",                # r7: Gopher rule bundle
-    "psi_order_price_drift",           # r6b: PSI feature-drift monitor
+    "lang_label_audit",                # r7: label-vs-prediction confusion
     "mi_lang_source",                  # r7: mutual information (nats)
     "corr_price_qty_by_status",        # r7: deterministic Pearson r
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
     "source_freshness_events",         # r6b: ingest freshness audit
     "events_conversion_wilson",        # r6b: Wilson-bounded conversion
     "ml_dedup_quality_gate",           # r7: driver-visible GBT quality row
+    "blocking_quality_customer",       # r7: reduction-ratio audit
     # -- family representatives (all green in r3) -----------------------
     # q1_pricing_summary parked below (6x green r1–r6; still exercised
     # in-driver as the fetch_path_diag control arm)
@@ -1094,6 +1150,8 @@ _DRIVER_CHECK_ORDER = [
     "event_transition_matrix",  # 1x green r6; behavior family keeps 4 in-window
     "events_interarrival_stats",  # 1x green r6; behavior family keeps 6 in-window
     "orders_revenue_gini",  # 1x green r6; relational family well-covered
+    "kfold_docs_by_lang",  # 1x green r6; sampling family keeps proportional
+    "psi_order_price_drift",  # 1x green r6; drift family keeps chi2+mi+corr
     "text_zipf_slope",  # 1x green r6; text family keeps 6 in-window
     "temporal_split_events",  # 1x green r6; sampling family keeps 2 in-window
     "daily_revenue_rolling7",  # 1x green r6; relational family well-covered
@@ -1294,6 +1352,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- ML (rows-only: no oracle_sql entry) ------------------------------
         "ml_dedup_confusion": _ml_dedup_confusion,
         "ml_dedup_quality_gate": _ml_dedup_quality_gate,
+        # r7: metadata-trust + blocking-scheme evaluation audits
+        "lang_label_audit": _lang_label_audit,
+        "blocking_quality_customer": _blocking_quality_customer,
         # -- text analysis ----------------------------------------------------
         "text_token_stats": _q(TA.token_stats, table="documents"),
         "text_quality_scores": _q(TA.quality_scores, table="documents"),
@@ -4632,6 +4693,51 @@ def oracle_sql() -> dict[str, str]:
     # function of the payload bytes, and the corpus is ASCII (strlen ==
     # length asserted in tests), so frame-window geometry and the
     # byte-histogram feature are both SQL-recomputable
+    # label-vs-prediction confusion (r7): same marker-token scores as
+    # the green text_language_id oracle, grouped against the label
+    sql["lang_label_audit"] = f"""
+        WITH pred AS (
+            SELECT doc_id,
+                   CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM (
+                SELECT doc_id,
+                       len(list_filter(toks, w -> w IN ('der','die','das','und','nicht','ist'))) AS s_de,
+                       len(list_filter(toks, w -> w IN ('the','and','of','to','a','in'))) AS s_en,
+                       len(list_filter(toks, w -> w IN ('el','la','los','que','y','es'))) AS s_es,
+                       len(list_filter(toks, w -> w IN ('le','la','les','et','est','une'))) AS s_fr
+                FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+            )
+        ),
+        cell AS (
+            SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+            GROUP BY d.lang, p.lang_pred
+        ),
+        tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM cell GROUP BY lang)
+        SELECT c.lang, c.lang_pred, c.n,
+               floor(c.n * 10000.0 / t.t + 0.5) / 10000.0 AS share_of_label
+        FROM cell c JOIN tot t ON c.lang = t.lang
+    """
+    # blocking reduction ratio (r7): candidate count from the same SQL
+    # that oracles the naive pair universe
+    sql["blocking_quality_customer"] = f"""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer),
+        cand AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs
+            FROM ({_DEDUP_PAIRS_SQL})
+        )
+        SELECT n_rows, n_candidate_pairs,
+               CAST(n_rows * (n_rows - 1) / 2 AS BIGINT) AS n_total_pairs,
+               floor((CAST(n_rows * (n_rows - 1) / 2 AS BIGINT)
+                      - n_candidate_pairs) * 10000.0
+                     / CAST(n_rows * (n_rows - 1) / 2 AS BIGINT) + 0.5) / 10000.0
+                   AS reduction_ratio
+        FROM n, cand
+    """
     # Gopher rule bundle (r7): exact-int cross-multiplication ratios
     sql["text_gopher_gate"] = f"""
         WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),

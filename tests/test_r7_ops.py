@@ -331,3 +331,41 @@ def test_grouped_correlation_matches_numpy(spark):
     assert abs(got["g"]["r"] - round(want, 4)) <= 2e-4
     assert got["flat"]["r"] is None
     assert got["g"]["n_pairs"] == 200
+
+
+def test_blocking_quality_reduction_ratio(docs, spark):
+    """Reduction ratio consistency law on a small synthetic frame:
+    n_total_pairs == C(n,2), candidates <= total, rr = 1 - cand/total
+    on the floor grid."""
+    from sparklyclean_spark.operators.dedup.blocking import BlockingRule
+    from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
+
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    row = E.queries()["blocking_quality_customer"](spark, SF_DIR).collect()[0]
+    n = row["n_rows"]
+    assert row["n_total_pairs"] == n * (n - 1) // 2
+    assert 0 < row["n_candidate_pairs"] <= row["n_total_pairs"]
+    import math
+    want = math.floor(
+        (row["n_total_pairs"] - row["n_candidate_pairs"]) * 10000.0
+        / row["n_total_pairs"] + 0.5
+    ) / 10000.0
+    assert row["reduction_ratio"] == want
+    assert row["reduction_ratio"] > 0.5  # blocking must actually prune
+
+
+def test_lang_label_audit_shares_sum_per_label(spark):
+    """Per labeled language, prediction shares sum to ~1 and counts
+    partition the label's documents."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    rows = E.queries()["lang_label_audit"](spark, SF_DIR).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, cells in by_lang.items():
+        share = sum(c["share_of_label"] for c in cells)
+        assert abs(share - 1.0) < len(cells) * 1e-4 + 1e-9, (lang, share)
