@@ -1073,7 +1073,6 @@ _DRIVER_CHECK_ORDER = [
     "heavy_hitters_orders",       # r6b: Misra-Gries containment audit
     "quantile_sketch_audit_orders",  # r7: GK rank-error audit (3rd sketch)
     "target_encode_priority",     # r6b: smoothed target encoding
-    "embedding_norm_stats",       # r6b: pre-index vector hygiene
     # r6: exact-N largest-remainder proportional sample (displaced:
     # neardup_prefix_jaccard, 2x green; family keeps minhash_lsh_exploded)
     "sample_docs_proportional",
@@ -1093,6 +1092,7 @@ _DRIVER_CHECK_ORDER = [
     # 2x green untouched; sampling family keeps exact_k_weighted)
     "corpus_mix_report",
     "corpus_temperature_weights",  # r7: sqrt-chain temperature weights
+    "curation_training_manifest",  # r7: flagship gate->dedup->split->pack
     "text_oov_rate",                   # r6b: df-thresholded OOV coverage
     "text_bigram_pmi",                 # r7: collocation PMI
     "text_source_term_lift",           # r7: source fingerprint terms
@@ -1151,6 +1151,7 @@ _DRIVER_CHECK_ORDER = [
     "events_interarrival_stats",  # 1x green r6; behavior family keeps 6 in-window
     "orders_revenue_gini",  # 1x green r6; relational family well-covered
     "kfold_docs_by_lang",  # 1x green r6; sampling family keeps proportional
+    "embedding_norm_stats",  # 1x green r6; similarity family keeps 3 in-window
     "psi_order_price_drift",  # 1x green r6; drift family keeps chi2+mi+corr
     "text_zipf_slope",  # 1x green r6; text family keeps 6 in-window
     "temporal_split_events",  # 1x green r6; sampling family keeps 2 in-window
@@ -1354,6 +1355,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_dedup_quality_gate": _ml_dedup_quality_gate,
         # r7: metadata-trust + blocking-scheme evaluation audits
         "lang_label_audit": _lang_label_audit,
+        # r7 flagship composition: gate -> dedup -> split -> pack in ONE
+        # plan; the manifest a training run consumes
+        "curation_training_manifest": _q(
+            CU.training_manifest, table="documents"
+        ),
         "blocking_quality_customer": _blocking_quality_customer,
         # -- text analysis ----------------------------------------------------
         "text_token_stats": _q(TA.token_stats, table="documents"),
@@ -4693,6 +4699,74 @@ def oracle_sql() -> dict[str, str]:
     # function of the payload bytes, and the corpus is ASCII (strlen ==
     # length asserted in tests), so frame-window geometry and the
     # byte-histogram feature are both SQL-recomputable
+    # end-to-end training manifest (r7): composes the proven gopher,
+    # fingerprint-survivor, md5-split, and prefix-sum-pack SQL fragments
+    sql["curation_training_manifest"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+        per_tok AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+        ),
+        stats AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+                   CAST(SUM(CASE WHEN regexp_matches(tok, '(#|\\.\\.\\.)')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol,
+                   CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha
+            FROM toks GROUP BY doc_id
+        ),
+        tops AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_tok
+                 FROM per_tok GROUP BY doc_id),
+        gate AS (
+            SELECT d.doc_id,
+                   COALESCE(
+                       s.n_words >= 50 AND s.n_words <= 100000
+                       AND floor(s.n_chars * 10000.0 / s.n_words + 0.5) / 10000.0
+                           BETWEEN 3.0 AND 10.0
+                       AND s.n_symbol * 10 <= s.n_words
+                       AND s.n_alpha * 5 >= s.n_words * 4
+                       AND t.top_tok * 10 <= s.n_words * 9,
+                       FALSE) AS g
+            FROM documents d
+            LEFT JOIN stats s ON d.doc_id = s.doc_id
+            LEFT JOIN tops t ON d.doc_id = t.doc_id
+        ),
+        surv AS (
+            SELECT doc_id,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY {_FP_SQL}) AS sv
+            FROM documents
+        ),
+        base AS (
+            SELECT d.doc_id,
+                   CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+                   CASE WHEN NOT g.g THEN 'fail_quality'
+                        WHEN NOT s.sv THEN 'duplicate'
+                        ELSE 'kept' END AS disposition,
+                   CASE WHEN g.g AND s.sv THEN
+                       CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                                THEN 'train'
+                            WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < 'e666'
+                                THEN 'val'
+                            ELSE 'test' END
+                       END AS split
+            FROM documents d
+            JOIN gate g ON d.doc_id = g.doc_id
+            JOIN surv s ON d.doc_id = s.doc_id
+        ),
+        packed AS (
+            SELECT doc_id,
+                   CAST(floor(CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) / 4096.0) AS BIGINT) AS bin_id
+            FROM base
+            WHERE disposition = 'kept' AND split = 'train'
+        )
+        SELECT b.doc_id, b.disposition, b.split, b.n_tokens,
+               CAST(COALESCE(p.bin_id, -1) AS BIGINT) AS bin_id
+        FROM base b LEFT JOIN packed p ON b.doc_id = p.doc_id
+    """
     # label-vs-prediction confusion (r7): same marker-token scores as
     # the green text_language_id oracle, grouped against the label
     sql["lang_label_audit"] = f"""

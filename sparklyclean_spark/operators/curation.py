@@ -121,3 +121,77 @@ def curate_corpus_lsh(
     # connected_components runs its propagation loop eagerly (each
     # round collects a convergence witness), so stats is final here
     return out.withColumn("n_rounds", F.lit(stats.get("n_rounds", -1)))
+
+
+def training_manifest(
+    docs: DataFrame,
+    budget: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """THE end-to-end curation artifact: one row per input document
+    with its full disposition — the manifest a training run actually
+    consumes, composing four independently-oracled stages in one plan:
+
+    1. quality gate (``gopher_quality_gate.keep``)
+    2. exact dedup survivor selection (min-id, ``dedup_survivors``)
+    3. md5 hash split (train/val/test, ``hash_split`` convention)
+    4. token-budget packing of the TRAIN partition
+       (``pack_sequences`` fixed-grid bins in doc_id order)
+
+    Output: ``(doc_id, disposition, split, n_tokens, bin_id)`` where
+    disposition ∈ {fail_quality, duplicate, kept}; split is NULL for
+    dropped docs; bin_id is -1 except kept-train docs (a NULL in a
+    bigint column would promote the whole column to float64 under a
+    pandas fetch — the r7 HUGEINT lesson generalized — so the absent
+    case gets an integer sentinel, keeping every fetch path's
+    rendering identical). Every stage
+    is a pure function of the data (md5 randomness, total-order
+    champions, exact prefix sums), so the WHOLE manifest is
+    rerun/partitioning-invariant and DuckDB-recomputable.
+
+    Scale: the gate and dedup are doc-keyed hash aggs; the split is
+    map-side; packing exchanges only the kept-train subset (range
+    repartition + local windows + broadcast offsets).
+    """
+    from sparklyclean_spark.functions import text as T
+    from sparklyclean_spark.operators.dedup.textdedup import dedup_survivors
+    from sparklyclean_spark.operators.packing import pack_sequences
+    from sparklyclean_spark.operators.sampling import hash_split
+    from sparklyclean_spark.operators.text_analysis import gopher_quality_gate
+
+    gate = gopher_quality_gate(docs).select(id_col, F.col("keep").alias("_gate"))
+    surv = dedup_survivors(docs, policy="min_id", id_col=id_col, text_col=text_col).select(
+        id_col, F.col("is_survivor").alias("_surv")
+    )
+    base = (
+        docs.select(id_col, T.token_count(text_col).cast("bigint").alias("n_tokens"))
+        .join(gate, id_col)
+        .join(surv, id_col)
+    )
+    disposition = (
+        F.when(~F.col("_gate"), F.lit("fail_quality"))
+        .when(~F.col("_surv"), F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    labeled = hash_split(
+        base.withColumn("disposition", disposition), id_col
+    ).withColumn(
+        "split", F.when(F.col("disposition") == "kept", F.col("split"))
+    )
+    train = labeled.where(
+        (F.col("disposition") == "kept") & (F.col("split") == "train")
+    ).select(id_col, "n_tokens")
+    packed = pack_sequences(train, "n_tokens", order_by=[id_col], budget=budget).select(
+        id_col, F.col("bin_id").alias("_bin")
+    )
+    return (
+        labeled.join(packed, id_col, "left")
+        .select(
+            id_col,
+            "disposition",
+            "split",
+            "n_tokens",
+            F.coalesce(F.col("_bin"), F.lit(-1)).cast("bigint").alias("bin_id"),
+        )
+    )

@@ -369,3 +369,44 @@ def test_lang_label_audit_shares_sum_per_label(spark):
     for lang, cells in by_lang.items():
         share = sum(c["share_of_label"] for c in cells)
         assert abs(share - 1.0) < len(cells) * 1e-4 + 1e-9, (lang, share)
+
+
+def test_training_manifest_composition_laws(docs, spark):
+    """Manifest partitions the corpus: every doc exactly once; only
+    kept docs carry a split; only kept-train docs carry a bin;
+    bins respect the token budget grid (bin_id = cum_before // 4096
+    monotone in doc_id order); dispositions agree with the component
+    operators."""
+    from sparklyclean_spark.operators.curation import training_manifest
+    from sparklyclean_spark.operators.dedup.textdedup import dedup_survivors
+    from sparklyclean_spark.operators.text_analysis import gopher_quality_gate
+
+    rows = training_manifest(docs).collect()
+    n_docs = docs.count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    gate = {r["doc_id"]: r["keep"] for r in gopher_quality_gate(docs).collect()}
+    surv = {
+        r["doc_id"]: r["is_survivor"]
+        for r in dedup_survivors(docs, policy="min_id").collect()
+    }
+    for r in rows:
+        if not gate[r["doc_id"]]:
+            assert r["disposition"] == "fail_quality" and r["split"] is None
+        elif not surv[r["doc_id"]]:
+            assert r["disposition"] == "duplicate" and r["split"] is None
+        else:
+            assert r["disposition"] == "kept" and r["split"] in ("train", "val", "test")
+        if r["disposition"] == "kept" and r["split"] == "train":
+            assert r["bin_id"] >= 0
+        else:
+            assert r["bin_id"] == -1
+    # packing law: in doc_id order over kept-train docs the exclusive
+    # cumulative token count floor-divided by 4096 equals bin_id
+    train = sorted(
+        (r for r in rows if r["bin_id"] >= 0), key=lambda r: r["doc_id"]
+    )
+    cum = 0
+    for r in train:
+        assert r["bin_id"] == cum // 4096, (r, cum)
+        cum += r["n_tokens"]
