@@ -1069,10 +1069,10 @@ _DRIVER_CHECK_ORDER = [
     "user_activity_streaks",      # r6b: gaps-and-islands streaks
     "session_path_trigrams_4h",   # r7: funnel discovery n-grams
     "attribution_linear",         # r7: equal-credit multi-touch
+    "events_transition_entropy",  # r7: behavioral predictability
     "cms_freq_orders",            # r6b: in-plan count-min sketch
     "heavy_hitters_orders",       # r6b: Misra-Gries containment audit
     "quantile_sketch_audit_orders",  # r7: GK rank-error audit (3rd sketch)
-    "target_encode_priority",     # r6b: smoothed target encoding
     # r6: exact-N largest-remainder proportional sample (displaced:
     # neardup_prefix_jaccard, 2x green; family keeps minhash_lsh_exploded)
     "sample_docs_proportional",
@@ -1095,13 +1095,13 @@ _DRIVER_CHECK_ORDER = [
     "curation_training_manifest",  # r7: flagship gate->dedup->split->pack
     "text_oov_rate",                   # r6b: df-thresholded OOV coverage
     "text_bigram_pmi",                 # r7: collocation PMI
+    "text_ngram_diversity",            # r7: templated-corpus detector
     "text_source_term_lift",           # r7: source fingerprint terms
     "text_gopher_gate",                # r7: Gopher rule bundle
     "lang_label_audit",                # r7: label-vs-prediction confusion
     "mi_lang_source",                  # r7: mutual information (nats)
     "corr_price_qty_by_status",        # r7: deterministic Pearson r
     "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
-    "source_freshness_events",         # r6b: ingest freshness audit
     "events_conversion_wilson",        # r6b: Wilson-bounded conversion
     "ml_dedup_quality_gate",           # r7: driver-visible GBT quality row
     "blocking_quality_customer",       # r7: reduction-ratio audit
@@ -1152,6 +1152,10 @@ _DRIVER_CHECK_ORDER = [
     "orders_revenue_gini",  # 1x green r6; relational family well-covered
     "kfold_docs_by_lang",  # 1x green r6; sampling family keeps proportional
     "embedding_norm_stats",  # 1x green r6; similarity family keeps 3 in-window
+    "target_encode_priority",  # 1x green r6; feature-prep family keeps
+                               # quantile_transform + temperature weights
+    "source_freshness_events",  # 1x green r6; quality family keeps
+                                # the gopher gate + blocking audit
     "psi_order_price_drift",  # 1x green r6; drift family keeps chi2+mi+corr
     "text_zipf_slope",  # 1x green r6; text family keeps 6 in-window
     "temporal_split_events",  # 1x green r6; sampling family keeps 2 in-window
@@ -1517,6 +1521,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: equal-credit multi-touch counterpart (no ordering enters
         # the result — all qualifying touches share 1/n)
         "attribution_linear": _q(BH.linear_attribution, table="events"),
+        # r7: behavioral predictability — H(next), H(next|prev), gain
+        "events_transition_entropy": _q(BH.transition_entropy, table="events"),
         "events_interarrival_stats": _q(BH.interarrival_stats, table="events"),
         # quantile discretizer: per-priority price deciles
         "quantile_bins_order_prices": _q(
@@ -1566,6 +1572,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_oov_rate": _q(TA.oov_stats, table="documents"),
         # r7: source-characteristic terms by log-lift (PMI arithmetic)
         "text_source_term_lift": _q(TA.source_term_lift, table="documents"),
+        # r7: templated-corpus detector — distinct/total n-gram ratios
+        "text_ngram_diversity": _q(TA.ngram_diversity, table="documents"),
         "text_token_estimate": _q(TA.token_estimate, table="documents"),
         # deterministic (hash-derived) sampling & splitting
         "sample_docs_weighted": _q(
@@ -4931,6 +4939,72 @@ def oracle_sql() -> dict[str, str]:
                                * 10000.0 + 0.5) / 10000.0
                     END AS r
         FROM d
+    """
+    # n-gram diversity card (r7): floor-ratios of exact counts; the
+    # 2/3-gram CTEs use the parallel-unnest zip with len guards
+    sql["text_ngram_diversity"] = f"""
+        WITH w AS (SELECT source, {_TOKS_SQL} AS w FROM documents),
+        g1 AS (SELECT source, unnest(w) AS g FROM w),
+        g2 AS (
+            SELECT source,
+                   unnest(w[1:len(w) - 1]) || ' ' || unnest(w[2:len(w)]) AS g
+            FROM w WHERE len(w) > 1
+        ),
+        g3 AS (
+            SELECT source,
+                   unnest(w[1:len(w) - 2]) || ' ' || unnest(w[2:len(w) - 1])
+                       || ' ' || unnest(w[3:len(w)]) AS g
+            FROM w WHERE len(w) > 2
+        ),
+        u AS (
+            SELECT source, 1 AS n, g FROM g1
+            UNION ALL SELECT source, 2, g FROM g2
+            UNION ALL SELECT source, 3, g FROM g3
+        ),
+        per AS (SELECT source, n, g, COUNT(*) AS c FROM u GROUP BY source, n, g),
+        agg AS (
+            SELECT source, n,
+                   CAST(SUM(c) AS BIGINT) AS n_grams,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM per GROUP BY source, n
+        )
+        SELECT source, CAST(n AS INT) AS n, n_grams, n_distinct,
+               floor(n_distinct * 10000.0 / n_grams + 0.5) / 10000.0
+                   AS diversity
+        FROM agg
+    """
+    # transition entropy (r7): exact transition counts, decimal-snapped
+    # p*ln(p) terms (the chi2/MI recipe)
+    sql["events_transition_entropy"] = """
+        WITH seq AS (
+            SELECT event_type AS prev,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        ),
+        cell AS (
+            SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM seq WHERE nxt IS NOT NULL GROUP BY prev, nxt
+        ),
+        mp AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cp FROM cell GROUP BY prev),
+        mn AS (SELECT nxt, CAST(SUM(c) AS BIGINT) AS cn FROM cell GROUP BY nxt),
+        t AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cell),
+        hn AS (
+            SELECT -CAST(SUM(CAST(ROUND((cn / nn) * ln(cn / nn), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS hn
+            FROM mn CROSS JOIN t
+        ),
+        hc AS (
+            SELECT -CAST(SUM(CAST(ROUND((c / nn) * ln(c / cp), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS hc
+            FROM cell JOIN mp USING (prev) CROSS JOIN t
+        )
+        SELECT nn AS n_transitions,
+               floor(hn * 10000.0 + 0.5) / 10000.0 AS h_next,
+               floor(hc * 10000.0 + 0.5) / 10000.0 AS h_next_given_prev,
+               floor((hn - hc) * 10000.0 + 0.5) / 10000.0 AS information_gain
+        FROM t CROSS JOIN hn CROSS JOIN hc
     """
     # linear multi-touch attribution (r7): decimal-snapped 1/n shares,
     # strict same-µs exclusion, window count per purchase

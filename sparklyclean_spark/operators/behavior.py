@@ -523,3 +523,76 @@ def linear_attribution(
             "attributed_value"
         ),
     )
+
+
+def transition_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Behavioral predictability in one number: the conditional entropy
+    H(next | prev) of the event-type Markov chain, next to the marginal
+    next-event entropy H(next) — their gap is exactly how much the
+    previous event type tells you about the next one (0 gap = the
+    history is useless; H(next) itself near 0 = everything is the same
+    event). One row: ``(n_transitions, h_next, h_next_given_prev,
+    information_gain)``.
+
+    Hash-stable recipe: transition counts are exact ints (lead over the
+    user-keyed order, same shape as ``transition_matrix``); every
+    p*ln(p) term rounds to DECIMAL(18,6) before its sum.
+
+    Scale: one user-keyed window exchange + aggs bounded by the event-
+    type domain squared.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("prev"),
+            F.lead(type_col).over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+    )
+    cell = pairs.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    margin_prev = cell.groupBy("prev").agg(F.sum("c").cast("bigint").alias("cp"))
+    margin_next = cell.groupBy("nxt").agg(F.sum("c").cast("bigint").alias("cn"))
+    total = cell.agg(F.sum("c").cast("bigint").alias("_n"))
+
+    # H(next): marginal entropy of the next-event distribution
+    pn = F.col("cn") / F.col("_n")
+    h_next = (
+        margin_next.join(F.broadcast(total))
+        .agg(
+            (-F.sum(F.round(pn * F.log(pn), 6).cast("decimal(18,6)")))
+            .cast("double")
+            .alias("_hn")
+        )
+    )
+    # H(next|prev) = -sum_xy p(x,y) ln(p(y|x)); p(y|x) = c_xy / c_x
+    pxy = F.col("c") / F.col("_n")
+    pyx = F.col("c") / F.col("cp")
+    h_cond = (
+        cell.join(F.broadcast(margin_prev), "prev")
+        .join(F.broadcast(total))
+        .agg(
+            (-F.sum(F.round(pxy * F.log(pyx), 6).cast("decimal(18,6)")))
+            .cast("double")
+            .alias("_hc")
+        )
+    )
+    return (
+        total.join(F.broadcast(h_next))
+        .join(F.broadcast(h_cond))
+        .select(
+            F.col("_n").alias("n_transitions"),
+            (F.floor(F.col("_hn") * 10000.0 + 0.5) / 10000.0).alias("h_next"),
+            (F.floor(F.col("_hc") * 10000.0 + 0.5) / 10000.0).alias(
+                "h_next_given_prev"
+            ),
+            (
+                F.floor((F.col("_hn") - F.col("_hc")) * 10000.0 + 0.5) / 10000.0
+            ).alias("information_gain"),
+        )
+    )

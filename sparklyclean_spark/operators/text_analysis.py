@@ -718,3 +718,53 @@ def gopher_quality_gate(docs: DataFrame) -> DataFrame:
         r_repeat.alias("r_repeat"),
         (r_wordcount & r_meanlen & r_symbol & r_alpha & r_repeat).alias("keep"),
     )
+
+
+def ngram_diversity(docs: DataFrame, max_n: int = 3) -> DataFrame:
+    """Per-source n-gram diversity card (n = 1..max_n): distinct
+    n-grams / total n-grams — the standard templated-corpus detector
+    (a source whose trigram diversity is far below its unigram
+    diversity is boilerplate even when its vocabulary looks healthy).
+
+    One row per (source, n): ``(source, n, n_grams, n_distinct,
+    diversity)`` with the floor-ratio of exact integer counts.
+
+    Scale: one token explode + per-doc lead windows (doc-bounded),
+    then two hash aggs per n onto the n-gram vocabulary — unioned
+    into one plan; output bounded by #sources x max_n.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "source", "doc_id", F.posexplode(T.words("text")).alias("pos", "w0")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    outs = []
+    for n in range(1, max_n + 1):
+        parts = [F.col("w0")] + [
+            F.lead("w0", j).over(w).alias(f"_w{j}") for j in range(1, n)
+        ]
+        grams = toks.select("source", *parts)
+        if n > 1:
+            grams = grams.where(F.col(f"_w{n-1}").isNotNull())
+        gram = F.concat_ws(" ", "w0", *[f"_w{j}" for j in range(1, n)])
+        per = grams.select("source", gram.alias("g")).groupBy(
+            "source", "g"
+        ).agg(F.count(F.lit(1)).alias("c"))
+        agg = per.groupBy("source").agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        outs.append(
+            agg.select(
+                "source",
+                F.lit(n).cast("int").alias("n"),
+                "n_grams",
+                F.col("n_distinct").cast("bigint").alias("n_distinct"),
+                ratio4("n_distinct", "n_grams").alias("diversity"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -410,3 +410,49 @@ def test_training_manifest_composition_laws(docs, spark):
     for r in train:
         assert r["bin_id"] == cum // 4096, (r, cum)
         cum += r["n_tokens"]
+
+
+def test_ngram_diversity_monotone_in_n(docs):
+    """Diversity (distinct/total) is non-decreasing in n for a natural
+    corpus (longer grams repeat less), and all ratios are in (0, 1]."""
+    from sparklyclean_spark.operators.text_analysis import ngram_diversity
+
+    rows = ngram_diversity(docs).collect()
+    by_src: dict[str, dict[int, float]] = {}
+    for r in rows:
+        assert 0 < r["diversity"] <= 1.0
+        assert 0 < r["n_distinct"] <= r["n_grams"]
+        by_src.setdefault(r["source"], {})[r["n"]] = r["diversity"]
+    for src, d in by_src.items():
+        assert set(d) == {1, 2, 3}
+        assert d[1] <= d[2] <= d[3] + 1e-9, (src, d)
+
+
+def test_transition_entropy_bounds(spark):
+    """H(next|prev) <= H(next) always (conditioning cannot add
+    entropy); a deterministic chain has zero conditional entropy."""
+    from datetime import datetime, timedelta
+
+    from sparklyclean_spark.operators.behavior import transition_entropy
+
+    t0 = datetime(2024, 1, 1)
+    # deterministic cycle a->b->c->a...
+    det = spark.createDataFrame(
+        [
+            (1, t0 + timedelta(seconds=i), i, "abc"[i % 3])
+            for i in range(30)
+        ],
+        "user_id bigint, ts timestamp_ntz, event_id bigint, event_type string",
+    )
+    r = transition_entropy(det).collect()[0]
+    assert r["h_next_given_prev"] == 0.0
+    assert r["h_next"] > 1.0  # ~ln(3)
+    assert abs(r["information_gain"] - r["h_next"]) < 1e-9
+
+    from tests.conftest import SF_DIR
+    from sparklyclean_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    r2 = transition_entropy(ev).collect()[0]
+    assert r2["h_next_given_prev"] <= r2["h_next"] + 1e-9
+    assert r2["information_gain"] >= -1e-9
