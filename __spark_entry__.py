@@ -296,6 +296,15 @@ def _q(fn, *args, **kwargs) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _embedding_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IVF-cell vector counts and shares — the embedding-space
+    "topic mix" report (corpus_mix_report's semantic analogue) and the
+    capacity planner for the IVF index's probe costs."""
+    from sparklyclean_spark.operators.similarity.knn import ivf_cell_balance
+
+    return ivf_cell_balance(_tables(spark, sf_dir)["embeddings"])
+
+
 def _embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: sign-sketch band self-join +
     hamming prefilter + exact-cosine verify (no all-pairs join)."""
@@ -1037,7 +1046,8 @@ _DRIVER_CHECK_ORDER = [
     "fetch_path_diag",  # r7: one probe replaces the four r6 *_diag rows —
                         # verifies all 3 fixes under every Spark×DuckDB
                         # materialization pairing (dump: DIAG_r7.json)
-    "knn_ivf_recall",            # ANN-quality row (rows-only: k-means side)
+    "knn_ivf_recall",            # ANN-quality row (full DuckDB oracle)
+    "embedding_cell_balance",    # r7: IVF Voronoi topic-mix report
     # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
     "q12_priority_by_status",   # r5/r6 red; r7 FIX: integer SUMs cast
                                 # HUGEINT -> BIGINT in the oracle
@@ -1078,7 +1088,6 @@ _DRIVER_CHECK_ORDER = [
     "sample_docs_proportional",
     # r6: per-cluster dedup quality audit (displaced:
     # neardup_minhash_lsh_exploded, 2x green — same family)
-    "neardup_cluster_stats",
     # r6: star-CC oracled end-to-end (displaced: chunk_dedup_within_doc,
     # 2x green untouched; family keeps its bench row + pytest gates)
     "neardup_clusters_star",
@@ -1152,6 +1161,7 @@ _DRIVER_CHECK_ORDER = [
     "orders_revenue_gini",  # 1x green r6; relational family well-covered
     "kfold_docs_by_lang",  # 1x green r6; sampling family keeps proportional
     "embedding_norm_stats",  # 1x green r6; similarity family keeps 3 in-window
+    "neardup_cluster_stats",  # 1x green r6; cluster family keeps clusters_star
     "target_encode_priority",  # 1x green r6; feature-prep family keeps
                                # quantile_transform + temperature weights
     "source_freshness_events",  # 1x green r6; quality family keeps
@@ -1473,6 +1483,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_revenue_gini": _t(R.revenue_gini),
         # r6b: pre-index embedding hygiene audit (zero/NaN/ragged/norms)
         "embedding_norm_stats": _q(embedding_norm_stats, table="embeddings"),
+        # r7: embedding-space "topic mix" over the IVF Voronoi cells
+        "embedding_cell_balance": _embedding_cell_balance,
         # r6b: deterministic contrastive negative sampling (md5-drawn
         # partners over a dense id index, never self)
         "negative_pairs_docs": _q(
@@ -4697,6 +4709,10 @@ def oracle_sql() -> dict[str, str]:
         sql["knn_ivf_recall"] = _ivf_recall_sql()
     except Exception:
         pass
+    try:
+        sql["embedding_cell_balance"] = _ivf_cell_balance_sql()
+    except Exception:
+        pass
     sql["neardup_simhash_md5"] = _simhash_md5_sql()
     # r7 additions: temperature mix weights (sqrt chain + integer-grid
     # snap BEFORE the normalizing sum), bigram PMI (one ln over a single
@@ -5399,6 +5415,74 @@ import functools
 
 
 @functools.lru_cache(maxsize=4)
+def _ivf_cents_union_sql() -> str:
+    """Fingerprint-guarded UNION of per-SF centroid VALUES literals —
+    the shared front half of every IVF oracle (see _ivf_recall_sql's
+    docstring for the scheme)."""
+    import duckdb
+
+    fp_expr = (
+        "(SELECT ROUND(SUM(CAST(embedding[1] AS DOUBLE) * vec_id), 3)"
+        " FROM embeddings)"
+    )
+    branches = []
+    fps = set()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        fp = duckdb.sql(
+            "SELECT ROUND(SUM(CAST(embedding[1] AS DOUBLE) * vec_id), 3) FROM"
+            f" read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchone()[0]
+        if fp in fps:
+            raise RuntimeError(f"IVF oracle fingerprint collision at {sf_dir}")
+        fps.add(fp)
+        branches.append(
+            f"SELECT * FROM {_ivf_centroids_sql(sf_dir)} AS t(cell, cv)"
+            f" WHERE {fp_expr} = {fp!r}"
+        )
+    return " UNION ALL ".join(branches)
+
+
+def _ivf_cell_balance_sql(dim: int = 64) -> str:
+    """DuckDB twin of ivf_cell_balance: centroid literals -> per-vector
+    cell argmax (ties to the LOWEST cell, matching numpy argmax) ->
+    per-cell counts + floor-ratio shares. Same float caveat as
+    _ivf_recall_sql (a ~1-ulp argmax boundary is measure-zero on
+    continuous embeddings)."""
+    return f"""
+            WITH cents AS ({_ivf_cents_union_sql()}),
+            n AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       GREATEST(sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12)
+                           AS nrm
+                FROM embeddings
+            ),
+            sims AS (
+                SELECT n.vec_id, c.cell,
+                       list_sum(list_transform(range(1, {dim} + 1),
+                           i -> (n.v[i] / n.nrm) * c.cv[i])) AS sim
+                FROM n CROSS JOIN cents c
+            ),
+            assigned AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell ASC) AS rn
+                    FROM sims) WHERE rn = 1
+            ),
+            per AS (
+                SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+                FROM assigned GROUP BY cell
+            ),
+            t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS tt FROM per)
+            SELECT CAST(cell AS INT) AS cell, n_vectors,
+                   floor(n_vectors * 10000.0 / tt + 0.5) / 10000.0 AS share
+            FROM per CROSS JOIN t
+        """
+
+
 def _ivf_recall_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
     """Full DuckDB oracle for knn_ivf_recall: centroid literals ->
     per-vector cell argmax (ties to the LOWEST cell, matching numpy

@@ -416,3 +416,59 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id", "cos_raw")
     )
     return _topk_select(cands, k)
+
+
+def ivf_cell_balance(
+    corpus: DataFrame,
+    n_cells: int = 32,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = 647,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus balance over the IVF Voronoi cells — the "topic mix"
+    report for an embedded corpus: assign every vector to its nearest
+    spherical-k-means cell (the SAME deterministic quantizer ivf_topk
+    trains) and report per-cell counts and shares. Heavily skewed
+    shares mean the corpus over-represents a few semantic regions —
+    the embedding-space analogue of corpus_mix_report, and the
+    capacity planner for the IVF index itself (hot cells = hot probe
+    costs).
+
+    Determinism: the quantizer is seeded and trained on an id-sorted
+    bounded sample; assignment argmax ties break to the lowest cell on
+    both engines. Shares are floor-ratios of exact counts.
+
+    Scale: one bounded driver-side training sample, one Arrow matmul
+    assignment pass, one hash agg onto n_cells rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    from sparklyclean_spark.functions.rounding import ratio4
+
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    rows = c.limit(8 * sample_cap).collect()
+    rows.sort(key=lambda r: r["id"])
+    x = np.array([r["v"] for r in rows[:sample_cap]], dtype=np.float64)
+    cents = _spherical_kmeans(x, n_cells, iters, seed)
+
+    def impl(vs):
+        m = np.asarray(vs.tolist(), dtype=np.float64)
+        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
+
+    assigned = c.withColumn("cell", pandas_udf(impl, "int")(F.col("v")))
+    per = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    total = per.agg(F.sum("n_vectors").cast("bigint").alias("_t"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            ratio4("n_vectors", "_t").alias("share"),
+        )
+    )

@@ -20,6 +20,11 @@ def docs(spark):
     return load_table(spark, SF_DIR, "documents").cache()
 
 
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
 def test_temperature_weights_flatten_the_mix(docs):
     """Weights sum to ~1, every stratum keeps positive mass, and
     α=0.5 moves mass from the head to the tail: the largest stratum's
@@ -456,3 +461,17 @@ def test_transition_entropy_bounds(spark):
     r2 = transition_entropy(ev).collect()[0]
     assert r2["h_next_given_prev"] <= r2["h_next"] + 1e-9
     assert r2["information_gain"] >= -1e-9
+
+
+def test_ivf_cell_balance_partitions_the_corpus(emb):
+    """Cell counts sum to the corpus size, shares sum to ~1, every
+    cell id is within [0, n_cells), and assignment is rerun-stable."""
+    from sparklyclean_spark.operators.similarity.knn import ivf_cell_balance
+
+    rows = ivf_cell_balance(emb).collect()
+    n = emb.count()
+    assert sum(r["n_vectors"] for r in rows) == n
+    assert abs(sum(r["share"] for r in rows) - 1.0) < len(rows) * 1e-4
+    assert all(0 <= r["cell"] < 32 for r in rows)
+    again = {r["cell"]: r["n_vectors"] for r in ivf_cell_balance(emb).collect()}
+    assert again == {r["cell"]: r["n_vectors"] for r in rows}
