@@ -274,40 +274,6 @@ def _pd_rows(pdf):
     return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
 
-def _caller_frames(cap_chars: int = 6000) -> list:
-    """Best-effort record of WHO invoked this query callable — the stack
-    above us is the harness's own comparison loop, so its file names (and,
-    when readable, the enclosing function's source) identify the exact
-    normalization convention the driver applies. Read-only introspection,
-    capped, never raises."""
-    import inspect
-
-    out = []
-    try:
-        for fi in inspect.stack()[1:12]:
-            entry = {
-                "file": fi.filename,
-                "line": fi.lineno,
-                "function": fi.function,
-            }
-            fn = fi.filename or ""
-            if (
-                "/root/repo" not in fn
-                and "site-packages" not in fn
-                and "lib/python" not in fn
-                and not fn.startswith("<")
-            ):
-                try:
-                    src = inspect.getsource(fi.frame)
-                    entry["source_excerpt"] = src[:cap_chars]
-                except Exception as exc:
-                    entry["source_excerpt"] = f"<unreadable: {exc!r}>"
-            out.append(entry)
-    except Exception as exc:
-        out.append({"error": repr(exc)})
-    return out
-
-
 def run_fetch_path_diag(spark, sf_dir: str, targets: dict):
     """``targets`` maps name -> (query_fn, oracle_sql). For each target,
     materialize the Spark result via collect() and toPandas(), the DuckDB
@@ -323,7 +289,7 @@ def run_fetch_path_diag(spark, sf_dir: str, targets: dict):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    report = {"fingerprint": _fingerprint(spark), "caller": _caller_frames(), "targets": {}}
+    report = {"fingerprint": _fingerprint(spark), "targets": {}}
     disagrees = []
     for name, (query_fn, sql) in targets.items():
         sdf = query_fn(spark, sf_dir)
