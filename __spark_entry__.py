@@ -992,9 +992,16 @@ def _ml_dedup_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparklyclean_spark.sources.csv import read_febrl
 
     test = read_febrl(spark, "/root/reference/data/test.csv")
-    labeled = generate_labeled_points(test, k=49, mode="sane")
-    n_pairs = labeled.count()
-    _, m = train_dup_classifier(labeled, max_iter=10)
+    # persist the featurized pair universe ONCE: count, the 0.7/0.3
+    # split, the GBT fit, and the holdout transform otherwise each
+    # re-derive the 12-comparator featurization lineage — the single
+    # biggest driver-runtime line item in r7 (VERDICT r7 finding 2)
+    labeled = generate_labeled_points(test, k=49, mode="sane").persist()
+    try:
+        n_pairs = labeled.count()
+        _, m = train_dup_classifier(labeled, max_iter=10)
+    finally:
+        labeled.unpersist()
     return spark.createDataFrame(
         [(n_pairs, m.recall >= 0.95, m.precision >= 0.95)],
         schema="n_pairs bigint, recall_ge_095 boolean, precision_ge_095 boolean",
@@ -1015,8 +1022,11 @@ def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparklyclean_spark.sources.csv import read_febrl
 
     test = read_febrl(spark, "/root/reference/data/test.csv")
-    labeled = generate_labeled_points(test, k=49, mode="sane")
-    _, m = train_dup_classifier(labeled, max_iter=10)
+    labeled = generate_labeled_points(test, k=49, mode="sane").persist()
+    try:
+        _, m = train_dup_classifier(labeled, max_iter=10)
+    finally:
+        labeled.unpersist()
     return spark.createDataFrame(
         [(m.tn, m.fp, m.fn, m.tp, round(m.precision, 4), round(m.recall, 4))],
         schema="tn bigint, fp bigint, fn bigint, tp bigint, precision double, recall double",
@@ -4889,8 +4899,8 @@ def oracle_sql() -> dict[str, str]:
     # mutual information (r7): chi2/entropy decimal-snap recipe
     sql["mi_lang_source"] = """
         WITH pairs AS (
-            SELECT COALESCE(CAST(lang AS VARCHAR), ' NULL ') AS a,
-                   COALESCE(CAST(source AS VARCHAR), ' NULL ') AS b
+            SELECT COALESCE(CAST(lang AS VARCHAR), chr(31)) AS a,
+                   COALESCE(CAST(source AS VARCHAR), chr(31)) AS b
             FROM documents
         ),
         joint AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b),
@@ -5210,7 +5220,8 @@ def oracle_sql() -> dict[str, str]:
         tb AS (SELECT CAST(SUM(c12) AS BIGINT) AS _B FROM big)
         SELECT b.w1 || ' ' || b.w2 AS bigram,
                c12 AS count,
-               floor(ln((c12 * _T * _T) / (_B * u1.c * u2.c))
+               floor(ln((CAST(c12 AS DOUBLE) * _T * _T)
+                         / (CAST(_B AS DOUBLE) * u1.c * u2.c))
                      * 10000.0 + 0.5) / 10000.0 AS pmi
         FROM big b
         JOIN uni u1 ON b.w1 = u1.w1
@@ -5270,15 +5281,34 @@ def oracle_sql() -> dict[str, str]:
                ) AS is_survivor
         FROM t
     """
-    # ML gate contract: the blocked-pair universe is a deterministic
-    # function of the static Febrl fixture (129,718 pairs — matches the
-    # pytest parity gate), and the seeded GBT clears 0.95 recall/precision
-    # with ≈0.99 measured — a literal-row oracle makes the ML path
-    # driver-hash-checkable without pretending the split is bit-stable.
+    # ML gate contract: n_pairs is RECOMPUTED from the Febrl fixture
+    # (r7 ADVICE — a hardcoded 129718 would silently pin to the current
+    # file). With two blocking functions the exactly-once pair universe
+    # is inclusion-exclusion over the trimmed keys:
+    #   pairs(b1) + pairs(b2) - pairs(b1,b2)
+    # — pairs co-blocked by both functions are compared only under the
+    # lower-numbered one (Util.scala:70-83 semantics). The 0.95
+    # recall/precision booleans stay literal: the seeded GBT measures
+    # ≈0.99 on the holdout, and the floor absorbs randomSplit's
+    # partitioning sensitivity (the bit-level parity gates live in
+    # tests/test_reference_pipeline.py).
     sql["ml_dedup_quality_gate"] = """
-        SELECT CAST(129718 AS BIGINT) AS n_pairs,
+        WITH t AS (
+            SELECT trim(COALESCE(blocking_number, '')) AS b1,
+                   trim(COALESCE(state, '')) AS b2
+            FROM read_csv('/root/reference/data/test.csv',
+                          header=true, all_varchar=true, normalize_names=true)
+        ),
+        g1 AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS p
+               FROM (SELECT b1, COUNT(*) AS n FROM t GROUP BY b1)),
+        g2 AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS p
+               FROM (SELECT b2, COUNT(*) AS n FROM t GROUP BY b2)),
+        g12 AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS p
+                FROM (SELECT b1, b2, COUNT(*) AS n FROM t GROUP BY b1, b2))
+        SELECT g1.p + g2.p - g12.p AS n_pairs,
                true AS recall_ge_095,
                true AS precision_ge_095
+        FROM g1, g2, g12
     """
     return sql
 
@@ -5382,10 +5412,12 @@ def _ivf_centroids_sql(
     recompute cell assignment, probe sets, and the candidate join
     end-to-end.
 
-    Sample parity: ivf_topk collects `limit(8*sample_cap)` rows, sorts
-    by id, keeps the first `sample_cap` — for any corpus with at most
-    8*sample_cap rows (every test SF: 500/2000 vectors) that equals
-    `ORDER BY vec_id LIMIT sample_cap`, which is what this reads.
+    Sample parity: ivf_topk trains on `knn._hash_ordered_sample` — the
+    `sample_cap` ids with the smallest md5(id), id-sorted before the
+    seeded k-means. This reads the identical set via
+    `ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT sample_cap`
+    (DuckDB md5 of the decimal string == Spark md5 of the cast string)
+    and re-sorts by id in Python.
     float64 conversion of the float32 parquet values is exact on both
     engines, and `repr()` literals round-trip to the identical double,
     so the centroids are bit-equal to the Spark path's. The oracle SQL
@@ -5400,8 +5432,9 @@ def _ivf_centroids_sql(
 
     rows = duckdb.sql(
         f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
-        f" ORDER BY vec_id LIMIT {sample_cap}"
+        f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {sample_cap}"
     ).fetchall()
+    rows.sort(key=lambda r: r[0])
     x = np.array([r[1] for r in rows], dtype=np.float64)
     cents = _spherical_kmeans(x, n_cells, iters, seed)
     vals = ", ".join(

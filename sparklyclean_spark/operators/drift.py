@@ -234,7 +234,11 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     Scale: one scan + three hash aggs bounded by the label domains;
     marginals broadcast back onto the (bounded) contingency table.
     """
-    s = " NULL "  # sentinel: joins drop NULL keys, groupBy keeps them
+    # sentinel: joins drop NULL keys, so NULL levels are folded to a
+    # non-null stand-in. U+001F (unit separator) cannot appear in a
+    # real categorical value, unlike a plausible string like " NULL "
+    # which would collide a genuine category with the NULL level.
+    s = "\x1f"
     pairs = df.select(
         F.coalesce(F.col(col_a).cast("string"), F.lit(s)).alias("_a"),
         F.coalesce(F.col(col_b).cast("string"), F.lit(s)).alias("_b"),

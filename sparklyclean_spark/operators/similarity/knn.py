@@ -292,6 +292,27 @@ def _spherical_kmeans(x, n_cells: int, iters: int = 10, seed: int = 647):
     return cents
 
 
+def _hash_ordered_sample(df: DataFrame, id_col: str, cap: int) -> list:
+    """Collect a bounded, deterministic, layout-independent training
+    sample: the ``cap`` rows with the smallest ``md5(id)`` (id as the
+    tiebreak for total order). Membership is a pure function of row
+    data — a bare ``limit`` without an order returns an arbitrary
+    partition-layout-dependent subset, so a repartitioned corpus would
+    silently train different centroids. The ordered limit plans as
+    TakeOrderedAndProject (each task keeps ``cap`` rows, the driver
+    merges) — no global sort, safe at any corpus size — and the md5
+    ordering spreads the sample uniformly over the id space instead of
+    biasing to the lowest ids. Rows are returned id-sorted, the
+    canonical feed order for the seeded k-means."""
+    rows = (
+        df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(cap)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    return rows
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -310,10 +331,13 @@ def ivf_topk(
     cosine re-rank inside them. Returns (query_id, neighbor_id, cos,
     rank) like ``brute_force_topk``.
 
-    Scale shape: training reads ONE hash-filtered sample scan (set
-    ``sample_mod`` so expected matches ≈ ``sample_cap``; the 8× limit
-    is a safety valve, and the driver-side id-sort keeps the sample
-    deterministic under partition reordering). The index is just the
+    Scale shape: training reads ONE sample scan whose membership is a
+    pure function of row DATA — the ``sample_cap`` ids with the
+    smallest ``md5(id)`` (a hash-ordered top-k: each task keeps at
+    most ``sample_cap`` rows, the driver merges — never a full sort,
+    and never the layout-dependent bare ``limit``). Set
+    ``sample_mod`` > 1 to pre-thin the scan with a Spark-side
+    ``xxhash64 % mod`` filter at corpus scale. The index is just the
     (n_cells × dim) centroid matrix shipped in the UDF closure — no
     per-row model state. Cell assignment is one matmul per Arrow
     batch; the probe is a broadcast equi-join on cell, so per-query
@@ -330,9 +354,8 @@ def ivf_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
 
     samp = c if sample_mod <= 1 else c.where(F.xxhash64("neighbor_id") % sample_mod == 0)
-    rows = samp.limit(8 * sample_cap).collect()
-    rows.sort(key=lambda r: r["neighbor_id"])
-    x = np.array([r["cv"] for r in rows[:sample_cap]], dtype=np.float64)
+    rows = _hash_ordered_sample(samp, "neighbor_id", sample_cap)
+    x = np.array([r["cv"] for r in rows], dtype=np.float64)
     cents = _spherical_kmeans(x, n_cells, iters, seed)
 
     def assign_udf(top: int):
@@ -436,9 +459,11 @@ def ivf_cell_balance(
     capacity planner for the IVF index itself (hot cells = hot probe
     costs).
 
-    Determinism: the quantizer is seeded and trained on an id-sorted
-    bounded sample; assignment argmax ties break to the lowest cell on
-    both engines. Shares are floor-ratios of exact counts.
+    Determinism: the quantizer is seeded and trained on the bounded
+    hash-ordered sample (``_hash_ordered_sample`` — membership is a
+    pure function of row data, never partition layout); assignment
+    argmax ties break to the lowest cell on both engines. Shares are
+    floor-ratios of exact counts.
 
     Scale: one bounded driver-side training sample, one Arrow matmul
     assignment pass, one hash agg onto n_cells rows.
@@ -451,9 +476,8 @@ def ivf_cell_balance(
     from sparklyclean_spark.functions.rounding import ratio4
 
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    rows = c.limit(8 * sample_cap).collect()
-    rows.sort(key=lambda r: r["id"])
-    x = np.array([r["v"] for r in rows[:sample_cap]], dtype=np.float64)
+    rows = _hash_ordered_sample(c, "id", sample_cap)
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
     cents = _spherical_kmeans(x, n_cells, iters, seed)
 
     def impl(vs):

@@ -558,11 +558,14 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5, top_k: int = 30) -> DataFram
     corpus). Emits the ``top_k`` bigrams by count with their PMI:
     ``ln((c12/B) / ((c1/T)·(c2/T)))``.
 
-    Hash-stable recipe: PMI is computed as ONE quotient of exact
-    integer products, ``ln((c12·T·T) / (B·c1·c2))`` — each side fits
-    int64 far past sf1 (T² · c12 < 2^63 while T < 3e6 · c12 < 1e6),
-    so every engine performs the identical single divide + ln, then
-    the floor snap. Ordering is total (count desc, bigram asc).
+    Hash-stable recipe: PMI is ``ln((c12·T·T) / (B·c1·c2))`` with the
+    FIRST factor of each product cast to double — on a degenerate
+    (boilerplate) corpus c12 and c1·c2 can approach T, so the pure
+    int64 products can exceed 2^63 (ANSI mode would raise). Double
+    multiplication is the identical left-associated IEEE sequence in
+    both engines, and ln consumes the result anyway, so the floor
+    snap still can't diverge. Ordering is total (count desc, bigram
+    asc).
 
     Scale: one token explode with a lead() window per doc for the
     adjacent pair (doc-bounded window, parallel across docs), two
@@ -591,8 +594,8 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5, top_k: int = 30) -> DataFram
         .join(F.broadcast(totb))
     )
     pmi = F.log(
-        (F.col("c12") * F.col("_T") * F.col("_T"))
-        / (F.col("_B") * F.col("c1") * F.col("c2"))
+        (F.col("c12").cast("double") * F.col("_T") * F.col("_T"))
+        / (F.col("_B").cast("double") * F.col("c1") * F.col("c2"))
     )
     return (
         scored.select(
