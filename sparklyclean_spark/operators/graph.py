@@ -45,6 +45,21 @@ def pagerank(
     Vertices with no edges are dangling: they keep receiving the
     teleport + redistributed dangling mass. Ranks sum to 1.
 
+    Determinism: the two per-iteration SUMs (incoming contributions,
+    dangling mass) are the only order-sensitive float accumulations;
+    each term is snapped to the exact 1e-12 integer grid
+    (``floor(x·1e12 + 0.5)`` — one IEEE op per step) and summed as
+    DECIMAL(38,0), so the aggregation order cannot move a bit. Every
+    remaining expression is a pure per-row IEEE sequence over
+    deterministic inputs — ranks are bit-identical across
+    partitionings AND re-computable by any engine that mirrors the op
+    order, which is what makes the DuckDB oracle for
+    ``pagerank_containment_graph`` possible (unrolled per-iteration
+    CTEs, ``__spark_entry__._pagerank_sql``). The 1e-12 snap injects
+    ≤ iters·damping·1e-12 absolute rank error — invisible at the
+    1e-8-rounded output, and far below the power-iteration
+    convergence error it rides on.
+
     Input contract (not validated — both checks would cost a join):
     every edge endpoint must appear in ``vertices`` (contributions to
     unknown endpoints are dropped and the rank sum drifts below 1),
@@ -83,10 +98,23 @@ def pagerank(
     )
     for _ in range(iters):
         with_deg = ranks.join(deg, ranks.v == deg.dv, "left").drop("dv")
-        # dangling mass: ranks of vertices with no out-edges
+        # dangling mass: ranks of vertices with no out-edges, each
+        # snapped to the 1e-12 grid before the (exact decimal) sum
         dangling = (
             with_deg.where(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            .agg(
+                (
+                    F.coalesce(
+                        F.sum(
+                            F.floor(F.col("rank") * F.lit(1e12) + F.lit(0.5)).cast(
+                                "decimal(38,0)"
+                            )
+                        ),
+                        F.lit(0).cast("decimal(38,0)"),
+                    )
+                    / F.lit(1e12)
+                ).alias("_dm")
+            )
         )
         # alias the edge table: it is joined against its own degree
         # aggregate, which trips Spark's ambiguous-self-join detection
@@ -97,10 +125,14 @@ def pagerank(
             .join(e, F.col("v") == F.col("E.a"))
             .select(
                 F.col("E.b").alias("cv"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
+                F.floor(
+                    (F.col("rank") / F.col("out_deg")) * F.lit(1e12) + F.lit(0.5)
+                )
+                .cast("decimal(38,0)")
+                .alias("c"),
             )
             .groupBy("cv")
-            .agg(F.sum("c").alias("in_sum"))
+            .agg((F.sum("c") / F.lit(1e12)).alias("in_sum"))
         )
         ranks = (
             verts.join(contribs, verts.v == contribs.cv, "left")
