@@ -1854,6 +1854,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id",
             (F.floor(F.element_at("feat", 1) * 10000.0 + 0.5) / 10000.0).alias("f0"),
         ),
+        # r8: REAL WAV/MP4 header codecs round-tripped — the builder
+        # wraps each doc's bytes in a genuine RIFF/ISO-BMFF container
+        # whose fields are closed-form in (doc_id, byte length), the
+        # decoder chunk/box-walks them back, and the oracle recomputes
+        # the closed forms; corrupt (truncated) payloads must surface
+        # as ok=False rows with -1 sentinels (never NULL ints)
+        "multimodal_av_meta": lambda spark, sf_dir: MM.decode_av_metadata(
+            MM.make_av_media_table(_tables(spark, sf_dir)["documents"])
+        ),
     }
 
 
@@ -5208,6 +5217,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT media_id,
                floor(b0 / GREATEST(L, 1) * 10000.0 + 0.5) / 10000.0 AS f0
         FROM c
+    """
+    # WAV/MP4 header round-trip (r8): every field the decoder parses
+    # back out of the real container bytes is a closed form in
+    # (doc_id, strlen(text)) — see multimodal.make_av_media_table.
+    # Durations are exact integer floor-divisions on both sides.
+    sql["multimodal_av_meta"] = """
+        WITH t AS (
+            SELECT doc_id AS media_id,
+                   CAST(strlen(text) AS BIGINT) AS L,
+                   doc_id % 2 = 0 AS is_wav,
+                   doc_id % 97 = 0 AS corrupt
+            FROM documents
+        )
+        SELECT media_id,
+               CASE WHEN is_wav THEN 'audio/wav' ELSE 'video/mp4' END AS kind,
+               CASE WHEN corrupt THEN 'unknown'
+                    WHEN is_wav THEN 'wav' ELSE 'mp4' END AS container,
+               CAST(CASE WHEN corrupt THEN 6
+                         WHEN is_wav THEN 44 + L
+                         ELSE 140 + L END AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN corrupt THEN -1
+                         WHEN is_wav THEN (L * 1000)
+                              // ((8000 * (1 + media_id % 3))
+                                  * (1 + (media_id // 2) % 2) * 2)
+                         ELSE (600 * L * 1000)
+                              // (1000 * (1 + media_id % 4)) END AS BIGINT)
+                   AS duration_ms,
+               CAST(CASE WHEN corrupt OR NOT is_wav THEN -1
+                         ELSE 8000 * (1 + media_id % 3) END AS INT)
+                   AS sample_rate,
+               CAST(CASE WHEN corrupt OR NOT is_wav THEN -1
+                         ELSE 1 + (media_id // 2) % 2 END AS INT) AS channels,
+               CAST(CASE WHEN corrupt OR is_wav THEN -1
+                         ELSE 1000 * (1 + media_id % 4) END AS INT) AS timescale,
+               NOT corrupt AS ok
+        FROM t
     """
     sql["corpus_temperature_weights"] = """
         WITH per AS (

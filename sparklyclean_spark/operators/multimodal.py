@@ -148,6 +148,171 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+AV_DECODED_SCHEMA = (
+    "media_id bigint, kind string, container string, n_bytes bigint,"
+    " duration_ms bigint, sample_rate int, channels int, timescale int,"
+    " ok boolean"
+)
+
+
+def make_av_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic audio/video table: each document's
+    UTF-8 bytes become the media DATA (WAV data chunk / MP4 mdat box)
+    wrapped in a REAL container header built from doc attributes —
+    even doc_ids get a PCM WAV (sample rate 8/16/24 kHz by id mod 3,
+    1–2 channels, 16-bit), odd ids an ISO-BMFF MP4 (mvhd timescale
+    1–4 kHz by id mod 4, duration 600·n_chars ticks). Every 97th id is
+    truncated to 6 bytes — a corrupt blob the decoder must survive
+    per-row. The header fields are closed-form functions of
+    (doc_id, octet_length(text)), which is what makes the decode
+    round-trip oracle-checkable in SQL."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = str(text).encode("utf-8")
+                if doc_id % 2 == 0:
+                    kind = "audio/wav"
+                    rate = 8000 * (1 + doc_id % 3)
+                    ch = 1 + (doc_id // 2) % 2
+                    block = ch * 2
+                    payload = (
+                        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+                        + struct.pack(
+                            "<4sIHHIIHH",
+                            b"fmt ", 16, 1, ch, rate, rate * block, block, 16,
+                        )
+                        + struct.pack("<4sI", b"data", len(data))
+                        + data
+                    )
+                else:
+                    kind = "video/mp4"
+                    timescale = 1000 * (1 + doc_id % 4)
+                    duration = 600 * len(data)
+                    mvhd = struct.pack(
+                        ">I4sI II II", 108, b"mvhd", 0, 0, 0, timescale, duration
+                    ) + b"\x00" * 80
+                    payload = (
+                        struct.pack(">I4s4sI", 16, b"ftyp", b"isom", 0)
+                        + struct.pack(">I4s", 8 + len(mvhd), b"moov")
+                        + mvhd
+                        + struct.pack(">I4s", 8 + len(data), b"mdat")
+                        + data
+                    )
+                if doc_id % 97 == 0:
+                    payload = payload[:6]
+                ids.append(doc_id)
+                kinds.append(kind)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="media_id bigint, kind string, payload binary"
+    )
+
+
+def _parse_wav(b: bytes) -> tuple[int, int, int]:
+    """(duration_ms, sample_rate, channels) from a RIFF/WAVE header by
+    walking the chunk list (fmt may precede or follow other chunks —
+    never assume the fixed 44-byte layout). duration_ms floors
+    ``data_bytes·1000 / byte_rate``."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, rate, ch, byte_rate, data_size = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = struct.unpack("<4sI", b[pos : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _, ch, rate, byte_rate, _, _ = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data_size is None or not byte_rate:
+        raise ValueError("missing fmt or data chunk")
+    return (data_size * 1000 // byte_rate, rate, ch)
+
+
+def _parse_mp4(b: bytes) -> tuple[int, int]:
+    """(duration_ms, timescale) from the ISO-BMFF moov/mvhd box
+    (version 0: 32-bit timescale + duration), found by walking the
+    top-level box list then moov's children."""
+    import struct
+
+    def walk(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            size, btype = struct.unpack(">I4s", buf[pos : pos + 8])
+            if size < 8:
+                raise ValueError("bad box size")
+            yield btype, pos + 8, min(pos + size, end)
+            pos += size
+
+    for btype, s, e in walk(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in walk(b, s, e):
+            if ctype == b"mvhd" and ce - cs >= 20:
+                version = b[cs]
+                if version != 0:
+                    raise ValueError("mvhd v1 (64-bit) not supported")
+                timescale, duration = struct.unpack(">II", b[cs + 12 : cs + 20])
+                if not timescale:
+                    raise ValueError("zero timescale")
+                return (duration * 1000 // timescale, timescale)
+    raise ValueError("no moov/mvhd box")
+
+
+def decode_av_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio/video header decode — tier 1 of the same
+    magic-sniffed stdlib ladder as ``_decode_real``: WAV duration/
+    rate/channels from the fmt+data chunks, MP4 duration/timescale
+    from moov/mvhd. Missing numeric fields are -1, NEVER NULL — a
+    NULL in an int column of a hash-checked contract promotes the
+    whole column to float64 under pandas fetch (the HUGEINT lesson).
+    Corrupt/unknown payloads yield ok=False rows, never a failed
+    task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                try:
+                    if b[:4] == b"RIFF":
+                        dur, rate, ch = _parse_wav(b)
+                        rows.append(
+                            (media_id, kind, "wav", len(b), dur, rate, ch, -1, True)
+                        )
+                    elif len(b) >= 8 and b[4:8] == b"ftyp":
+                        dur, timescale = _parse_mp4(b)
+                        rows.append(
+                            (media_id, kind, "mp4", len(b), dur, -1, -1, timescale, True)
+                        )
+                    else:
+                        raise ValueError("unknown container magic")
+                except Exception:
+                    rows.append(
+                        (media_id, kind, "unknown", len(b), -1, -1, -1, -1, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "container", "n_bytes", "duration_ms",
+                    "sample_rate", "channels", "timescale", "ok",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=AV_DECODED_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "media_id bigint, kind string, payload binary, width int, height int"
 )

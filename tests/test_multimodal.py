@@ -150,3 +150,68 @@ def test_frame_sample_explodes_rows(spark, media):
         )
         assert all(len(f.frame) <= 16 for f in frames)
         assert len(frames) <= 3
+
+
+def test_wav_parser_walks_chunks():
+    """The WAV parser must walk the chunk list, not assume the fixed
+    44-byte layout: a LIST chunk (odd-sized, exercising word
+    alignment) precedes fmt, and data precedes fmt."""
+    import struct
+
+    from sparklyclean_spark.operators.multimodal import _parse_wav
+
+    data = b"\x01\x02" * 8000  # 16000 bytes
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16)
+    odd = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # pad byte
+    body = odd + struct.pack("<4sI", b"data", len(data)) + data + fmt
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    dur, rate, ch = _parse_wav(wav)
+    assert (dur, rate, ch) == (16000 * 1000 // 32000, 8000, 2)
+
+
+def test_mp4_parser_finds_mvhd_and_rejects_v1():
+    import struct
+
+    import pytest
+
+    from sparklyclean_spark.operators.multimodal import _parse_mp4
+
+    def mvhd(version, timescale, duration):
+        return (
+            struct.pack(">I4sIIIII", 108, b"mvhd", version << 24, 0, 0,
+                        timescale, duration)
+            + b"\x00" * 80
+        )
+
+    free = struct.pack(">I4s", 8, b"free")
+    moov = struct.pack(">I4s", 8 + 8 + 108, b"moov") + free + mvhd(0, 600, 1234)
+    box = struct.pack(">I4s4sI", 16, b"ftyp", b"isom", 0) + moov
+    assert _parse_mp4(box) == (1234 * 1000 // 600, 600)
+
+    bad = struct.pack(">I4s", 8 + 108, b"moov") + mvhd(1, 600, 1234)
+    with pytest.raises(ValueError):
+        _parse_mp4(struct.pack(">I4s4sI", 16, b"ftyp", b"isom", 0) + bad)
+
+
+def test_av_decode_round_trip(spark):
+    """Builder -> decoder round trip on real container bytes, corrupt
+    rows surfacing as ok=False with -1 sentinels."""
+    from sparklyclean_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (100 + i)) for i in range(0, 200)], "doc_id bigint, text string"
+    )
+    out = {r.media_id: r for r in MM.decode_av_metadata(
+        MM.make_av_media_table(docs)).collect()}
+    assert len(out) == 200
+    assert not out[0].ok and out[0].container == "unknown"  # 0 % 97 == 0
+    assert not out[97].ok
+    r2 = out[2]  # wav: rate 8000*(1+2%3)=24000, ch 1+(1%2)=2
+    L = 102
+    assert (r2.container, r2.sample_rate, r2.channels) == ("wav", 24000, 2)
+    assert r2.duration_ms == L * 1000 // (24000 * 2 * 2)
+    assert r2.timescale == -1 and r2.n_bytes == 44 + L
+    r3 = out[3]  # mp4: timescale 1000*(1+3%4)=4000, duration 600*103
+    assert (r3.container, r3.timescale) == ("mp4", 4000)
+    assert r3.duration_ms == 600 * 103 * 1000 // 4000
+    assert r3.sample_rate == -1 and r3.n_bytes == 140 + 103
