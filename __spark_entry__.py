@@ -661,6 +661,71 @@ def _pagerank_containment_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-Exchange co-located join, driver-proven (VERDICT r7 item
+    6): write orders and customer bucketed on the join key (same
+    bucket count), catalog-read them back, sort-merge join them
+    (merge hint — a broadcast would trivially also have no shuffle and
+    prove nothing), and ASSERT the physical plan contains exactly one
+    Exchange: the post-join 5-row aggregation. A non-bucketed plan
+    shuffles both join inputs (3 Exchanges); the assertion failing
+    turns this row red in the driver record, so the bucketing
+    contract is hash-checked AND plan-checked every round. Revenue is
+    summed in exact integer cents (floor-snap), so the oracle can't
+    drift."""
+    import os
+    import re
+    import shutil
+    from urllib.parse import urlparse
+
+    from sparklyclean_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    # idempotent rerun: a fresh session has no catalog entry for a
+    # previous run's tables, so overwrite mode alone trips
+    # LOCATION_ALREADY_EXISTS — drop AND clear the managed location
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    for tb in ("r8_bkt_orders", "r8_bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+        if wh.scheme in ("file", ""):
+            shutil.rmtree(os.path.join(wh.path, tb), ignore_errors=True)
+
+    t = _tables(spark, sf_dir)
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        "r8_bkt_orders", 8, ["o_custkey"],
+    )
+    write_bucketed(
+        t["customer"].select("c_custkey", "c_mktsegment"),
+        "r8_bkt_customer", 8, ["c_custkey"],
+    )
+    o = read_bucketed(spark, "r8_bkt_orders")
+    c = read_bucketed(spark, "r8_bkt_customer")
+    out = (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)) / 100.0).alias(
+                "revenue"
+            ),
+        )
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # formatted mode prints each node twice (tree + detail): count the
+    # detail headers only
+    n_exchange = len(re.findall(r"^\(\d+\) (?:Broadcast)?Exchange", plan, re.M))
+    assert n_exchange == 1, (
+        f"bucketed join planned {n_exchange} Exchanges (want 1: the"
+        f" post-join agg only) — bucket spec lost?\n{plan[:4000]}"
+    )
+    assert plan.count("Bucketed: true") == 2 and "SortMergeJoin" in plan, (
+        f"expected two bucketed scans under a SortMergeJoin\n{plan[:4000]}"
+    )
+    return out
+
+
 def _cdf_orders_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed GENERATION: diff the merge fixture's target
     snapshot against its post-merge snapshot and emit the op-coded
@@ -1687,6 +1752,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_agg_orders_priority": _incr_agg_orders_priority,
         "pagerank_neardup_graph": _pagerank_neardup_graph,
         "pagerank_containment_graph": _pagerank_containment_graph,
+        "bucketed_join_orders": _bucketed_join_orders,
         "profile_orders_columns": _profile_orders_columns,
         "embedding_quantize": _embedding_quantize,
         "embedding_l2_normalize": _embedding_l2_normalize,
@@ -5343,6 +5409,17 @@ def oracle_sql() -> dict[str, str]:
     sql["pagerank_containment_graph"] = _pagerank_sql(
         "SELECT id1, id2 FROM (" + sql["neardup_containment"] + ")"
     )
+    # bucketed co-located join (r8): values are plain join+agg — the
+    # POINT of the row is the Spark-side plan assertion (exactly one
+    # Exchange); cents are exact ints so the hash can't drift
+    sql["bucketed_join_orders"] = """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) / 100.0 AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """
     sql["dedup_survivors_longest"] = f"""
         WITH t AS (
             SELECT doc_id, {_FP_SQL} AS fp, length(trim(text)) AS _len
