@@ -987,27 +987,10 @@ def _pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "cum_before", "bin_id", "bin_offset")
 
 
-def _fetch_path_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only fetch-path probe for the three r3–r6 driver-red rows
-    (all fixed in r7 by CASTing their oracles' HUGEINT sums to BIGINT)
-    plus the always-green control: materializes each target via Spark
-    collect()/toPandas() × DuckDB fetchall()/.df()/.arrow(), hashes every
-    pairing under the driver-shaped norm, and dumps the matrix to
-    DIAG_r7.json. spark_rows == 1 means every pairing agrees for every
-    target. See sparklyclean_spark/diagnostics.py::run_fetch_path_diag."""
-    from sparklyclean_spark.diagnostics import run_fetch_path_diag
-
-    q, o = _all_queries(), oracle_sql()
-    targets = {
-        name: (q[name], o[name])
-        for name in (
-            "pack_training_sequences",
-            "text_repetition_signals",
-            "q12_priority_by_status",
-            "q1_pricing_summary",
-        )
-    }
-    return run_fetch_path_diag(spark, sf_dir, targets)
+# The r7 fetch_path_diag probe is retired: DIAG_r7.json records all 24
+# Spark×DuckDB materialization pairings agreeing for the three fixed
+# rows + control, so the row would only burn a window slot.
+# diagnostics.run_fetch_path_diag stays importable for future incidents.
 
 
 def _lang_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,100 +1123,107 @@ def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # representative per family keeps breadth. Names dropped from the head
 # all carry green r3 records.
 _DRIVER_CHECK_ORDER = [
-    # -- round-4 fix validation -----------------------------------------
-    "pack_training_sequences",   # r3–r6 red; r7 FIX: oracle cum_before
-                                 # window-SUM cast HUGEINT -> BIGINT
-    "fetch_path_diag",  # r7: one probe replaces the four r6 *_diag rows —
-                        # verifies all 3 fixes under every Spark×DuckDB
-                        # materialization pairing (dump: DIAG_r7.json)
-    "knn_ivf_recall",            # ANN-quality row (full DuckDB oracle)
-    "embedding_cell_balance",    # r7: IVF Voronoi topic-mix report
-    # -- never driver-checked before r5 (VERDICT r4 item 5) --------------
-    "q12_priority_by_status",   # r5/r6 red; r7 FIX: integer SUMs cast
-                                # HUGEINT -> BIGINT in the oracle
-    # -- r6 TPC-H completions (Q8 full 8-table join; Q2/Q9 adapted —
-    # no partsupp in this schema). Displaced: mixture_sample_docs,
-    # merge_orders_upsert, events_sessionize_4h (all 2x green,
-    # untouched; each family keeps an in-window sibling).
+    # ---- r8 window (first 50 = the driver's hash-checked set) ----
+    # Composition (VERDICT r7 item 1): 12 pinned/touched/new rows,
+    # then the full stale-re-certification queue — every 1x-green
+    # r4/r5/r6 record plus the three oldest 2x-green rows. The ~40
+    # rows that debuted green in r7's window are parked directly
+    # below (fresh records; first in the r9 rotate-in queue).
+    # fetch_path_diag is DELETED: its DIAG_r7 contract is fulfilled
+    # (all 24 fetch-path pairings agree); diagnostics.py stays
+    # importable for future incidents.
+    "pack_training_sequences",  # r7 HUGEINT fix, 2nd green to confirm stability
+    "q12_priority_by_status",  # r7 HUGEINT fix, 2nd green to confirm stability
+    "text_repetition_signals",  # r7 HUGEINT fix, 2nd green to confirm stability
+    "dedup_pairs_disdedup_customer",  # flagship: keep a recorded row every round
+    "ml_dedup_quality_gate",  # r8: persisted pair universe + fixture-recomputed oracle
+    "knn_ivf_recall",  # r8: hash-ordered deterministic training sample
+    "embedding_cell_balance",  # r8: hash-ordered deterministic training sample
+    "text_bigram_pmi",  # r8: double-cast products (int64 overflow guard)
+    "mi_lang_source",  # r8: U+001F NULL sentinel
+    "pagerank_containment_graph",  # NEW r8: iterative family fully oracled
+    "bucketed_join_orders",  # NEW r8: zero-Exchange co-located join, plan-asserted
+    "multimodal_av_meta",  # NEW r8: WAV/MP4 header codec round-trip
+    "event_transition_matrix",  # 1x green r6
+    "events_interarrival_stats",  # 1x green r6
+    "orders_revenue_gini",  # 1x green r6
+    "kfold_docs_by_lang",  # 1x green r6
+    "embedding_norm_stats",  # 1x green r6
+    "neardup_cluster_stats",  # 1x green r6
+    "target_encode_priority",  # 1x green r6
+    "source_freshness_events",  # 1x green r6
+    "psi_order_price_drift",  # 1x green r6
+    "text_zipf_slope",  # 1x green r6
+    "temporal_split_events",  # 1x green r6
+    "daily_revenue_rolling7",  # 1x green r6
+    "chi2_lang_source",  # 1x green r6
+    "events_daily_anomaly",  # 1x green r6
+    "negative_pairs_docs",  # 1x green r6
+    "orders_rfm_segments",  # 1x green r6
+    "supplier_pareto_share",  # 1x green r6
+    "orders_yoy_growth",  # 1x green r6
+    "fk_integrity_audit",  # 1x green r6
+    "corpus_lang_entropy",  # 1x green r6
+    "ks_price_by_status",  # 1x green r6
+    "events_dau_wau_stickiness",  # 1x green r6
+    "attribution_last_touch",  # 1x green r6
+    "standardize_order_prices",  # 1x green r5
+    "source_overlap_documents",  # 1x green r5
+    "multimodal_decode_meta",  # 1x green r4
+    "q17_small_quantity_revenue",  # 1x green r4
+    "q21_waiting_orders_suppliers",  # 1x green r4
+    "q22_idle_rich_customers",  # 1x green r4
+    "neardup_common_ngrams",  # 1x green r4
+    "sample_docs_per_lang",  # 1x green r4
+    "funnel_user_steps",  # 1x green r4
+    "session_event_sequences_4h",  # 1x green r4
+    "text_token_estimate",  # 1x green r4
+    "sample_docs_weighted",  # 1x green r4
+    "dq_orders_constraints",  # 2x green, last checked r5
+    "funnel_view_click_purchase",  # 2x green, last checked r5
+    "neardup_prefix_jaccard",  # 2x green, last checked r5
+    # ---- below the window: parked rows (driver does NOT check) ----
+    # r7-debut rows with fresh green records — r9 rotate-in queue:
     "q2_best_region_supplier",
     "q8_market_share",
     "q9_product_profit",
-    # r6 analytics shapes (displaced: orders_above_global_avg,
-    # winsorize_order_prices — both 3x green untouched;
-    # funnel_view_click_purchase — 2x green untouched)
-    # r6: association mining + robust dispersion (displaced:
-    # cdc_latest_events 3x green; sketch_distinct_users_daily
-    # rows-only 2 rounds — its pytest gate carries it)
     "brand_cooccurrence_lift",
     "mad_order_prices",
-    "text_repetition_signals",  # r4–r6 red; r7 FIX: n_tokens SUM cast
-                                # HUGEINT -> BIGINT in the oracle (its
-                                # all-CAST _counts twin was green all
-                                # along — the decisive clue)
-    # -- new r5 capability rows ------------------------------------------
-    "ldiversity_customer_audit",  # r6b: homogeneity-attack privacy gate
-    "neardup_triangle_count",     # r6b: triangle census (exact edges)
-    # r6: forward as-of + tolerance (displaced: dq_orders_constraints,
-    # 2x green untouched; DQ family keeps its pytest gates)
+    "ldiversity_customer_audit",
+    "neardup_triangle_count",
     "asof_next_click_tolerance",
-    "user_activity_streaks",      # r6b: gaps-and-islands streaks
-    "session_path_trigrams_4h",   # r7: funnel discovery n-grams
-    "attribution_linear",         # r7: equal-credit multi-touch
-    "events_transition_entropy",  # r7: behavioral predictability
-    "cms_freq_orders",            # r6b: in-plan count-min sketch
-    "heavy_hitters_orders",       # r6b: Misra-Gries containment audit
-    "quantile_sketch_audit_orders",  # r7: GK rank-error audit (3rd sketch)
-    # r6: exact-N largest-remainder proportional sample (displaced:
-    # neardup_prefix_jaccard, 2x green; family keeps minhash_lsh_exploded)
+    "user_activity_streaks",
+    "session_path_trigrams_4h",
+    "attribution_linear",
+    "events_transition_entropy",
+    "cms_freq_orders",
+    "heavy_hitters_orders",
+    "quantile_sketch_audit_orders",
     "sample_docs_proportional",
-    # r6: per-cluster dedup quality audit (displaced:
-    # neardup_minhash_lsh_exploded, 2x green — same family)
-    # r6: star-CC oracled end-to-end (displaced: chunk_dedup_within_doc,
-    # 2x green untouched; family keeps its bench row + pytest gates)
     "neardup_clusters_star",
-    "neardup_simhash_md5",  # r7: portable-hash simhash, brute-force oracle
-    "neardup_containment",  # r7: asymmetric quote/subset containment
-    "dedup_survivors_longest",  # r7: policy-based survivor selection
-    "multimodal_frame_sample",  # r7: NEWLY ORACLED (frame-window geometry)
-    "multimodal_features",      # r7: NEWLY ORACLED (byte-histogram f0)
-    # -- added mid-round-4 (chunking / mixing / leakage-safe split) -----
-    # r6: data-card mix report (displaced: cluster_safe_split_docs,
-    # 2x green untouched; sampling family keeps exact_k_weighted)
+    "neardup_simhash_md5",
+    "neardup_containment",
+    "dedup_survivors_longest",
+    "multimodal_frame_sample",
+    "multimodal_features",
     "corpus_mix_report",
-    "corpus_temperature_weights",  # r7: sqrt-chain temperature weights
-    "curation_training_manifest",  # r7: flagship gate->dedup->split->pack
-    "text_oov_rate",                   # r6b: df-thresholded OOV coverage
-    "text_bigram_pmi",                 # r7: collocation PMI
-    "text_ngram_diversity",            # r7: templated-corpus detector
-    "text_source_term_lift",           # r7: source fingerprint terms
-    "text_gopher_gate",                # r7: Gopher rule bundle
-    "lang_label_audit",                # r7: label-vs-prediction confusion
-    "mi_lang_source",                  # r7: mutual information (nats)
-    "corr_price_qty_by_status",        # r7: deterministic Pearson r
-    "dedup_pairs_disdedup_customer",   # flagship: keep a recorded row every round
-    "events_conversion_wilson",        # r6b: Wilson-bounded conversion
-    "ml_dedup_quality_gate",           # r7: driver-visible GBT quality row
-    "blocking_quality_customer",       # r7: reduction-ratio audit
-    # -- family representatives (all green in r3) -----------------------
-    # q1_pricing_summary parked below (6x green r1–r6; still exercised
-    # in-driver as the fetch_path_diag control arm)
-    # zorder_keys_orders / bloom_semi_join_orders rotated below the
-    # window (2x green r4+r5, untouched) to make room for the three
-    # r6 *_diag instrumentation rows above
-    "events_rolling_active_7d",  # r6 oracled, never driver-checked
-    "events_time_to_convert",      # r6b overflow, never driver-checked
-    "events_hourly_seasonality",   # r6b overflow, never driver-checked
-    "quantile_transform_prices",   # r6b overflow, never driver-checked
-    "trimmed_mean_order_prices",   # r6b overflow, never driver-checked
-                                   # (+ r7 ADVICE: IS NOT DISTINCT FROM join)
-    "text_char_entropy",           # r6b overflow, never driver-checked
-    "embedding_l2_normalize_batch",  # numpy batch tier, never driver-checked
-    # r6b rotation: thirteen green untouched rows parked for the
-    # thirteen new capability rows (behavior/MG+CMS-sketch/kfold/OOV/
-    # rolling/FK-audit/privacy/encoding/temporal-split families).
-    # histogram (2x); the rest 1x green r5 with their families kept
-    # in-window (q1/q2/q8/q9, heavy_hitters+mad, cross_entropy+oov,
-    # cohort+interarrival+transition, mad+rolling, proportional+kfold)
+    "corpus_temperature_weights",
+    "curation_training_manifest",
+    "text_oov_rate",
+    "text_ngram_diversity",
+    "text_source_term_lift",
+    "text_gopher_gate",
+    "lang_label_audit",
+    "corr_price_qty_by_status",
+    "events_conversion_wilson",
+    "blocking_quality_customer",
+    "events_rolling_active_7d",
+    "events_time_to_convert",
+    "events_hourly_seasonality",
+    "quantile_transform_prices",
+    "trimmed_mean_order_prices",
+    "text_char_entropy",
+    "embedding_l2_normalize_batch",
     "histogram_order_prices",
     "q13_order_count_distribution",
     "skew_key_profile_events",
@@ -1252,102 +1242,45 @@ _DRIVER_CHECK_ORDER = [
     "merge_replay_idempotent",
     "kanon_customer_audit",
     "pack_bins_greedy_docs",
-    "pagerank_neardup_graph",  # rows-only record kept from r5
-    "corpus_curation_lsh",  # rows-only record kept r3-r5; bench watches perf
-    # r6b overflow: oracled + stress-stable locally but no window slot
-    # left this round — FIRST candidates to rotate IN next round
-    "event_transition_matrix",  # 1x green r6; behavior family keeps 4 in-window
-    "events_interarrival_stats",  # 1x green r6; behavior family keeps 6 in-window
-    "orders_revenue_gini",  # 1x green r6; relational family well-covered
-    "kfold_docs_by_lang",  # 1x green r6; sampling family keeps proportional
-    "embedding_norm_stats",  # 1x green r6; similarity family keeps 3 in-window
-    "neardup_cluster_stats",  # 1x green r6; cluster family keeps clusters_star
-    "target_encode_priority",  # 1x green r6; feature-prep family keeps
-                               # quantile_transform + temperature weights
-    "source_freshness_events",  # 1x green r6; quality family keeps
-                                # the gopher gate + blocking audit
-    "psi_order_price_drift",  # 1x green r6; drift family keeps chi2+mi+corr
-    "text_zipf_slope",  # 1x green r6; text family keeps 6 in-window
-    "temporal_split_events",  # 1x green r6; sampling family keeps 2 in-window
-    "daily_revenue_rolling7",  # 1x green r6; relational family well-covered
-    "chi2_lang_source",  # 1x green r6; drift family keeps psi + ks parked
-    "events_daily_anomaly",  # 1x green r6; behavior family keeps 5 in-window
-    "negative_pairs_docs",  # 1x green r6; sampling family keeps 3 in-window
-    "orders_rfm_segments",  # 1x green r6; relational family well-covered
-    "supplier_pareto_share",  # 1x green r6; relational family well-covered
-    "orders_yoy_growth",  # 1x green r6; relational family well-covered
-    "fk_integrity_audit",  # 1x green r6; quality family keeps freshness
-    "corpus_lang_entropy",  # 1x green r6; mixing family keeps report+weights
-    "q1_pricing_summary",  # 6x green; fetch_path_diag control arm
-    "text_repetition_signals_counts",  # 2x green; diagnostic twin, purpose served
-    "ks_price_by_status",  # 1x green r6; drift family keeps chi2 + psi
-    "events_dau_wau_stickiness",  # 1x green r6; family keeps rolling_active_7d
-    "attribution_last_touch",  # 1x green r6; behavior family keeps 4 in-window
-    "dense_ids_documents",  # 3x green (r3/r4/r5), prefix-sum anchor
-    "dedup_pairs_disdedup_skewed",  # 2x green, naive arm also parked
-    "embedding_quantize",  # 2x green (r3/r5), mapInPandas digest
-    "diff_orders_snapshots",  # 2x green (r4/r5); cdf/incr keep family
-    "standardize_order_prices",  # 1x green r5; quantile_bins+mad stay
-    "source_overlap_documents",  # 1x green r5; decontam family parked
+    "pagerank_neardup_graph",
+    "corpus_curation_lsh",
+    "q1_pricing_summary",
+    "text_repetition_signals_counts",
+    "dense_ids_documents",
+    "dedup_pairs_disdedup_skewed",
+    "embedding_quantize",
+    "diff_orders_snapshots",
     "zorder_keys_orders",
     "bloom_semi_join_orders",
     "chunk_sliding_documents",
-    "dq_orders_constraints",  # 2x green, rotated out for r6 asof row
-    "orders_above_global_avg",  # 3x green, rotated out for r6 pareto row
-    "winsorize_order_prices",  # 3x green, rotated out for r6 yoy row
-    "funnel_view_click_purchase",  # 2x green, rotated out for rolling-DAU
-    "cdc_latest_events",  # 3x green, rotated out for r6 lift row
-    "neardup_minhash_lsh_exploded",  # 2x green, rotated for cluster stats
-    "chunk_dedup_within_doc",  # 2x green, rotated for star-CC row
-    "dedup_pairs_naive_skewed",  # 2x green, rotated for diag control
-    "sketch_distinct_users_daily",  # rows-only 2 rounds, pytest-gated
-    "cluster_safe_split_docs",  # 2x green, rotated out for r6 mix report
-    "neardup_prefix_jaccard",  # 2x green, rotated out for r6 proportional
-    # chunk_sliding_documents rotated below the window (2x green
-    # r4+r5, untouched) for the r6 embedding_l2_normalize_batch row
-    "mixture_sample_docs",  # 2x green, rotated out for r6 TPC-H rows
-    "merge_orders_upsert",  # 2x green, rotated out for r6 TPC-H rows
-    "events_sessionize_4h",  # 2x green, rotated out for r6 TPC-H rows
-    # grouping_sets_order_stats + approx_distinct_parts_per_brand rotated
-    # below the window (3x green; sibling agg shapes also 3x green) for
-    # the new sequences + intra-doc dedup rows
+    "orders_above_global_avg",
+    "winsorize_order_prices",
+    "cdc_latest_events",
+    "neardup_minhash_lsh_exploded",
+    "chunk_dedup_within_doc",
+    "dedup_pairs_naive_skewed",
+    "sketch_distinct_users_daily",
+    "cluster_safe_split_docs",
+    "mixture_sample_docs",
+    "merge_orders_upsert",
+    "events_sessionize_4h",
     "q5_revenue_by_nation",
-    # anti_join_customers_no_open_orders and outer_join_nation_order_counts
-    # rotated below the window (both 3x green r1-r3) to keep the
-    # never-checked resample + new merge rows inside the first 50
     "range_join_events_pairs",
     "asof_purchase_last_click",
     "exists_late_shipment_orders",
-    "q6_forecast_revenue",  # displaced price_percentiles (3x green)
+    "q6_forecast_revenue",
     "topk_orders_per_customer",
-    "events_resample_ffill_hourly",  # displaced window_running (3x green)
-    "anti_join_customers_no_open_orders",  # 3x green, rotated out of window
-    "outer_join_nation_order_counts",  # 3x green, rotated out of window
-    "grouping_sets_order_stats",  # 3x green, rotated out of window
-    "approx_distinct_parts_per_brand",  # 3x green, rotated out of window
-    "scalar_string_date_math",  # set-ops sibling 3x green
+    "events_resample_ffill_hourly",
+    "anti_join_customers_no_open_orders",
+    "outer_join_nation_order_counts",
+    "grouping_sets_order_stats",
+    "approx_distinct_parts_per_brand",
+    "scalar_string_date_math",
     "ml_dedup_confusion",
-    "text_tfidf_top_terms",  # language_id sibling 3x green; text family
-                             # still has repetition/token_estimate above
+    "text_tfidf_top_terms",
     "neardup_minhash_lsh",
     "neardup_clusters",
     "events_session_windows",
-    # 1x green r4, untouched — rotated below the window for the r5
-    # diagnostics (q12/q13 promotions + repetition counts twin)
-    "multimodal_decode_meta",
-    "q17_small_quantity_revenue",  # 1x green r4, untouched — displaced r5
-    "q21_waiting_orders_suppliers",  # 1x green r4, untouched — displaced r5
-    "q22_idle_rich_customers",  # 1x green r4, untouched — displaced r5
-    "neardup_common_ngrams",  # 1x green r4, untouched — family kept via
-                              # prefix_jaccard + minhash_lsh_exploded
-    "sample_docs_per_lang",  # 1x green r4, untouched — family kept via
-                             # mixture_sample + cluster_safe_split
-    "funnel_user_steps",  # 1x green r4, untouched — family kept via
-                          # funnel_view_click_purchase
-    "session_event_sequences_4h",  # 1x green r4, untouched — family kept
-                                   # via events_sessionize_4h
-    "text_token_estimate",   # 1x green r4, untouched — displaced by bm25
-    "sample_docs_weighted",  # 1x green r4, untouched — family kept via per_lang
     "q7_nation_volume",
     "q11_important_nations",
     "q15_top_revenue_suppliers",
@@ -1739,9 +1672,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # those, of all 170) emitted DuckDB HUGEINT columns, which the
         # pandas fetch path renders as float64 ("6035.0000" vs "6035").
         # The oracles now CAST to BIGINT; this single rows-only probe
-        # verifies the fix under every Spark×DuckDB materialization pairing
-        # (spark_rows == 1 means all pairings agree; dump in DIAG_r7.json).
-        "fetch_path_diag": _fetch_path_diag,
         "cdc_latest_events": _cdc_latest_events,
         "scd2_user_values": _scd2_user_values,
         # MERGE INTO shape: broadcast change batch applied to the orders

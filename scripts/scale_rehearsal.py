@@ -18,6 +18,17 @@ skew at 20k records on 8x m4.2xlarge):
   max/W-over-k ratio — the Dis-Dedup bound says max <= ~W/k + triangle
   quantization slack
 
+r8 extension (VERDICT r7 item 4): the same 10x key-shifted-union
+treatment for the text/ANN LSH scale paths — minhash_lsh_pairs over
+10x documents and lsh_cosine_pairs over 10x embeddings. Copies carry
+IDENTICAL text/vectors, so every original doc gains 9 exact clones:
+a deliberately dup-heavy corpus where bucket sizes grow 10x and the
+band-collision candidate stream ~100x — the adversarial regime for
+an LSH plan. Measured per path: the candidate funnel (raw
+band-collision stream with multiplicity -> deduped/prefiltered ->
+verified output), the max single band-bucket's pair share vs a
+perfect split (the skew metric), and wall-clock.
+
 Usage:  python scripts/scale_rehearsal.py [copies] [k]
 Prints one JSON line; paste the table into README.md when re-run.
 """
@@ -94,5 +105,67 @@ for label, df, rules in (
         "max_over_Wk": round(ws[-1] / (total / K), 3),
     }
     print(json.dumps({label: results[label]}), file=sys.stderr)
+
+
+def _shifted_union(df, id_col: str, copies: int):
+    out = None
+    for i in range(copies):
+        c = df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000))
+        out = c if out is None else out.unionByName(c)
+    return out.repartition(64).persist()
+
+
+# ---- minhash LSH over 10x documents --------------------------------------
+from sparklyclean_spark.operators.dedup.textdedup import (  # noqa: E402
+    _band_table,
+    _sig_table,
+    minhash_lsh_pairs,
+)
+
+docs10 = _shifted_union(
+    E._tables(spark, "/root/testdata/sf0.1")["documents"], "doc_id", COPIES
+)
+n_docs = docs10.count()
+t0 = time.time()
+banded = _band_table(_sig_table(docs10, 3, 64, "doc_id", "text"), 16, 4)
+bucket_sizes = (
+    banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("s")).collect()
+)
+cand_mult = sum(r["s"] * (r["s"] - 1) // 2 for r in bucket_sizes)
+max_bucket_pairs = max(r["s"] * (r["s"] - 1) // 2 for r in bucket_sizes)
+verified = minhash_lsh_pairs(docs10, 0.5).count()
+wall = time.time() - t0
+results["minhash_lsh_10x_docs"] = {
+    "wall_sec": round(wall, 1),
+    "docs": n_docs,
+    "band_collision_candidates": cand_mult,
+    "verified_pairs": verified,
+    "max_bucket_pair_share": round(max_bucket_pairs / max(cand_mult, 1), 4),
+    "quadratic_equiv_pairs": n_docs * (n_docs - 1) // 2,
+}
+print(json.dumps({"minhash_lsh_10x_docs": results["minhash_lsh_10x_docs"]}), file=sys.stderr)
+
+# ---- cosine LSH over 10x embeddings ---------------------------------------
+from sparklyclean_spark.operators.similarity.knn import lsh_cosine_pairs  # noqa: E402
+
+emb10 = _shifted_union(
+    E._tables(spark, "/root/testdata/sf0.1")["embeddings"], "vec_id", COPIES
+)
+n_vecs = emb10.count()
+t0 = time.time()
+raw = lsh_cosine_pairs(emb10, 0.5, stage="candidates").count()
+pre = lsh_cosine_pairs(emb10, 0.5, stage="prefiltered").count()
+ver = lsh_cosine_pairs(emb10, 0.5).count()
+wall = time.time() - t0
+results["cosine_lsh_10x_embeddings"] = {
+    "wall_sec": round(wall, 1),
+    "vectors": n_vecs,
+    "band_collision_candidates": raw,
+    "prefilter_survivors": pre,
+    "verified_pairs": ver,
+    "prefilter_kill_ratio": round(1.0 - pre / max(raw, 1), 4),
+    "quadratic_equiv_pairs": n_vecs * (n_vecs - 1) // 2,
+}
+print(json.dumps({"cosine_lsh_10x_embeddings": results["cosine_lsh_10x_embeddings"]}), file=sys.stderr)
 
 print(json.dumps(results))

@@ -156,6 +156,7 @@ def lsh_cosine_pairs(
     hamming_slack: float = 3.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stage: str = "verified",
 ) -> DataFrame:
     """ANN near-dup pairs: all (id1 < id2) with cosine ≥ threshold,
     found WITHOUT the quadratic all-pairs join.
@@ -183,7 +184,16 @@ def lsh_cosine_pairs(
     distribution; real near-dup corpora (cos ≥ 0.8) need far fewer
     planes. ``embedding_cosine_pairs`` (textdedup.py) remains the
     exact oracle path at verification scale.
+
+    ``stage`` taps the funnel for instrumentation (the sf1 scale
+    rehearsal measures the candidate stream before/after the
+    prefilter): "candidates" returns the raw band-collision pair
+    stream (with multi-band multiplicity — the exchange that
+    matters), "prefiltered" the deduped Hamming survivors,
+    "verified" (default) the cosine-checked output.
     """
+    if stage not in ("candidates", "prefiltered", "verified"):
+        raise ValueError(f"unknown stage {stage!r}")
     if n_planes % bands != 0:
         raise ValueError("n_planes must be divisible by bands")
     r = n_planes // bands
@@ -236,6 +246,8 @@ def lsh_cosine_pairs(
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
     )
+    if stage == "candidates":
+        return cands
 
     # Hamming prefilter: pure codegen (element_at + xor + bit_count),
     # carries n_planes/8 bytes per side — no vectors, no Python.
@@ -259,6 +271,8 @@ def lsh_cosine_pairs(
         # stream, the r6 bottleneck exchange)
         .dropDuplicates(["id1", "id2"])
     )
+    if stage == "prefiltered":
+        return passed
 
     # Exact verify on survivors only: vector join + Arrow-batched cosine.
     verified = (
