@@ -658,3 +658,25 @@ def test_weighted_sample_exact_k_model(spark):
         for _, i in sorted(members)[:3]:
             exp.add((g, i))
     assert got == exp
+
+
+def test_hash_ordered_sample_is_layout_independent(spark):
+    """The IVF training sample must be a pure function of row data:
+    identical under any partition layout, and id-sorted (the canonical
+    k-means feed order). A bare limit() would return different subsets
+    per layout (the r7 ADVICE finding this replaces)."""
+    from sparklyclean_spark.operators.similarity.knn import _hash_ordered_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i) * 0.5) for i in range(1000)], "id bigint, v double"
+    )
+    picks = []
+    for parts in (1, 7, 64):
+        rows = _hash_ordered_sample(df.repartition(parts), "id", 100)
+        assert [r["id"] for r in rows] == sorted(r["id"] for r in rows)
+        picks.append(tuple((r["id"], r["v"]) for r in rows))
+    assert picks[0] == picks[1] == picks[2]
+    assert len(picks[0]) == 100
+    # md5 ordering spreads the sample over the id space, not the head
+    ids = [i for i, _ in picks[0]]
+    assert max(ids) > 900 and min(ids) < 100
