@@ -301,7 +301,12 @@ def quantile_sketch_audit(
     One row per probed quantile: ``(p, n_rows, within_bound)``.
     ``within_bound`` checks that the exact rank span of the sketch's
     answer (ties widen the span) intersects ``[(p-eps)n, (p+eps)n]``
-    — any FALSE means the sketch violated its contract. The raw ranks
+    with ONE rank of quantization slack on each side — achievable
+    ranks are integers while the bound is real-valued, the GK query
+    targets a ceil'd rank, and partition MERGES can add a sub-rank of
+    error (hypothesis-found: n=8, acc=10, a 5-way merged sketch
+    answers the minimum, true rank 1 vs real bound 1.2). Any FALSE
+    means the sketch violated even the slackened contract. The raw ranks
     are deliberately NOT in the output: the sketch answer itself is
     partition-merge-order sensitive, so only the guarantee booleans
     (and the exact row count) are partitioning-invariant and
@@ -340,10 +345,11 @@ def quantile_sketch_audit(
                         F.lit(float(p)).alias("p"),
                         F.col("_n").cast("bigint").alias("n_rows"),
                         # the answer's achievable rank span [lo+1, hi]
-                        # must intersect [(p-eps)n, (p+eps)n] (one rank
-                        # of boundary slack on each side)
+                        # must intersect [(p-eps)n, (p+eps)n] with one
+                        # rank of quantization slack per side (see
+                        # docstring for the merge/ceil rationale)
                         (
-                            (F.col(f"_hi{i}") >= (F.lit(p - eps)) * F.col("_n"))
+                            (F.col(f"_hi{i}") + 1.0 >= (F.lit(p - eps)) * F.col("_n"))
                             & ((F.col(f"_lo{i}") + 1) <= (F.lit(p + eps)) * F.col("_n") + 1.0)
                         ).alias("within_bound"),
                     )
