@@ -5401,8 +5401,11 @@ def _pagerank_sql(edges_sql: str, damping: float = 0.85, iters: int = 10) -> str
     """Unrolled-CTE DuckDB twin of graph.pagerank: one (contribs,
     dangling, rank) CTE triple per power iteration, mirroring the
     Spark operator's IEEE op order exactly — grid-snap
-    ``FLOOR(x·1e12 + 0.5)`` per term, DECIMAL(38,0) sums (order-free),
-    ``(1.0 - d)/n + d·(in_sum + dm/n)`` update. DuckDB has recursive
+    ``FLOOR(x·1e12 + 0.5)`` per term, exact integer sums (order-free;
+    each group's sum is bounded by total rank mass so BIGINT cannot
+    overflow — DuckDB's HUGEINT result is internal and divided
+    immediately), ``(1.0 - d)/n + d·(in_sum + dm/n)`` update. DuckDB
+    has recursive
     CTEs, but the recursive term may reference the working table only
     once and this iteration needs it twice (contributions + dangling
     mass), so a fixed-depth unroll is the faithful translation.
@@ -5432,13 +5435,13 @@ def _pagerank_sql(edges_sql: str, damping: float = 0.85, iters: int = 10) -> str
         c{i} AS (
             SELECT e.b AS cv,
                    SUM(CAST(FLOOR((r.rank / deg.out_deg) * {g} + 0.5)
-                       AS DECIMAL(38,0))) / {g} AS in_sum
+                       AS BIGINT)) / {g} AS in_sum
             FROM r{p} r JOIN deg ON r.v = deg.dv JOIN e ON r.v = e.a
             GROUP BY e.b
         ),
         d{i} AS (
             SELECT COALESCE(SUM(CAST(FLOOR(r.rank * {g} + 0.5)
-                       AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0)))
+                       AS BIGINT)), 0)
                    / {g} AS _dm
             FROM r{p} r LEFT JOIN deg ON r.v = deg.dv
             WHERE deg.dv IS NULL

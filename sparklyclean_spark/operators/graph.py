@@ -49,7 +49,11 @@ def pagerank(
     dangling mass) are the only order-sensitive float accumulations;
     each term is snapped to the exact 1e-12 integer grid
     (``floor(x·1e12 + 0.5)`` — one IEEE op per step) and summed as
-    DECIMAL(38,0), so the aggregation order cannot move a bit. Every
+    BIGINT, so the aggregation order cannot move a bit. The integer
+    sums cannot overflow at ANY graph size: each group's contribution
+    sum is bounded by the rank mass entering one vertex (≤ 1 → grid
+    value ≤ 1e12 + per-term half-ulp slack), and the dangling sum by
+    the total rank mass (= 1). Every
     remaining expression is a pure per-row IEEE sequence over
     deterministic inputs — ranks are bit-identical across
     partitionings AND re-computable by any engine that mirrors the op
@@ -105,12 +109,8 @@ def pagerank(
             .agg(
                 (
                     F.coalesce(
-                        F.sum(
-                            F.floor(F.col("rank") * F.lit(1e12) + F.lit(0.5)).cast(
-                                "decimal(38,0)"
-                            )
-                        ),
-                        F.lit(0).cast("decimal(38,0)"),
+                        F.sum(F.floor(F.col("rank") * F.lit(1e12) + F.lit(0.5))),
+                        F.lit(0),
                     )
                     / F.lit(1e12)
                 ).alias("_dm")
@@ -127,9 +127,7 @@ def pagerank(
                 F.col("E.b").alias("cv"),
                 F.floor(
                     (F.col("rank") / F.col("out_deg")) * F.lit(1e12) + F.lit(0.5)
-                )
-                .cast("decimal(38,0)")
-                .alias("c"),
+                ).alias("c"),
             )
             .groupBy("cv")
             .agg((F.sum("c") / F.lit(1e12)).alias("in_sum"))
