@@ -1666,12 +1666,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_order_prices": _winsorize_order_prices,
         "pack_training_sequences": _pack_training_sequences,
         "pack_bins_greedy_docs": _pack_bins_greedy_docs,
-        # -- r7 fetch-path diagnostic (replaces the four r6 *_diag rows) -----
-        # r6 proved in-driver bit-identical collect/fetchall hashes for all
-        # red targets; r7 found the cause — those three oracles (and only
-        # those, of all 170) emitted DuckDB HUGEINT columns, which the
-        # pandas fetch path renders as float64 ("6035.0000" vs "6035").
-        # The oracles now CAST to BIGINT; this single rows-only probe
         "cdc_latest_events": _cdc_latest_events,
         "scd2_user_values": _scd2_user_values,
         # MERGE INTO shape: broadcast change batch applied to the orders
@@ -5221,7 +5215,7 @@ def oracle_sql() -> dict[str, str]:
     sql["multimodal_av_meta"] = """
         WITH t AS (
             SELECT doc_id AS media_id,
-                   CAST(strlen(text) AS BIGINT) AS L,
+                   CAST(strlen(COALESCE(text, '')) AS BIGINT) AS L,
                    doc_id % 2 = 0 AS is_wav,
                    doc_id % 97 = 0 AS corrupt
             FROM documents
@@ -5410,8 +5404,17 @@ def _pagerank_sql(edges_sql: str, damping: float = 0.85, iters: int = 10) -> str
     once and this iteration needs it twice (contributions + dangling
     mass), so a fixed-depth unroll is the faithful translation.
     ``edges_sql`` must yield canonical (id1 < id2) pairs over
-    documents; vertices are the full documents table."""
+    documents; vertices are the full documents table.
+
+    Literal parity trap (code-review find): Spark embeds the
+    PYTHON-computed double ``(1.0 - damping)`` (= 0.15000000000000002
+    at d=0.85), while a DuckDB ``(1.0 - 0.85)`` would subtract exact
+    DECIMAL literals and convert to the DIFFERENT double
+    0.1499999999999999944… (2 ulps off, compounding every iteration).
+    The numerator must therefore be rendered from the Python double's
+    repr, never re-derived in SQL arithmetic."""
     d = repr(float(damping))
+    one_minus_d = repr(1.0 - float(damping))
     g = "1000000000000.0"  # the 1e-12 snap grid
     parts = [
         f"""
@@ -5448,7 +5451,7 @@ def _pagerank_sql(edges_sql: str, damping: float = 0.85, iters: int = 10) -> str
         ),
         r{i} AS MATERIALIZED (
             SELECT verts.v,
-                   (1.0 - {d}) / n
+                   {one_minus_d} / n
                    + {d} * (COALESCE(c.in_sum, 0.0) + d{i}._dm / n) AS rank
             FROM verts CROSS JOIN nn
             LEFT JOIN c{i} c ON verts.v = c.cv

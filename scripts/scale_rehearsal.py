@@ -57,15 +57,19 @@ import __spark_entry__ as E
 from sparklyclean_spark.operators.dedup.blocking import BlockingRule
 from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 
+def _shifted_union(df, id_col: str, copies: int):
+    """N key-shifted copies: identical non-key marginals -> the skew
+    SHAPE is preserved exactly at N× rows (pair work ~N²×)."""
+    out = None
+    for i in range(copies):
+        c = df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000))
+        out = c if out is None else out.unionByName(c)
+    return out.repartition(64).persist()
+
+
 base = E._tables(spark, "/root/testdata/sf0.1")["customer"]
 n_base = base.count()
-# ten key-shifted copies: same nationkey/mktsegment marginals -> identical
-# blocking skew SHAPE at 10x rows (pair work ~100x)
-sf1 = None
-for i in range(COPIES):
-    c = base.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 10_000_000))
-    sf1 = c if sf1 is None else sf1.unionByName(c)
-sf1 = sf1.repartition(64).persist()
+sf1 = _shifted_union(base, "c_custkey", COPIES)
 n = sf1.count()
 
 results = {"rows": n, "base_rows": n_base, "copies": COPIES, "k": K}
@@ -107,14 +111,6 @@ for label, df, rules in (
     print(json.dumps({label: results[label]}), file=sys.stderr)
 
 
-def _shifted_union(df, id_col: str, copies: int):
-    out = None
-    for i in range(copies):
-        c = df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000))
-        out = c if out is None else out.unionByName(c)
-    return out.repartition(64).persist()
-
-
 # ---- minhash LSH over 10x documents --------------------------------------
 from sparklyclean_spark.operators.dedup.textdedup import (  # noqa: E402
     _band_table,
@@ -126,15 +122,18 @@ docs10 = _shifted_union(
     E._tables(spark, "/root/testdata/sf0.1")["documents"], "doc_id", COPIES
 )
 n_docs = docs10.count()
+# wall times ONE full operator execution (a production run builds the
+# signature table once); the funnel accounting below re-derives the
+# bucket histogram OUTSIDE the timed window
 t0 = time.time()
+verified = minhash_lsh_pairs(docs10, 0.5).count()
+wall = time.time() - t0
 banded = _band_table(_sig_table(docs10, 3, 64, "doc_id", "text"), 16, 4)
 bucket_sizes = (
     banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("s")).collect()
 )
 cand_mult = sum(r["s"] * (r["s"] - 1) // 2 for r in bucket_sizes)
 max_bucket_pairs = max(r["s"] * (r["s"] - 1) // 2 for r in bucket_sizes)
-verified = minhash_lsh_pairs(docs10, 0.5).count()
-wall = time.time() - t0
 results["minhash_lsh_10x_docs"] = {
     "wall_sec": round(wall, 1),
     "docs": n_docs,
@@ -152,11 +151,13 @@ emb10 = _shifted_union(
     E._tables(spark, "/root/testdata/sf0.1")["embeddings"], "vec_id", COPIES
 )
 n_vecs = emb10.count()
+# wall = ONE verified execution; the stage taps (each an independent
+# re-execution of the funnel prefix) run outside the timed window
 t0 = time.time()
-raw = lsh_cosine_pairs(emb10, 0.5, stage="candidates").count()
-pre = lsh_cosine_pairs(emb10, 0.5, stage="prefiltered").count()
 ver = lsh_cosine_pairs(emb10, 0.5).count()
 wall = time.time() - t0
+raw = lsh_cosine_pairs(emb10, 0.5, stage="candidates").count()
+pre = lsh_cosine_pairs(emb10, 0.5, stage="prefiltered").count()
 results["cosine_lsh_10x_embeddings"] = {
     "wall_sec": round(wall, 1),
     "vectors": n_vecs,

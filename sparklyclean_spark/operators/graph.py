@@ -59,10 +59,14 @@ def pagerank(
     partitionings AND re-computable by any engine that mirrors the op
     order, which is what makes the DuckDB oracle for
     ``pagerank_containment_graph`` possible (unrolled per-iteration
-    CTEs, ``__spark_entry__._pagerank_sql``). The 1e-12 snap injects
-    ≤ iters·damping·1e-12 absolute rank error — invisible at the
-    1e-8-rounded output, and far below the power-iteration
-    convergence error it rides on.
+    CTEs, ``__spark_entry__._pagerank_sql``). Snap error: each
+    rounded term carries ≤ 0.5e-12, so one iteration adds ≤
+    damping·(d_in + 1)·0.5e-12 to a vertex with in-degree d_in (the
+    +1 is the dangling term) — per-vertex error scales with degree,
+    not a constant. Even a 10⁶-degree hub over 10 iterations stays
+    below ~5e-6·rank-mass, invisible at the 1e-8-rounded output of
+    the registered query; on dense hubs with tighter differential
+    gates, size the gate to degree·iters·0.5e-12.
 
     Input contract (not validated — both checks would cost a join):
     every edge endpoint must appear in ``vertices`` (contributions to

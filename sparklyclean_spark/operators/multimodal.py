@@ -172,7 +172,10 @@ def make_av_media_table(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, kinds, payloads = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                data = str(text).encode("utf-8")
+                # NULL text -> empty data chunk (str(None) would emit the
+                # 4-byte payload "None" while the oracle's strlen(text)
+                # yields NULL — a latent hash divergence on dirty input)
+                data = ("" if text is None else str(text)).encode("utf-8")
                 if doc_id % 2 == 0:
                     kind = "audio/wav"
                     rate = 8000 * (1 + doc_id % 3)
