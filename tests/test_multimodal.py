@@ -199,11 +199,14 @@ def test_av_decode_round_trip(spark):
     from sparklyclean_spark.operators import multimodal as MM
 
     docs = spark.createDataFrame(
-        [(i, "x" * (100 + i)) for i in range(0, 200)], "doc_id bigint, text string"
+        [(i, "x" * (100 + i)) for i in range(0, 200)] + [(200, None)],
+        "doc_id bigint, text string",
     )
     out = {r.media_id: r for r in MM.decode_av_metadata(
         MM.make_av_media_table(docs)).collect()}
-    assert len(out) == 200
+    assert len(out) == 201
+    # NULL text -> empty data chunk, still a valid container (L=0)
+    assert out[200].ok and out[200].n_bytes == 44 and out[200].duration_ms == 0
     assert not out[0].ok and out[0].container == "unknown"  # 0 % 97 == 0
     assert not out[97].ok
     r2 = out[2]  # wav: rate 8000*(1+2%3)=24000, ch 1+(1%2)=2
