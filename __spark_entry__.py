@@ -1181,8 +1181,12 @@ _DRIVER_CHECK_ORDER = [
     "sample_docs_weighted",  # 1x green r4
     "dq_orders_constraints",  # 2x green, last checked r5
     "funnel_view_click_purchase",  # 2x green, last checked r5
-    "neardup_prefix_jaccard",  # 2x green, last checked r5
+    "text_winnowing_fp",  # NEW r8: span-level winnowing fingerprints
     # ---- below the window: parked rows (driver does NOT check) ----
+    # neardup_prefix_jaccard (2x green) displaced mid-r8 for the new
+    # winnowing row — it re-verified green in this round's local
+    # exact-50 sweep and heads the r9 queue with the r7-debut rows
+    "neardup_prefix_jaccard",
     # r7-debut rows with fresh green records — r9 rotate-in queue:
     "q2_best_region_supplier",
     "q8_market_share",
@@ -1690,6 +1694,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # asymmetric containment (r7): quote/subset detection jaccard misses
         "neardup_containment": _q(TD.containment_pairs, table="documents"),
+        # r8: span-level winnowing fingerprints (SIGMOD'03 / MOSS) —
+        # position-aware copy signatures next to the set-based family
+        "text_winnowing_fp": _q(TD.winnowing_fingerprints, table="documents"),
         "chunk_dedup_documents": _chunk_dedup_documents,
         # intra-doc repeated-span removal: zero-shuffle projection
         "chunk_dedup_within_doc": lambda spark, sf_dir: chunk_dedup_within_doc(
@@ -5343,6 +5350,40 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) / 100.0 AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """
+    # winnowing fingerprints (r8): the 63-bit mask makes DuckDB's
+    # unsigned md5-prefix order equal Spark's signed bigint order, and
+    # length()/substr() are CHARACTER-based in both engines (strlen
+    # would count bytes and diverge on the zh/accented docs)
+    sql["text_winnowing_fp"] = """
+        WITH base AS (
+            SELECT doc_id AS id, lower(text) AS s,
+                   CAST(length(lower(text)) AS BIGINT) AS n
+            FROM documents
+            WHERE length(lower(text)) >= 8
+        ),
+        grams AS (
+            SELECT id, n, CAST(i AS BIGINT) AS i,
+                   CAST(('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 16))::UBIGINT
+                        & CAST(9223372036854775807 AS UBIGINT) AS BIGINT) AS h
+            FROM base, unnest(range(1, n - 6)) AS t(i)
+        ),
+        sel AS (
+            SELECT id, n, i, h,
+                   MIN(h) OVER (PARTITION BY id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+            FROM grams
+        ),
+        fps AS (SELECT DISTINCT id, n, h FROM sel WHERE h = wmin)
+        SELECT id AS doc_id,
+               n - 7 AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+               floor(COUNT(*) * 10000.0 / (n - 7) + 0.5) / 10000.0 AS fp_density,
+               CAST(bit_xor(h) AS BIGINT) AS fp_xor,
+               MIN(h) AS fp_min,
+               MAX(h) AS fp_max
+        FROM fps
+        GROUP BY id, n
     """
     sql["dedup_survivors_longest"] = f"""
         WITH t AS (

@@ -788,6 +788,105 @@ def containment_pairs(
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document winnowed k-gram fingerprint profile — the
+    POSITION-AWARE copy-detection signature (Schleimer/Wilkerson/
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm). Character k-grams localize
+    COPIED SPANS, which token-set methods (minhash/simhash/
+    containment) cannot: they answer "are these documents similar",
+    winnowing answers "do they share a literal run of ≥ k chars",
+    the right primitive for quote/plagiarism/eval-contamination
+    tracing at span granularity.
+
+    Selection rule (the operator's contract): position ``i`` is
+    selected iff its hash is the MINIMUM of the w-gram forward window
+    ``[i, i+w-1]`` (frames clip at the text tail, so trailing
+    positions compete in shorter windows). This is a deterministic
+    winnowing VARIANT: the paper's rule picks the rightmost minimum
+    of every window (guaranteeing a pick per window), which needs an
+    argmin-over-frame — not expressible identically in both engines'
+    window aggregates — while the forward-min rule is ONE ``min()``
+    frame, has the same expected density (1/w for distinct hashes),
+    and the same shift-locality (selection of ``i`` depends only on
+    the next w-1 grams, so edits perturb fingerprints only locally).
+
+    Hashes are the repo's engine-portable md5-prefix bigints MASKED
+    TO 63 BITS: DuckDB's ``::UBIGINT`` compares unsigned while
+    Spark's bigint compares signed, so a top-bit hash would order
+    differently and flip the window minima — the mask makes the
+    orderings identical (and costs 1 bit of entropy).
+
+    Output (docs with ≥ k chars): n_grams, the distinct-fingerprint
+    count + density, and an order-free digest (bit_xor / min / max of
+    the fingerprint set) — enough to equality-match documents and to
+    detect fingerprint drift without shipping the sets.
+
+    Scale: the per-character explode is O(total chars) narrow rows
+    feeding ONE doc-keyed window — AQE-splittable, no broadcast, no
+    all-pairs anywhere; the 1/w selection density shrinks everything
+    downstream. The hot-path swap-in is a per-doc Arrow mapInPandas
+    pass computing the same rule (the ``_sig_table`` precedent); this
+    declarative form is the oracle-checkable contract.
+    """
+    from pyspark.sql import Window
+
+    mask = (1 << 63) - 1
+    base = docs.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_s")
+    ).withColumn("_n", F.length("_s")).where(F.col("_n") >= F.lit(k))
+    grams = base.select(
+        "id",
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.col("_n") - F.lit(k - 1))).alias("i"),
+        "_s",
+    ).select(
+        "id",
+        "_n",
+        "i",
+        _md5_token_hash(F.expr(f"substring(_s, i, {k})"))
+        .bitwiseAND(F.lit(mask))
+        .alias("h"),
+    )
+    w = Window.partitionBy("id").orderBy("i").rowsBetween(0, window - 1)
+    sel = grams.withColumn("_wmin", F.min("h").over(w)).where(
+        F.col("h") == F.col("_wmin")
+    )
+    fps = sel.select("id", "_n", "h").distinct()
+    return (
+        fps.groupBy("id", "_n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+            F.expr("bit_xor(h)").cast("bigint").alias("fp_xor"),
+            F.min("h").alias("fp_min"),
+            F.max("h").alias("fp_max"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("_n") - F.lit(k - 1)).cast("bigint").alias("n_grams"),
+            "n_fingerprints",
+            (
+                F.floor(
+                    F.col("n_fingerprints")
+                    * 10000.0
+                    / (F.col("_n") - F.lit(k - 1))
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("fp_density"),
+            "fp_xor",
+            "fp_min",
+            "fp_max",
+        )
+    )
+
+
 def dedup_survivors(
     docs: DataFrame,
     policy: str = "longest",

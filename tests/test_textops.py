@@ -680,3 +680,54 @@ def test_hash_ordered_sample_is_layout_independent(spark):
     # md5 ordering spreads the sample over the id space, not the head
     ids = [i for i, _ in picks[0]]
     assert max(ids) > 900 and min(ids) < 100
+
+
+def test_winnowing_fingerprints_contract(spark):
+    """Selection rule, shift locality, and digest determinism of the
+    winnowing fingerprint profile."""
+    from sparklyclean_spark.operators.dedup.textdedup import (
+        _md5_token_hash,
+        winnowing_fingerprints,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " TAIL EDIT ZZZ"), (3, "short"),
+         (4, base.upper())],  # lowercased first -> same as doc 1
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in winnowing_fingerprints(docs).collect()}
+    # docs shorter than k are excluded by contract
+    assert 3 not in out and len(out) == 3
+    r1 = out[1]
+    assert r1.n_grams == len(base) - 7
+    assert 1 <= r1.n_fingerprints <= r1.n_grams
+    # case-normalization: doc 4 is doc 1 upper-cased -> identical profile
+    assert (r1.n_fingerprints, r1.fp_xor, r1.fp_min, r1.fp_max) == (
+        out[4].n_fingerprints, out[4].fp_xor, out[4].fp_min, out[4].fp_max
+    )
+    # every selected hash is in [0, 2^63): the unsigned-order mask held
+    assert r1.fp_min >= 0
+    # shift locality: a tail edit cannot REMOVE head fingerprints — the
+    # brute-force reference selection of the common prefix (minus the
+    # last w-1 boundary-affected positions) must survive in doc 2
+    import hashlib
+
+    def ref_sel(text, k=8, w=4):
+        s = text.lower()
+        hs = [
+            int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:16], 16)
+            & ((1 << 63) - 1)
+            for i in range(len(s) - k + 1)
+        ]
+        return hs, {h for i, h in enumerate(hs) if h == min(hs[i:i + w])}
+
+    hs1, sel1 = ref_sel(base)
+    assert r1.n_fingerprints == len(sel1)
+    import functools, operator
+    assert r1.fp_xor == functools.reduce(operator.xor, sel1)
+    assert r1.fp_min == min(sel1) and r1.fp_max == max(sel1)
+    # head fingerprints (selection depends only on the next w-1 grams)
+    head = {h for i, h in enumerate(hs1[: -(4 - 1)]) if h == min(hs1[i:i + 4])}
+    _, sel2 = ref_sel(base + " TAIL EDIT ZZZ")
+    assert head <= sel2
