@@ -1180,13 +1180,15 @@ _DRIVER_CHECK_ORDER = [
     "text_token_estimate",  # 1x green r4
     "sample_docs_weighted",  # 1x green r4
     "dq_orders_constraints",  # 2x green, last checked r5
-    "funnel_view_click_purchase",  # 2x green, last checked r5
     "text_winnowing_fp",  # NEW r8: span-level winnowing fingerprints
+    "winnowing_overlap_pairs",  # NEW r8: shared-span copy pairs
     # ---- below the window: parked rows (driver does NOT check) ----
-    # neardup_prefix_jaccard (2x green) displaced mid-r8 for the new
-    # winnowing row — it re-verified green in this round's local
-    # exact-50 sweep and heads the r9 queue with the r7-debut rows
+    # neardup_prefix_jaccard + funnel_view_click_purchase (both 2x
+    # green) displaced mid-r8 for the two winnowing rows — both
+    # re-verified green in this round's local exact-50 sweep and head
+    # the r9 queue with the r7-debut rows
     "neardup_prefix_jaccard",
+    "funnel_view_click_purchase",
     # r7-debut rows with fresh green records — r9 rotate-in queue:
     "q2_best_region_supplier",
     "q8_market_share",
@@ -1697,6 +1699,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: span-level winnowing fingerprints (SIGMOD'03 / MOSS) —
         # position-aware copy signatures next to the set-based family
         "text_winnowing_fp": _q(TD.winnowing_fingerprints, table="documents"),
+        "winnowing_overlap_pairs": _q(
+            TD.winnowing_overlap_pairs, table="documents"
+        ),
         "chunk_dedup_documents": _chunk_dedup_documents,
         # intra-doc repeated-span removal: zero-shuffle projection
         "chunk_dedup_within_doc": lambda spark, sf_dir: chunk_dedup_within_doc(
@@ -5384,6 +5389,35 @@ def oracle_sql() -> dict[str, str]:
                MAX(h) AS fp_max
         FROM fps
         GROUP BY id, n
+    """
+    # span-level copy pairs (r8): shared winnowed fingerprints through
+    # the df-capped inverted index — containment_pairs' candidate shape
+    sql["winnowing_overlap_pairs"] = """
+        WITH base AS (
+            SELECT doc_id AS id, lower(text) AS s,
+                   CAST(length(lower(text)) AS BIGINT) AS n
+            FROM documents
+            WHERE length(lower(text)) >= 8
+        ),
+        grams AS (
+            SELECT id, n, CAST(i AS BIGINT) AS i,
+                   CAST(('0x' || substr(md5(substr(s, CAST(i AS INT), 8)), 1, 16))::UBIGINT
+                        & CAST(9223372036854775807 AS UBIGINT) AS BIGINT) AS h
+            FROM base, unnest(range(1, n - 6)) AS t(i)
+        ),
+        sel AS (
+            SELECT id, i, h,
+                   MIN(h) OVER (PARTITION BY id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+            FROM grams
+        ),
+        fps AS (SELECT DISTINCT id, h FROM sel WHERE h = wmin),
+        dfh AS (SELECT h, COUNT(*) AS _df FROM fps GROUP BY h),
+        rare AS (SELECT f.h, f.id FROM fps f JOIN dfh USING (h) WHERE _df <= 50)
+        SELECT a.id AS id1, b.id AS id2, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM rare a JOIN rare b ON a.h = b.h AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING COUNT(*) >= 2
     """
     sql["dedup_survivors_longest"] = f"""
         WITH t AS (

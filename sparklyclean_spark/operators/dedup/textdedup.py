@@ -835,30 +835,7 @@ def winnowing_fingerprints(
     pass computing the same rule (the ``_sig_table`` precedent); this
     declarative form is the oracle-checkable contract.
     """
-    from pyspark.sql import Window
-
-    mask = (1 << 63) - 1
-    base = docs.select(
-        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_s")
-    ).withColumn("_n", F.length("_s")).where(F.col("_n") >= F.lit(k))
-    grams = base.select(
-        "id",
-        "_n",
-        F.explode(F.sequence(F.lit(1), F.col("_n") - F.lit(k - 1))).alias("i"),
-        "_s",
-    ).select(
-        "id",
-        "_n",
-        "i",
-        _md5_token_hash(F.expr(f"substring(_s, i, {k})"))
-        .bitwiseAND(F.lit(mask))
-        .alias("h"),
-    )
-    w = Window.partitionBy("id").orderBy("i").rowsBetween(0, window - 1)
-    sel = grams.withColumn("_wmin", F.min("h").over(w)).where(
-        F.col("h") == F.col("_wmin")
-    )
-    fps = sel.select("id", "_n", "h").distinct()
+    fps = _winnow_fp_table(docs, k, window, id_col, text_col)
     return (
         fps.groupBy("id", "_n")
         .agg(
@@ -884,6 +861,74 @@ def winnowing_fingerprints(
             "fp_min",
             "fp_max",
         )
+    )
+
+
+def _winnow_fp_table(
+    docs: DataFrame, k: int, window: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, _n, h): each document's DISTINCT winnowed fingerprint set
+    (the forward-window-min selection of ``winnowing_fingerprints``,
+    which documents the full contract)."""
+    from pyspark.sql import Window
+
+    mask = (1 << 63) - 1
+    base = docs.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_s")
+    ).withColumn("_n", F.length("_s")).where(F.col("_n") >= F.lit(k))
+    grams = base.select(
+        "id",
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.col("_n") - F.lit(k - 1))).alias("i"),
+        "_s",
+    ).select(
+        "id",
+        "_n",
+        "i",
+        _md5_token_hash(F.expr(f"substring(_s, i, {k})"))
+        .bitwiseAND(F.lit(mask))
+        .alias("h"),
+    )
+    w = Window.partitionBy("id").orderBy("i").rowsBetween(0, window - 1)
+    sel = grams.withColumn("_wmin", F.min("h").over(w)).where(
+        F.col("h") == F.col("_wmin")
+    )
+    return sel.select("id", "_n", "h").distinct()
+
+
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = 8,
+    window: int = 4,
+    max_fp_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level copy detection BETWEEN documents: pairs sharing
+    ≥ ``min_shared`` winnowed fingerprints (each shared fingerprint
+    witnesses a literal common run of ≥ k chars that both documents'
+    winnowing selected — quotes, boilerplate, eval-set contamination
+    at span granularity). Candidates come from the same df-capped
+    inverted-index shape as ``containment_pairs``: fingerprints in
+    more than ``max_fp_df`` documents are corpus boilerplate carrying
+    no pair signal and would generate quadratic candidates — dropped
+    BEFORE the self-join, so posting-list work stays linear. Output:
+    (id1, id2, n_shared), exact integers.
+    """
+    fps = _winnow_fp_table(docs, k, window, id_col, text_col).select("id", "h")
+    df_h = fps.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    # NO broadcast hint on the df table: it is O(distinct fingerprints)
+    # and cannot ship whole at corpus scale — the equi-join on h is
+    # AQE-splittable and reuses the postings' hash partitioning
+    rare = fps.join(df_h.where(F.col("_df") <= max_fp_df), "h").select("h", "id")
+    return (
+        rare.select("h", F.col("id").alias("id1"))
+        .join(rare.select("h", F.col("id").alias("id2")), "h")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 
