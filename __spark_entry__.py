@@ -1179,16 +1179,18 @@ _DRIVER_CHECK_ORDER = [
     "session_event_sequences_4h",  # 1x green r4
     "text_token_estimate",  # 1x green r4
     "sample_docs_weighted",  # 1x green r4
-    "dq_orders_constraints",  # 2x green, last checked r5
     "text_winnowing_fp",  # NEW r8: span-level winnowing fingerprints
     "winnowing_overlap_pairs",  # NEW r8: shared-span copy pairs
+    "attribution_time_decay",  # NEW r8: power-of-two half-life decay
     # ---- below the window: parked rows (driver does NOT check) ----
-    # neardup_prefix_jaccard + funnel_view_click_purchase (both 2x
-    # green) displaced mid-r8 for the two winnowing rows — both
-    # re-verified green in this round's local exact-50 sweep and head
-    # the r9 queue with the r7-debut rows
+    # neardup_prefix_jaccard, funnel_view_click_purchase and
+    # dq_orders_constraints (all 2x green) displaced mid-r8 for the
+    # three new rows above — each re-verified green in this round's
+    # local exact-50 sweep; they head the r9 queue with the r7-debut
+    # rows
     "neardup_prefix_jaccard",
     "funnel_view_click_purchase",
+    "dq_orders_constraints",
     # r7-debut rows with fresh green records — r9 rotate-in queue:
     "q2_best_region_supplier",
     "q8_market_share",
@@ -1572,6 +1574,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: equal-credit multi-touch counterpart (no ordering enters
         # the result — all qualifying touches share 1/n)
         "attribution_linear": _q(BH.linear_attribution, table="events"),
+        # r8: the third standard attribution model (recency-weighted,
+        # power-of-two half-life buckets — exact cross-engine weights)
+        "attribution_time_decay": _q(BH.time_decay_attribution, table="events"),
         # r7: behavioral predictability — H(next), H(next|prev), gain
         "events_transition_entropy": _q(BH.transition_entropy, table="events"),
         "events_interarrival_stats": _q(BH.interarrival_stats, table="events"),
@@ -5096,6 +5101,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN n > 0 THEN ROUND(1.0 / n, 6)
                              ELSE 1.0 END AS DECIMAL(18,6)) AS share,
                    CAST(CASE WHEN n > 0 THEN ROUND(v / n, 6)
+                             ELSE ROUND(v, 6) END AS DECIMAL(18,6)) AS vshare
+            FROM c
+        )
+        SELECT touch_type,
+               floor(CAST(SUM(share) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                   AS attributed_purchases,
+               floor(CAST(SUM(vshare) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+                   AS attributed_value
+        FROM cr GROUP BY touch_type
+    """
+    # time-decay attribution (r8): decay bucketed to exact powers of two
+    # (libm exp/pow can never be hash-checked); weights are exact BIGINTs,
+    # shares one double division each, decimal-snapped before the sum
+    sql["attribution_time_decay"] = """
+        WITH p AS (
+            SELECT user_id AS u, ts AS pts, event_id AS pid, value AS v
+            FROM events WHERE event_type = 'purchase'
+        ),
+        t AS (
+            SELECT user_id AS u, ts AS tts, event_type AS tty
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        j AS (
+            SELECT p.u, p.pid, p.v, t.tty,
+                   CASE WHEN t.tts IS NOT NULL THEN
+                        CAST(1 AS BIGINT) << CAST(40 -
+                            date_diff('microsecond', t.tts, p.pts)
+                            // 86400000000 AS INT)
+                   END AS iw
+            FROM p LEFT JOIN t
+              ON p.u = t.u AND t.tts < p.pts
+             AND date_diff('microsecond', t.tts, p.pts) <= 604800000000
+        ),
+        c AS (
+            SELECT u, pid, v, tty, iw,
+                   CAST(SUM(iw) OVER (PARTITION BY u, pid) AS BIGINT) AS siw
+            FROM j
+        ),
+        cr AS (
+            SELECT CASE WHEN tty IS NULL THEN 'direct' ELSE tty END AS touch_type,
+                   CAST(CASE WHEN iw IS NOT NULL THEN ROUND(iw / siw, 6)
+                             ELSE 1.0 END AS DECIMAL(18,6)) AS share,
+                   CAST(CASE WHEN iw IS NOT NULL THEN ROUND(v * iw / siw, 6)
                              ELSE ROUND(v, 6) END AS DECIMAL(18,6)) AS vshare
             FROM c
         )

@@ -525,6 +525,103 @@ def linear_attribution(
     )
 
 
+def time_decay_attribution(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_days: int = 7,
+    halflife_hours: int = 24,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-decay multi-touch attribution — the third standard model
+    next to ``last_touch_attribution`` and ``linear_attribution``:
+    recent touches earn more credit, halving every
+    ``halflife_hours``. Output per touch type: ``(touch_type,
+    attributed_purchases, attributed_value)``; purchases with no
+    in-window touch credit 'direct' in full.
+
+    Hash-stable recipe: a continuous ``exp(-Δt/τ)`` can never be
+    hash-checked (libm exp/pow differ across engines — the
+    temperature-weights lesson), so the decay is BUCKETED to exact
+    powers of two: ``weight = 2^(B - Δt//halflife)`` as an exact
+    BIGINT (B = 40; the integer floor-division bucketing is the
+    documented model semantics, not an approximation of something
+    else). Per-purchase weight sums are exact integers, each touch's
+    share is ONE double division of exact ints rounded to
+    DECIMAL(18,6) before the global sum — the linear_attribution
+    contract with weights ≠ 1.
+
+    Scale: identical shape to linear_attribution — one user-keyed
+    join bounded by the window, a purchase-keyed window sum on the
+    same partitioning, one hash agg onto len(touch_types)+1 rows.
+    """
+    B = 40
+    max_k = window_days * 24 // halflife_hours  # bounded by the join window
+    if max_k > B:
+        raise ValueError(
+            f"window spans {max_k} half-lives; weights below 2^-{B} are"
+            " zero — shrink window_days or raise halflife_hours"
+        )
+    p = events.where(F.col(type_col) == purchase_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_pts"),
+        F.col(tiebreak_col).alias("_pid"),
+        F.col(value_col).alias("_v"),
+    )
+    t = events.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tts"),
+        F.col(type_col).alias("_tty"),
+    )
+    limit_us = F.lit(window_days * 86_400_000_000).cast("bigint")
+    half_us = halflife_hours * 3_600_000_000
+    j = p.join(
+        t,
+        (p["_u"] == t["_u"])
+        & (t["_tts"] < p["_pts"])
+        & (F.timestamp_diff("MICROSECOND", t["_tts"], p["_pts"]) <= limit_us),
+        "left",
+    ).select(
+        p["_u"],
+        "_pid",
+        "_v",
+        "_tty",
+        F.when(
+            t["_tts"].isNotNull(),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast({B} - "
+                f"timestampdiff(MICROSECOND, _tts, _pts) div {half_us} as int))"
+            ),
+        ).alias("_iw"),
+    )
+    siw = F.sum("_iw").over(Window.partitionBy("_u", "_pid"))
+    credited = j.select(
+        F.when(F.col("_tty").isNull(), F.lit("direct"))
+        .otherwise(F.col("_tty"))
+        .alias("touch_type"),
+        F.when(F.col("_iw").isNotNull(), F.round(F.col("_iw") / siw, 6))
+        .otherwise(F.lit(1.0))
+        .cast("decimal(18,6)")
+        .alias("_share"),
+        F.when(F.col("_iw").isNotNull(), F.round(F.col("_v") * F.col("_iw") / siw, 6))
+        .otherwise(F.round(F.col("_v"), 6))
+        .cast("decimal(18,6)")
+        .alias("_vshare"),
+    )
+    return credited.groupBy("touch_type").agg(
+        (F.floor(F.sum("_share").cast("double") * 10000.0 + 0.5) / 10000.0).alias(
+            "attributed_purchases"
+        ),
+        (F.floor(F.sum("_vshare").cast("double") * 10000.0 + 0.5) / 10000.0).alias(
+            "attributed_value"
+        ),
+    )
+
+
 def transition_entropy(
     events: DataFrame,
     user_col: str = "user_id",
