@@ -45,6 +45,7 @@ from sparklyclean_spark.operators.mixing import (
 from sparklyclean_spark.operators.resample import resample_ffill
 from sparklyclean_spark.operators.sessions import (
     session_path_ngrams,
+    session_peak_concurrency,
     session_sequences,
     session_summary,
 )
@@ -1166,7 +1167,7 @@ _DRIVER_CHECK_ORDER = [
     "corpus_lang_entropy",  # 1x green r6
     "ks_price_by_status",  # 1x green r6
     "events_dau_wau_stickiness",  # 1x green r6
-    "attribution_last_touch",  # 1x green r6
+    "sessions_peak_concurrency",  # NEW r8: sweep-line peak concurrency
     "standardize_order_prices",  # 1x green r5
     "source_overlap_documents",  # 1x green r5
     "multimodal_decode_meta",  # 1x green r4
@@ -1191,6 +1192,10 @@ _DRIVER_CHECK_ORDER = [
     "neardup_prefix_jaccard",
     "funnel_view_click_purchase",
     "dq_orders_constraints",
+    "attribution_last_touch",  # 1x green r6, displaced mid-r8 for the
+                               # peak-concurrency row (the attribution
+                               # family keeps linear [r7 green] and the
+                               # new time-decay row in-window)
     # r7-debut rows with fresh green records — r9 rotate-in queue:
     "q2_best_region_supplier",
     "q8_market_share",
@@ -1577,6 +1582,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: the third standard attribution model (recency-weighted,
         # power-of-two half-life buckets — exact cross-engine weights)
         "attribution_time_decay": _q(BH.time_decay_attribution, table="events"),
+        # r8: sweep-line peak simultaneous sessions (capacity planning)
+        "sessions_peak_concurrency": _q(
+            session_peak_concurrency, table="events"
+        ),
         # r7: behavioral predictability — H(next), H(next|prev), gain
         "events_transition_entropy": _q(BH.transition_entropy, table="events"),
         "events_interarrival_stats": _q(BH.interarrival_stats, table="events"),
@@ -5110,6 +5119,49 @@ def oracle_sql() -> dict[str, str]:
                floor(CAST(SUM(vshare) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
                    AS attributed_value
         FROM cr GROUP BY touch_type
+    """
+    # peak session concurrency (r8): sweep-line over session intervals,
+    # starts before ends at equal microseconds (closed intervals); the
+    # default RANGE-to-current frame aggregates peers identically in
+    # both engines
+    sql["sessions_peak_concurrency"] = """
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                             > 14400000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        lab AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+            FROM g
+        ),
+        spans AS (
+            SELECT user_id, session_idx, MIN(ts) AS s, MAX(ts) AS e
+            FROM lab GROUP BY user_id, session_idx
+        ),
+        pts AS (
+            SELECT s AS t, 1 AS d FROM spans
+            UNION ALL
+            SELECT e AS t, -1 AS d FROM spans
+        ),
+        run AS (
+            SELECT t, d, SUM(d) OVER (ORDER BY t ASC, d DESC) AS _run
+            FROM pts
+        ),
+        ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM spans),
+        pk AS (SELECT CAST(MAX(_run) AS BIGINT) AS peak_concurrent FROM run),
+        fp AS (
+            SELECT MIN(t) AS first_peak_ts
+            FROM run, pk WHERE _run = peak_concurrent
+        )
+        SELECT n_sessions, peak_concurrent, first_peak_ts
+        FROM ns, pk, fp
     """
     # time-decay attribution (r8): decay bucketed to exact powers of two
     # (libm exp/pow can never be hash-checked); weights are exact BIGINTs,

@@ -210,3 +210,51 @@ def session_path_ngrams(
         .orderBy(F.desc("count"), F.asc("path"))
         .limit(top_k)
     )
+
+
+def session_peak_concurrency(
+    events: DataFrame,
+    gap_seconds: int = 14400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreaker: str | None = "event_id",
+) -> DataFrame:
+    """Sweep-line peak concurrency over session intervals: the maximum
+    number of sessions open at once (closed intervals [start, end]),
+    plus when it is first reached — the capacity-planning number
+    (peak simultaneous users) that per-day actives cannot give you.
+    One row: ``(n_sessions, peak_concurrent, first_peak_ts)``.
+
+    Sweep semantics: +1 at each session start, -1 at its end, swept in
+    ``(t ASC, delta DESC)`` order so starts at a microsecond count
+    before ends at the same microsecond — a session ending exactly
+    when another starts overlaps it (closed-interval reading). The
+    default window frame (RANGE to CURRENT ROW) aggregates peer rows
+    together in BOTH engines, which is exactly right: simultaneous
+    starts surface their combined concurrency at once. Everything is
+    exact integers + a min-timestamp tiebreak, so the row is
+    hash-checkable.
+
+    Scale: the sweep's global running sum is inherently sequential,
+    but it runs over 2·#sessions points (already aggregated from
+    events), not raw events — the same bounded-global-order trade as
+    ks_test's ECDF. At extreme session counts, bucket time first and
+    carry per-bucket prefix sums.
+    """
+    order_cols = [ts_col] + ([tiebreaker] if tiebreaker else [])
+    labeled = _sessionize_ordered(events, gap_seconds, user_col, order_cols)
+    spans = labeled.groupBy(user_col, "session_idx").agg(
+        F.min(ts_col).alias("_s"), F.max(ts_col).alias("_e")
+    )
+    pts = spans.select(F.col("_s").alias("t"), F.lit(1).alias("d")).unionAll(
+        spans.select(F.col("_e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.orderBy(F.col("t").asc(), F.col("d").desc())
+    run = pts.select("t", "d", F.sum("d").over(w).alias("_run"))
+    n_sessions = spans.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    peak = run.agg(F.max("_run").cast("bigint").alias("peak_concurrent"))
+    first = (
+        run.join(F.broadcast(peak), run["_run"] == peak["peak_concurrent"])
+        .agg(F.min("t").alias("first_peak_ts"))
+    )
+    return n_sessions.join(F.broadcast(peak)).join(F.broadcast(first))

@@ -51,3 +51,33 @@ def test_time_decay_rejects_underflowing_window(spark):
     )
     with pytest.raises(ValueError):
         time_decay_attribution(events, window_days=60, halflife_hours=1)
+
+
+def test_session_peak_concurrency_hand_case(spark):
+    """Three users; two sessions overlap in the middle, a third user's
+    session touches the boundary microsecond (closed-interval: still
+    counts), peak = 3 at the exact instant user 3 starts."""
+    from datetime import datetime, timedelta
+
+    from sparklyclean_spark.operators.sessions import session_peak_concurrency
+
+    T = datetime(2024, 6, 1, 12, 0, 0)
+
+    def ev(uid, mins, eid):
+        return (uid, "view", T + timedelta(minutes=mins), 0.0, eid)
+
+    rows = [
+        ev(1, 0, 1), ev(1, 30, 2),          # session A: [0, 30]
+        ev(2, 10, 3), ev(2, 40, 4),         # session B: [10, 40]
+        ev(3, 30, 5),                        # session C: [30, 30] — touches A's end
+        ev(1, 60 * 10, 6),                   # A2: far later, gap > 4h
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp_ntz,"
+        " value double, event_id bigint"
+    )
+    row = session_peak_concurrency(events).collect()[0]
+    assert row.n_sessions == 4
+    # at minute 30: A still open (closed interval), B open, C starts -> 3
+    assert row.peak_concurrent == 3
+    assert row.first_peak_ts == T + timedelta(minutes=30)
