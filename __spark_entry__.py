@@ -1193,9 +1193,10 @@ _DRIVER_CHECK_ORDER = [
     "funnel_view_click_purchase",
     "dq_orders_constraints",
     "attribution_last_touch",  # 1x green r6, displaced mid-r8 for the
-                               # peak-concurrency row (the attribution
-                               # family keeps linear [r7 green] and the
-                               # new time-decay row in-window)
+                               # peak-concurrency row (the family's
+                               # in-window representative is the new
+                               # time-decay row; linear is parked just
+                               # below with its fresh r7 green)
     # r7-debut rows with fresh green records — r9 rotate-in queue:
     "q2_best_region_supplier",
     "q8_market_share",
@@ -5178,7 +5179,7 @@ def oracle_sql() -> dict[str, str]:
         j AS (
             SELECT p.u, p.pid, p.v, t.tty,
                    CASE WHEN t.tts IS NOT NULL THEN
-                        CAST(1 AS BIGINT) << CAST(40 -
+                        CAST(1 AS BIGINT) << CAST(30 -
                             date_diff('microsecond', t.tts, p.pts)
                             // 86400000000 AS INT)
                    END AS iw

@@ -482,25 +482,10 @@ def linear_attribution(
     window), a purchase-keyed window count on the same partitioning,
     one hash agg onto len(touch_types)+1 rows.
     """
-    p = events.where(F.col(type_col) == purchase_type).select(
-        F.col(user_col).alias("_u"),
-        F.col(ts_col).alias("_pts"),
-        F.col(tiebreak_col).alias("_pid"),
-        F.col(value_col).alias("_v"),
+    j = _attribution_touch_join(
+        events, purchase_type, touch_types, window_days,
+        value_col, user_col, ts_col, tiebreak_col, type_col,
     )
-    t = events.where(F.col(type_col).isin(list(touch_types))).select(
-        F.col(user_col).alias("_u"),
-        F.col(ts_col).alias("_tts"),
-        F.col(type_col).alias("_tty"),
-    )
-    limit_us = F.lit(window_days * 86_400_000_000).cast("bigint")
-    j = p.join(
-        t,
-        (p["_u"] == t["_u"])
-        & (t["_tts"] < p["_pts"])
-        & (F.timestamp_diff("MICROSECOND", t["_tts"], p["_pts"]) <= limit_us),
-        "left",
-    ).select(p["_u"], "_pid", "_pts", "_v", "_tty")
     n = F.count("_tty").over(Window.partitionBy("_u", "_pid"))
     credited = j.select(
         F.when(F.col("_tty").isNull(), F.lit("direct"))
@@ -515,6 +500,49 @@ def linear_attribution(
         .cast("decimal(18,6)")
         .alias("_vshare"),
     )
+    return _attribution_rollup(credited)
+
+
+def _attribution_touch_join(
+    events: DataFrame,
+    purchase_type: str,
+    touch_types: tuple[str, ...],
+    window_days: int,
+    value_col: str,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+) -> DataFrame:
+    """One row per (purchase, prior in-window touch), left-extended so
+    untouched purchases survive with NULL touch columns — the shared
+    front half of every attribution model, so the strict
+    ``touch.ts < purchase.ts`` bound and the integer-MICROSECOND
+    window comparison live in exactly one place."""
+    p = events.where(F.col(type_col) == purchase_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_pts"),
+        F.col(tiebreak_col).alias("_pid"),
+        F.col(value_col).alias("_v"),
+    )
+    t = events.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tts"),
+        F.col(type_col).alias("_tty"),
+    )
+    limit_us = F.lit(window_days * 86_400_000_000).cast("bigint")
+    return p.join(
+        t,
+        (p["_u"] == t["_u"])
+        & (t["_tts"] < p["_pts"])
+        & (F.timestamp_diff("MICROSECOND", t["_tts"], p["_pts"]) <= limit_us),
+        "left",
+    ).select(p["_u"], "_pid", "_pts", "_tts", "_v", "_tty")
+
+
+def _attribution_rollup(credited: DataFrame) -> DataFrame:
+    """(touch_type, attributed_purchases, attributed_value) from the
+    decimal-snapped per-credit rows — the shared floor-4 tail."""
     return credited.groupBy("touch_type").agg(
         (F.floor(F.sum("_share").cast("double") * 10000.0 + 0.5) / 10000.0).alias(
             "attributed_purchases"
@@ -548,50 +576,38 @@ def time_decay_attribution(
     hash-checked (libm exp/pow differ across engines — the
     temperature-weights lesson), so the decay is BUCKETED to exact
     powers of two: ``weight = 2^(B - Δt//halflife)`` as an exact
-    BIGINT (B = 40; the integer floor-division bucketing is the
-    documented model semantics, not an approximation of something
-    else). Per-purchase weight sums are exact integers, each touch's
-    share is ONE double division of exact ints rounded to
-    DECIMAL(18,6) before the global sum — the linear_attribution
-    contract with weights ≠ 1.
+    BIGINT (the integer floor-division bucketing is the documented
+    model semantics, not an approximation of something else). Shares
+    depend only on weight RATIOS, so B is a free scaling constant:
+    B = 30 keeps per-purchase sums exact for up to 2^33 (~8.6e9)
+    max-weight touches on one purchase — past any bot — where B = 40
+    would wrap a Spark long at ~8.4M while DuckDB's HUGEINT raised
+    instead (divergence, not just error). Each touch's share is ONE
+    double division of exact ints rounded to DECIMAL(18,6) before the
+    global sum — the linear_attribution contract with weights ≠ 1.
 
     Scale: identical shape to linear_attribution — one user-keyed
     join bounded by the window, a purchase-keyed window sum on the
     same partitioning, one hash agg onto len(touch_types)+1 rows.
     """
-    B = 40
+    B = 30
     max_k = window_days * 24 // halflife_hours  # bounded by the join window
     if max_k > B:
         raise ValueError(
             f"window spans {max_k} half-lives; weights below 2^-{B} are"
             " zero — shrink window_days or raise halflife_hours"
         )
-    p = events.where(F.col(type_col) == purchase_type).select(
-        F.col(user_col).alias("_u"),
-        F.col(ts_col).alias("_pts"),
-        F.col(tiebreak_col).alias("_pid"),
-        F.col(value_col).alias("_v"),
-    )
-    t = events.where(F.col(type_col).isin(list(touch_types))).select(
-        F.col(user_col).alias("_u"),
-        F.col(ts_col).alias("_tts"),
-        F.col(type_col).alias("_tty"),
-    )
-    limit_us = F.lit(window_days * 86_400_000_000).cast("bigint")
     half_us = halflife_hours * 3_600_000_000
-    j = p.join(
-        t,
-        (p["_u"] == t["_u"])
-        & (t["_tts"] < p["_pts"])
-        & (F.timestamp_diff("MICROSECOND", t["_tts"], p["_pts"]) <= limit_us),
-        "left",
+    j = _attribution_touch_join(
+        events, purchase_type, touch_types, window_days,
+        value_col, user_col, ts_col, tiebreak_col, type_col,
     ).select(
-        p["_u"],
+        "_u",
         "_pid",
         "_v",
         "_tty",
         F.when(
-            t["_tts"].isNotNull(),
+            F.col("_tts").isNotNull(),
             F.expr(
                 f"shiftleft(cast(1 as bigint), cast({B} - "
                 f"timestampdiff(MICROSECOND, _tts, _pts) div {half_us} as int))"
@@ -612,14 +628,7 @@ def time_decay_attribution(
         .cast("decimal(18,6)")
         .alias("_vshare"),
     )
-    return credited.groupBy("touch_type").agg(
-        (F.floor(F.sum("_share").cast("double") * 10000.0 + 0.5) / 10000.0).alias(
-            "attributed_purchases"
-        ),
-        (F.floor(F.sum("_vshare").cast("double") * 10000.0 + 0.5) / 10000.0).alias(
-            "attributed_value"
-        ),
-    )
+    return _attribution_rollup(credited)
 
 
 def transition_entropy(

@@ -916,7 +916,12 @@ def winnowing_overlap_pairs(
     BEFORE the self-join, so posting-list work stays linear. Output:
     (id1, id2, n_shared), exact integers.
     """
-    fps = _winnow_fp_table(docs, k, window, id_col, text_col).select("id", "h")
+    # the per-character winnow pipeline feeds the df agg AND both join
+    # sides — materialize once (the _sig_table precedent)
+    fps = tracked_persist(
+        _winnow_fp_table(docs, k, window, id_col, text_col).select("id", "h")
+    )
+    fps.count()
     df_h = fps.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
     # NO broadcast hint on the df table: it is O(distinct fingerprints)
     # and cannot ship whole at corpus scale — the equi-join on h is

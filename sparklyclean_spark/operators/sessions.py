@@ -241,16 +241,25 @@ def session_peak_concurrency(
     ks_test's ECDF. At extreme session counts, bucket time first and
     carry per-bucket prefix sums.
     """
+    from sparklyclean_spark.cache import tracked_persist
+
     order_cols = [ts_col] + ([tiebreaker] if tiebreaker else [])
     labeled = _sessionize_ordered(events, gap_seconds, user_col, order_cols)
-    spans = labeled.groupBy(user_col, "session_idx").agg(
-        F.min(ts_col).alias("_s"), F.max(ts_col).alias("_e")
+    # spans (2 narrow rows per session) feed three consumers — the
+    # count, the peak scan, and the first-peak join; persist so the
+    # sessionize shuffle + global sweep sort run once, not three times
+    spans = tracked_persist(
+        labeled.groupBy(user_col, "session_idx").agg(
+            F.min(ts_col).alias("_s"), F.max(ts_col).alias("_e")
+        )
     )
+    spans.count()
     pts = spans.select(F.col("_s").alias("t"), F.lit(1).alias("d")).unionAll(
         spans.select(F.col("_e").alias("t"), F.lit(-1).alias("d"))
     )
     w = Window.orderBy(F.col("t").asc(), F.col("d").desc())
-    run = pts.select("t", "d", F.sum("d").over(w).alias("_run"))
+    run = tracked_persist(pts.select("t", "d", F.sum("d").over(w).alias("_run")))
+    run.count()
     n_sessions = spans.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
     peak = run.agg(F.max("_run").cast("bigint").alias("peak_concurrent"))
     first = (

@@ -6,7 +6,7 @@ from tests.conftest import *  # noqa: F401,F403 (spark fixture)
 
 def test_time_decay_attribution_hand_case(spark):
     """Half-life bucket weights: a touch 1h before the purchase lands
-    in bucket 0 (weight 2^40), one 25h before in bucket 1 (2^39), one
+    in bucket 0 (weight 2^30), one 25h before in bucket 1 (2^29), one
     8 days before is outside the 7-day window; an untouched purchase
     credits 'direct' in full."""
     from sparklyclean_spark.operators.behavior import time_decay_attribution
@@ -31,7 +31,7 @@ def test_time_decay_attribution_hand_case(spark):
     )
     out = {r.touch_type: r for r in time_decay_attribution(events).collect()}
     assert set(out) == {"click", "view", "direct"}
-    # click weight 2^40, view 2^39 -> shares 2/3 and 1/3
+    # click weight 2^30, view 2^29 -> shares 2/3 and 1/3
     assert out["click"].attributed_purchases == 0.6667
     assert out["view"].attributed_purchases == 0.3333
     assert out["direct"].attributed_purchases == 1.0
