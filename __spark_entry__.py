@@ -716,14 +716,18 @@ def _bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # formatted mode prints each node twice (tree + detail): count the
     # detail headers only
+    # explicit raises, not `assert`: under `python -O` asserts are
+    # stripped and the row would silently degrade to an unchecked join
     n_exchange = len(re.findall(r"^\(\d+\) (?:Broadcast)?Exchange", plan, re.M))
-    assert n_exchange == 1, (
-        f"bucketed join planned {n_exchange} Exchanges (want 1: the"
-        f" post-join agg only) — bucket spec lost?\n{plan[:4000]}"
-    )
-    assert plan.count("Bucketed: true") == 2 and "SortMergeJoin" in plan, (
-        f"expected two bucketed scans under a SortMergeJoin\n{plan[:4000]}"
-    )
+    if n_exchange != 1:
+        raise RuntimeError(
+            f"bucketed join planned {n_exchange} Exchanges (want 1: the"
+            f" post-join agg only) — bucket spec lost?\n{plan[:4000]}"
+        )
+    if plan.count("Bucketed: true") != 2 or "SortMergeJoin" not in plan:
+        raise RuntimeError(
+            f"expected two bucketed scans under a SortMergeJoin\n{plan[:4000]}"
+        )
     return out
 
 

@@ -590,6 +590,11 @@ def time_decay_attribution(
     join bounded by the window, a purchase-keyed window sum on the
     same partitioning, one hash agg onto len(touch_types)+1 rows.
     """
+    if halflife_hours <= 0:
+        # a negative value would pass the max_k guard (floor division on
+        # negatives goes negative) and wrap shiftleft's count mod 64 —
+        # silently wrong weights; 0 would ZeroDivisionError below
+        raise ValueError("halflife_hours must be positive")
     B = 30
     max_k = window_days * 24 // halflife_hours  # bounded by the join window
     if max_k > B:

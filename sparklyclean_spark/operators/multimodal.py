@@ -234,6 +234,10 @@ def _parse_wav(b: bytes) -> tuple[int, int, int]:
         if cid == b"fmt " and len(body) >= 16:
             _, ch, rate, byte_rate, _, _ = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
+            if size > len(b) - pos - 8:
+                # declared chunk extends past the buffer (truncated
+                # payload): don't report a duration for missing bytes
+                raise ValueError("data chunk truncated")
             data_size = size
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data_size is None or not byte_rate:

@@ -51,6 +51,13 @@ def test_time_decay_rejects_underflowing_window(spark):
     )
     with pytest.raises(ValueError):
         time_decay_attribution(events, window_days=60, halflife_hours=1)
+    # non-positive half-life: negative passes the max_k guard (floor
+    # division on negatives goes negative) and would wrap shiftleft
+    # mod 64; 0 would ZeroDivisionError — both must raise up front
+    with pytest.raises(ValueError):
+        time_decay_attribution(events, halflife_hours=0)
+    with pytest.raises(ValueError):
+        time_decay_attribution(events, halflife_hours=-6)
 
 
 def test_session_peak_concurrency_hand_case(spark):

@@ -168,6 +168,15 @@ def test_wav_parser_walks_chunks():
     dur, rate, ch = _parse_wav(wav)
     assert (dur, rate, ch) == (16000 * 1000 // 32000, 8000, 2)
 
+    # truncated payload: the data header declares more bytes than the
+    # buffer holds — must raise, not report a duration for missing bytes
+    import pytest
+
+    trunc = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + 16000, b"WAVE")
+    trunc += fmt + struct.pack("<4sI", b"data", 16000) + data[:100]
+    with pytest.raises(ValueError):
+        _parse_wav(trunc)
+
 
 def test_mp4_parser_finds_mvhd_and_rejects_v1():
     import struct
