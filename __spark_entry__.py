@@ -1128,80 +1128,123 @@ def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # representative per family keeps breadth. Names dropped from the head
 # all carry green r3 records.
 _DRIVER_CHECK_ORDER = [
-    # ---- r8 window (first 50 = the driver's hash-checked set) ----
-    # Composition (VERDICT r7 item 1): 12 pinned/touched/new rows,
-    # then the full stale-re-certification queue — every 1x-green
-    # r4/r5/r6 record plus the three oldest 2x-green rows. The ~40
-    # rows that debuted green in r7's window are parked directly
-    # below (fresh records; first in the r9 rotate-in queue).
-    # fetch_path_diag is DELETED: its DIAG_r7 contract is fulfilled
-    # (all 24 fetch-path pairings agree); diagnostics.py stays
-    # importable for future incidents.
-    "pack_training_sequences",  # r7 HUGEINT fix, 2nd green to confirm stability
-    "q12_priority_by_status",  # r7 HUGEINT fix, 2nd green to confirm stability
-    "text_repetition_signals",  # r7 HUGEINT fix, 2nd green to confirm stability
-    "dedup_pairs_disdedup_customer",  # flagship: keep a recorded row every round
-    "ml_dedup_quality_gate",  # r8: persisted pair universe + fixture-recomputed oracle
-    "knn_ivf_recall",  # r8: hash-ordered deterministic training sample
-    "embedding_cell_balance",  # r8: hash-ordered deterministic training sample
-    "text_bigram_pmi",  # r8: double-cast products (int64 overflow guard)
-    "mi_lang_source",  # r8: U+001F NULL sentinel
-    "pagerank_containment_graph",  # NEW r8: iterative family fully oracled
-    "bucketed_join_orders",  # NEW r8: zero-Exchange co-located join, plan-asserted
-    "multimodal_av_meta",  # NEW r8: WAV/MP4 header codec round-trip
-    "event_transition_matrix",  # 1x green r6
-    "events_interarrival_stats",  # 1x green r6
-    "orders_revenue_gini",  # 1x green r6
-    "kfold_docs_by_lang",  # 1x green r6
-    "embedding_norm_stats",  # 1x green r6
-    "neardup_cluster_stats",  # 1x green r6
-    "target_encode_priority",  # 1x green r6
-    "source_freshness_events",  # 1x green r6
-    "psi_order_price_drift",  # 1x green r6
-    "text_zipf_slope",  # 1x green r6
-    "temporal_split_events",  # 1x green r6
-    "daily_revenue_rolling7",  # 1x green r6
-    "chi2_lang_source",  # 1x green r6
-    "events_daily_anomaly",  # 1x green r6
-    "negative_pairs_docs",  # 1x green r6
-    "orders_rfm_segments",  # 1x green r6
-    "supplier_pareto_share",  # 1x green r6
-    "orders_yoy_growth",  # 1x green r6
-    "fk_integrity_audit",  # 1x green r6
-    "corpus_lang_entropy",  # 1x green r6
-    "ks_price_by_status",  # 1x green r6
-    "events_dau_wau_stickiness",  # 1x green r6
-    "sessions_peak_concurrency",  # NEW r8: sweep-line peak concurrency
-    "standardize_order_prices",  # 1x green r5
-    "source_overlap_documents",  # 1x green r5
-    "multimodal_decode_meta",  # 1x green r4
-    "q17_small_quantity_revenue",  # 1x green r4
-    "q21_waiting_orders_suppliers",  # 1x green r4
-    "q22_idle_rich_customers",  # 1x green r4
-    "neardup_common_ngrams",  # 1x green r4
-    "sample_docs_per_lang",  # 1x green r4
-    "funnel_user_steps",  # 1x green r4
-    "session_event_sequences_4h",  # 1x green r4
-    "text_token_estimate",  # 1x green r4
-    "sample_docs_weighted",  # 1x green r4
-    "text_winnowing_fp",  # NEW r8: span-level winnowing fingerprints
-    "winnowing_overlap_pairs",  # NEW r8: shared-span copy pairs
-    "attribution_time_decay",  # NEW r8: power-of-two half-life decay
+    # ---- r9 window (first 50 = the driver's hash-checked set) ----
+    # Composition (VERDICT r8 item 1): rotate by LATEST-GREEN round,
+    # oldest first. 2 pinned flagships + the full r1 cohort (3) +
+    # the full r2 cohort (22) + the 23 oldest r3 rows (all 1x/2x-
+    # green r3 rows + 6 family-representative 3x-green rows) = 48
+    # stale re-certifications, every one with prior record <=r3.
+    # New r9 queries displace the tail 3x-green r3 rows as they
+    # land (each displacement commented at the time).
+    "dedup_pairs_disdedup_customer",  # pinned flagship: recorded row every round
+    "ml_dedup_quality_gate",  # pinned flagship: ML gate, recorded row every round
+    "neardup_token_jaccard",  # last green r1
+    "neardup_shingle_jaccard",
+    "events_sliding_users",
+    "agg_order_stats_by_priority",
+    "case_bucketing_acctbal",
+    "pivot_order_counts",
+    "q3_shipping_priority",
+    "anti_join_customers_without_orders",
+    "full_outer_nation_presence",
+    "window_price_rank_in_type",
+    "global_top_orders",
+    "bag_ops_nation_keys",
+    "distinct_mktsegments",
+    "scalar_json_extract",
+    "scalar_array_map_funcs",
+    "dedup_pairs_naive_documents",
+    "q10_returned_revenue",
+    "q14_promo_revenue_share",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "monthly_order_volume",
+    "lineitem_below_partavg",
+    "topk_orders_salted",
+    "text_normalize",
+    "text_top_bigrams",
+    "chunk_dedup_documents",
+    "corpus_curation",
+    "hash_split_documents",
+    "neardup_clusters",
+    "neardup_incremental",
+    "neardup_minhash_lsh",
+    "pii_redaction",
+    "profile_orders_columns",
+    "scd2_user_values",
+    "anti_join_customers_no_open_orders",
+    "decontam_overlap",
+    "dedup_exact_documents",
+    "embedding_cosine_neardup",
+    "events_session_windows",
+    "events_tumbling_hourly",
+    "knn_bruteforce_cosine",
+    "price_percentiles_by_priority",
+    "approx_distinct_parts_per_brand",
+    "dedup_pairs_naive_customer",
+    "rollup_orders",
+    "scalar_string_date_math",
+    "text_tfidf_top_terms",
+    "text_winnowing_fp_batch",  # NEW r9: Arrow tier, displaced the 3x-green
+                                # window_running_order_total (parked below)
     # ---- below the window: parked rows (driver does NOT check) ----
-    # neardup_prefix_jaccard, funnel_view_click_purchase and
-    # dq_orders_constraints (all 2x green) displaced mid-r8 for the
-    # three new rows above — each re-verified green in this round's
-    # local exact-50 sweep; they head the r9 queue with the r7-debut
-    # rows
+    "window_running_order_total",  # 3x-green r3 rotate-in displaced for the
+                                   # r9 Arrow-tier row; heads the r10 queue
+    # The entire r8 window (50 fresh r8-green records) is parked
+    # here, followed by the r7-debut queue and the registry tail —
+    # all have green records r4+ and head the r10 rotate-in queue.
+    "pack_training_sequences",
+    "q12_priority_by_status",
+    "text_repetition_signals",
+    "knn_ivf_recall",
+    "embedding_cell_balance",
+    "text_bigram_pmi",
+    "mi_lang_source",
+    "pagerank_containment_graph",
+    "bucketed_join_orders",
+    "multimodal_av_meta",
+    "event_transition_matrix",
+    "events_interarrival_stats",
+    "orders_revenue_gini",
+    "kfold_docs_by_lang",
+    "embedding_norm_stats",
+    "neardup_cluster_stats",
+    "target_encode_priority",
+    "source_freshness_events",
+    "psi_order_price_drift",
+    "text_zipf_slope",
+    "temporal_split_events",
+    "daily_revenue_rolling7",
+    "chi2_lang_source",
+    "events_daily_anomaly",
+    "negative_pairs_docs",
+    "orders_rfm_segments",
+    "supplier_pareto_share",
+    "orders_yoy_growth",
+    "fk_integrity_audit",
+    "corpus_lang_entropy",
+    "ks_price_by_status",
+    "events_dau_wau_stickiness",
+    "sessions_peak_concurrency",
+    "standardize_order_prices",
+    "source_overlap_documents",
+    "multimodal_decode_meta",
+    "q17_small_quantity_revenue",
+    "q21_waiting_orders_suppliers",
+    "q22_idle_rich_customers",
+    "neardup_common_ngrams",
+    "sample_docs_per_lang",
+    "funnel_user_steps",
+    "session_event_sequences_4h",
+    "text_token_estimate",
+    "sample_docs_weighted",
+    "text_winnowing_fp",
+    "winnowing_overlap_pairs",
+    "attribution_time_decay",
     "neardup_prefix_jaccard",
     "funnel_view_click_purchase",
     "dq_orders_constraints",
-    "attribution_last_touch",  # 1x green r6, displaced mid-r8 for the
-                               # peak-concurrency row (the family's
-                               # in-window representative is the new
-                               # time-decay row; linear is parked just
-                               # below with its fresh r7 green)
-    # r7-debut rows with fresh green records — r9 rotate-in queue:
+    "attribution_last_touch",
     "q2_best_region_supplier",
     "q8_market_share",
     "q9_product_profit",
@@ -1289,16 +1332,9 @@ _DRIVER_CHECK_ORDER = [
     "q6_forecast_revenue",
     "topk_orders_per_customer",
     "events_resample_ffill_hourly",
-    "anti_join_customers_no_open_orders",
     "outer_join_nation_order_counts",
     "grouping_sets_order_stats",
-    "approx_distinct_parts_per_brand",
-    "scalar_string_date_math",
     "ml_dedup_confusion",
-    "text_tfidf_top_terms",
-    "neardup_minhash_lsh",
-    "neardup_clusters",
-    "events_session_windows",
     "q7_nation_volume",
     "q11_important_nations",
     "q15_top_revenue_suppliers",
@@ -1718,6 +1754,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: span-level winnowing fingerprints (SIGMOD'03 / MOSS) —
         # position-aware copy signatures next to the set-based family
         "text_winnowing_fp": _q(TD.winnowing_fingerprints, table="documents"),
+        # r9: the Arrow hot-path tier — bit-equal by pytest gate, so it
+        # shares text_winnowing_fp's oracle verbatim (the l2-batch
+        # precedent: both tiers independently hash-checked)
+        "text_winnowing_fp_batch": _q(
+            TD.winnowing_fingerprints, table="documents", tier="arrow"
+        ),
         "winnowing_overlap_pairs": _q(
             TD.winnowing_overlap_pairs, table="documents"
         ),
@@ -5495,6 +5537,9 @@ def oracle_sql() -> dict[str, str]:
         FROM fps
         GROUP BY id, n
     """
+    # r9 Arrow tier: bit-equal to the declarative form by pytest gate,
+    # so the SAME oracle checks both physical plans independently
+    sql["text_winnowing_fp_batch"] = sql["text_winnowing_fp"]
     # span-level copy pairs (r8): shared winnowed fingerprints through
     # the df-capped inverted index — containment_pairs' candidate shape
     sql["winnowing_overlap_pairs"] = """

@@ -160,6 +160,13 @@ def main() -> None:
         "neardup_simhash_md5",
         "neardup_containment",
         "text_bigram_pmi",
+        # round-9 additions (VERDICT r8 item 2): the heaviest r8 shapes
+        # — per-char k-gram explode + forward-window min (winnowing
+        # fingerprints), its df-capped posting self-join (overlap
+        # pairs), and the binary header-codec mapInPandas pass
+        "text_winnowing_fp",
+        "winnowing_overlap_pairs",
+        "multimodal_av_meta",
     ]
 
     def run_once(name: str) -> float:

@@ -794,6 +794,7 @@ def winnowing_fingerprints(
     window: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tier: str = "column",
 ) -> DataFrame:
     """Per-document winnowed k-gram fingerprint profile — the
     POSITION-AWARE copy-detection signature (Schleimer/Wilkerson/
@@ -831,11 +832,20 @@ def winnowing_fingerprints(
     Scale: the per-character explode is O(total chars) narrow rows
     feeding ONE doc-keyed window — AQE-splittable, no broadcast, no
     all-pairs anywhere; the 1/w selection density shrinks everything
-    downstream. The hot-path swap-in is a per-doc Arrow mapInPandas
-    pass computing the same rule (the ``_sig_table`` precedent); this
-    declarative form is the oracle-checkable contract.
+    downstream.
+
+    ``tier``: ``"column"`` (default) is the declarative explode +
+    window form — the oracle-checkable contract; ``"arrow"`` is the
+    hot-path swap-in (one mapInPandas pass, the ``_sig_table`` /
+    l2-batch precedent) — BIT-EQUAL output, pytest-gated, for builds
+    where per-char explode row overhead dominates.
     """
-    fps = _winnow_fp_table(docs, k, window, id_col, text_col)
+    if tier == "arrow":
+        fps = _winnow_fp_table_batch(docs, k, window, id_col, text_col)
+    elif tier == "column":
+        fps = _winnow_fp_table(docs, k, window, id_col, text_col)
+    else:
+        raise ValueError(f"unknown tier {tier!r}")
     return (
         fps.groupBy("id", "_n")
         .agg(
@@ -894,6 +904,80 @@ def _winnow_fp_table(
         F.col("h") == F.col("_wmin")
     )
     return sel.select("id", "_n", "h").distinct()
+
+
+def _winnow_fp_table_batch(
+    docs: DataFrame, k: int, window: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Arrow hot-path tier of ``_winnow_fp_table``: ONE mapInPandas
+    pass computes the identical forward-window-min selection per
+    document — no per-character explode rows, no doc-keyed window
+    exchange (each doc is self-contained, so selection runs wherever
+    the doc already sits). BIT-EQUAL to the declarative form by
+    pytest gate (``test_textops.py``); requires integral ids (the
+    corpus contract — the declarative tier is the generic one).
+
+    Hash parity notes: ``int.from_bytes(md5(gram)[:8], "big")``
+    equals the JVM's two-conv() hex-prefix recipe, the 63-bit mask is
+    applied identically, and LOWERCASING STAYS IN SPARK (``F.lower``
+    before the UDF) — Python ``str.lower()`` and the JVM diverge on
+    some Unicode case mappings, so the UDF must never lower. Char
+    k-grams are code-point slices (== Spark ``substring``); the
+    ASCII fast path slices one encoded buffer, non-ASCII docs encode
+    per-gram. A per-partition gram→hash cache (cleared at 2^21
+    entries) collapses repeated grams — real text is Zipfian, so the
+    md5 call count is ~distinct-grams, not total-grams.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    mask = (1 << 63) - 1
+    base = (
+        docs.select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_s"))
+        .where(F.length("_s") >= F.lit(k))
+    )
+
+    def run(batches):
+        md5 = hashlib.md5
+        cache: dict[bytes, int] = {}
+        for pdf in batches:
+            ids, ns, hs_out = [], [], []
+            for did, s in zip(pdf["id"].to_numpy(), pdf["_s"].to_numpy()):
+                n = len(s)
+                m = n - k + 1
+                if s.isascii():
+                    bs = s.encode()
+                    grams = [bs[i : i + k] for i in range(m)]
+                else:
+                    grams = [s[i : i + k].encode("utf-8") for i in range(m)]
+                hs = np.empty(m, dtype=np.int64)
+                for i, g in enumerate(grams):
+                    h = cache.get(g)
+                    if h is None:
+                        h = int.from_bytes(md5(g).digest()[:8], "big") & mask
+                        cache[g] = h
+                    hs[i] = h
+                mins = hs.copy()
+                for j in range(1, min(window, m)):
+                    np.minimum(mins[: m - j], hs[j:], out=mins[: m - j])
+                sel = np.unique(hs[hs == mins])
+                ids.append(np.full(len(sel), did, dtype=np.int64))
+                ns.append(np.full(len(sel), n, dtype=np.int32))
+                hs_out.append(sel)
+            if len(cache) > 1 << 21:
+                cache.clear()
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "id": np.concatenate(ids),
+                        "_n": np.concatenate(ns),
+                        "h": np.concatenate(hs_out),
+                    }
+                )
+
+    return base.mapInPandas(run, schema="id bigint, _n int, h bigint")
 
 
 def winnowing_overlap_pairs(

@@ -218,6 +218,7 @@ def session_peak_concurrency(
     user_col: str = "user_id",
     ts_col: str = "ts",
     tiebreaker: str | None = "event_id",
+    bucket_hours: int | None = None,
 ) -> DataFrame:
     """Sweep-line peak concurrency over session intervals: the maximum
     number of sessions open at once (closed intervals [start, end]),
@@ -238,8 +239,14 @@ def session_peak_concurrency(
     Scale: the sweep's global running sum is inherently sequential,
     but it runs over 2·#sessions points (already aggregated from
     events), not raw events — the same bounded-global-order trade as
-    ks_test's ECDF. At extreme session counts, bucket time first and
-    carry per-bucket prefix sums.
+    ks_test's ECDF. At extreme session counts, pass ``bucket_hours``:
+    points are bucketed by time, per-bucket running sums compute in
+    parallel (one bucket-keyed window — no global-order exchange over
+    points), and each bucket adds a broadcast exclusive-prefix offset
+    computed over the BUCKET TOTALS table (#buckets rows, bounded).
+    Peers at one microsecond share a bucket and buckets partition the
+    time axis, so bucketed (t, d DESC) order IS the global sweep
+    order — the two paths are value-identical (pytest parity gate).
     """
     from sparklyclean_spark.cache import tracked_persist
 
@@ -257,8 +264,33 @@ def session_peak_concurrency(
     pts = spans.select(F.col("_s").alias("t"), F.lit(1).alias("d")).unionAll(
         spans.select(F.col("_e").alias("t"), F.lit(-1).alias("d"))
     )
-    w = Window.orderBy(F.col("t").asc(), F.col("d").desc())
-    run = tracked_persist(pts.select("t", "d", F.sum("d").over(w).alias("_run")))
+    if bucket_hours:
+        bucket_us = bucket_hours * 3_600_000_000
+        epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+        pts = pts.withColumn(
+            "_bkt",
+            F.floor(
+                F.timestamp_diff("MICROSECOND", epoch, F.col("t"))
+                / F.lit(bucket_us)
+            ),
+        )
+        wloc = Window.partitionBy("_bkt").orderBy(
+            F.col("t").asc(), F.col("d").desc()
+        )
+        tot = pts.groupBy("_bkt").agg(F.sum("d").alias("_tot"))
+        woff = Window.orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = tot.select(
+            "_bkt", F.coalesce(F.sum("_tot").over(woff), F.lit(0)).alias("_off")
+        )
+        run = pts.withColumn("_loc", F.sum("d").over(wloc)).join(
+            F.broadcast(offs), "_bkt"
+        ).select("t", "d", (F.col("_loc") + F.col("_off")).alias("_run"))
+    else:
+        w = Window.orderBy(F.col("t").asc(), F.col("d").desc())
+        run = pts.select("t", "d", F.sum("d").over(w).alias("_run"))
+    run = tracked_persist(run)
     run.count()
     n_sessions = spans.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
     peak = run.agg(F.max("_run").cast("bigint").alias("peak_concurrent"))

@@ -88,3 +88,38 @@ def test_session_peak_concurrency_hand_case(spark):
     # at minute 30: A still open (closed interval), B open, C starts -> 3
     assert row.peak_concurrent == 3
     assert row.first_peak_ts == T + timedelta(minutes=30)
+    # bucketed prefix-sum path (scale variant): value-identical even
+    # with 1h buckets that split these sessions across buckets
+    rb = session_peak_concurrency(events, bucket_hours=1).collect()[0]
+    assert rb == row
+
+
+def test_peak_concurrency_bucketed_parity_random(spark):
+    """Bucketed prefix-sum sweep == global-order sweep on a randomized
+    interval soup, including simultaneous starts/ends at bucket
+    boundaries (peers must land in ONE bucket and offsets must carry
+    exactly)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from sparklyclean_spark.operators.sessions import session_peak_concurrency
+
+    rng = random.Random(647)
+    T = datetime(2024, 6, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for uid in range(60):
+        t = T + timedelta(minutes=rng.randrange(0, 72 * 60))
+        for _ in range(rng.randrange(1, 6)):
+            eid += 1
+            rows.append((uid, "view", t, 0.0, eid))
+            # some gaps exceed 4h -> multiple sessions per user; some
+            # land exactly on hour marks -> bucket-boundary peers
+            t += timedelta(minutes=rng.choice([0, 15, 60, 300]))
+    events = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp_ntz,"
+        " value double, event_id bigint"
+    )
+    base = session_peak_concurrency(events).collect()[0]
+    for bh in (1, 7, 24):
+        assert session_peak_concurrency(events, bucket_hours=bh).collect()[0] == base

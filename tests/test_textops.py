@@ -731,3 +731,38 @@ def test_winnowing_fingerprints_contract(spark):
     head = {h for i, h in enumerate(hs1[: -(4 - 1)]) if h == min(hs1[i:i + 4])}
     _, sel2 = ref_sel(base + " TAIL EDIT ZZZ")
     assert head <= sel2
+
+
+def test_winnowing_arrow_tier_bit_equal(spark):
+    """The mapInPandas hot-path tier must be BIT-EQUAL to the
+    declarative (oracle-contract) form: same rows, same values, on a
+    corpus exercising the ASCII fast path, the per-gram non-ASCII
+    path (zh + accents: char slicing, not byte slicing), mixed case
+    (lowering must stay in Spark), repeated grams (the cache), and
+    docs at/below the k boundary."""
+    from sparklyclean_spark.operators.dedup.textdedup import (
+        winnowing_fingerprints,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "ABC def GHI jkl " * 30),
+        (3, "sevench"),  # len 7 < k=8 -> excluded by both tiers
+        (4, "中文文本去重测试，中文文本去重测试，winnowing 指纹。"),
+        (5, "café déjà-vu résumé naïve café déjà-vu résumé naïve over"),
+        (6, None),
+        (7, "exactly8"),  # len == k -> single gram, always selected
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    col = {r.doc_id: r for r in winnowing_fingerprints(docs).collect()}
+    arr = {
+        r.doc_id: r
+        for r in winnowing_fingerprints(docs, tier="arrow").collect()
+    }
+    assert set(col) == set(arr) == {1, 2, 4, 5, 7}
+    for did in col:
+        assert col[did] == arr[did], f"doc {did}: {col[did]} != {arr[did]}"
+    import pytest
+
+    with pytest.raises(ValueError):
+        winnowing_fingerprints(docs, tier="nope")
