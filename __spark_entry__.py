@@ -796,10 +796,15 @@ def _incr_agg_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sketch_distinct_users(events: DataFrame) -> DataFrame:
-    """Mergeable per-day HLL sketches + merged ALL row. Rows-only by
-    design: DataSketches estimates aren't reproducible by DuckDB; the
-    pytest gate asserts merged==direct and accuracy vs exact
-    distinct."""
+    """Mergeable per-day HLL sketches + merged ALL row. Oracled via
+    the estimate-equality precedent (approx_distinct recipe): DuckDB
+    can't reproduce DataSketches bytes, but at the checked SFs every
+    shard's cardinality (max 150 at sf0.01) sits deep in the HLL's
+    exact (coupon-list) mode at lg_k=12, so the oracle demands
+    EQUALITY with exact COUNT(DISTINCT) — empirically verified at
+    both SFs, r9. The real ±rel-error bound on adversarial (beyond-
+    exact-mode) cardinalities stays pytest-gated, as does
+    merged==direct."""
     return distinct_rollup(
         events,
         F.col("user_id"),
@@ -1184,7 +1189,9 @@ _DRIVER_CHECK_ORDER = [
     "dedup_pairs_naive_customer",
     "rollup_orders",
     "scalar_string_date_math",
-    "text_tfidf_top_terms",
+    "sketch_distinct_users_daily",  # NEW-ORACLED r9: estimate-equality oracle
+                                    # (was rows-only); displaced the 3x-green
+                                    # text_tfidf_top_terms (parked below)
     "text_winnowing_fp_batch",  # NEW r9: Arrow tier, displaced the 3x-green
                                 # window_running_order_total (parked below)
     # ---- below the window: parked rows (driver does NOT check) ----
@@ -1320,7 +1327,8 @@ _DRIVER_CHECK_ORDER = [
     "neardup_minhash_lsh_exploded",
     "chunk_dedup_within_doc",
     "dedup_pairs_naive_skewed",
-    "sketch_distinct_users_daily",
+    "text_tfidf_top_terms",  # 3x-green r3 rotate-in displaced for the newly
+                             # oracled sketch row; heads the r10 queue
     "cluster_safe_split_docs",
     "mixture_sample_docs",
     "merge_orders_upsert",
@@ -5540,6 +5548,19 @@ def oracle_sql() -> dict[str, str]:
     # r9 Arrow tier: bit-equal to the declarative form by pytest gate,
     # so the SAME oracle checks both physical plans independently
     sql["text_winnowing_fp_batch"] = sql["text_winnowing_fp"]
+    # r9: HLL daily rollup oracled via the estimate-equality precedent
+    # — at the checked SFs every shard (max 150 distinct at sf0.01) is
+    # in the sketch's exact coupon-list mode at lg_k=12, so estimates
+    # EQUAL exact distincts; the generic ±rel-error bound stays
+    # pytest-gated on beyond-exact-mode cardinalities
+    sql["sketch_distinct_users_daily"] = """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS shard,
+               COUNT(DISTINCT user_id) AS est_distinct
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT 'ALL' AS shard, COUNT(DISTINCT user_id) AS est_distinct
+        FROM events
+    """
     # span-level copy pairs (r8): shared winnowed fingerprints through
     # the df-capped inverted index — containment_pairs' candidate shape
     sql["winnowing_overlap_pairs"] = """
