@@ -63,6 +63,7 @@ from sparklyclean_spark.operators import encoding as EN
 from sparklyclean_spark.operators import drift as DR
 from sparklyclean_spark.operators.graph import triangle_stats
 from sparklyclean_spark.operators.similarity.stats import embedding_norm_stats
+from sparklyclean_spark.operators.similarity.semdedup import semdedup_dispositions
 from sparklyclean_spark.operators import outliers as OUT
 from sparklyclean_spark.operators.outliers import (
     quantile_bins,
@@ -1188,7 +1189,8 @@ _DRIVER_CHECK_ORDER = [
     "approx_distinct_parts_per_brand",
     "dedup_pairs_naive_customer",
     "rollup_orders",
-    "scalar_string_date_math",
+    "semdedup_embeddings",  # NEW r9: embedding-space dedup over IVF cells;
+                            # displaced the 3x-green scalar_string_date_math
     "sketch_distinct_users_daily",  # NEW-ORACLED r9: estimate-equality oracle
                                     # (was rows-only); displaced the 3x-green
                                     # text_tfidf_top_terms (parked below)
@@ -1329,6 +1331,8 @@ _DRIVER_CHECK_ORDER = [
     "dedup_pairs_naive_skewed",
     "text_tfidf_top_terms",  # 3x-green r3 rotate-in displaced for the newly
                              # oracled sketch row; heads the r10 queue
+    "scalar_string_date_math",  # 3x-green r3 rotate-in displaced for the r9
+                                # semdedup row; heads the r10 queue
     "cluster_safe_split_docs",
     "mixture_sample_docs",
     "merge_orders_upsert",
@@ -1830,6 +1834,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_cosine": _knn_lsh,
         "knn_ivf_cosine": _knn_ivf,
         "knn_ivf_recall": _knn_ivf_recall,
+        # r9: SemDeDup (Abbas et al. 2023) — embedding-space dedup over
+        # the IVF cells; τ=0.35 sits in the synthetic corpus's near-dup
+        # band (≈270 above-τ pairs at sf0.01, none above 0.7)
+        "semdedup_embeddings": _q(
+            semdedup_dispositions, 0.35, table="embeddings"
+        ),
         "knn_lsh_recall": _knn_lsh_recall,
         # -- event-time windowing (batch semantics == streaming plan) ---------
         "events_tumbling_hourly": _q(W.tumbling_counts, table="events"),
@@ -4829,6 +4839,10 @@ def oracle_sql() -> dict[str, str]:
         sql["embedding_cell_balance"] = _ivf_cell_balance_sql()
     except Exception:
         pass
+    try:
+        sql["semdedup_embeddings"] = _semdedup_sql()
+    except Exception:
+        pass
     sql["neardup_simhash_md5"] = _simhash_md5_sql()
     # r7 additions: temperature mix weights (sqrt chain + integer-grid
     # snap BEFORE the normalizing sum), bigram PMI (one ln over a single
@@ -5910,6 +5924,67 @@ def _ivf_cell_balance_sql(dim: int = 64) -> str:
             SELECT CAST(cell AS INT) AS cell, n_vectors,
                    floor(n_vectors * 10000.0 / tt + 0.5) / 10000.0 AS share
             FROM per CROSS JOIN t
+        """
+
+
+def _semdedup_sql(dim: int = 64, threshold: float = 0.35) -> str:
+    """DuckDB twin of semdedup_dispositions: the shared fingerprint-
+    guarded centroid literals -> per-vector cell argmax (ties to the
+    LOWEST cell, = numpy argmax) -> within-cell pair cosines on RAW
+    vectors (numpy semantics: den==0 -> 0.0) -> keep-lowest-id
+    disposition. Float caveat is the knn_ivf_recall class (SIMD vs
+    sequential sums at an argmax/τ boundary — measure-zero)."""
+    return f"""
+            WITH cents AS ({_ivf_cents_union_sql()}),
+            n AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm0
+                FROM embeddings
+            ),
+            sims AS (
+                SELECT n.vec_id, c.cell,
+                       list_sum(list_transform(range(1, {dim} + 1),
+                           i -> (n.v[i] / GREATEST(n.nrm0, 1e-12)) * c.cv[i]))
+                           AS sim
+                FROM n CROSS JOIN cents c
+            ),
+            assigned AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell ASC) AS rn
+                    FROM sims) WHERE rn = 1
+            ),
+            av AS (
+                SELECT a.vec_id, a.cell, n.v, n.nrm0
+                FROM assigned a JOIN n ON a.vec_id = n.vec_id
+            ),
+            pairs AS (
+                SELECT x.vec_id AS id1, y.vec_id AS id2
+                FROM av x JOIN av y
+                  ON x.cell = y.cell AND x.vec_id < y.vec_id
+                WHERE (CASE WHEN x.nrm0 * y.nrm0 = 0 THEN 0.0
+                            ELSE list_sum(list_transform(range(1, {dim} + 1),
+                                     i -> x.v[i] * y.v[i]))
+                                 / (x.nrm0 * y.nrm0) END) >= {threshold!r}
+            ),
+            edges AS (
+                SELECT id1 AS id, id2 AS nb FROM pairs
+                UNION ALL
+                SELECT id2, id1 FROM pairs
+            ),
+            stats AS (
+                SELECT id, COUNT(*) AS n_dup_neighbors,
+                       BOOL_OR(nb < id) AS has_smaller
+                FROM edges GROUP BY id
+            )
+            SELECT a.vec_id,
+                   CAST(a.cell AS INT) AS cell,
+                   COALESCE(s.n_dup_neighbors, 0) AS n_dup_neighbors,
+                   COALESCE(s.has_smaller, FALSE) AS is_dup
+            FROM assigned a LEFT JOIN stats s ON a.vec_id = s.id
         """
 
 

@@ -1,0 +1,74 @@
+"""Round-9 operators: SemDeDup embedding dedup, DSIR importance
+resampling."""
+
+from __future__ import annotations
+
+
+def test_semdedup_keep_lowest_id_rule(spark):
+    """Hand case for the disposition contract: each above-threshold
+    group keeps its lowest id; n_dup_neighbors counts BOTH sides;
+    scale-invariant cosine groups [1,0..] with [2,0..]."""
+    from sparklyclean_spark.operators.similarity.semdedup import (
+        semdedup_dispositions,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 1
+        (3, [2.0, 0.0, 0.0, 0.0]),   # cos=1 with 1 and 2 (scale-free)
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0, 0.0]),  # exact dup of 10
+        (20, [0.0, 0.0, 1.0, 0.0]),  # singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # n_cells=1 -> one global cell, so the keep rule is tested without
+    # depending on the quantizer's cell boundaries
+    out = {
+        r.vec_id: r
+        for r in semdedup_dispositions(emb, threshold=0.95, n_cells=1).collect()
+    }
+    assert len(out) == 6
+    assert {i: out[i].is_dup for i in out} == {
+        1: False, 2: True, 3: True, 10: False, 11: True, 20: False,
+    }
+    assert {i: out[i].n_dup_neighbors for i in out} == {
+        1: 2, 2: 2, 3: 2, 10: 1, 11: 1, 20: 0,
+    }
+    # dedup rate degrades gracefully at a threshold nothing meets
+    none = semdedup_dispositions(emb, threshold=1.01, n_cells=1).collect()
+    assert all(not r.is_dup and r.n_dup_neighbors == 0 for r in none)
+
+
+def test_semdedup_cells_bound_comparisons(spark):
+    """With enough cells, orthogonal groups land in different cells
+    and within-group dups are still caught (the within-cell join sees
+    them); results are deterministic across repartitionings."""
+    from sparklyclean_spark.operators.similarity.semdedup import (
+        semdedup_dispositions,
+    )
+
+    rows = []
+    for g in range(4):
+        base = [0.0] * 8
+        base[g] = 1.0
+        for j in range(5):
+            v = list(base)
+            v[4 + g // 2] = 0.01 * j  # tiny within-group jitter
+            rows.append((g * 100 + j, v))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out1 = sorted(
+        map(tuple, semdedup_dispositions(emb, threshold=0.99, n_cells=4).collect())
+    )
+    out2 = sorted(
+        map(
+            tuple,
+            semdedup_dispositions(
+                emb.repartition(7), threshold=0.99, n_cells=4
+            ).collect(),
+        )
+    )
+    assert out1 == out2
+    # every group's lowest id survives; at least some dups are found
+    survivors = {r[0] for r in out1 if not r[3]}
+    assert {0, 100, 200, 300} <= survivors
+    assert any(r[3] for r in out1)
