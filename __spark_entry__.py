@@ -1188,7 +1188,8 @@ _DRIVER_CHECK_ORDER = [
     "price_percentiles_by_priority",
     "approx_distinct_parts_per_brand",
     "dedup_pairs_naive_customer",
-    "rollup_orders",
+    "dsir_scores",  # NEW r9: DSIR importance scores; displaced the
+                    # 3x-green rollup_orders (parked below)
     "semdedup_embeddings",  # NEW r9: embedding-space dedup over IVF cells;
                             # displaced the 3x-green scalar_string_date_math
     "sketch_distinct_users_daily",  # NEW-ORACLED r9: estimate-equality oracle
@@ -1333,6 +1334,8 @@ _DRIVER_CHECK_ORDER = [
                              # oracled sketch row; heads the r10 queue
     "scalar_string_date_math",  # 3x-green r3 rotate-in displaced for the r9
                                 # semdedup row; heads the r10 queue
+    "rollup_orders",  # 3x-green r3 rotate-in displaced for the r9 dsir
+                      # row; heads the r10 queue
     "cluster_safe_split_docs",
     "mixture_sample_docs",
     "merge_orders_upsert",
@@ -1473,6 +1476,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_training_manifest": _q(
             CU.training_manifest, table="documents"
         ),
+        # r9: DSIR importance scores (Xie et al. 2023) — hashed n-gram
+        # log-ratio vs the en slice as the stand-in target corpus
+        "dsir_scores": _q(CU.dsir_scores, table="documents"),
         "blocking_quality_customer": _blocking_quality_customer,
         # -- text analysis ----------------------------------------------------
         "text_token_stats": _q(TA.token_stats, table="documents"),
@@ -5574,6 +5580,48 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'ALL' AS shard, COUNT(DISTINCT user_id) AS est_distinct
         FROM events
+    """
+    # r9: DSIR hashed-n-gram log-ratio scores. Bucket = LOW 13 BITS of
+    # the md5-prefix hash (two's-complement low bits == unsigned low
+    # bits, so no sign divergence); each bucket weight is one ln over
+    # a quotient of exact-int products (first factor cast to double —
+    # the PMI overflow recipe) snapped to DECIMAL(18,6) BEFORE the
+    # per-doc sum (associative decimal addition)
+    sql["dsir_scores"] = f"""
+        WITH w AS (SELECT doc_id, lang, {_TOKS_SQL} AS w FROM documents),
+        g AS (
+            SELECT doc_id, lang,
+                   unnest(list_concat(w,
+                       CASE WHEN len(w) >= 2
+                            THEN list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])
+                            ELSE [] END)) AS g
+            FROM w
+        ),
+        occ AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT & 8191
+                        AS BIGINT) AS b
+            FROM g
+        ),
+        q AS (SELECT b, COUNT(*) AS qc FROM occ GROUP BY b),
+        p AS (SELECT b, COUNT(*) AS pc FROM occ WHERE lang = 'en' GROUP BY b),
+        tq AS (SELECT CAST(SUM(qc) AS BIGINT) AS _tq FROM q),
+        tp AS (SELECT CAST(COALESCE(SUM(pc), 0) AS BIGINT) AS _tp FROM p),
+        wt AS (
+            SELECT q.b,
+                   CAST(ROUND(ln(
+                       (CAST(COALESCE(p.pc, 0) + 1 AS DOUBLE) * (_tq + 8192))
+                       / (CAST(q.qc + 1 AS DOUBLE) * (_tp + 8192))
+                   ), 6) AS DECIMAL(18,6)) AS lw
+            FROM q LEFT JOIN p ON q.b = p.b CROSS JOIN tq CROSS JOIN tp
+        )
+        SELECT occ.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               ROUND(CAST(SUM(lw) AS DOUBLE), 4) AS dsir_score,
+               ROUND(CAST(SUM(lw) AS DOUBLE) / COUNT(*), 4) AS dsir_per_gram
+        FROM occ JOIN wt ON occ.b = wt.b
+        GROUP BY occ.doc_id
     """
     # span-level copy pairs (r8): shared winnowed fingerprints through
     # the df-capped inverted index — containment_pairs' candidate shape

@@ -195,3 +195,111 @@ def training_manifest(
             F.coalesce(F.col("_bin"), F.lit(-1)).cast("bigint").alias("bin_id"),
         )
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 8192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """DSIR-style importance scores: per-document log likelihood ratio
+    of a TARGET corpus vs the RAW corpus under hashed-n-gram bag
+    models (Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023). Documents whose feature
+    profile looks like the target (here: the ``target_lang`` slice —
+    the stand-in for "high-quality reference corpus") score high;
+    resampling with these scores as logits is the DSIR recipe for
+    pretraining data selection.
+
+    Model: features are unigrams + bigrams of the whitespace
+    tokenizer, hashed into ``n_buckets`` buckets; each bag model is
+    add-1 smoothed over the bucket space. A document's score is
+    ``Σ_g ln(p(b(g)) / q(b(g)))`` over its gram OCCURRENCES — exactly
+    the paper's hashed-generative-model log ratio.
+
+    Hash-portability: the bucket is the LOW BITS of the md5-prefix
+    hash (``n_buckets`` must be a power of two): two's-complement
+    low bits of Spark's signed bigint equal the unsigned low bits,
+    so no 63-bit mask and no pmod/% sign divergence is possible.
+    Each bucket weight is ONE ln over a quotient of exact-integer
+    products, casting the first factor to double (the bigram-PMI
+    overflow recipe), rounded to DECIMAL(18,6) BEFORE the per-doc
+    sum — decimal addition is associative, so aggregation order
+    cannot move the hash.
+
+    Scale: two explode→hash-agg passes build the bucket tables (both
+    exactly ``n_buckets`` rows — FIXED-SIZE, unlike a vocab join, so
+    the weight table broadcasts at ANY corpus size); one broadcast
+    join + per-doc hash agg scores the corpus. The target slice is a
+    filter of the same scan, not a second input.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two (low-bits bucketing)")
+    from sparklyclean_spark.functions import text as T
+    from sparklyclean_spark.operators.dedup.textdedup import _md5_token_hash
+
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("_lang"),
+        T.words(text_col).alias("w"),
+    )
+    # Spark sequence(1, 0) DESCENDS — guard the bigram build for
+    # single-token docs instead of relying on an empty sequence
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.expr(
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = w.select(
+        "doc_id", "_lang", F.explode(F.concat(F.col("w"), bigrams)).alias("_g")
+    ).select(
+        "doc_id",
+        "_lang",
+        _md5_token_hash(F.col("_g")).bitwiseAND(F.lit(n_buckets - 1)).alias("b"),
+    )
+    q = occ.groupBy("b").agg(F.count(F.lit(1)).alias("qc"))
+    p = occ.where(F.col("_lang") == target_lang).groupBy("b").agg(
+        F.count(F.lit(1)).alias("pc")
+    )
+    tq = q.agg(F.sum("qc").cast("bigint").alias("_tq"))
+    tp = p.agg(F.coalesce(F.sum("pc"), F.lit(0)).cast("bigint").alias("_tp"))
+    wt = (
+        q.join(p, "b", "left")
+        .join(F.broadcast(tq))
+        .join(F.broadcast(tp))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("pc"), F.lit(0)) + 1).cast("double")
+                     * (F.col("_tq") + F.lit(n_buckets)))
+                    / ((F.col("qc") + 1).cast("double")
+                       * (F.col("_tp") + F.lit(n_buckets)))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("_lw"),
+        )
+    )
+    return (
+        occ.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("_lw").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(F.col("_s").cast("double"), 4).alias("dsir_score"),
+            F.round(F.col("_s").cast("double") / F.col("n_grams"), 4).alias(
+                "dsir_per_gram"
+            ),
+        )
+    )

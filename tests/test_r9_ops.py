@@ -72,3 +72,33 @@ def test_semdedup_cells_bound_comparisons(spark):
     survivors = {r[0] for r in out1 if not r[3]}
     assert {0, 100, 200, 300} <= survivors
     assert any(r[3] for r in out1)
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """Documents sharing the target slice's vocabulary must outscore
+    documents that don't; single-token docs exercise the descending-
+    sequence bigram guard; all-whitespace docs drop out."""
+    from sparklyclean_spark.operators.curation import dsir_scores
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en"),
+        (2, "alpha beta gamma gamma", "en"),
+        (3, "alpha beta gamma", "fr"),        # target-like, non-target lang
+        (4, "zulu yankee xray whiskey", "fr"), # nothing in common with target
+        (5, "alpha", "de"),                    # single token: no bigrams
+        (6, "   ", "en"),                      # tokenless: excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r.doc_id: r for r in dsir_scores(docs, target_lang="en").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # target-vocabulary doc (even with lang=fr) beats the alien-vocab doc
+    assert out[3].dsir_per_gram > out[4].dsir_per_gram
+    assert out[1].dsir_per_gram > out[4].dsir_per_gram
+    # gram accounting: unigrams + bigrams = 2n-1
+    assert out[1].n_grams == 2 * 5 - 1
+    assert out[5].n_grams == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dsir_scores(docs, n_buckets=1000)
