@@ -165,8 +165,15 @@ def main() -> None:
         # fingerprints), its df-capped posting self-join (overlap
         # pairs), and the binary header-codec mapInPandas pass
         "text_winnowing_fp",
+        # A/B: identical semantics, Arrow mapInPandas physical shape —
+        # the hot-path tier (bit-equal by pytest gate)
+        "text_winnowing_fp_batch",
         "winnowing_overlap_pairs",
         "multimodal_av_meta",
+        # r9 additions: embedding-space dedup (within-cell pair join)
+        # and the fixed-size-feature-table DSIR scorer
+        "semdedup_embeddings",
+        "dsir_scores",
     ]
 
     def run_once(name: str) -> float:

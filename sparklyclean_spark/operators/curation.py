@@ -262,30 +262,33 @@ def dsir_scores(
         "_lang",
         _md5_token_hash(F.col("_g")).bitwiseAND(F.lit(n_buckets - 1)).alias("b"),
     )
-    q = occ.groupBy("b").agg(F.count(F.lit(1)).alias("qc"))
-    p = occ.where(F.col("_lang") == target_lang).groupBy("b").agg(
-        F.count(F.lit(1)).alias("pc")
+    # BOTH bag models in ONE hash agg over one explode pass (raw count
+    # + filtered count as sum-of-when), so the stats side costs one
+    # scan; the scoring join below re-derives occ for the second scan
+    # — the same deliberate 2x-linear trade as unigram_cross_entropy
+    qp = occ.groupBy("b").agg(
+        F.count(F.lit(1)).alias("qc"),
+        F.sum(
+            F.when(F.col("_lang") == target_lang, F.lit(1)).otherwise(F.lit(0))
+        ).alias("pc"),
     )
-    tq = q.agg(F.sum("qc").cast("bigint").alias("_tq"))
-    tp = p.agg(F.coalesce(F.sum("pc"), F.lit(0)).cast("bigint").alias("_tp"))
-    wt = (
-        q.join(p, "b", "left")
-        .join(F.broadcast(tq))
-        .join(F.broadcast(tp))
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    ((F.coalesce(F.col("pc"), F.lit(0)) + 1).cast("double")
-                     * (F.col("_tq") + F.lit(n_buckets)))
-                    / ((F.col("qc") + 1).cast("double")
-                       * (F.col("_tp") + F.lit(n_buckets)))
-                ),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("_lw"),
+    tot = qp.agg(
+        F.sum("qc").cast("bigint").alias("_tq"),
+        F.coalesce(F.sum("pc"), F.lit(0)).cast("bigint").alias("_tp"),
+    )
+    wt = qp.join(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("pc") + 1).cast("double")
+                 * (F.col("_tq") + F.lit(n_buckets)))
+                / ((F.col("qc") + 1).cast("double")
+                   * (F.col("_tp") + F.lit(n_buckets)))
+            ),
+            6,
         )
+        .cast("decimal(18,6)")
+        .alias("_lw"),
     )
     return (
         occ.join(F.broadcast(wt), "b")
