@@ -58,7 +58,11 @@ from sparklyclean_spark.operators.retention import (
 )
 
 _ROLLING_ACTIVE = rolling_active_users
-from sparklyclean_spark.operators.pii import k_anonymity_audit, l_diversity_audit
+from sparklyclean_spark.operators.pii import (
+    k_anonymity_audit,
+    l_diversity_audit,
+    t_closeness_audit,
+)
 from sparklyclean_spark.operators import encoding as EN
 from sparklyclean_spark.operators import drift as DR
 from sparklyclean_spark.operators.graph import triangle_stats
@@ -1186,7 +1190,11 @@ _DRIVER_CHECK_ORDER = [
     "events_tumbling_hourly",
     "knn_bruteforce_cosine",
     "price_percentiles_by_priority",
-    "approx_distinct_parts_per_brand",
+    "tcloseness_customer_audit",  # NEW r9: completes the privacy ladder;
+                                  # displaced the 3x-green
+                                  # approx_distinct_parts_per_brand (whose
+                                  # family is now repped by the newly
+                                  # oracled sketch_distinct row in-window)
     "dedup_pairs_naive_customer",
     "dsir_scores",  # NEW r9: DSIR importance scores; displaced the
                     # 3x-green rollup_orders (parked below)
@@ -1336,6 +1344,8 @@ _DRIVER_CHECK_ORDER = [
                                 # semdedup row; heads the r10 queue
     "rollup_orders",  # 3x-green r3 rotate-in displaced for the r9 dsir
                       # row; heads the r10 queue
+    "approx_distinct_parts_per_brand",  # 3x-green r3 rotate-in displaced for
+                                        # the r9 t-closeness row; r10 queue
     "cluster_safe_split_docs",
     "mixture_sample_docs",
     "merge_orders_upsert",
@@ -1529,6 +1539,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (homogeneity-attack gate on top of k-anonymity)
         "ldiversity_customer_audit": _q(
             lambda c: l_diversity_audit(c, ["c_nationkey"], "c_mktsegment", l=5),
+            table="customer",
+        ),
+        # r9: t-closeness — the skew-leak gate on top of l-diversity
+        # (same quasi/sensitive pair, so the three audits compose into
+        # one ladder over one grouping)
+        "tcloseness_customer_audit": _q(
+            lambda c: t_closeness_audit(c, ["c_nationkey"], "c_mktsegment", t=0.2),
             table="customer",
         ),
         # r6b: time-based holdout split + user-overlap leakage audit
@@ -3134,6 +3151,36 @@ def oracle_sql() -> dict[str, str]:
                     + MAX(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
                     >= 5) AS l_diverse
             FROM customer GROUP BY c_nationkey
+        """,
+        # r9 t-closeness: TVD over exact ints (present terms + the
+        # absent-value remainder), margins as window sums over the
+        # bounded cell table, one floor-ratio at the end
+        "tcloseness_customer_audit": """
+            WITH cells AS (
+                SELECT c_nationkey AS g,
+                       COALESCE(c_mktsegment, chr(31)) AS v,
+                       CAST(COUNT(*) AS BIGINT) AS ngv
+                FROM customer GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT g, v, ngv,
+                       CAST(SUM(ngv) OVER (PARTITION BY g) AS BIGINT) AS ng,
+                       CAST(SUM(ngv) OVER (PARTITION BY v) AS BIGINT) AS nv,
+                       CAST(SUM(ngv) OVER () AS BIGINT) AS n
+                FROM cells
+            ),
+            per AS (
+                SELECT g, MAX(ng) AS ng, MAX(n) AS n,
+                       CAST(SUM(ABS(ngv * n - nv * ng)) AS BIGINT)
+                           + MAX(ng) * (MAX(n) - CAST(SUM(nv) AS BIGINT)) AS s
+                FROM m GROUP BY g
+            )
+            SELECT g AS c_nationkey,
+                   ng AS group_n,
+                   floor(s * 10000.0 / (2 * ng * n) + 0.5) / 10000.0 AS tvd,
+                   (floor(s * 10000.0 / (2 * ng * n) + 0.5) / 10000.0 <= 0.2)
+                       AS t_close
+            FROM per
         """,
         # temporal holdout: the cutoff interpolates over exact integer
         # MICROSECONDS (quantile_cont == Spark percentile) and floors

@@ -114,3 +114,77 @@ def l_diversity_audit(
             (F.col("n_sensitive") >= l).alias("l_diverse"),
         )
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) — the
+    third rung of the privacy ladder. l-diversity can still leak by
+    SKEW: a group with l distinct sensitive values whose distribution
+    differs wildly from the corpus (99% one disease) discloses plenty.
+    A group is t-close when the distance between its sensitive-value
+    distribution and the GLOBAL one is ≤ t; for categorical attributes
+    under the uniform ground distance the Earth Mover's Distance
+    reduces to total variation: ``TVD = ½·Σ_v |p_g(v) − p(v)|``.
+
+    One row per quasi-identifier combo: ``(quasi..., group_n, tvd,
+    t_close)``.
+
+    Hash-stable recipe: TVD is computed over EXACT integers —
+    ``Σ|n_gv·n − n_v·n_g|`` plus the absent-value remainder
+    ``n_g·(n − Σ_{v∈g} n_v)`` (values the group never exhibits still
+    contribute |0 − p(v)|; dropping them understates the distance
+    exactly when the leak is worst — the chi² full-grid lesson,
+    without materializing the grid) — then ONE floor-ratio against
+    ``2·n_g·n``. Products stay below 2^63 up to ~3·10⁹ rows; ANSI
+    mode throws rather than wraps beyond (the chi² note). NULL
+    sensitive values are their own category via the U+001F sentinel
+    (the MI recipe); NULL quasi values keep their group because all
+    margins are WINDOW sums over the cell table — no equality join
+    that would drop NULL keys, and no agg-of-X-joined-to-X lineage.
+
+    Scale: one hash agg onto the (quasi × value) cell table (bounded
+    by the domains, not the data), then three window passes and a
+    final agg over that bounded table — nothing after the first agg
+    scales with corpus size. The global window runs on one task by
+    construction, over cell-table rows only (the corpus_mix_report
+    bounded-frame precedent).
+    """
+    from pyspark.sql import Window
+
+    from sparklyclean_spark.functions.rounding import ratio4
+
+    cells = df.groupBy(
+        *quasi_cols,
+        F.coalesce(F.col(sensitive_col).cast("string"), F.lit("\x1f")).alias(
+            "_v"
+        ),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_ngv"))
+    m = cells.select(
+        *quasi_cols,
+        "_v",
+        "_ngv",
+        F.sum("_ngv").over(Window.partitionBy(*quasi_cols)).alias("_ng"),
+        F.sum("_ngv").over(Window.partitionBy("_v")).alias("_nv"),
+        F.sum("_ngv").over(Window.partitionBy(F.lit(1))).alias("_n"),
+    )
+    per = m.groupBy(*quasi_cols).agg(
+        F.max("_ng").alias("_ng"),
+        F.max("_n").alias("_n"),
+        F.sum(F.abs(F.col("_ngv") * F.col("_n") - F.col("_nv") * F.col("_ng")))
+        .cast("bigint")
+        .alias("_s_present"),
+        F.sum("_nv").cast("bigint").alias("_nv_present"),
+    )
+    s = F.col("_s_present") + F.col("_ng") * (F.col("_n") - F.col("_nv_present"))
+    tvd = ratio4(s, F.lit(2) * F.col("_ng") * F.col("_n"))
+    return per.select(
+        *quasi_cols,
+        F.col("_ng").cast("bigint").alias("group_n"),
+        tvd.alias("tvd"),
+        (tvd <= F.lit(t)).alias("t_close"),
+    )

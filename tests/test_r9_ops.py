@@ -102,3 +102,39 @@ def test_dsir_scores_rank_target_like_docs_higher(spark):
 
     with pytest.raises(ValueError):
         dsir_scores(docs, n_buckets=1000)
+
+
+def test_t_closeness_hand_case(spark):
+    """TVD math, absent-value remainder, NULL quasi group retention,
+    and NULL sensitive-as-category on a 3-group toy table."""
+    from sparklyclean_spark.operators.pii import t_closeness_audit
+
+    rows = (
+        [(1, "A")] * 5 + [(1, "B")] * 5          # group 1: 50/50 A,B
+        + [(2, "A")] * 10                          # group 2: all A
+        + [(None, "A")] * 3 + [(None, None)] * 1   # NULL group, NULL value
+    )
+    df = spark.createDataFrame(rows, "g int, s string")
+    out = {r.g: r for r in t_closeness_audit(df, ["g"], "s", t=0.2).collect()}
+    assert set(out) == {1, 2, None}
+    # global: n=24, A=18, B=5, NULL=1
+    # group 1 (n=10, A=5, B=5):
+    #   TVD = 0.5*(|5/10-18/24| + |5/10-5/24| + |0-1/24|)
+    import math
+
+    def tvd(counts, n_g):
+        glob = {"A": 18, "B": 5, None: 1}
+        s = sum(
+            abs(counts.get(v, 0) * 24 - glob[v] * n_g) for v in glob
+        )
+        return math.floor(s * 10000.0 / (2 * n_g * 24) + 0.5) / 10000.0
+
+    assert out[1].tvd == tvd({"A": 5, "B": 5}, 10)
+    assert out[2].tvd == tvd({"A": 10}, 10)
+    assert out[None].tvd == tvd({"A": 3, None: 1}, 4)
+    assert out[1].group_n == 10 and out[None].group_n == 4
+    # the global is already A-heavy (18/24), so the 50/50 group sits
+    # FARTHER from it than the all-A group — distance is to the
+    # corpus, not to uniform
+    assert out[1].tvd > out[2].tvd
+    assert not out[1].t_close and not out[2].t_close
