@@ -1182,9 +1182,7 @@ _DRIVER_CHECK_ORDER = [
     "pii_redaction",
     "profile_orders_columns",
     "scd2_user_values",
-    "anti_join_customers_no_open_orders",
     "decontam_overlap",
-    "dedup_exact_documents",
     "embedding_cosine_neardup",
     "events_session_windows",
     "events_tumbling_hourly",
@@ -1195,9 +1193,21 @@ _DRIVER_CHECK_ORDER = [
                                   # approx_distinct_parts_per_brand (whose
                                   # family is now repped by the newly
                                   # oracled sketch_distinct row in-window)
-    "dedup_pairs_naive_customer",
     "dsir_scores",  # NEW r9: DSIR importance scores; displaced the
                     # 3x-green rollup_orders (parked below)
+    "bpe_merge_pairs",  # NEW r9: first BPE merge iteration (tokenizer
+                        # training support); displaced the 3x-green
+                        # dedup_pairs_naive_customer (family repped
+                        # in-window by naive_documents + the flagship)
+    "vocab_coverage_curve",  # NEW r9: vocab-size budgeting curve;
+                             # displaced anti_join_customers_no_open_orders
+                             # (2x-green, last r3; family stays repped by
+                             # anti_join_customers_without_orders)
+    "ccnet_perplexity_buckets",  # NEW r9: CCNet head/middle/tail split;
+                                 # displaced dedup_exact_documents
+                                 # (2x-green, last r3; exact-dedup family
+                                 # repped by dedup_pairs_naive_documents
+                                 # + chunk_dedup in-window)
     "semdedup_embeddings",  # NEW r9: embedding-space dedup over IVF cells;
                             # displaced the 3x-green scalar_string_date_math
     "sketch_distinct_users_daily",  # NEW-ORACLED r9: estimate-equality oracle
@@ -1208,6 +1218,11 @@ _DRIVER_CHECK_ORDER = [
     # ---- below the window: parked rows (driver does NOT check) ----
     "window_running_order_total",  # 3x-green r3 rotate-in displaced for the
                                    # r9 Arrow-tier row; heads the r10 queue
+    "dedup_pairs_naive_customer",  # 3x-green, displaced for bpe_merge_pairs
+    "anti_join_customers_no_open_orders",  # 2x-green r3, displaced for
+                                           # vocab_coverage_curve
+    "dedup_exact_documents",  # 2x-green r3, displaced for
+                              # ccnet_perplexity_buckets
     # The entire r8 window (50 fresh r8-green records) is parked
     # here, followed by the r7-debut queue and the registry tail —
     # all have green records r4+ and head the r10 rotate-in queue.
@@ -1509,6 +1524,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_signals_counts": _q(TA.repetition_counts, table="documents"),
         # CCNet-style corpus-LM quality signal
         "text_unigram_cross_entropy": _q(TA.unigram_cross_entropy, table="documents"),
+        # r9: tokenizer-training support — first BPE merge iteration
+        "bpe_merge_pairs": _q(TA.bpe_merge_candidates, table="documents"),
+        # r9: vocab-size budgeting curve (coverage of top-k terms)
+        "vocab_coverage_curve": _q(TA.vocab_coverage, table="documents"),
+        # r9: CCNet head/middle/tail terciles over the xent signal
+        "ccnet_perplexity_buckets": _q(TA.perplexity_buckets, table="documents"),
         # BM25 keyword retrieval: 3 common + 1 rare term for idf spread
         "text_bm25_rank": _q(
             lambda d: TA.bm25_scores(d, ["hash", "join", "scan", "dup"]),
@@ -3048,6 +3069,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_tokens,
                    ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS cross_entropy
             FROM lp GROUP BY doc_id
+        """,
+        # first BPE merge iteration: adjacent char pairs inside word
+        # occurrences, corpus-wide counts, top-k (cnt DESC, pair ASC)
+        "bpe_merge_pairs": f"""
+            WITH w AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+            p AS (SELECT unnest(list_transform(
+                             range(1, GREATEST(len(tok) - 1, 0) + 1),
+                             i -> substr(tok, CAST(i AS INT), 2))) AS pair
+                  FROM w)
+            SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+            ORDER BY cnt DESC, pair ASC LIMIT 30
+        """,
+        # coverage of the k most frequent terms, k in the vocab grid;
+        # floor-snap ratio of exact BIGINTs
+        "vocab_coverage_curve": f"""
+            WITH t AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents),
+            v AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+            tot AS (SELECT SUM(c) AS total FROM v),
+            r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rn
+                  FROM v)
+            SELECT g.k,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(c) AS BIGINT) AS covered,
+                   floor(CAST(SUM(c) AS BIGINT) * 10000.0
+                         / ANY_VALUE(total) + 0.5) / 10000.0 AS coverage
+            FROM r JOIN (VALUES (16), (64), (256), (1024)) g(k) ON r.rn <= g.k
+            CROSS JOIN tot
+            GROUP BY g.k ORDER BY g.k
+        """,
+        # CCNet terciles: NTILE(3) per lang over (xent ASC, doc_id ASC);
+        # the xent values are the already-oracle-exact rounded doubles
+        "ccnet_perplexity_buckets": f"""
+            WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+            v AS (SELECT term, COUNT(*) AS c FROM t GROUP BY term),
+            tot AS (SELECT COUNT(*) AS total FROM t),
+            lp AS (SELECT doc_id,
+                          CAST(ROUND(ln(c / total), 6) AS DECIMAL(18,6)) AS lp
+                   FROM t JOIN v USING (term) CROSS JOIN tot),
+            x AS (SELECT doc_id,
+                         ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS cross_entropy
+                  FROM lp GROUP BY doc_id),
+            b AS (SELECT x.doc_id, d.lang, x.cross_entropy,
+                         NTILE(3) OVER (PARTITION BY d.lang
+                                        ORDER BY x.cross_entropy, x.doc_id) AS nt
+                  FROM x JOIN documents d ON x.doc_id = d.doc_id)
+            SELECT doc_id, lang, cross_entropy,
+                   CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                           ELSE 'tail' END AS bucket
+            FROM b
         """,
         # BM25: per-term partial scores rounded to DECIMAL(18,6) before
         # the per-doc sum on BOTH sides — decimal addition is exact and

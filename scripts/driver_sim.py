@@ -3,6 +3,7 @@ then a sample of queries() vs oracle_sql() at sf0.01 with an
 order-insensitive value hash — the same shape of check the driver runs."""
 import hashlib
 import math
+import os
 import sys
 from datetime import datetime, date
 
@@ -27,8 +28,9 @@ rows = df.collect()
 print("entry(): rows =", len(rows), "schema =", df.schema.simpleString())
 assert len(rows) > 0
 
-# 2. queries vs oracle at sf0.01
-SF = "/root/testdata/sf0.01"
+# 2. queries vs oracle at sf0.01 (override with SPARKLYCLEAN_SIM_SF)
+SF = os.environ.get("SPARKLYCLEAN_SIM_SF", "/root/testdata/sf0.01")
+print("sim sf dir:", SF)
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")

@@ -771,3 +771,137 @@ def ngram_diversity(docs: DataFrame, max_n: int = 3) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def bpe_merge_candidates(docs: DataFrame, top_k: int = 30) -> DataFrame:
+    """First-iteration BPE merge statistics (Sennrich et al., ACL'16):
+    corpus-wide counts of adjacent character pairs inside word
+    occurrences, i.e. exactly the pair-frequency table the first BPE
+    merge step maximizes over. The top pair is the first merge a
+    byte-pair tokenizer trained on this corpus would learn; the full
+    top-k is the vocabulary planner's view of what early merges buy.
+
+    Output: ``(pair, cnt)``, top-k by ``cnt DESC, pair ASC``.
+
+    Scale shape: one token explode, per-token pair generation as a
+    pure Column ``transform`` (JVM-side, codegen), one hash agg on the
+    pair (map-side combinable, result bounded by distinct character
+    bigrams), TakeOrderedAndProject for the top-k — no global sort
+    materializes. Iterating further merges requires re-tokenizing with
+    the learned merge (inherently sequential — out of scope for the
+    declarative profile; this operator is the per-iteration primitive).
+
+    No reference counterpart; §2.10 capability-gap operator (tokenizer
+    training support for an LLM data pipeline).
+    """
+    toks = docs.select(F.explode(T.words("text")).alias("tok"))
+    # sequence(1, x<1) counts DOWN in Spark — guard 1-char tokens to
+    # an empty pair list (same guard as word_shingles)
+    pairs = F.when(
+        F.length("tok") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok") - 1),
+            lambda i: F.col("tok").substr(i, F.lit(2)),
+        )
+    )
+    counts = (
+        toks.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_k)
+        .select("pair", "cnt")
+    )
+
+
+def vocab_coverage(docs: DataFrame, ks: tuple = (16, 64, 256, 1024)) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocabulary size
+    ``k``, the fraction of all token occurrences covered by the ``k``
+    most frequent terms — the budgeting curve for choosing a tokenizer
+    vocab size / UNK rate over a corpus.
+
+    Output: one row per ``k``: ``(k, n_terms, covered, coverage)``
+    where ``n_terms = min(k, |vocab|)`` and ``coverage`` is the exact
+    floor-ratio of two BIGINTs.
+
+    Scale shape: one explode → vocab-sized hash agg; the top-max(k)
+    cut is ``orderBy().limit()`` — Spark plans TakeOrderedAndProject
+    (per-partition heaps + driver merge of max(k) rows), NOT a global
+    sort. The row-number window then runs over at most max(k) rows
+    (bounded, single tiny task by construction); the rank<=k fan-out
+    joins a broadcast 4-row grid. Total-token count is derived from
+    the vocab aggregate (no second corpus scan).
+
+    Deterministic: ranking tie-break by term ASC; coverage is
+    floor-snap arithmetic on exact integers.
+    """
+    ks = sorted(set(int(k) for k in ks))
+    toks = docs.select(F.explode(T.words("text")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.select(F.sum("c").alias("_total"))
+    top = vocab.orderBy(F.desc("c"), F.asc("term")).limit(max(ks))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    ranked = top.select("c", F.row_number().over(w).alias("rn"))
+    grid = docs.sparkSession.createDataFrame([(k,) for k in ks], "k int")
+    cov = (
+        ranked.join(F.broadcast(grid), ranked["rn"] <= grid["k"])
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("c").cast("bigint").alias("covered"),
+        )
+    )
+    return (
+        cov.join(F.broadcast(total))
+        .select(
+            "k",
+            "n_terms",
+            "covered",
+            (F.floor(F.col("covered") * 10000.0 / F.col("_total") + 0.5)
+             / 10000.0).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al., LREC'20):
+    per-language terciles of the unigram cross-entropy signal — the
+    standard curation split that keeps the fluent "head" of a crawl,
+    samples the "middle", and drops the "tail". CCNet buckets on a
+    Kneser-Ney LM's perplexity; the declarative profile buckets on the
+    corpus-unigram cross-entropy from ``unigram_cross_entropy`` (same
+    decision shape, oracle-exact arithmetic).
+
+    Output: per-doc ``(doc_id, lang, cross_entropy, bucket)`` with
+    bucket in {'head','middle','tail'}. Docs with zero tokens carry no
+    entropy and are excluded (same domain as the xent operator).
+
+    Determinism: NTILE(3) over ``(cross_entropy, doc_id)`` — the
+    entropy values are the already-oracle-exact rounded doubles, and
+    the doc_id tie-break pins equal scores; NTILE's ceil-distribution
+    is ANSI-identical across engines.
+
+    Scale: the per-lang NTILE is a per-lang sort. At 100 TB swap the
+    exact tercile for per-lang approx_percentile(cross_entropy,
+    [1/3, 2/3]) cutoffs broadcast back (same escape as ks_test's
+    ECDF); the exact form is the oracle contract.
+    """
+    xent = unigram_cross_entropy(docs)
+    joined = xent.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("cross_entropy"), F.asc("doc_id")
+    )
+    tile = F.ntile(3).over(w)
+    return joined.select(
+        "doc_id",
+        "lang",
+        "cross_entropy",
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

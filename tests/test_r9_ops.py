@@ -1,5 +1,6 @@
 """Round-9 operators: SemDeDup embedding dedup, DSIR importance
-resampling."""
+resampling, t-closeness, BPE merge stats, vocab coverage, CCNet
+perplexity buckets."""
 
 from __future__ import annotations
 
@@ -138,3 +139,63 @@ def test_t_closeness_hand_case(spark):
     # corpus, not to uniform
     assert out[1].tvd > out[2].tvd
     assert not out[1].t_close and not out[2].t_close
+
+
+def test_bpe_merge_candidates_hand_case(spark):
+    """Pair counting inside word occurrences: 'aaab' yields aa,aa,ab;
+    1-char tokens yield nothing; top-k tie-break is pair ASC."""
+    from sparklyclean_spark.operators.text_analysis import bpe_merge_candidates
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab a"), (2, "ab ba")],
+        "doc_id bigint, text string",
+    )
+    out = [(r.pair, r.cnt) for r in bpe_merge_candidates(docs, top_k=10).collect()]
+    # aa: 2 per 'aaab' x2 = 4; ab: 1 per 'aaab' x2 + 1 = 3; ba: 1
+    assert out == [("aa", 4), ("ab", 3), ("ba", 1)]
+    # tie-break: equal counts order by pair ASC
+    docs2 = spark.createDataFrame([(1, "xy yx")], "doc_id bigint, text string")
+    out2 = [(r.pair, r.cnt) for r in bpe_merge_candidates(docs2).collect()]
+    assert out2 == [("xy", 1), ("yx", 1)]
+
+
+def test_vocab_coverage_hand_case(spark):
+    """Coverage at each k of the grid; n_terms saturates at |vocab|;
+    coverage is the floor-snapped exact ratio."""
+    from sparklyclean_spark.operators.text_analysis import vocab_coverage
+
+    # counts: the=4, a=2, b=1, c=1 (total 8); rank order the,a,b,c
+    docs = spark.createDataFrame(
+        [(1, "the the a b"), (2, "the the a c")], "doc_id bigint, text string"
+    )
+    out = {r.k: r for r in vocab_coverage(docs, ks=(1, 2, 10)).collect()}
+    assert out[1].n_terms == 1 and out[1].covered == 4 and out[1].coverage == 0.5
+    assert out[2].n_terms == 2 and out[2].covered == 6 and out[2].coverage == 0.75
+    # k beyond the vocab: everything covered, n_terms = |vocab|
+    assert out[10].n_terms == 4 and out[10].covered == 8 and out[10].coverage == 1.0
+
+
+def test_perplexity_buckets_hand_case(spark):
+    """Tercile assignment per lang with NTILE ceil-distribution; the
+    fluent (low-xent) doc lands in 'head'; tokenless docs drop out."""
+    from sparklyclean_spark.operators.text_analysis import perplexity_buckets
+
+    # 'common' appears often -> docs of it are low-entropy (head);
+    # rare-token docs are high-entropy (tail)
+    rows = [
+        (1, "common common common", "en"),
+        (2, "common common rare1", "en"),
+        (3, "common rare2 rare3", "en"),
+        (4, "rare4 rare5 rare6", "en"),
+        (5, "common common", "fr"),
+        (6, "   ", "en"),  # tokenless: excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r.doc_id: r for r in perplexity_buckets(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # en has 4 docs -> NTILE(3) gives groups of 2,1,1 in xent order
+    assert out[1].bucket == "head" and out[2].bucket == "head"
+    assert out[3].bucket == "middle" and out[4].bucket == "tail"
+    # single-doc lang: everything is head
+    assert out[5].bucket == "head"
+    assert out[1].cross_entropy < out[4].cross_entropy
