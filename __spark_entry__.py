@@ -68,6 +68,7 @@ from sparklyclean_spark.operators import drift as DR
 from sparklyclean_spark.operators.graph import triangle_stats
 from sparklyclean_spark.operators.similarity.stats import embedding_norm_stats
 from sparklyclean_spark.operators.similarity.semdedup import semdedup_dispositions
+from sparklyclean_spark.operators.similarity import pq as PQ
 from sparklyclean_spark.operators import outliers as OUT
 from sparklyclean_spark.operators.outliers import (
     quantile_bins,
@@ -359,6 +360,39 @@ def _knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
     approx = ivf_topk(emb, q, k=5, n_cells=32, nprobe=8).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("recall_at_5")
+        )
+    )
+
+
+def _knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible quality number for the PQ/ADC compressed-domain
+    ANN tier (operators/similarity/pq.py): per-query recall@5 against
+    the exact brute-force top-k, computed IN-PLAN (left join of the
+    two top-k outputs). ORACLE-VERIFIED via the `_ivf_centroids_sql`
+    treatment: the per-subspace codebooks are trained by the SAME
+    numpy code on the SAME hash-ordered sample at render time and
+    baked as VALUES literals, so DuckDB recomputes encoding (snapped
+    argmin), the ADC lookup tables (snapped), the DECIMAL-exact
+    distance sums, the top-5, AND the recall — hash-checked
+    end-to-end, not engine-trusted. Float caveat: same accepted
+    measure-zero 1-ulp class as knn_ivf_recall, tightened by the 1e-9
+    snap before every argmin/rank."""
+    from sparklyclean_spark.operators.similarity.knn import brute_force_topk
+    from sparklyclean_spark.operators.similarity.pq import pq_topk
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = pq_topk(emb, q, k=5).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     return (
@@ -1183,9 +1217,7 @@ _DRIVER_CHECK_ORDER = [
     "profile_orders_columns",
     "scd2_user_values",
     "decontam_overlap",
-    "embedding_cosine_neardup",
     "events_session_windows",
-    "events_tumbling_hourly",
     "knn_bruteforce_cosine",
     "price_percentiles_by_priority",
     "tcloseness_customer_audit",  # NEW r9: completes the privacy ladder;
@@ -1208,6 +1240,14 @@ _DRIVER_CHECK_ORDER = [
                                  # (2x-green, last r3; exact-dedup family
                                  # repped by dedup_pairs_naive_documents
                                  # + chunk_dedup in-window)
+    "knn_pq_recall",  # NEW r9: PQ/ADC compressed-domain ANN recall;
+                      # displaced embedding_cosine_neardup (2x-green,
+                      # last r3; embedding family stays repped by
+                      # knn_bruteforce_cosine + semdedup + this row)
+    "pq_distortion",  # NEW r9: PQ quantization MSE card; displaced
+                      # events_tumbling_hourly (2x-green, last r3;
+                      # event-window family stays repped by
+                      # events_session_windows + events_sliding_users)
     "semdedup_embeddings",  # NEW r9: embedding-space dedup over IVF cells;
                             # displaced the 3x-green scalar_string_date_math
     "sketch_distinct_users_daily",  # NEW-ORACLED r9: estimate-equality oracle
@@ -1223,6 +1263,8 @@ _DRIVER_CHECK_ORDER = [
                                            # vocab_coverage_curve
     "dedup_exact_documents",  # 2x-green r3, displaced for
                               # ccnet_perplexity_buckets
+    "embedding_cosine_neardup",  # 2x-green r3, displaced for knn_pq_recall
+    "events_tumbling_hourly",  # 2x-green r3, displaced for pq_distortion
     # The entire r8 window (50 fresh r8-green records) is parked
     # here, followed by the r7-debut queue and the registry tail —
     # all have green records r4+ and head the r10 rotate-in queue.
@@ -1878,6 +1920,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_cosine": _knn_lsh,
         "knn_ivf_cosine": _knn_ivf,
         "knn_ivf_recall": _knn_ivf_recall,
+        # r9: PQ/ADC compressed-domain ANN tier (Jégou et al. 2011)
+        "knn_pq_recall": _knn_pq_recall,
+        # r9: per-subspace PQ quantization MSE (codebook adequacy card)
+        "pq_distortion": _q(PQ.pq_distortion, table="embeddings"),
         # r9: SemDeDup (Abbas et al. 2023) — embedding-space dedup over
         # the IVF cells; τ=0.35 sits in the synthetic corpus's near-dup
         # band (≈270 above-τ pairs at sf0.01, none above 0.7)
@@ -4966,6 +5012,11 @@ def oracle_sql() -> dict[str, str]:
         sql["semdedup_embeddings"] = _semdedup_sql()
     except Exception:
         pass
+    try:
+        sql["knn_pq_recall"] = _pq_recall_sql()
+        sql["pq_distortion"] = _pq_distortion_sql()
+    except Exception:
+        pass
     sql["neardup_simhash_md5"] = _simhash_md5_sql()
     # r7 additions: temperature mix weights (sqrt chain + integer-grid
     # snap BEFORE the normalizing sum), bigram PMI (one ln over a single
@@ -6254,6 +6305,162 @@ def _ivf_recall_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
             LEFT JOIN approx a ON a.query_id = e.query_id
                               AND a.neighbor_id = e.neighbor_id
             GROUP BY e.query_id
+        """
+
+
+def _pq_codebooks_sql(
+    sf_dir: str,
+    m: int = 4,
+    ks: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = 647,
+) -> str:
+    """DuckDB twin of pq.train_pq_codebooks (the `_ivf_centroids_sql`
+    treatment): read the SAME hash-ordered sample without Spark
+    (duckdb parquet + numpy), run the SAME `codebooks_from_vectors`
+    training code, render (j, code, cv) VALUES literals via repr()
+    round-trip — bit-equal codebooks by construction."""
+    import duckdb
+
+    from sparklyclean_spark.operators.similarity.pq import codebooks_from_vectors
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {sample_cap}"
+    ).fetchall()
+    rows.sort(key=lambda r: r[0])
+    cents = codebooks_from_vectors([r[1] for r in rows], m, ks, iters, seed)
+    vals = ", ".join(
+        "(%d, %d, [%s])" % (j, c, ", ".join(repr(float(v)) for v in cents[j][c]))
+        for j in range(cents.shape[0])
+        for c in range(cents.shape[1])
+    )
+    return f"(VALUES {vals})"
+
+
+@functools.lru_cache(maxsize=4)
+def _pq_cb_union_sql() -> str:
+    """Fingerprint-guarded UNION of per-SF PQ codebook literals — the
+    shared front half of the PQ oracles (scheme of
+    _ivf_cents_union_sql)."""
+    import duckdb
+
+    fp_expr = (
+        "(SELECT ROUND(SUM(CAST(embedding[1] AS DOUBLE) * vec_id), 3)"
+        " FROM embeddings)"
+    )
+    branches = []
+    fps = set()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        fp = duckdb.sql(
+            "SELECT ROUND(SUM(CAST(embedding[1] AS DOUBLE) * vec_id), 3) FROM"
+            f" read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchone()[0]
+        if fp in fps:
+            raise RuntimeError(f"PQ oracle fingerprint collision at {sf_dir}")
+        fps.add(fp)
+        branches.append(
+            f"SELECT * FROM {_pq_codebooks_sql(sf_dir)} AS t(j, code, cv)"
+            f" WHERE {fp_expr} = {fp!r}"
+        )
+    return " UNION ALL ".join(branches)
+
+
+def _pq_common_sql(sub: int = 16) -> str:
+    """Shared CTE prefix of the PQ oracles: codebook literals ->
+    normalized vectors -> per-(vector, subspace, code) snapped squared
+    L2 partials -> per-(vector, subspace) argmin codes (ties to the
+    LOWEST code, matching numpy argmin). Same 1-ulp float caveat as
+    _ivf_recall_sql, tightened by the ROUND(.., 9) snap both engines
+    apply before any argmin/rank."""
+    return f"""
+            cb AS ({_pq_cb_union_sql()}),
+            n AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       GREATEST(sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12)
+                           AS nrm
+                FROM embeddings
+            ),
+            dists AS (
+                SELECT n.vec_id, cb.j, cb.code,
+                       ROUND(list_sum(list_transform(range(1, {sub} + 1),
+                           i -> (n.v[cb.j * {sub} + i] / n.nrm - cb.cv[i])
+                              * (n.v[cb.j * {sub} + i] / n.nrm - cb.cv[i]))), 9)
+                           AS d
+                FROM n CROSS JOIN cb
+            ),
+            codes AS (
+                SELECT vec_id, j, code FROM (
+                    SELECT vec_id, j, code,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                ORDER BY d ASC, code ASC) AS rn
+                    FROM dists) WHERE rn = 1
+            )"""
+
+
+def _pq_recall_sql(k: int = 5) -> str:
+    """Full DuckDB oracle for knn_pq_recall: codebook literals ->
+    snapped encode -> DECIMAL(18,9) ADC lookup-table sums (exact,
+    order-free) -> per-query top-k by (adist ASC, neighbor_id ASC) ->
+    recall vs the exact cosine top-k."""
+    return f"""
+            WITH {_pq_common_sql()},
+            lut AS (
+                SELECT vec_id AS query_id, j, code,
+                       CAST(d AS DECIMAL(18,9)) AS d
+                FROM dists WHERE vec_id < 10
+            ),
+            adist AS (
+                SELECT l.query_id, c.vec_id AS neighbor_id,
+                       SUM(l.d) AS adist_dec
+                FROM codes c JOIN lut l USING (j, code)
+                WHERE l.query_id <> c.vec_id
+                GROUP BY l.query_id, c.vec_id
+            ),
+            approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist_dec ASC, neighbor_id ASC) AS rank
+                    FROM adist) WHERE rank <= {k}
+            ),
+            exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+                    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+                    WHERE a.vec_id < 10
+                ) WHERE rank <= {k}
+            )
+            SELECT e.query_id,
+                   ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                         / COUNT(*), 4) AS recall_at_{k}
+            FROM exact e
+            LEFT JOIN approx a ON a.query_id = e.query_id
+                              AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        """
+
+
+def _pq_distortion_sql() -> str:
+    """DuckDB oracle for pq_distortion: the per-(vector, subspace)
+    snapped minimum distances summed as DECIMAL(18,9) (exact) and
+    floor-divided once at the end."""
+    return f"""
+            WITH {_pq_common_sql()},
+            mind AS (
+                SELECT vec_id, j, MIN(d) AS d FROM dists GROUP BY vec_id, j
+            )
+            SELECT j,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   floor(CAST(SUM(CAST(d AS DECIMAL(18,9))) AS DOUBLE)
+                         * 1000000.0 / COUNT(*) + 0.5) / 1000000.0 AS mse
+            FROM mind GROUP BY j ORDER BY j
         """
 
 

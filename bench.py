@@ -174,6 +174,9 @@ def main() -> None:
         # and the fixed-size-feature-table DSIR scorer
         "semdedup_embeddings",
         "dsir_scores",
+        # PQ/ADC tier: one Arrow encode pass + broadcast-lut scoring +
+        # salted top-k, vs the brute-force baseline inside the same row
+        "knn_pq_recall",
     ]
 
     def run_once(name: str) -> float:

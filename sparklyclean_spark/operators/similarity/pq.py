@@ -1,0 +1,262 @@
+"""Product quantization (PQ) for approximate nearest neighbor search
+(Jégou et al., TPAMI 2011) — the compressed-domain ANN tier the IVF
+index composes with at extreme scale (IVF-PQ): vectors are chopped
+into ``m`` subspaces, each sub-vector replaced by the id of its
+nearest codeword from a per-subspace codebook of ``ks`` entries, and
+query-to-vector distances approximated by ``m`` table lookups (ADC —
+asymmetric distance computation) instead of a ``dim``-wide dot.
+
+At 64-dim / m=4 / ks=16 a vector compresses 64x4 bytes -> 4 codes
+(one int each here; 4 x 4 bits information-theoretically), and
+candidate scoring becomes O(m) per pair. Search quality is audited by
+``knn_pq_recall`` in ``__spark_entry__.py`` against the exact
+brute-force top-k, and quantization quality by ``pq_distortion``
+(per-subspace MSE); both are DuckDB-oracled end-to-end via baked
+codebook literals (the ``_ivf_centroids_sql`` treatment).
+
+Cross-engine determinism: training is driver-side numpy on the
+hash-ordered sample (identical code re-run by the oracle renderer, so
+codebooks are bit-equal by construction); everywhere Spark-side numpy
+and DuckDB-side ``list_sum`` compute the SAME quantity (encode argmin
+distances, ADC lookup tables) the value is snapped to a 1e-9 grid
+first, so a SIMD-vs-sequential 1-ulp summation difference can only
+matter exactly at a grid boundary (measure-zero on continuous
+embeddings — the knn_lsh_recall caveat, tightened by the snap). ADC
+sums are DECIMAL(18,9) — exact and associative, aggregation order
+cannot move the hash.
+
+No reference counterpart; §2.10 capability-gap operator (similarity
+pillar, compressed-domain scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.operators.similarity.knn import _hash_ordered_sample
+
+
+def _l2_kmeans(x, ks: int, iters: int = 10, seed: int = 647):
+    """Driver-side plain L2 Lloyd over one subspace's sample block.
+    Seeded init, snapped-distance argmin (ties -> lowest code), empty
+    cells keep their previous centroid: fully deterministic for a
+    given sample."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    ks = min(ks, len(x))
+    cents = x[rng.choice(len(x), size=ks, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = np.round(d, 9).argmin(axis=1)
+        for c in range(ks):
+            pts = x[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+    return cents
+
+
+def codebooks_from_vectors(vecs, m: int = 4, ks: int = 16, iters: int = 10, seed: int = 647):
+    """Shared training core: the (m x ks x dim/m) codebooks from a
+    bounded id-sorted sample. Called by BOTH the Spark path
+    (`train_pq_codebooks`) and the DuckDB oracle renderer
+    (`__spark_entry__._pq_codebooks_sql`) — codebooks are bit-equal
+    across engines by construction. Vectors are L2-normalized before
+    chopping, so ADC's squared-L2 ordering equals cosine ordering
+    (||q-x||^2 = 2 - 2cos on the unit sphere). Subspace j trains with
+    seed+j (independent inits)."""
+    import numpy as np
+
+    x = np.array(vecs, dtype=np.float64)
+    x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack(
+        [
+            _l2_kmeans(x[:, j * sub : (j + 1) * sub], ks, iters, seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = 647,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train the PQ codebooks on the hash-ordered sample
+    (`knn._hash_ordered_sample` — membership a pure function of row
+    data, layout-independent). Returns a numpy array."""
+    rows = _hash_ordered_sample(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "id",
+        sample_cap,
+    )
+    return codebooks_from_vectors([r["v"] for r in rows], m, ks, iters, seed)
+
+
+def _encode_udf(cents):
+    """Arrow-batched encoder: embedding -> struct(codes array<int>,
+    mdist array<double>). codes[j] = argmin_c round(||v_j - C_jc||^2, 9)
+    (ties -> lowest code, numpy argmin semantics == the oracle's
+    ORDER BY dist ASC, code ASC); mdist[j] is that snapped minimum
+    (feeds pq_distortion). One (rows x sub x ks) broadcasted-diff
+    batch per subspace — no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, sub = cents.shape
+
+    def impl(vs):
+        x = np.asarray(vs.tolist(), dtype=np.float64)
+        x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        mdist = np.empty((len(x), m), dtype=np.float64)
+        for j in range(m):
+            block = x[:, j * sub : (j + 1) * sub]
+            d = ((block[:, None, :] - cents[j][None, :, :]) ** 2).sum(-1)
+            d = np.round(d, 9)
+            codes[:, j] = d.argmin(axis=1)
+            mdist[:, j] = d.min(axis=1)
+        return pd.DataFrame({"codes": list(codes), "mdist": list(mdist)})
+
+    return pandas_udf(impl, "struct<codes: array<int>, mdist: array<double>>")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ks: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = 647,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_cap: int = 1024,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: encode the corpus to m codes (one
+    Arrow pass, no shuffle), build each query's (m x ks) lookup table
+    of snapped partial squared-L2s driver-side (queries are a bounded
+    set — ``query_cap`` guards the collect), approximate each
+    query-vector distance as the DECIMAL-exact sum of m lookups, and
+    take the per-query k smallest via the salted two-round window.
+
+    Returns (query_id, neighbor_id, adist, rank) — adist ascending
+    (smaller = more similar; == 2 - 2cos up to quantization error).
+
+    Scale shape: the corpus is scanned once for encoding and once for
+    scoring (codes only — 3 ints wide, never the raw vectors); the
+    lookup table is |queries| x m x ks rows broadcast; the only
+    shuffle is the salted top-k on (query_id). Recall < 1 by
+    construction; ``knn_pq_recall`` measures it in-plan. For corpus-
+    scale query sets, compose with the IVF cells (IVF-PQ) so each
+    query scores only its probed cells' codes.
+    """
+    import numpy as np
+
+    cents = train_pq_codebooks(
+        corpus, m, ks, sample_cap, iters, seed, id_col, vec_col
+    )
+    sub = cents.shape[2]
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .orderBy("query_id")
+        .limit(query_cap)
+        .collect()
+    )
+    qx = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qx = qx / np.clip(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12, None)
+    lut = []
+    for qi, r in enumerate(q_rows):
+        for j in range(m):
+            block = qx[qi, j * sub : (j + 1) * sub]
+            d = np.round(((block[None, :] - cents[j]) ** 2).sum(-1), 9)
+            lut.extend(
+                (int(r["query_id"]), j, c, float(d[c])) for c in range(cents.shape[1])
+            )
+    spark = corpus.sparkSession
+    lut_df = spark.createDataFrame(
+        lut, "query_id bigint, j int, code int, d double"
+    ).select("query_id", "j", "code", F.col("d").cast("decimal(18,9)").alias("d"))
+
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _encode_udf(cents)(F.col(vec_col))["codes"].alias("codes"),
+    )
+    exploded = enc.select(
+        "neighbor_id", F.posexplode("codes").alias("j", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut_df), ["j", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adist_dec"))
+    )
+    from sparklyclean_spark.operators.skew import salted_topk
+
+    topk = salted_topk(
+        scored, ["query_id"], [F.asc("adist_dec"), F.asc("neighbor_id")], k
+    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("adist_dec").cast("double"), 4).alias("adist"),
+        F.col("rn").cast("int").alias("rank"),
+    )
+
+
+def pq_distortion(
+    corpus: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = 647,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace quantization quality card: mean squared error
+    between each (normalized) sub-vector and its assigned codeword —
+    the number that decides whether ks/m are adequate before anyone
+    trusts the recall. Returns (j, n_vecs, mse).
+
+    The per-vector minima are the encoder's snapped (1e-9 grid)
+    distances, summed as DECIMAL(18,9) (exact, order-free) and
+    floor-divided at the end — hash-stable across engines and
+    partitionings.
+    """
+    cents = train_pq_codebooks(
+        corpus, m, ks, sample_cap, iters, seed, id_col, vec_col
+    )
+    enc = corpus.select(
+        _encode_udf(cents)(F.col(vec_col))["mdist"].alias("mdist")
+    )
+    per = enc.select(F.posexplode("mdist").alias("j", "d")).select(
+        "j", F.col("d").cast("decimal(18,9)").alias("d")
+    )
+    return (
+        per.groupBy("j")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("d").alias("s"))
+        .select(
+            "j",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            (
+                F.floor(F.col("s").cast("double") * 1000000.0 / F.col("n_vecs") + 0.5)
+                / 1000000.0
+            ).alias("mse"),
+        )
+        .orderBy("j")
+    )

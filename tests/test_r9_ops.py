@@ -199,3 +199,50 @@ def test_perplexity_buckets_hand_case(spark):
     # single-doc lang: everything is head
     assert out[5].bucket == "head"
     assert out[1].cross_entropy < out[4].cross_entropy
+
+
+def test_pq_topk_duplicate_ranks_first_and_is_deterministic(spark):
+    """An exact duplicate of the query shares every PQ code, so its
+    ADC distance is the sum of the lookup table's minima — nothing
+    can beat it (ties break by id). Output is invariant under
+    repartitioning; self-pairs are excluded and ranks are 1..k."""
+    from sparklyclean_spark.operators.similarity.pq import pq_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((100, list(rows[0][1])))  # exact dup of vec 0
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.where("vec_id = 0")
+    out = pq_topk(emb, q, k=5, m=4, ks=8)
+    got = sorted(map(tuple, out.collect()), key=lambda t: t[3])
+    assert len(got) == 5
+    assert [t[3] for t in got] == [1, 2, 3, 4, 5]
+    assert all(t[1] != 0 for t in got)           # self excluded
+    assert got[0][1] == 100                       # the dup wins rank 1
+    out2 = sorted(
+        map(tuple, pq_topk(emb.repartition(5), q, k=5, m=4, ks=8).collect()),
+        key=lambda t: t[3],
+    )
+    assert got == out2
+
+
+def test_pq_distortion_shape_and_dup_corpus_zero(spark):
+    """Per-subspace rows with full corpus counts; a corpus of one
+    repeated vector quantizes exactly (mse 0 in every subspace)."""
+    from sparklyclean_spark.operators.similarity.pq import pq_distortion
+
+    v = [1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.5]
+    emb = spark.createDataFrame(
+        [(i, list(v)) for i in range(30)], "vec_id bigint, embedding array<double>"
+    )
+    out = {r.j: r for r in pq_distortion(emb, m=4, ks=8).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert all(out[j].n_vecs == 30 for j in out)
+    assert all(out[j].mse == 0.0 for j in out)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_distortion(emb, m=3)  # 8 dims not divisible by 3
