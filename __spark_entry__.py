@@ -406,6 +406,36 @@ def _knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible quality number for the composed IVF-PQ index
+    (pq.ivf_pq_topk — coarse cells prune, ADC scores the survivors):
+    per-query recall@5 vs the exact brute-force top-k, in-plan.
+    ORACLE-VERIFIED end-to-end: BOTH literal sets are baked (the IVF
+    centroid VALUES of knn_ivf_recall AND the PQ codebook VALUES of
+    knn_pq_recall), so DuckDB recomputes cell assignment, probe sets,
+    the candidate join, snapped encoding, DECIMAL-exact ADC sums, the
+    top-5, and the recall. Same accepted measure-zero float caveat as
+    its two parents."""
+    from sparklyclean_spark.operators.similarity.knn import brute_force_topk
+    from sparklyclean_spark.operators.similarity.pq import ivf_pq_topk
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = ivf_pq_topk(emb, q, k=5, n_cells=32, nprobe=8).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("recall_at_5")
+        )
+    )
+
+
 def _knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-VERIFIED ANN quality number (VERDICT r4 item 6): per-query
     recall@5 of the sign-LSH bucketed path against the exact brute-force
@@ -1218,7 +1248,6 @@ _DRIVER_CHECK_ORDER = [
     "scd2_user_values",
     "decontam_overlap",
     "events_session_windows",
-    "knn_bruteforce_cosine",
     "price_percentiles_by_priority",
     "tcloseness_customer_audit",  # NEW r9: completes the privacy ladder;
                                   # displaced the 3x-green
@@ -1248,6 +1277,10 @@ _DRIVER_CHECK_ORDER = [
                       # events_tumbling_hourly (2x-green, last r3;
                       # event-window family stays repped by
                       # events_session_windows + events_sliding_users)
+    "ivf_pq_recall",  # NEW r9: the composed IVF-PQ funnel; displaced
+                      # knn_bruteforce_cosine (2x-green, last r3; the
+                      # exact-cosine computation is recomputed inside
+                      # every recall oracle in-window, incl. this one)
     "semdedup_embeddings",  # NEW r9: embedding-space dedup over IVF cells;
                             # displaced the 3x-green scalar_string_date_math
     "sketch_distinct_users_daily",  # NEW-ORACLED r9: estimate-equality oracle
@@ -1265,6 +1298,7 @@ _DRIVER_CHECK_ORDER = [
                               # ccnet_perplexity_buckets
     "embedding_cosine_neardup",  # 2x-green r3, displaced for knn_pq_recall
     "events_tumbling_hourly",  # 2x-green r3, displaced for pq_distortion
+    "knn_bruteforce_cosine",  # 2x-green r3, displaced for ivf_pq_recall
     # The entire r8 window (50 fresh r8-green records) is parked
     # here, followed by the r7-debut queue and the registry tail —
     # all have green records r4+ and head the r10 rotate-in queue.
@@ -1924,6 +1958,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_recall": _knn_pq_recall,
         # r9: per-subspace PQ quantization MSE (codebook adequacy card)
         "pq_distortion": _q(PQ.pq_distortion, table="embeddings"),
+        # r9: the composed IVF-PQ funnel (cells prune, ADC scores)
+        "ivf_pq_recall": _ivf_pq_recall,
         # r9: SemDeDup (Abbas et al. 2023) — embedding-space dedup over
         # the IVF cells; τ=0.35 sits in the synthetic corpus's near-dup
         # band (≈270 above-τ pairs at sf0.01, none above 0.7)
@@ -5015,6 +5051,7 @@ def oracle_sql() -> dict[str, str]:
     try:
         sql["knn_pq_recall"] = _pq_recall_sql()
         sql["pq_distortion"] = _pq_distortion_sql()
+        sql["ivf_pq_recall"] = _ivf_pq_recall_sql()
     except Exception:
         pass
     sql["neardup_simhash_md5"] = _simhash_md5_sql()
@@ -6420,6 +6457,80 @@ def _pq_recall_sql(k: int = 5) -> str:
                 FROM codes c JOIN lut l USING (j, code)
                 WHERE l.query_id <> c.vec_id
                 GROUP BY l.query_id, c.vec_id
+            ),
+            approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist_dec ASC, neighbor_id ASC) AS rank
+                    FROM adist) WHERE rank <= {k}
+            ),
+            exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+                    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+                    WHERE a.vec_id < 10
+                ) WHERE rank <= {k}
+            )
+            SELECT e.query_id,
+                   ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                         / COUNT(*), 4) AS recall_at_{k}
+            FROM exact e
+            LEFT JOIN approx a ON a.query_id = e.query_id
+                              AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        """
+
+
+def _ivf_pq_recall_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
+    """Full DuckDB oracle for ivf_pq_recall: the IVF front half
+    (centroid literals -> cell argmax -> probe sets -> candidate join,
+    verbatim from _ivf_recall_sql) feeding the PQ back half (snapped
+    codes + DECIMAL ADC sums from _pq_common_sql) -> top-k -> recall
+    vs the exact cosine top-k. Probe-set ordering is (sim DESC, cell
+    ASC), matching the Spark path's stable argsort."""
+    return f"""
+            WITH {_pq_common_sql()},
+            icents AS ({_ivf_cents_union_sql()}),
+            sims AS (
+                SELECT n.vec_id, ic.cell,
+                       list_sum(list_transform(range(1, {dim} + 1),
+                           i -> (n.v[i] / n.nrm) * ic.cv[i])) AS sim
+                FROM n CROSS JOIN icents ic
+            ),
+            corpus_cell AS (
+                SELECT vec_id AS neighbor_id, cell FROM (
+                    SELECT vec_id, cell,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell ASC) AS rn
+                    FROM sims) WHERE rn = 1
+            ),
+            probes AS (
+                SELECT vec_id AS query_id, cell FROM (
+                    SELECT vec_id, cell,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell ASC) AS rn
+                    FROM sims WHERE vec_id < 10) WHERE rn <= {nprobe}
+            ),
+            cand AS (
+                SELECT DISTINCT p.query_id, cc.neighbor_id
+                FROM probes p JOIN corpus_cell cc USING (cell)
+                WHERE cc.neighbor_id <> p.query_id
+            ),
+            lut AS (
+                SELECT vec_id AS query_id, j, code,
+                       CAST(d AS DECIMAL(18,9)) AS d
+                FROM dists WHERE vec_id < 10
+            ),
+            adist AS (
+                SELECT ca.query_id, ca.neighbor_id, SUM(l.d) AS adist_dec
+                FROM cand ca
+                JOIN codes c ON c.vec_id = ca.neighbor_id
+                JOIN lut l ON l.query_id = ca.query_id
+                          AND l.j = c.j AND l.code = c.code
+                GROUP BY ca.query_id, ca.neighbor_id
             ),
             approx AS (
                 SELECT query_id, neighbor_id FROM (

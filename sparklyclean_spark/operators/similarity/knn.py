@@ -327,6 +327,51 @@ def _hash_ordered_sample(df: DataFrame, id_col: str, cap: int) -> list:
     return rows
 
 
+def train_ivf_centroids(
+    c: DataFrame,
+    n_cells: int = 32,
+    sample_mod: int = 1,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = 647,
+    id_col: str = "neighbor_id",
+    vec_col: str = "cv",
+):
+    """Shared IVF trainer (extracted from ivf_topk for the IVF-PQ
+    composition): hash-ordered layout-independent sample -> seeded
+    spherical k-means. Returns the (n_cells x dim) numpy matrix."""
+    import numpy as np
+
+    samp = (
+        c if sample_mod <= 1 else c.where(F.xxhash64(id_col) % sample_mod == 0)
+    )
+    rows = _hash_ordered_sample(samp, id_col, sample_cap)
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return _spherical_kmeans(x, n_cells, iters, seed)
+
+
+def cell_assign_udf(cents, top: int):
+    """Arrow-batched coarse-quantizer assignment (extracted from
+    ivf_topk): normalize, one matmul against the centroid matrix,
+    argmax (top=1, ties -> lowest cell) or the top-``top`` cells by
+    descending similarity."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def impl(vs):
+        m = np.asarray(vs.tolist(), dtype=np.float64)
+        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        sims = m @ cents.T
+        if top == 1:
+            return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+        idx = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return pandas_udf(impl, "int" if top == 1 else "array<int>")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -359,34 +404,16 @@ def ivf_topk(
     scan. Recall < 1 by construction (a true neighbor may live in an
     unprobed cell); pair with ``brute_force_topk`` to measure.
     """
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.functions import pandas_udf
-
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
 
-    samp = c if sample_mod <= 1 else c.where(F.xxhash64("neighbor_id") % sample_mod == 0)
-    rows = _hash_ordered_sample(samp, "neighbor_id", sample_cap)
-    x = np.array([r["cv"] for r in rows], dtype=np.float64)
-    cents = _spherical_kmeans(x, n_cells, iters, seed)
+    cents = train_ivf_centroids(c, n_cells, sample_mod, sample_cap, iters, seed)
 
-    def assign_udf(top: int):
-        def impl(vs):
-            m = np.asarray(vs.tolist(), dtype=np.float64)
-            m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
-            sims = m @ cents.T
-            if top == 1:
-                return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
-            idx = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
-            return pd.Series(list(idx))
-
-        return pandas_udf(impl, "int" if top == 1 else "array<int>")
-
-    cc = c.withColumn("cell", assign_udf(1)(F.col("cv")))
+    cc = c.withColumn("cell", cell_assign_udf(cents, 1)(F.col("cv")))
     qq = (
-        q.withColumn("cells", assign_udf(min(nprobe, len(cents)))(F.col("qv")))
+        q.withColumn(
+            "cells", cell_assign_udf(cents, min(nprobe, len(cents)))(F.col("qv"))
+        )
         .select("query_id", "qv", F.explode("cells").alias("cell"))
     )
     cands = (

@@ -260,3 +260,103 @@ def pq_distortion(
         )
         .orderBy("j")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 32,
+    nprobe: int = 8,
+    m: int = 4,
+    ks: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = 647,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_cap: int = 1024,
+) -> DataFrame:
+    """IVF-PQ — the composition that actually runs at extreme scale
+    (Jégou et al. 2011 §V; the FAISS IVFPQ layout): the IVF coarse
+    quantizer prunes the corpus to each query's ``nprobe`` probed
+    cells, and PQ/ADC scores ONLY those candidates from their m codes.
+    Per query the work drops from O(|corpus| · m) (exhaustive ADC) to
+    O(|corpus| · nprobe/n_cells · m) lookups, and the scored relation
+    carries (cell, m codes) — never raw vectors.
+
+    Both index structures are the proven components: the IVF trainer/
+    assigner extracted from ``knn.ivf_topk`` (hash-ordered sample,
+    seeded spherical k-means) and this module's codebooks/encoder —
+    so `ivf_pq_recall` in ``__spark_entry__.py`` can bake BOTH literal
+    sets and DuckDB recomputes the whole funnel end-to-end.
+
+    Returns (query_id, neighbor_id, adist, rank); adist ascending.
+    Recall ≤ pq_topk's by construction (cell pruning can drop a true
+    neighbor before ADC ever sees it).
+    """
+    import numpy as np
+
+    from sparklyclean_spark.operators.similarity.knn import (
+        cell_assign_udf,
+        train_ivf_centroids,
+    )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    ivf_cents = train_ivf_centroids(
+        c, n_cells, 1, sample_cap, iters, seed
+    )
+    pq_cents = train_pq_codebooks(
+        corpus, m, ks, sample_cap, iters, seed, id_col, vec_col
+    )
+    sub = pq_cents.shape[2]
+
+    # corpus side: one Arrow pass each for cell + codes, exploded to
+    # (neighbor_id, cell, j, code) — 4-int rows into the probe join
+    cc = c.select(
+        "neighbor_id",
+        cell_assign_udf(ivf_cents, 1)(F.col("cv")).alias("cell"),
+        _encode_udf(pq_cents)(F.col("cv"))["codes"].alias("codes"),
+    ).select("neighbor_id", "cell", F.posexplode("codes").alias("j", "code"))
+
+    # query side: bounded collect builds probes + the ADC lookup table
+    q_rows = q.orderBy("query_id").limit(query_cap).collect()
+    qx = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qx = qx / np.clip(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12, None)
+    sims = qx @ ivf_cents.T
+    top = min(nprobe, len(ivf_cents))
+    probe_rows = []
+    lut = []
+    for qi, r in enumerate(q_rows):
+        qid = int(r["query_id"])
+        for cell in np.argsort(-sims[qi])[:top]:
+            probe_rows.append((qid, int(cell)))
+        for j in range(m):
+            block = qx[qi, j * sub : (j + 1) * sub]
+            d = np.round(((block[None, :] - pq_cents[j]) ** 2).sum(-1), 9)
+            lut.extend((qid, j, c_, float(d[c_])) for c_ in range(pq_cents.shape[1]))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int")
+    lut_df = spark.createDataFrame(
+        lut, "query_id bigint, j int, code int, d double"
+    ).select("query_id", "j", "code", F.col("d").cast("decimal(18,9)").alias("d"))
+
+    scored = (
+        cc.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut_df), ["query_id", "j", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adist_dec"))
+    )
+    from sparklyclean_spark.operators.skew import salted_topk
+
+    topk = salted_topk(
+        scored, ["query_id"], [F.asc("adist_dec"), F.asc("neighbor_id")], k
+    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("adist_dec").cast("double"), 4).alias("adist"),
+        F.col("rn").cast("int").alias("rank"),
+    )

@@ -246,3 +246,36 @@ def test_pq_distortion_shape_and_dup_corpus_zero(spark):
 
     with pytest.raises(ValueError):
         pq_distortion(emb, m=3)  # 8 dims not divisible by 3
+
+
+def test_ivf_pq_results_subset_of_pq_with_full_probe(spark):
+    """With nprobe == n_cells the IVF prune is a no-op, so IVF-PQ must
+    return exactly the exhaustive-ADC ranking; with a narrow probe its
+    survivors are a subset of the corpus scored by the same codes
+    (adist values agree with pq_topk's wherever both return a pair)."""
+    from sparklyclean_spark.operators.similarity.pq import ivf_pq_topk, pq_topk
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.where("vec_id < 3")
+    full = sorted(map(tuple, pq_topk(emb, q, k=5, m=4, ks=8).collect()))
+    noop = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(emb, q, k=5, n_cells=4, nprobe=4, m=4, ks=8).collect(),
+        )
+    )
+    assert noop == full
+    narrow = ivf_pq_topk(emb, q, k=5, n_cells=4, nprobe=1, m=4, ks=8).collect()
+    pq_adist = {(t[0], t[1]): t[2] for t in full}
+    for r in narrow:
+        if (r.query_id, r.neighbor_id) in pq_adist:
+            assert r.adist == pq_adist[(r.query_id, r.neighbor_id)]
+    # ranks are contiguous from 1 per query
+    per_q = {}
+    for r in narrow:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
