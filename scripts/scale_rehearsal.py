@@ -169,4 +169,59 @@ results["cosine_lsh_10x_embeddings"] = {
 }
 print(json.dumps({"cosine_lsh_10x_embeddings": results["cosine_lsh_10x_embeddings"]}), file=sys.stderr)
 
+
+# ---- IVF-PQ over 10x embeddings (r9) ---------------------------------------
+# the composed funnel's scale evidence: cells prune, ADC scores codes.
+# wall = ONE full ivf_pq_topk execution (train + encode + score + top-k);
+# funnel accounting (cell histogram -> per-query probed candidate mass)
+# re-derives the prune ratio OUTSIDE the timed window, and recall is
+# measured against the exact brute-force top-5 on the same 10x corpus.
+import numpy as np  # noqa: E402
+
+from sparklyclean_spark.operators.similarity.knn import (  # noqa: E402
+    brute_force_topk,
+    cell_assign_udf,
+    train_ivf_centroids,
+)
+from sparklyclean_spark.operators.similarity.pq import ivf_pq_topk  # noqa: E402
+
+q10 = emb10.where(F.col("vec_id") < 10)
+t0 = time.time()
+approx = ivf_pq_topk(emb10, q10, k=5, n_cells=32, nprobe=8).persist()
+n_approx = approx.count()
+wall = time.time() - t0
+exact = brute_force_topk(emb10, q10, k=5).select("query_id", "neighbor_id")
+hits = exact.join(
+    approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+).count()
+n_exact = exact.count()
+# funnel: per-cell corpus sizes + each query's probed cells
+c10 = emb10.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+cents = train_ivf_centroids(c10, 32, 1, 4096, 10, 647)
+cell_sizes = {
+    r["cell"]: r["s"]
+    for r in c10.select(cell_assign_udf(cents, 1)(F.col("cv")).alias("cell"))
+    .groupBy("cell").agg(F.count(F.lit(1)).alias("s")).collect()
+}
+qrows = q10.orderBy("vec_id").collect()
+qx = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+qx = qx / np.clip(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12, None)
+sims = qx @ cents.T
+adc_rows = sum(
+    int(cell_sizes.get(int(c), 0))
+    for qi in range(len(qrows))
+    for c in np.argsort(-sims[qi])[:8]
+)
+results["ivf_pq_10x_embeddings"] = {
+    "wall_sec": round(wall, 1),
+    "vectors": n_vecs,
+    "queries": len(qrows),
+    "adc_scored_candidates": adc_rows,
+    "exhaustive_adc_equiv": n_vecs * len(qrows),
+    "prune_ratio": round(1.0 - adc_rows / max(n_vecs * len(qrows), 1), 4),
+    "recall_at_5": round(hits / max(n_exact, 1), 4),
+}
+approx.unpersist()
+print(json.dumps({"ivf_pq_10x_embeddings": results["ivf_pq_10x_embeddings"]}), file=sys.stderr)
+
 print(json.dumps(results))
