@@ -258,7 +258,8 @@ def pq_distortion(
                 / 1000000.0
             ).alias("mse"),
         )
-        .orderBy("j")
+        # no trailing orderBy: m rows, and the driver's value hash is
+        # order-insensitive — a rangepartitioning exchange buys nothing
     )
 
 
