@@ -344,22 +344,18 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=32, nprobe=8)
 
 
-def _knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible ANN quality number: per-query recall@5 of the IVF
-    path against the exact brute-force top-k, computed IN-PLAN (left
-    join of the two top-k outputs — no driver-side comparison).
-    ORACLE-VERIFIED since r6 (VERDICT r5 item 3): the trained k-means
-    centroids are rendered as SQL literals (`_ivf_centroids_sql`, the
-    `_lsh_bands_sql` treatment), so DuckDB recomputes cell assignment,
-    probe sets, the candidate join, AND the exact top-5 — the recall
-    value is hash-checked end-to-end, not engine-trusted. The pytest
-    gate (test_textops) additionally bounds mean recall."""
-    from sparklyclean_spark.operators.similarity.knn import brute_force_topk, ivf_topk
+def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx_topk) -> DataFrame:
+    """Shared scaffold of every ANN quality row (IVF / LSH / PQ /
+    IVF-PQ): per-query recall@5 of ``approx_topk(emb, q)`` against the
+    exact brute-force top-5, computed IN-PLAN — exact LEFT JOIN approx
+    on the pair, one coalesce-sum/count round per query. One place to
+    change k, the query set, or the rounding for all four rows."""
+    from sparklyclean_spark.operators.similarity.knn import brute_force_topk
 
     emb = _tables(spark, sf_dir)["embeddings"]
     q = emb.where(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
-    approx = ivf_topk(emb, q, k=5, n_cells=32, nprobe=8).select(
+    approx = approx_topk(emb, q).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     return (
@@ -370,6 +366,23 @@ def _knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)), 4
             ).alias("recall_at_5")
         )
+    )
+
+
+def _knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN quality number: per-query recall@5 of the IVF
+    path against the exact brute-force top-k, computed IN-PLAN (left
+    join of the two top-k outputs — no driver-side comparison).
+    ORACLE-VERIFIED since r6 (VERDICT r5 item 3): the trained k-means
+    centroids are rendered as SQL literals (`_ivf_centroids_sql`, the
+    `_lsh_bands_sql` treatment), so DuckDB recomputes cell assignment,
+    probe sets, the candidate join, AND the exact top-5 — the recall
+    value is hash-checked end-to-end, not engine-trusted. The pytest
+    gate (test_textops) additionally bounds mean recall."""
+    from sparklyclean_spark.operators.similarity.knn import ivf_topk
+
+    return _recall_vs_exact(
+        spark, sf_dir, lambda emb, q: ivf_topk(emb, q, k=5, n_cells=32, nprobe=8)
     )
 
 
@@ -386,24 +399,9 @@ def _knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end, not engine-trusted. Float caveat: same accepted
     measure-zero 1-ulp class as knn_ivf_recall, tightened by the 1e-9
     snap before every argmin/rank."""
-    from sparklyclean_spark.operators.similarity.knn import brute_force_topk
     from sparklyclean_spark.operators.similarity.pq import pq_topk
 
-    emb = _tables(spark, sf_dir)["embeddings"]
-    q = emb.where(F.col("vec_id") < 10)
-    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
-    approx = pq_topk(emb, q, k=5).select(
-        "query_id", "neighbor_id", F.lit(1).alias("_hit")
-    )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.round(
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)), 4
-            ).alias("recall_at_5")
-        )
-    )
+    return _recall_vs_exact(spark, sf_dir, lambda emb, q: pq_topk(emb, q, k=5))
 
 
 def _ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,23 +414,10 @@ def _ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate join, snapped encoding, DECIMAL-exact ADC sums, the
     top-5, and the recall. Same accepted measure-zero float caveat as
     its two parents."""
-    from sparklyclean_spark.operators.similarity.knn import brute_force_topk
     from sparklyclean_spark.operators.similarity.pq import ivf_pq_topk
 
-    emb = _tables(spark, sf_dir)["embeddings"]
-    q = emb.where(F.col("vec_id") < 10)
-    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
-    approx = ivf_pq_topk(emb, q, k=5, n_cells=32, nprobe=8).select(
-        "query_id", "neighbor_id", F.lit(1).alias("_hit")
-    )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.round(
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)), 4
-            ).alias("recall_at_5")
-        )
+    return _recall_vs_exact(
+        spark, sf_dir, lambda emb, q: ivf_pq_topk(emb, q, k=5, n_cells=32, nprobe=8)
     )
 
 
@@ -455,25 +440,10 @@ def _knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus for five rounds; decimal-rounding each dot would trade
     this for a LARGER tie class at the rounding grid, so it is left
     exact."""
-    from sparklyclean_spark.operators.similarity.knn import (
-        brute_force_topk,
-        lsh_bucketed_topk,
-    )
+    from sparklyclean_spark.operators.similarity.knn import lsh_bucketed_topk
 
-    emb = _tables(spark, sf_dir)["embeddings"]
-    q = emb.where(F.col("vec_id") < 10)
-    exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
-    approx = lsh_bucketed_topk(emb, q, k=5).select(
-        "query_id", "neighbor_id", F.lit(1).alias("_hit")
-    )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.round(
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)), 4
-            ).alias("recall_at_5")
-        )
+    return _recall_vs_exact(
+        spark, sf_dir, lambda emb, q: lsh_bucketed_topk(emb, q, k=5)
     )
 
 
@@ -867,17 +837,19 @@ def _incr_agg_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sketch_distinct_users(events: DataFrame) -> DataFrame:
     """Mergeable per-day HLL sketches + merged ALL row. Oracled via
     the estimate-equality precedent (approx_distinct recipe): DuckDB
-    can't reproduce DataSketches bytes, but at the checked SFs every
-    shard's cardinality (max 150 at sf0.01) sits deep in the HLL's
-    exact (coupon-list) mode at lg_k=12, so the oracle demands
-    EQUALITY with exact COUNT(DISTINCT) — empirically verified at
-    both SFs, r9. The real ±rel-error bound on adversarial (beyond-
-    exact-mode) cardinalities stays pytest-gated, as does
-    merged==direct."""
+    can't reproduce DataSketches bytes, but this row pins lg_k=15 so
+    every SHIPPED testdata cardinality (max 1,500 at sf0.1) sits in
+    the HLL's exact coupon-list mode and estimates EQUAL exact
+    COUNT(DISTINCT) — empirically verified at sf0.001/0.01/0.1 (r9;
+    lg_k=12's exact mode ends near ~384 distinct, which would break
+    the oracle at sf0.1 — the code-review finding this lg_k bump
+    resolves). The real ±rel-error bound on beyond-exact-mode
+    cardinalities stays pytest-gated, as does merged==direct."""
     return distinct_rollup(
         events,
         F.col("user_id"),
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"),
+        lg_k=15,
     )
 
 
@@ -5774,10 +5746,11 @@ def oracle_sql() -> dict[str, str]:
     # so the SAME oracle checks both physical plans independently
     sql["text_winnowing_fp_batch"] = sql["text_winnowing_fp"]
     # r9: HLL daily rollup oracled via the estimate-equality precedent
-    # — at the checked SFs every shard (max 150 distinct at sf0.01) is
-    # in the sketch's exact coupon-list mode at lg_k=12, so estimates
-    # EQUAL exact distincts; the generic ±rel-error bound stays
-    # pytest-gated on beyond-exact-mode cardinalities
+    # — the row pins lg_k=15 so every SHIPPED testdata cardinality
+    # (max 1,500 at sf0.1) is in the sketch's exact coupon-list mode
+    # and estimates EQUAL exact distincts at all three SFs; the
+    # generic ±rel-error bound stays pytest-gated on beyond-exact-mode
+    # cardinalities
     sql["sketch_distinct_users_daily"] = """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS shard,
                COUNT(DISTINCT user_id) AS est_distinct
@@ -6111,11 +6084,12 @@ def _ivf_centroids_sql(
 import functools
 
 
-@functools.lru_cache(maxsize=4)
-def _ivf_cents_union_sql() -> str:
-    """Fingerprint-guarded UNION of per-SF centroid VALUES literals —
-    the shared front half of every IVF oracle (see _ivf_recall_sql's
-    docstring for the scheme)."""
+def _fp_guarded_embedding_union(kind: str, render) -> str:
+    """Fingerprint-guarded UNION of per-SF literal sets trained on the
+    embeddings corpus — the ONE place the testdata SF list and the
+    corpus-fingerprint recipe live (shared by the IVF and PQ oracles;
+    a new SF or fingerprint change edits exactly this function).
+    ``render(sf_dir)`` returns the per-SF SELECT to guard."""
     import duckdb
 
     fp_expr = (
@@ -6131,13 +6105,21 @@ def _ivf_cents_union_sql() -> str:
             f" read_parquet('{sf_dir}/embeddings.parquet')"
         ).fetchone()[0]
         if fp in fps:
-            raise RuntimeError(f"IVF oracle fingerprint collision at {sf_dir}")
+            raise RuntimeError(f"{kind} oracle fingerprint collision at {sf_dir}")
         fps.add(fp)
-        branches.append(
-            f"SELECT * FROM {_ivf_centroids_sql(sf_dir)} AS t(cell, cv)"
-            f" WHERE {fp_expr} = {fp!r}"
-        )
+        branches.append(f"{render(sf_dir)} WHERE {fp_expr} = {fp!r}")
     return " UNION ALL ".join(branches)
+
+
+@functools.lru_cache(maxsize=4)
+def _ivf_cents_union_sql() -> str:
+    """Fingerprint-guarded UNION of per-SF centroid VALUES literals —
+    the shared front half of every IVF oracle (see _ivf_recall_sql's
+    docstring for the scheme)."""
+    return _fp_guarded_embedding_union(
+        "IVF",
+        lambda sf: f"SELECT * FROM {_ivf_centroids_sql(sf)} AS t(cell, cv)",
+    )
 
 
 def _ivf_cell_balance_sql(dim: int = 64) -> str:
@@ -6259,30 +6241,8 @@ def _ivf_recall_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
     ~1-ulp gap could differ. For continuous embeddings that event is
     measure-zero, and the underlying brute-force cosine rows have been
     hash-stable for five rounds."""
-    import duckdb
-
-    fp_expr = (
-        "(SELECT ROUND(SUM(CAST(embedding[1] AS DOUBLE) * vec_id), 3)"
-        " FROM embeddings)"
-    )
-    branches = []
-    fps = set()
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-                   "/root/testdata/sf0.1"):
-        fp = duckdb.sql(
-            "SELECT ROUND(SUM(CAST(embedding[1] AS DOUBLE) * vec_id), 3) FROM"
-            f" read_parquet('{sf_dir}/embeddings.parquet')"
-        ).fetchone()[0]
-        if fp in fps:
-            raise RuntimeError(f"IVF oracle fingerprint collision at {sf_dir}")
-        fps.add(fp)
-        branches.append(
-            f"SELECT * FROM {_ivf_centroids_sql(sf_dir)} AS t(cell, cv)"
-            f" WHERE {fp_expr} = {fp!r}"
-        )
-    cents_union = " UNION ALL ".join(branches)
     return f"""
-            WITH cents AS ({cents_union}),
+            WITH cents AS ({_ivf_cents_union_sql()}),
             n AS (
                 SELECT vec_id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -6380,29 +6340,11 @@ def _pq_codebooks_sql(
 def _pq_cb_union_sql() -> str:
     """Fingerprint-guarded UNION of per-SF PQ codebook literals — the
     shared front half of the PQ oracles (scheme of
-    _ivf_cents_union_sql)."""
-    import duckdb
-
-    fp_expr = (
-        "(SELECT ROUND(SUM(CAST(embedding[1] AS DOUBLE) * vec_id), 3)"
-        " FROM embeddings)"
+    _ivf_cents_union_sql, via the shared guarded-union helper)."""
+    return _fp_guarded_embedding_union(
+        "PQ",
+        lambda sf: f"SELECT * FROM {_pq_codebooks_sql(sf)} AS t(j, code, cv)",
     )
-    branches = []
-    fps = set()
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-                   "/root/testdata/sf0.1"):
-        fp = duckdb.sql(
-            "SELECT ROUND(SUM(CAST(embedding[1] AS DOUBLE) * vec_id), 3) FROM"
-            f" read_parquet('{sf_dir}/embeddings.parquet')"
-        ).fetchone()[0]
-        if fp in fps:
-            raise RuntimeError(f"PQ oracle fingerprint collision at {sf_dir}")
-        fps.add(fp)
-        branches.append(
-            f"SELECT * FROM {_pq_codebooks_sql(sf_dir)} AS t(j, code, cv)"
-            f" WHERE {fp_expr} = {fp!r}"
-        )
-    return " UNION ALL ".join(branches)
 
 
 def _pq_common_sql(sub: int = 16) -> str:

@@ -133,6 +133,35 @@ def _encode_udf(cents):
     return pandas_udf(impl, "struct<codes: array<int>, mdist: array<double>>")
 
 
+def _unit_rows(q_rows, vec_field: str = "qv"):
+    """L2-normalized (n x dim) float64 matrix from collected rows."""
+    import numpy as np
+
+    qx = np.array([r[vec_field] for r in q_rows], dtype=np.float64)
+    return qx / np.clip(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12, None)
+
+
+def _query_lut(spark, q_rows, qx, cents, id_field: str = "query_id"):
+    """The shared ADC lookup-table build (pq_topk AND ivf_pq_topk, so
+    the snap grid / schema / decimal cast can never desynchronize the
+    two tiers from their common oracle): (query_id, j, code, d) with d
+    the 1e-9-snapped partial squared L2 of the normalized query
+    sub-vector to each codeword, cast DECIMAL(18,9) for exact sums."""
+    import numpy as np
+
+    m, ks, sub = cents.shape
+    lut = []
+    for qi, r in enumerate(q_rows):
+        qid = int(r[id_field])
+        for j in range(m):
+            block = qx[qi, j * sub : (j + 1) * sub]
+            d = np.round(((block[None, :] - cents[j]) ** 2).sum(-1), 9)
+            lut.extend((qid, j, c_, float(d[c_])) for c_ in range(ks))
+    return spark.createDataFrame(
+        lut, "query_id bigint, j int, code int, d double"
+    ).select("query_id", "j", "code", F.col("d").cast("decimal(18,9)").alias("d"))
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -164,12 +193,9 @@ def pq_topk(
     scale query sets, compose with the IVF cells (IVF-PQ) so each
     query scores only its probed cells' codes.
     """
-    import numpy as np
-
     cents = train_pq_codebooks(
         corpus, m, ks, sample_cap, iters, seed, id_col, vec_col
     )
-    sub = cents.shape[2]
 
     q_rows = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -177,20 +203,8 @@ def pq_topk(
         .limit(query_cap)
         .collect()
     )
-    qx = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    qx = qx / np.clip(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12, None)
-    lut = []
-    for qi, r in enumerate(q_rows):
-        for j in range(m):
-            block = qx[qi, j * sub : (j + 1) * sub]
-            d = np.round(((block[None, :] - cents[j]) ** 2).sum(-1), 9)
-            lut.extend(
-                (int(r["query_id"]), j, c, float(d[c])) for c in range(cents.shape[1])
-            )
     spark = corpus.sparkSession
-    lut_df = spark.createDataFrame(
-        lut, "query_id bigint, j int, code int, d double"
-    ).select("query_id", "j", "code", F.col("d").cast("decimal(18,9)").alias("d"))
+    lut_df = _query_lut(spark, q_rows, _unit_rows(q_rows), cents)
 
     enc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -299,19 +313,21 @@ def ivf_pq_topk(
     import numpy as np
 
     from sparklyclean_spark.operators.similarity.knn import (
+        _spherical_kmeans,
         cell_assign_udf,
-        train_ivf_centroids,
     )
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    ivf_cents = train_ivf_centroids(
-        c, n_cells, 1, sample_cap, iters, seed
+    # ONE hash-ordered sample collect feeds BOTH trainers (the same
+    # rows train_ivf_centroids and train_pq_codebooks would each fetch
+    # — identical md5(id) order and cap — without scanning twice)
+    srows = _hash_ordered_sample(c, "neighbor_id", sample_cap)
+    svecs = [r["cv"] for r in srows]
+    ivf_cents = _spherical_kmeans(
+        np.array(svecs, dtype=np.float64), n_cells, iters, seed
     )
-    pq_cents = train_pq_codebooks(
-        corpus, m, ks, sample_cap, iters, seed, id_col, vec_col
-    )
-    sub = pq_cents.shape[2]
+    pq_cents = codebooks_from_vectors(svecs, m, ks, iters, seed)
 
     # corpus side: one Arrow pass each for cell + codes, exploded to
     # (neighbor_id, cell, j, code) — 4-int rows into the probe join
@@ -323,25 +339,17 @@ def ivf_pq_topk(
 
     # query side: bounded collect builds probes + the ADC lookup table
     q_rows = q.orderBy("query_id").limit(query_cap).collect()
-    qx = np.array([r["qv"] for r in q_rows], dtype=np.float64)
-    qx = qx / np.clip(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12, None)
+    qx = _unit_rows(q_rows)
     sims = qx @ ivf_cents.T
     top = min(nprobe, len(ivf_cents))
-    probe_rows = []
-    lut = []
-    for qi, r in enumerate(q_rows):
-        qid = int(r["query_id"])
-        for cell in np.argsort(-sims[qi])[:top]:
-            probe_rows.append((qid, int(cell)))
-        for j in range(m):
-            block = qx[qi, j * sub : (j + 1) * sub]
-            d = np.round(((block[None, :] - pq_cents[j]) ** 2).sum(-1), 9)
-            lut.extend((qid, j, c_, float(d[c_])) for c_ in range(pq_cents.shape[1]))
+    probe_rows = [
+        (int(r["query_id"]), int(cell))
+        for qi, r in enumerate(q_rows)
+        for cell in np.argsort(-sims[qi])[:top]
+    ]
     spark = corpus.sparkSession
     probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int")
-    lut_df = spark.createDataFrame(
-        lut, "query_id bigint, j int, code int, d double"
-    ).select("query_id", "j", "code", F.col("d").cast("decimal(18,9)").alias("d"))
+    lut_df = _query_lut(spark, q_rows, qx, pq_cents)
 
     scored = (
         cc.join(F.broadcast(probes), "cell")
