@@ -1428,6 +1428,21 @@ _DRIVER_CHECK_ORDER = [
     "q15_top_revenue_suppliers",
     "q16_supplier_counts",
     "q20_promo_heavy_suppliers",
+    # registry tail previously absent from this list (r9 bookkeeping
+    # fix found by scripts/staleness.py): adding them here changes
+    # nothing the driver sees (it reads only the first 50) but lets
+    # the staleness report and future rotations track them
+    "cube_lineitem_flags",
+    "semi_join_customers_with_open_orders",
+    "set_ops_nation_keys",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprints",
+    "neardup_simhash",
+    "embedding_lsh_pairs",
+    "knn_lsh_cosine",
+    "knn_ivf_cosine",
 ]
 
 
