@@ -328,6 +328,11 @@ def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-k. ORACLE-VERIFIED since r9 (was rows-only):
+    the deterministic Rademacher plane literals let DuckDB recompute
+    band buckets, the candidate join, AND the rounded-cos ranked
+    output — the same scheme knn_lsh_recall has used since r4, now
+    applied to the raw top-k rows themselves."""
     from sparklyclean_spark.operators.similarity.knn import lsh_bucketed_topk
 
     emb = _tables(spark, sf_dir)["embeddings"]
@@ -336,8 +341,10 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: spherical-kmeans coarse quantizer + nprobe cell probe.
-    Rows-only (recall < 1 by construction; pytest gates recall vs
-    brute force)."""
+    ORACLE-VERIFIED since r9 (was rows-only): the baked-centroid
+    literals its recall twin has used since r6 also derive the raw
+    top-k rows (shared candidate CTE + rounded-cos re-rank,
+    `_ivf_topk_sql`)."""
     from sparklyclean_spark.operators.similarity.knn import ivf_topk
 
     emb = _tables(spark, sf_dir)["embeddings"]
@@ -1219,8 +1226,6 @@ _DRIVER_CHECK_ORDER = [
     "profile_orders_columns",
     "scd2_user_values",
     "decontam_overlap",
-    "events_session_windows",
-    "price_percentiles_by_priority",
     "tcloseness_customer_audit",  # NEW r9: completes the privacy ladder;
                                   # displaced the 3x-green
                                   # approx_distinct_parts_per_brand (whose
@@ -1253,6 +1258,17 @@ _DRIVER_CHECK_ORDER = [
                       # knn_bruteforce_cosine (2x-green, last r3; the
                       # exact-cosine computation is recomputed inside
                       # every recall oracle in-window, incl. this one)
+    "knn_ivf_cosine",  # NEWLY-ORACLED r9 (was rows-only): raw IVF
+                       # top-k via the baked-centroid scheme; displaced
+                       # events_session_windows (2x-green, last r3;
+                       # event-window family stays repped by
+                       # events_sliding_users + events_tumbling's
+                       # parked green records)
+    "knn_lsh_cosine",  # NEWLY-ORACLED r9 (was rows-only): raw sign-LSH
+                       # top-k via the Rademacher plane literals;
+                       # displaced price_percentiles_by_priority
+                       # (2x-green, last r3; percentile family repped
+                       # by the parked GK-audit/percentile greens)
     "semdedup_embeddings",  # NEW r9: embedding-space dedup over IVF cells;
                             # displaced the 3x-green scalar_string_date_math
     "sketch_distinct_users_daily",  # NEW-ORACLED r9: estimate-equality oracle
@@ -1271,6 +1287,9 @@ _DRIVER_CHECK_ORDER = [
     "embedding_cosine_neardup",  # 2x-green r3, displaced for knn_pq_recall
     "events_tumbling_hourly",  # 2x-green r3, displaced for pq_distortion
     "knn_bruteforce_cosine",  # 2x-green r3, displaced for ivf_pq_recall
+    "events_session_windows",  # 2x-green r3, displaced for knn_ivf_cosine
+    "price_percentiles_by_priority",  # 2x-green r3, displaced for
+                                      # knn_lsh_cosine
     # The entire r8 window (50 fresh r8-green records) is parked
     # here, followed by the r7-debut queue and the registry tail —
     # all have green records r4+ and head the r10 rotate-in queue.
@@ -1441,8 +1460,6 @@ _DRIVER_CHECK_ORDER = [
     "text_fingerprints",
     "neardup_simhash",
     "embedding_lsh_pairs",
-    "knn_lsh_cosine",
-    "knn_ivf_cosine",
 ]
 
 
@@ -5041,6 +5058,38 @@ def oracle_sql() -> dict[str, str]:
         sql["ivf_pq_recall"] = _ivf_pq_recall_sql()
     except Exception:
         pass
+    # r9: the RAW ANN top-k rows graduate from rows-only — both are
+    # fully derivable from the literal schemes their recall twins
+    # already use (baked IVF centroids / deterministic Rademacher
+    # planes), so DuckDB recomputes candidates AND the rounded-cos
+    # ranked output
+    try:
+        sql["knn_ivf_cosine"] = _ivf_topk_sql()
+    except Exception:
+        pass
+    sql["knn_lsh_cosine"] = f"""
+        WITH sig AS (
+            SELECT vec_id, embedding, unnest({_lsh_bands_sql()}) AS bb
+            FROM embeddings
+        ),
+        s AS (SELECT vec_id, embedding, bb.band AS band, bb.bucket AS bucket FROM sig),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM s q JOIN s c ON q.band = c.band AND q.bucket = c.bucket
+                             AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos,
+               CAST(rank AS INT) AS rank
+        FROM (
+            SELECT cand.query_id, cand.neighbor_id, {_COS_SQL} AS cos,
+                   ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                        ORDER BY {_COS_SQL} DESC, cand.neighbor_id ASC) AS rank
+            FROM cand
+            JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id
+        ) WHERE rank <= 5
+    """
     sql["neardup_simhash_md5"] = _simhash_md5_sql()
     # r7 additions: temperature mix weights (sqrt chain + integer-grid
     # snap BEFORE the normalizing sum), bigram PMI (one ln over a single
@@ -6238,26 +6287,13 @@ def _semdedup_sql(dim: int = 64, threshold: float = 0.35) -> str:
         """
 
 
-def _ivf_recall_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
-    """Full DuckDB oracle for knn_ivf_recall: centroid literals ->
-    per-vector cell argmax (ties to the LOWEST cell, matching numpy
-    argmax) -> per-query top-nprobe probe cells -> cell equi-join
-    candidates -> exact cosine top-k re-rank vs brute-force top-k.
-
-    The centroid VALUES are rendered once per known test SF, each row
-    set guarded by a corpus-fingerprint predicate (a rounded weighted
-    sum over the embeddings view), so the SAME SQL string picks the
-    centroids trained on whatever corpus the connection reads — the
-    pytest rehearsal runs at sf0.001, the driver at sf0.01.
-
-    Float caveat (same class as knn_lsh_recall, accepted): numpy sums
-    the cell dot products with SIMD/pairwise order, DuckDB list_sum
-    sequentially — a cell argmax or probe-set boundary decided by a
-    ~1-ulp gap could differ. For continuous embeddings that event is
-    measure-zero, and the underlying brute-force cosine rows have been
-    hash-stable for five rounds."""
-    return f"""
-            WITH cents AS ({_ivf_cents_union_sql()}),
+def _ivf_cand_cte(dim: int = 64, nprobe: int = 8) -> str:
+    """Shared CTE body of the IVF oracles (knn_ivf_recall AND the raw
+    knn_ivf_cosine top-k): centroid literals -> normalized vectors ->
+    per-(vector, cell) sims -> cell argmax (ties to the LOWEST cell,
+    matching numpy argmax) -> per-query top-nprobe probes -> distinct
+    candidate pairs."""
+    return f"""cents AS ({_ivf_cents_union_sql()}),
             n AS (
                 SELECT vec_id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -6290,7 +6326,51 @@ def _ivf_recall_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
                 SELECT DISTINCT p.query_id, cc.neighbor_id
                 FROM probes p JOIN corpus_cell cc USING (cell)
                 WHERE cc.neighbor_id <> p.query_id
-            ),
+            )"""
+
+
+def _ivf_topk_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
+    """DuckDB oracle for the RAW IVF top-k rows (knn_ivf_cosine) —
+    previously rows-only, now fully derivable from the baked-centroid
+    scheme its recall twin has used since r6: the shared candidate CTE
+    plus the exact cosine re-rank with rounded cos and rank columns
+    (the same (cos DESC, neighbor ASC) total order the Spark path's
+    salted top-k produces)."""
+    return f"""
+            WITH {_ivf_cand_cte(dim, nprobe)}
+            SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT cand.query_id, cand.neighbor_id, {_COS_SQL} AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                            ORDER BY {_COS_SQL} DESC, cand.neighbor_id ASC) AS rank
+                FROM cand
+                JOIN embeddings a ON a.vec_id = cand.query_id
+                JOIN embeddings b ON b.vec_id = cand.neighbor_id
+            ) WHERE rank <= {k}
+        """
+
+
+def _ivf_recall_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
+    """Full DuckDB oracle for knn_ivf_recall: centroid literals ->
+    per-vector cell argmax (ties to the LOWEST cell, matching numpy
+    argmax) -> per-query top-nprobe probe cells -> cell equi-join
+    candidates -> exact cosine top-k re-rank vs brute-force top-k.
+
+    The centroid VALUES are rendered once per known test SF, each row
+    set guarded by a corpus-fingerprint predicate (a rounded weighted
+    sum over the embeddings view), so the SAME SQL string picks the
+    centroids trained on whatever corpus the connection reads — the
+    pytest rehearsal runs at sf0.001, the driver at sf0.01.
+
+    Float caveat (same class as knn_lsh_recall, accepted): numpy sums
+    the cell dot products with SIMD/pairwise order, DuckDB list_sum
+    sequentially — a cell argmax or probe-set boundary decided by a
+    ~1-ulp gap could differ. For continuous embeddings that event is
+    measure-zero, and the underlying brute-force cosine rows have been
+    hash-stable for five rounds."""
+    return f"""
+            WITH {_ivf_cand_cte(dim, nprobe)},
             approx AS (
                 SELECT query_id, neighbor_id FROM (
                     SELECT cand.query_id, cand.neighbor_id,
