@@ -177,6 +177,8 @@ def main() -> None:
         # PQ/ADC tier: one Arrow encode pass + broadcast-lut scoring +
         # salted top-k, vs the brute-force baseline inside the same row
         "knn_pq_recall",
+        # the composed IVF-PQ funnel (cells prune, ADC scores codes)
+        "ivf_pq_recall",
     ]
 
     def run_once(name: str) -> float:
