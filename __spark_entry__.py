@@ -1183,12 +1183,16 @@ def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_CHECK_ORDER = [
     # ---- r9 window (first 50 = the driver's hash-checked set) ----
     # Composition (VERDICT r8 item 1): rotate by LATEST-GREEN round,
-    # oldest first. 2 pinned flagships + the full r1 cohort (3) +
-    # the full r2 cohort (22) + the 23 oldest r3 rows (all 1x/2x-
-    # green r3 rows + 6 family-representative 3x-green rows) = 48
-    # stale re-certifications, every one with prior record <=r3.
-    # New r9 queries displace the tail 3x-green r3 rows as they
-    # land (each displacement commented at the time).
+    # oldest first. Final r9 shape: 2 pinned flagships + 13 new or
+    # newly-oracled r9 rows + 35 stale re-certifications, every one
+    # with prior record <=r3 — exactly the >=35 floor item 1 set.
+    # Each new row's displacement took the most-certified in-window
+    # row whose family stays represented (commented in place). The
+    # trade accepted: 13 r3-cohort rows stay un-re-certified this
+    # round (max staleness stays 6, not the hoped <=4) in exchange
+    # for every new capability row AND both newly-oracled raw-ANN
+    # rows earning hash-green records; `scripts/staleness.py` prints
+    # the exact r10 rotate-in queue (the 13 r3 rows head it).
     "dedup_pairs_disdedup_customer",  # pinned flagship: recorded row every round
     "ml_dedup_quality_gate",  # pinned flagship: ML gate, recorded row every round
     "neardup_token_jaccard",  # last green r1
