@@ -2493,7 +2493,8 @@ def oracle_sql() -> dict[str, str]:
         # k-fold: DuckDB casts '0x'||hex directly to BIGINT (verified
         # 1.0.0); fold is the identical md5-derived uniform mod k
         "kfold_docs_by_lang": """
-            SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            SELECT CAST(CAST('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR),
+                                                         chr(31))), 1, 8)
                              AS BIGINT) % 5 AS INT) AS fold,
                    lang, CAST(COUNT(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY 1, 2
@@ -3715,10 +3716,15 @@ def oracle_sql() -> dict[str, str]:
                                AS INT) AS bin,
                           COUNT(*) AS n_actual
                    FROM act CROSS JOIN b GROUP BY 1),
-            j AS (SELECT COALESCE(eb.bin, ab.bin) AS bin,
+            -- full 1..n_bins spine (r9): bins unreachable via tied
+            -- boundaries still contribute their smoothed terms
+            spine AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bin),
+            j AS (SELECT s.bin,
                          COALESCE(n_expected, 0) AS n_expected,
                          COALESCE(n_actual, 0) AS n_actual
-                  FROM eb FULL OUTER JOIN ab ON eb.bin = ab.bin),
+                  FROM spine s
+                  LEFT JOIN eb ON s.bin = eb.bin
+                  LEFT JOIN ab ON s.bin = ab.bin),
             t AS (SELECT SUM(n_expected) AS ne, SUM(n_actual) AS na FROM j),
             per AS (
                 SELECT bin, n_expected, n_actual,
@@ -4111,8 +4117,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_split_documents": """
             SELECT doc_id,
-                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
-                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                   CASE WHEN substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(31))), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(31))), 1, 4) < 'e666' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
         """,
@@ -5280,7 +5286,8 @@ def oracle_sql() -> dict[str, str]:
         n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS nn FROM joint),
         mi AS (
             SELECT CAST(SUM(CAST(ROUND(
-                       (c_ab / nn) * ln((c_ab * nn) / (c_a * c_b)), 6)
+                       (c_ab / nn) * ln((CAST(c_ab AS DOUBLE) * nn)
+                                        / (CAST(c_a AS DOUBLE) * c_b)), 6)
                        AS DECIMAL(18,6))) AS DOUBLE) AS mi
             FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN n
         ),

@@ -127,8 +127,18 @@ def psi_drift(
 
     e = binned(expected, "n_expected")
     a = binned(actual, "n_actual")
+    # full 1..n_bins spine, NOT a full-outer join of the two observed
+    # sides: when quantile boundaries tie (heavy-tailed/degenerate
+    # expected columns) intermediate bins are unreachable and appear
+    # on NEITHER side, yet their smoothed terms are nonzero whenever
+    # ne != na — dropping them biases the headline PSI low exactly on
+    # the distributions the gate exists to catch (r9 review finding).
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_bins))).alias("bin")
+    )
     joined = (
-        e.join(a, "bin", "full_outer")
+        spine.join(e, "bin", "left")
+        .join(a, "bin", "left")
         .select(
             "bin",
             F.coalesce("n_expected", F.lit(0)).cast("bigint").alias("n_expected"),
@@ -252,8 +262,17 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.broadcast(n)
     )
     p_ab = F.col("c_ab") / F.col("_n")
+    # first factor of each product cast to double (the chi² overflow
+    # recipe): bigint·bigint errors under ANSI near 2^63 (~3e9 rows
+    # with a dominant cell); double products are exact below 2^53 and
+    # a ≥2^53 product's ~1e-16 relative error is invisible under the
+    # 6-decimal snap. The DuckDB twin mirrors the casts.
     mi_term = F.round(
-        p_ab * F.log((F.col("c_ab") * F.col("_n")) / (F.col("c_a") * F.col("c_b"))),
+        p_ab
+        * F.log(
+            (F.col("c_ab").cast("double") * F.col("_n"))
+            / (F.col("c_a").cast("double") * F.col("c_b"))
+        ),
         6,
     ).cast("decimal(18,6)")
     mi = full.agg(F.sum(mi_term).cast("double").alias("_mi"))
@@ -324,5 +343,5 @@ def grouped_correlation(
     return agg.select(
         *keys,
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
-        F.when(r.isNotNull(), F.floor(r * 10000.0 + 0.5) / 10000.0).alias("r"),
+        _r4(r).alias("r"),  # round4 propagates NULL; no guard needed
     )

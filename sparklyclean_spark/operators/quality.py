@@ -116,27 +116,39 @@ def check_constraints(
         )
     for u in uniq_rules:
         key = [F.col(c) for c in u.cols]
+        # NULL-key contract (both modes): a row with any NULL key
+        # column counts as a violation. count_distinct(*cols) drops
+        # any-NULL rows by SQL semantics; the approx twin must match,
+        # so the struct is NULLed out for any-NULL keys (approx_
+        # count_distinct ignores NULL inputs) — a bare struct would
+        # count the NULL key as a distinct level and silently flip
+        # passed on NULL-keyed data.
+        nonnull = key[0].isNotNull()
+        for c in key[1:]:
+            nonnull = nonnull & c.isNotNull()
         nd = (
-            F.approx_count_distinct(F.struct(*key))
+            F.approx_count_distinct(F.when(nonnull, F.struct(*key)))
             if approx_unique
             else F.count_distinct(*key)
         )
         aggs.append((F.count(F.lit(1)) - nd).alias(u.name))
 
-    wide = df.agg(*aggs)
-    # one row -> long form via inline(array(struct...)): stays in-plan
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(r.name).alias("rule"),
-                F.col(r.name).cast("bigint").alias("violations"),
-            )
-            for r in row_rules + uniq_rules
-        ]
-    )
-    out = wide.select(F.col("_n").alias("n_rows"), F.inline(pairs)).select(
-        "rule", "violations", "n_rows"
-    )
+    out = None
+    if row_rules or uniq_rules:
+        wide = df.agg(*aggs)
+        # one row -> long form via inline(array(struct...)): stays in-plan
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.col(r.name).cast("bigint").alias("violations"),
+                )
+                for r in row_rules + uniq_rules
+            ]
+        )
+        out = wide.select(F.col("_n").alias("n_rows"), F.inline(pairs)).select(
+            "rule", "violations", "n_rows"
+        )
 
     if fk_rules:
         n_rows_df = df.agg(F.count(F.lit(1)).alias("n_rows"))
@@ -152,8 +164,13 @@ def check_constraints(
                 .agg(F.count(F.lit(1)).alias("violations"))
                 .select(F.lit(fk.name).alias("rule"), "violations")
             )
-            out = out.unionByName(misses.crossJoin(F.broadcast(n_rows_df)))
+            fk_row = misses.crossJoin(F.broadcast(n_rows_df))
+            # FK-only suites start here — inline(array()) over zero
+            # structs is an AnalysisException, so `out` may be None
+            out = fk_row if out is None else out.unionByName(fk_row)
 
+    if out is None:
+        raise ValueError("check_constraints needs at least one rule")
     return out.withColumn("passed", F.col("violations") == 0)
 
 

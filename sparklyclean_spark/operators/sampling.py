@@ -111,8 +111,17 @@ def hash_split(
 ) -> DataFrame:
     """Append a ``split`` column: 3-way assignment by comparing the
     first 4 hex chars of md5(id) against the boundary strings
-    (defaults ≈ 0.80 / 0.10 / 0.10 — 0xCCCC/0x10000 and 0xE666/0x10000)."""
-    h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    (defaults ≈ 0.80 / 0.10 / 0.10 — 0xCCCC/0x10000 and 0xE666/0x10000).
+
+    NULL ids hash a U+001F sentinel instead of NULL: md5(NULL) is
+    NULL, both when-comparisons would be NULL, and every NULL-id row
+    would silently fall through otherwise() into the TEST split —
+    polluting the held-out set. With the sentinel all NULL-id rows
+    land together in whichever split the sentinel's hash selects,
+    deterministically."""
+    h4 = F.substring(
+        F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("\x1f"))), 1, 4
+    )
     return df.withColumn(
         "split",
         F.when(h4 < boundaries[0], names[0])
@@ -134,8 +143,14 @@ def kfold_assignment(df: DataFrame, id_col: str, k: int = 5) -> DataFrame:
     deterministic function of the ROW ID alone, so folds survive
     repartitioning, incremental appends, and engine migration (the
     property seeded ``randomSplit`` lacks)."""
+    # NULL ids take the U+001F sentinel (hash_split's rule): md5(NULL)
+    # is NULL and would emit a NULL fold instead of an assignment
     u = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        F.substring(
+            F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("\x1f"))), 1, 8
+        ),
+        16,
+        10,
     ).cast("bigint")
     return df.withColumn("fold", F.pmod(u, F.lit(k)).cast("int"))
 
@@ -368,8 +383,6 @@ def negative_pairs(
     corpus scale derive the dense index with operators.ids instead),
     a k-way literal explode, and one equi-join on the dense index.
     """
-    from pyspark.sql import Window
-
     from sparklyclean_spark.cache import tracked_persist
 
     # persisted: the index table feeds BOTH the draw side and the

@@ -279,3 +279,77 @@ def test_ivf_pq_results_subset_of_pq_with_full_probe(spark):
     for r in narrow:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_check_constraints_fk_only_suite(spark):
+    """An FK-only (or uniqueness-free) rule list must run — the long
+    form previously built inline(array()) with zero structs, an
+    AnalysisException (r9 review finding)."""
+    from sparklyclean_spark.operators.quality import (
+        ForeignKeyRule,
+        check_constraints,
+    )
+
+    fact = spark.createDataFrame([(1,), (2,), (9,)], "k int")
+    dim = spark.createDataFrame([(1,), (2,)], "d int")
+    out = check_constraints(fact, [ForeignKeyRule("k", dim, "d")])
+    rows = {r.rule: r for r in out.collect()}
+    assert rows["foreign_key_k"].violations == 1 and not rows["foreign_key_k"].passed
+    assert rows["foreign_key_k"].n_rows == 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        check_constraints(fact, [])
+
+
+def test_unique_rule_null_keys_consistent_across_modes(spark):
+    """NULL-keyed rows count as violations in BOTH exact and approx
+    modes (the approx flag previously flipped passed on NULL keys —
+    r9 review finding, reproduced before the fix)."""
+    from sparklyclean_spark.operators.quality import UniqueRule, check_constraints
+
+    df = spark.createDataFrame([(1,), (2,), (None,), (3,)], "k int")
+    exact = {r.rule: r for r in check_constraints(df, [UniqueRule(("k",))]).collect()}
+    approx = {
+        r.rule: r
+        for r in check_constraints(
+            df, [UniqueRule(("k",))], approx_unique=True
+        ).collect()
+    }
+    assert exact["unique_k"].violations == 1 and not exact["unique_k"].passed
+    assert approx["unique_k"].violations == 1 and not approx["unique_k"].passed
+
+
+def test_hash_split_and_kfold_handle_null_ids(spark):
+    """NULL ids land in ONE deterministic split/fold via the U+001F
+    sentinel — previously every NULL id silently fell into 'test'
+    (hash_split) or got a NULL fold (kfold)."""
+    from sparklyclean_spark.operators.sampling import hash_split, kfold_assignment
+
+    df = spark.createDataFrame([(i,) for i in range(20)] + [(None,)] * 3, "id bigint")
+    splits = hash_split(df, "id").collect()
+    null_splits = {r.split for r in splits if r.id is None}
+    assert len(null_splits) == 1 and None not in null_splits
+    folds = kfold_assignment(df, "id").collect()
+    null_folds = {r.fold for r in folds if r.id is None}
+    assert len(null_folds) == 1 and None not in null_folds
+
+
+def test_psi_counts_unreachable_bins(spark):
+    """With a degenerate expected column (one dominant value -> tied
+    quantile boundaries -> unreachable bin indices) the PSI output
+    still carries all n_bins rows and the total includes the empty
+    bins' smoothed terms (which are nonzero whenever ne != na)."""
+    from sparklyclean_spark.operators.drift import psi_drift
+
+    exp = spark.createDataFrame([(1.0,)] * 50 + [(9.0,)] * 2, "v double")
+    act = spark.createDataFrame([(1.0,)] * 10 + [(9.0,)] * 30, "v double")
+    rows = psi_drift(exp, act, "v", n_bins=10).collect()
+    assert len(rows) == 10  # full spine, not just observed bins
+    empty = [r for r in rows if r.n_expected == 0 and r.n_actual == 0]
+    assert empty, "tied boundaries must leave unreachable bins in this setup"
+    assert all(r.psi_term != 0.0 for r in empty)  # ne=52 != na=40
+    # total equals the sum of ALL terms (snap tolerance only)
+    total = rows[0].psi_total
+    assert abs(total - sum(r.psi_term for r in rows)) < 1e-3
