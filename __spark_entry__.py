@@ -4820,7 +4820,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_idx,
                    CAST(user_id AS VARCHAR) || '-' ||
                        CAST(session_idx AS VARCHAR) AS session_id,
-                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                   string_agg(COALESCE(event_type, chr(31)), '>'
+                              ORDER BY ts, event_id)
                        AS sequence,
                    COUNT(*) AS seq_len
             FROM lab GROUP BY user_id, session_idx
@@ -5418,13 +5419,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type = 'purchase'
         ),
         t AS (
-            SELECT user_id AS u, ts AS tts, event_type AS tty
+            SELECT user_id AS u, ts AS tts, event_id AS tid, event_type AS tty
             FROM events WHERE event_type IN ('click', 'view')
         ),
         j AS (
             SELECT p.u, p.pid, p.v, t.tty
             FROM p LEFT JOIN t
-              ON p.u = t.u AND t.tts < p.pts
+              ON p.u = t.u
+             AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))
              AND date_diff('microsecond', t.tts, p.pts) <= 604800000000
         ),
         c AS (
@@ -5499,7 +5501,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type = 'purchase'
         ),
         t AS (
-            SELECT user_id AS u, ts AS tts, event_type AS tty
+            SELECT user_id AS u, ts AS tts, event_id AS tid, event_type AS tty
             FROM events WHERE event_type IN ('click', 'view')
         ),
         j AS (
@@ -5510,7 +5512,8 @@ def oracle_sql() -> dict[str, str]:
                             // 86400000000 AS INT)
                    END AS iw
             FROM p LEFT JOIN t
-              ON p.u = t.u AND t.tts < p.pts
+              ON p.u = t.u
+             AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))
              AND date_diff('microsecond', t.tts, p.pts) <= 604800000000
         ),
         c AS (
@@ -5595,7 +5598,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT e1 || '>' || e2 || '>' || e3 AS path,
                CAST(COUNT(*) AS BIGINT) AS count
-        FROM seq WHERE e3 IS NOT NULL
+        FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY e1, e2, e3
         ORDER BY count DESC, path ASC
         LIMIT 20

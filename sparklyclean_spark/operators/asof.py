@@ -81,7 +81,11 @@ def asof_join(
         )
         .alias(_RPAY),
     )
-    r_tagged = right.select(
+    # a NULL right timestamp cannot be "at or before" anything — under
+    # backward's ascending order NULLs sort FIRST and their payload
+    # would ride last(ignorenulls) into every left row preceding a
+    # real match (r9 review finding; DuckDB ASOF drops them too)
+    r_tagged = right.where(F.col(right_ts).isNotNull()).select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),

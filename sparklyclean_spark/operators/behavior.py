@@ -27,6 +27,31 @@ from pyspark.sql import functions as F
 from sparklyclean_spark.functions.rounding import ratio4, round4
 
 
+def _transition_counts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    from_name: str,
+    to_name: str,
+    count_name: str,
+) -> DataFrame:
+    """Shared (prev, next) transition extraction + count agg of
+    transition_matrix AND transition_entropy (one copy of the lead
+    window, null-next drop, and tiebreak policy, so the entropy
+    metrics can never silently diverge from the matrix they are
+    documented to be computed over)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = events.select(
+        F.col(type_col).alias(from_name),
+        F.lead(type_col).over(w).alias(to_name),
+    ).where(F.col(to_name).isNotNull())
+    return pairs.groupBy(from_name, to_name).agg(
+        F.count(F.lit(1)).alias(count_name)
+    )
+
+
 def transition_matrix(
     events: DataFrame,
     type_col: str = "event_type",
@@ -48,13 +73,9 @@ def transition_matrix(
     key domain is #types² — the totals join is a broadcast of a
     #types-row table.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    pairs = events.select(
-        F.col(type_col).alias("from_type"),
-        F.lead(type_col).over(w).alias("to_type"),
-    ).where(F.col("to_type").isNotNull())
-    counts = pairs.groupBy("from_type", "to_type").agg(
-        F.count(F.lit(1)).alias("n_transitions")
+    counts = _transition_counts(
+        events, user_col, ts_col, type_col, tiebreak_col,
+        "from_type", "to_type", "n_transitions",
     )
     totals = counts.groupBy("from_type").agg(
         F.sum("n_transitions").alias("n_from")
@@ -516,9 +537,14 @@ def _attribution_touch_join(
 ) -> DataFrame:
     """One row per (purchase, prior in-window touch), left-extended so
     untouched purchases survive with NULL touch columns — the shared
-    front half of every attribution model, so the strict
-    ``touch.ts < purchase.ts`` bound and the integer-MICROSECOND
-    window comparison live in exactly one place."""
+    front half of every attribution model, so the "prior touch" bound
+    and the integer-MICROSECOND window comparison live in exactly one
+    place. "Prior" is LEXICOGRAPHIC on (ts, tiebreak) — the same
+    total order last_touch_attribution's (unboundedPreceding, -1)
+    row frame walks — so all three models agree on which touches are
+    in scope even for same-microsecond touch/purchase pairs (a strict
+    ts-only bound classified those purchases as 'direct' here while
+    last-touch credited them; r9 review finding)."""
     p = events.where(F.col(type_col) == purchase_type).select(
         F.col(user_col).alias("_u"),
         F.col(ts_col).alias("_pts"),
@@ -528,13 +554,17 @@ def _attribution_touch_join(
     t = events.where(F.col(type_col).isin(list(touch_types))).select(
         F.col(user_col).alias("_u"),
         F.col(ts_col).alias("_tts"),
+        F.col(tiebreak_col).alias("_tid"),
         F.col(type_col).alias("_tty"),
     )
     limit_us = F.lit(window_days * 86_400_000_000).cast("bigint")
     return p.join(
         t,
         (p["_u"] == t["_u"])
-        & (t["_tts"] < p["_pts"])
+        & (
+            (t["_tts"] < p["_pts"])
+            | ((t["_tts"] == p["_pts"]) & (t["_tid"] < p["_pid"]))
+        )
         & (F.timestamp_diff("MICROSECOND", t["_tts"], p["_pts"]) <= limit_us),
         "left",
     ).select(p["_u"], "_pid", "_pts", "_tts", "_v", "_tty")
@@ -658,15 +688,9 @@ def transition_entropy(
     Scale: one user-keyed window exchange + aggs bounded by the event-
     type domain squared.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    pairs = (
-        events.select(
-            F.col(type_col).alias("prev"),
-            F.lead(type_col).over(w).alias("nxt"),
-        )
-        .where(F.col("nxt").isNotNull())
+    cell = _transition_counts(
+        events, user_col, ts_col, type_col, tiebreak_col, "prev", "nxt", "c"
     )
-    cell = pairs.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("c"))
     margin_prev = cell.groupBy("prev").agg(F.sum("c").cast("bigint").alias("cp"))
     margin_next = cell.groupBy("nxt").agg(F.sum("c").cast("bigint").alias("cn"))
     total = cell.agg(F.sum("c").cast("bigint").alias("_n"))

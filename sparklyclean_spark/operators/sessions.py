@@ -126,9 +126,16 @@ def session_sequences(
     """
     order_cols = [ts_col] + ([tiebreaker] if tiebreaker else [])
     labeled = _sessionize_ordered(events, gap_seconds, user_col, order_cols)
+    # NULL event types render as the U+001F sentinel token: array_join
+    # silently SKIPS null elements, which would leave sequence token
+    # count < seq_len (r9 review finding) — the sentinel keeps the two
+    # consistent and makes the null event visible instead of vanishing
     packed = F.array_sort(
         F.collect_list(
-            F.struct(*[F.col(c) for c in order_cols], F.col(type_col).alias("_t"))
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.coalesce(F.col(type_col), F.lit("\x1f")).alias("_t"),
+            )
         )
     )
     return labeled.groupBy(user_col, "session_idx", "session_id").agg(
@@ -190,8 +197,6 @@ def session_path_ngrams(
     on the same partitioning (no extra exchange), one hash agg onto
     the bounded path vocabulary, top-k sorted limit.
     """
-    from pyspark.sql import Window
-
     order_cols = [ts_col] + ([tiebreaker] if tiebreaker else [])
     labeled = _sessionize_ordered(events, gap_seconds, user_col, order_cols)
     w = Window.partitionBy(user_col, "session_idx").orderBy(
@@ -200,9 +205,16 @@ def session_path_ngrams(
     steps = [F.col(type_col)] + [
         F.lead(type_col, j).over(w) for j in range(1, n)
     ]
+    # EVERY step must be non-null, not just the last: concat_ws skips
+    # null elements, so a window with a null middle type would emit an
+    # (n-1)-token string counted as a full n-gram and collide with
+    # genuine shorter paths (r9 review finding)
+    full = steps[0].isNotNull()
+    for s_ in steps[1:]:
+        full = full & s_.isNotNull()
     paths = labeled.select(
         F.concat_ws(sep, *steps).alias("path"),
-        steps[-1].isNotNull().alias("_full"),
+        full.alias("_full"),
     ).where(F.col("_full"))
     return (
         paths.groupBy("path")
@@ -266,7 +278,12 @@ def session_peak_concurrency(
     )
     if bucket_hours:
         bucket_us = bucket_hours * 3_600_000_000
-        epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+        # NTZ epoch literal: to_timestamp yields a session-timezone
+        # TIMESTAMP, and mixing it with NTZ event times makes bucket
+        # boundaries depend on spark.sql.session.timeZone (value-safe
+        # — the coercion is monotone — but bucket placement drifted
+        # with config; the repo's NTZ-everywhere rule applies)
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
         pts = pts.withColumn(
             "_bkt",
             F.floor(

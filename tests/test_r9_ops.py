@@ -353,3 +353,74 @@ def test_psi_counts_unreachable_bins(spark):
     # total equals the sum of ALL terms (snap tolerance only)
     total = rows[0].psi_total
     assert abs(total - sum(r.psi_term for r in rows)) < 1e-3
+
+
+def test_asof_backward_ignores_null_right_timestamps(spark):
+    """A right row with a NULL timestamp is no match for anything —
+    previously it sorted first under asc order and its payload rode
+    last(ignorenulls) into every earlier left row (r9 review
+    finding, reproduced before the fix)."""
+    from sparklyclean_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "user_id bigint, pts string"
+    ).withColumn("pts", __import__("pyspark.sql.functions", fromlist=["F"]).col("pts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [(1, None, 99.0)], "user_id bigint, rts string, val double"
+    ).withColumn("rts", __import__("pyspark.sql.functions", fromlist=["F"]).col("rts").cast("timestamp_ntz"))
+    out = asof_join(left, right, on=["user_id"], left_ts="pts", right_ts="rts").collect()
+    assert len(out) == 1 and out[0]["r_val"] is None
+    inner = asof_join(
+        left, right, on=["user_id"], left_ts="pts", right_ts="rts", how="inner"
+    ).collect()
+    assert inner == []
+
+
+def test_attribution_models_agree_on_same_microsecond_touch(spark):
+    """All three attribution models share one 'prior touch' scope: a
+    touch at the purchase's exact timestamp (earlier tiebreak id) is
+    credited by last-touch, linear, AND time-decay — previously the
+    join-based models called that purchase 'direct' (r9 review
+    finding, reproduced before the fix)."""
+    from sparklyclean_spark.operators.behavior import (
+        last_touch_attribution,
+        linear_attribution,
+        time_decay_attribution,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00.000001", 1, "click", 0.0),
+        (2, "2024-01-01 10:00:00.000001", 1, "purchase", 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id", "event_type", "value")
+    for fn in (last_touch_attribution, linear_attribution, time_decay_attribution):
+        got = {r.touch_type for r in fn(df).collect()}
+        assert got == {"click"}, (fn.__name__, got)
+
+
+def test_session_sequences_render_null_types_consistently(spark):
+    """NULL event types appear as the U+001F sentinel token so the
+    sequence's token count always equals seq_len; trigram paths with
+    a NULL middle step are dropped entirely instead of collapsing to
+    a malformed 2-token 'trigram' (r9 review findings)."""
+    from sparklyclean_spark.operators.sessions import (
+        session_path_ngrams,
+        session_sequences,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a", 0.0),
+        (2, "2024-01-01 10:00:01", 1, None, 0.0),
+        (3, "2024-01-01 10:00:02", 1, "c", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id", "event_type", "value")
+    seq = session_sequences(df, tiebreaker="event_id").collect()
+    assert len(seq) == 1
+    assert seq[0].sequence == "a>\x1f>c" and seq[0].seq_len == 3
+    assert len(seq[0].sequence.split(">")) == seq[0].seq_len
+    paths = session_path_ngrams(df, n=3, tiebreaker="event_id").collect()
+    assert paths == []  # the only 3-window contains a NULL step
