@@ -3118,16 +3118,21 @@ def oracle_sql() -> dict[str, str]:
             sh AS (SELECT a.src AS src_a, b.src AS src_b,
                           COUNT(*) AS n_shared
                    FROM fps a JOIN fps b ON a.fp = b.fp AND a.src < b.src
-                   GROUP BY 1, 2)
-            SELECT src_a, src_b,
-                   CAST(n_shared AS BIGINT) AS n_shared,
-                   CAST(ta.n AS BIGINT) AS n_a,
-                   CAST(tb.n AS BIGINT) AS n_b,
-                   floor(n_shared * 10000.0 / (ta.n + tb.n - n_shared) + 0.5)
+                   GROUP BY 1, 2),
+            -- full ordered pair grid (r9): disjoint source pairs
+            -- surface as n_shared=0 instead of vanishing
+            grid AS (SELECT ta.src AS src_a, ta.n AS n_a,
+                            tb.src AS src_b, tb.n AS n_b
+                     FROM tot ta JOIN tot tb ON ta.src < tb.src)
+            SELECT g.src_a, g.src_b,
+                   CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+                   CAST(g.n_a AS BIGINT) AS n_a,
+                   CAST(g.n_b AS BIGINT) AS n_b,
+                   floor(COALESCE(n_shared, 0) * 10000.0
+                         / (g.n_a + g.n_b - COALESCE(n_shared, 0)) + 0.5)
                        / 10000.0 AS jaccard
-            FROM sh
-            JOIN tot ta ON ta.src = sh.src_a
-            JOIN tot tb ON tb.src = sh.src_b
+            FROM grid g
+            LEFT JOIN sh ON sh.src_a = g.src_a AND sh.src_b = g.src_b
         """,
         # corpus-LM cross-entropy: per-token log-probs rounded to
         # DECIMAL(18,6) before the per-doc sum (associative -> order-free)

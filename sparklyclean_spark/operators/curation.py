@@ -51,7 +51,14 @@ def curate_corpus(
     shingle-Jaccard path (oracle-checkable; verification scale only —
     use ``curate_corpus_lsh`` for real corpora).
     """
-    norm = normalize_text(docs)
+    from sparklyclean_spark.cache import tracked_persist
+
+    # persisted: the normalize chain (regexp cascade + md5) feeds the
+    # keep aggregate, the fp_keep probe side, the survivor semi-join,
+    # AND the final select — unpersisted, Spark re-executed the full
+    # corpus scan once per branch plus again for the eager CC phase
+    # (r9 review finding; the _sig_table multi-branch precedent)
+    norm = tracked_persist(normalize_text(docs))
     gated = norm.where(F.col("n_tokens") >= min_tokens)
     fp = gated.select("doc_id", F.md5("clean_text").alias("fp"))
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
@@ -213,6 +220,12 @@ def dsir_scores(
     the stand-in for "high-quality reference corpus") score high;
     resampling with these scores as logits is the DSIR recipe for
     pretraining data selection.
+
+    Domain: documents with ZERO tokens (empty/whitespace text) carry
+    no features and are excluded from the output — the same domain
+    rule as the unigram cross-entropy / perplexity-bucket family
+    (their score is undefined, not zero). Resampling joins should
+    left-join this output and decide the empty-doc policy explicitly.
 
     Model: features are unigrams + bigrams of the whitespace
     tokenizer, hashed into ``n_buckets`` buckets; each bag model is

@@ -132,9 +132,15 @@ def source_overlap_matrix(
     )
     ta = totals.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
     tb = totals.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
+    # full ordered pair grid (bounded: #sources²/2), LEFT-joined to
+    # the shared counts: a source pair with NO common gram must still
+    # appear as n_shared=0 / jaccard=0 — an inner join silently
+    # omitted it, and "every pair of corpus sources" consumers could
+    # not tell disjoint from missing (r9 review finding)
+    grid = ta.crossJoin(tb).where(F.col("src_a") < F.col("src_b"))
     return (
-        shared.join(F.broadcast(ta), "src_a")
-        .join(F.broadcast(tb), "src_b")
+        grid.join(shared, ["src_a", "src_b"], "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
         .select(
             "src_a",
             "src_b",

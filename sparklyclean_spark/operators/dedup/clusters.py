@@ -54,8 +54,14 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).alias("comp")
     ).localCheckpoint()
-    # labels only decrease -> the label sum is a convergence witness
-    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+    # labels only decrease, so label-set equality across a round means
+    # converged; the witness is a NULL-safe exact-decimal sum of label
+    # HASHES — a direct cast of the label itself yields NULL for
+    # string ids under non-ANSI sessions, making prev == cur after one
+    # round and silently returning wrong components (r9 review
+    # finding; ~2^-64 hash-sum collision odds replace a decreasing-sum
+    # guarantee, an accepted trade for id-type generality)
+    prev_sum = labels.agg(F.sum(F.xxhash64(F.col("comp")).cast("decimal(38,0)"))).collect()[0][0]
     n_rounds = 0
     for _ in range(max_iter):
         n_rounds += 1
@@ -72,7 +78,7 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        cur_sum = labels.agg(F.sum(F.xxhash64(F.col("comp")).cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -145,7 +151,8 @@ def connected_components_star(
             e3.agg(
                 F.count(F.lit(1)),
                 F.coalesce(
-                    F.sum((F.col("u") + F.col("v")).cast("decimal(38,0)")),
+                    F.sum(F.xxhash64(F.col("u")).cast("decimal(38,0)")
+                          + F.xxhash64(F.col("v")).cast("decimal(38,0)")),
                     F.lit(0),
                 ),
             ).collect()[0]

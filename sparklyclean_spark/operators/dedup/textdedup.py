@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from sparklyclean_spark.cache import tracked_persist
 from sparklyclean_spark.functions import text as T
+from sparklyclean_spark.functions.rounding import ratio4
 from sparklyclean_spark.functions.vectors import cosine_pandas
 
 
@@ -85,25 +86,6 @@ def shingle_jaccard_pairs(
         .withColumn("jaccard", F.round(_jaccard(F.col("s1"), F.col("s2")), 4))
         .where(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
-    )
-
-
-def _seeded_mix(i: int):
-    # captured via closure — a two-arg lambda would be misread by
-    # transform() as an (element, index) lambda and the seed ignored
-    return lambda h: F.xxhash64(h, F.lit(i))
-
-
-def minhash_signature(shingle_hashes, num_hashes: int = 32) -> F.Column:
-    """array<bigint> signature over PRE-HASHED shingles (bigints):
-    sig[i] = min(xxhash64(h, i)). Hashing the string shingles once and
-    re-mixing the 64-bit values per seed cuts the per-seed work from
-    string hashing to integer hashing (~10× on long shingles)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_hashes, _seeded_mix(i)))
-            for i in range(num_hashes)
-        ]
     )
 
 
@@ -512,7 +494,17 @@ def simhash_pairs(
     bits cannot touch all 4 bands), verified by exact hamming
     distance ≤ max_hamming via bit_count(xor). With
     ``token_hash="md5"`` the whole pipeline is recomputable in SQL,
-    so a brute-force all-pairs oracle checks banding AND signatures."""
+    so a brute-force all-pairs oracle checks banding AND signatures.
+
+    ``max_hamming`` > 3 is rejected: 4 differing bits can land one
+    per band, so no band matches and the pair silently never becomes
+    a candidate — the output would be missing pairs the parameter
+    promises (r9 review finding). Wider radii need more bands."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band exactness"
+            " bound (3); pairs at hamming 4+ can evade every band"
+        )
     # both join sides derive from the simhash table — persist (tiny:
     # id + one bigint per doc) and materialize so the 64-vote
     # aggregation runs once, not once per join branch
@@ -605,7 +597,9 @@ def common_ngram_pairs(
     leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)]
     grams = (
         toks.select("id", "tok", *leads)
-        .where(F.col(f"t{n-1}").isNotNull())
+        # n=1: no lead columns exist — the shingle_hash_table guard,
+        # omitted here until the r9 review (unresolved-column crash)
+        .where(F.lit(True) if n == 1 else F.col(f"t{n-1}").isNotNull())
         .select(
             "id",
             F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)]).alias("gram"),
@@ -736,12 +730,10 @@ def containment_pairs(
     universe the index can see — making the operator a closed,
     oracle-checkable contract (floor-ratio of exact ints).
 
-    Scale: explode to postings, one df agg + broadcast-out of hot
-    tokens, posting self-join bounded by df-cap, hash agg per pair,
-    two bounded set-size joins.
+    Scale: explode to postings, one df agg whose rare-token filter
+    gates the posting self-join (bounded by df-cap), hash agg per
+    pair, two bounded set-size joins.
     """
-    from sparklyclean_spark.functions.rounding import ratio4
-
     base = docs.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
@@ -755,8 +747,14 @@ def containment_pairs(
     df_tok = posts.groupBy(*block_cols, "tok").agg(
         F.count(F.lit(1)).alias("_df")
     )
+    # NO broadcast hint: the rare-token subset is nearly the whole
+    # distinct (block, tok) vocabulary — O(corpus vocabulary),
+    # unbounded — the same reason winnowing_overlap_pairs' df table
+    # is deliberately un-broadcast below. AQE may still choose a
+    # broadcast when the table is actually small; forcing it here
+    # OOMs the driver at corpus scale (r9 review finding).
     rare = posts.join(
-        F.broadcast(df_tok.where(F.col("_df") <= max_token_df)),
+        df_tok.where(F.col("_df") <= max_token_df),
         [*block_cols, "tok"],
     ).select(*block_cols, "tok", "id")
     inter = (
@@ -858,14 +856,8 @@ def winnowing_fingerprints(
             F.col("id").alias(id_col),
             (F.col("_n") - F.lit(k - 1)).cast("bigint").alias("n_grams"),
             "n_fingerprints",
-            (
-                F.floor(
-                    F.col("n_fingerprints")
-                    * 10000.0
-                    / (F.col("_n") - F.lit(k - 1))
-                    + 0.5
-                )
-                / 10000.0
+            ratio4(
+                F.col("n_fingerprints"), F.col("_n") - F.lit(k - 1)
             ).alias("fp_density"),
             "fp_xor",
             "fp_min",

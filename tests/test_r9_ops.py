@@ -424,3 +424,69 @@ def test_session_sequences_render_null_types_consistently(spark):
     assert len(seq[0].sequence.split(">")) == seq[0].seq_len
     paths = session_path_ngrams(df, n=3, tiebreaker="event_id").collect()
     assert paths == []  # the only 3-window contains a NULL step
+
+
+def test_connected_components_string_ids_converge(spark):
+    """String vertex ids must propagate to full convergence — the old
+    decimal-cast witness went NULL on strings under non-ANSI sessions
+    and stopped after one round, silently returning comp='c' for a
+    4-chain (r9 review finding)."""
+    from sparklyclean_spark.operators.dedup.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "id1 string, id2 string"
+    )
+    verts = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "id string")
+    for fn in (connected_components, connected_components_star):
+        out = {r.id: r.comp for r in fn(edges, verts).collect()}
+        assert out == {"a": "a", "b": "a", "c": "a", "d": "a"}, (fn.__name__, out)
+
+
+def test_simhash_rejects_unreachable_hamming_radius(spark):
+    """4-band LSH is exhaustive only to hamming 3; a wider radius
+    silently missed pairs before, now it raises."""
+    import pytest
+
+    from sparklyclean_spark.operators.dedup.textdedup import simhash_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, max_hamming=4)
+    simhash_pairs(docs, max_hamming=3)  # boundary still fine
+
+
+def test_common_ngram_pairs_n1_runs(spark):
+    """n=1 previously crashed on a nonexistent lead column; shared
+    unigrams now pair documents."""
+    from sparklyclean_spark.operators.dedup.textdedup import common_ngram_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "delta")],
+        "doc_id bigint, text string",
+    )
+    out = common_ngram_pairs(docs, n=1, min_shared=1)
+    rows = {(r.id1, r.id2) for r in out.collect()}
+    assert (1, 2) in rows and not any(3 in p for p in rows)
+
+
+def test_source_overlap_includes_disjoint_pairs(spark):
+    """Source pairs sharing NO n-gram must appear with n_shared=0 /
+    jaccard=0 — the inner join silently omitted them (r9 review
+    finding)."""
+    from sparklyclean_spark.operators.decontam import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j", "s1"),
+            (2, "a b c d e f g h i j", "s2"),
+            (3, "z y x w v u t s r q", "s3"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {(r.src_a, r.src_b): r for r in source_overlap_matrix(docs).collect()}
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert out[("s1", "s2")].n_shared > 0
+    assert out[("s1", "s3")].n_shared == 0 and out[("s1", "s3")].jaccard == 0.0

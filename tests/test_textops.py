@@ -569,8 +569,15 @@ def test_source_overlap_matrix_model(spark):
         (r["src_a"], r["src_b"]): (r["n_shared"], r["n_a"], r["n_b"], r["jaccard"])
         for r in source_overlap_matrix(docs, n=2).collect()
     }
-    # only s1-s2 share a gram ('b c'); jaccard = 1/(2+2-1)
-    assert out == {("s1", "s2"): (1, 2, 2, 0.3333)}
+    # only s1-s2 share a gram ('b c'); jaccard = 1/(2+2-1).
+    # Disjoint pairs appear as zero rows (r9 contract: the full
+    # ordered source-pair grid, so consumers can tell disjoint
+    # from missing)
+    assert out == {
+        ("s1", "s2"): (1, 2, 2, 0.3333),
+        ("s1", "s3"): (0, 2, 1, 0.0),
+        ("s2", "s3"): (0, 2, 1, 0.0),
+    }
 
 
 def test_unigram_cross_entropy_model(spark):
