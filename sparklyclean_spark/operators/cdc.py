@@ -16,14 +16,15 @@ SURVEY.md §2.10 sense.
 
 Scale notes
 -----------
-``latest_by_key`` deliberately uses ``max(struct(order_cols...,
-payload))`` hash aggregation instead of the textbook
-``row_number() = 1`` window: the aggregate gets map-side partial
-combine (each input partition contributes at most one candidate row
-per key to the shuffle), whereas the window shape must shuffle and
-sort EVERY change record per key. On a 100 TB change log with a hot
-key the window plan is a single-task sort; the agg plan stays
-balanced.
+``latest_by_key`` deliberately uses a ``max(order struct)`` +
+``max_by(payload struct, order struct)`` hash aggregation — the
+payload NEVER enters the comparator (see the function docstring) —
+instead of the textbook ``row_number() = 1`` window: the aggregate
+gets map-side partial combine (each input partition contributes at
+most one candidate row per key to the shuffle), whereas the window
+shape must shuffle and sort EVERY change record per key. On a 100 TB
+change log with a hot key the window plan is a single-task sort; the
+agg plan stays balanced.
 
 ``scd2_intervals`` is inherently a per-key ordered walk (each row
 needs its successor), so it IS the window shape — one shuffle on the
@@ -56,17 +57,23 @@ def latest_by_key(
     ``test_latest_by_key_*`` fixtures; pass a tiebreaker.
     Output columns: keys + order_cols + payload_cols.
     """
-    ord_struct = F.struct(*[F.col(c) for c in order_cols])
-    agg = df.groupBy(*keys).agg(
+    # backtick-quoted references throughout: bare F.col("a.b") parses
+    # a dotted column name (legal in Spark, survives parquet) as a
+    # nested field path and fails to resolve
+    def q(c: str) -> Column:
+        return F.col(f"`{c}`")
+
+    ord_struct = F.struct(*[q(c).alias(c) for c in order_cols])
+    agg = df.groupBy(*[q(k).alias(k) for k in keys]).agg(
         F.max(ord_struct).alias("_o"),
         F.max_by(
-            F.struct(*[F.col(c) for c in payload_cols]), ord_struct
+            F.struct(*[q(c).alias(c) for c in payload_cols]), ord_struct
         ).alias("_p"),
     )
     return agg.select(
-        *keys,
-        *[F.col(f"_o.{c}").alias(c) for c in order_cols],
-        *[F.col(f"_p.{c}").alias(c) for c in payload_cols],
+        *[q(k) for k in keys],
+        *[F.col(f"_o.`{c}`").alias(c) for c in order_cols],
+        *[F.col(f"_p.`{c}`").alias(c) for c in payload_cols],
     )
 
 

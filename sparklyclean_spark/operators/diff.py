@@ -35,7 +35,14 @@ def _payload_hash(cols: list[str]) -> Column:
     NULL inputs (the running seed passes through unchanged), so hashing
     the values alone would make ``('x', NULL)`` and ``(NULL, 'x')``
     collide deterministically; appending each column's null indicator
-    (hashed as a boolean) breaks that class while staying map-side."""
+    (hashed as a boolean) breaks that class while staying map-side.
+
+    An EMPTY column list (key-only tables — set-membership diffs) is
+    a constant fingerprint: xxhash64() with zero args is an
+    AnalysisException (r9 review finding), and "no payload" means
+    every matched pair is unchanged."""
+    if not cols:
+        return F.lit(0).cast("bigint")
     return F.xxhash64(
         *[F.col(c) for c in cols], *[F.col(c).isNull() for c in cols]
     )
@@ -50,23 +57,40 @@ def diff_rows(
     """Per-key diff status: ``(keys..., status)`` with status in
     {added, removed, changed, unchanged}. ``added`` = in right only;
     ``removed`` = in left only. NULL-safe on compare values (NULL ==
-    NULL for change detection), and NULL-position-sensitive (see
-    ``_payload_hash``)."""
+    NULL for change detection), NULL-position-sensitive (see
+    ``_payload_hash``), and NULL-SAFE ON KEYS: a NULL-keyed row
+    present identically on both sides is 'unchanged', not a phantom
+    added+removed pair (the plain equi-join reported exactly that —
+    r9 review finding; ``change_data_feed`` below always aligned
+    null-safely and the two diff operators now agree)."""
     if compare_cols is None:
         compare_cols = [c for c in left.columns if c not in keys]
 
     def side(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(*keys, _payload_hash(compare_cols).alias(f"_h_{tag}"))
+        return df.select(
+            *[F.col(k).alias(f"_{tag}k_{k}") for k in keys],
+            _payload_hash(compare_cols).alias(f"_h_{tag}"),
+        )
 
     l, r = side(left, "l"), side(right, "r")
-    joined = l.join(r, on=keys, how="full_outer")
+    cond = None
+    for k in keys:
+        c = F.col(f"_lk_{k}").eqNullSafe(F.col(f"_rk_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = l.join(r, cond, "full_outer")
     status = (
         F.when(F.col("_h_l").isNull(), F.lit("added"))
         .when(F.col("_h_r").isNull(), F.lit("removed"))
         .when(F.col("_h_l") == F.col("_h_r"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
-    return joined.select(*keys, status.alias("status"))
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"_lk_{k}"), F.col(f"_rk_{k}")).alias(k)
+            for k in keys
+        ],
+        status.alias("status"),
+    )
 
 
 def diff_summary(
@@ -118,6 +142,14 @@ def change_data_feed(
     both payloads once, which the op selection then projects down.
     """
     payload = [c for c in new.columns if c not in keys]
+    if op_name in new.columns or op_name in old.columns:
+        # withColumn(op_name, ...) would silently REPLACE the real
+        # payload column with the op code and duplicate the name in
+        # the output (r9 review finding, reproduced) — refuse loudly
+        raise ValueError(
+            f"op_name {op_name!r} collides with a snapshot column;"
+            " pass a different op_name"
+        )
     l = old.select(
         *[F.col(k).alias(f"_lk_{k}") for k in keys],
         *[F.col(c).alias(f"_l_{c}") for c in payload],

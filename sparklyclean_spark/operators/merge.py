@@ -65,8 +65,21 @@ def merge_changes(
     """
     payload = [c for c in target.columns if c not in keys]
     if order_cols is not None:
-        changes = latest_by_key(changes, keys, order_cols, payload + [op_col]).drop(
-            *order_cols
+        # payload passed to latest_by_key must EXCLUDE order_cols:
+        # compaction emits order columns once already, and a column in
+        # both lists came out twice, so dropping the non-target order
+        # columns below removed BOTH copies and the final select
+        # crashed — exactly the common case of ordering by a ts column
+        # that is also part of the snapshot (r9 review finding,
+        # reproduced).
+        extra = [
+            c
+            for c in payload + [op_col]
+            if c not in order_cols and c not in keys
+        ]
+        compact = latest_by_key(changes, keys, order_cols, extra)
+        changes = compact.drop(
+            *[c for c in order_cols if c not in target.columns]
         )
 
     change_keys = changes.select(*keys)

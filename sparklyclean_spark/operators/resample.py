@@ -50,6 +50,14 @@ def resample_ffill(
     per key per grid bucket between that key's first and last
     observation. ``tiebreak_col`` (e.g. an event id) makes the
     last-in-bucket winner total-ordered.
+
+    ``is_observed`` marks buckets CONTAINING AN EVENT, even one whose
+    ``value_col`` is NULL (presence-based, not value-based — the old
+    value-based flag mislabeled NULL-valued observation buckets as
+    gaps; r9 review finding). A NULL observed value does NOT reset
+    the forward fill: the fill is last-NON-NULL by contract, so the
+    prior value carries across it, and a key whose first observations
+    are all NULL has leading NULL values until the first non-null one.
     """
     bucket = F.window(F.col(ts_col), interval).start
     order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
@@ -58,7 +66,12 @@ def resample_ffill(
         keys=[*key_cols, "bucket_ts"],
         order_cols=order_cols,
         payload_cols=[value_col],
-    ).select(*key_cols, "bucket_ts", F.col(value_col).alias("_obs"))
+    ).select(
+        *key_cols,
+        "bucket_ts",
+        F.col(value_col).alias("_obs"),
+        F.lit(True).alias("_seen"),
+    )
     span = df.groupBy(*key_cols).agg(
         F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
     )
@@ -77,5 +90,5 @@ def resample_ffill(
         *key_cols,
         "bucket_ts",
         F.last("_obs", ignorenulls=True).over(w).alias(value_col),
-        F.col("_obs").isNotNull().alias("is_observed"),
+        F.coalesce(F.col("_seen"), F.lit(False)).alias("is_observed"),
     )

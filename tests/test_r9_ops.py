@@ -490,3 +490,89 @@ def test_source_overlap_includes_disjoint_pairs(spark):
     assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
     assert out[("s1", "s2")].n_shared > 0
     assert out[("s1", "s3")].n_shared == 0 and out[("s1", "s3")].jaccard == 0.0
+
+
+def test_merge_changes_order_col_in_target_schema(spark):
+    """Ordering by a ts column that is ALSO a snapshot column is the
+    standard CDC compaction setup — it previously crashed with an
+    unresolved-column error because the order column came out of
+    compaction twice and drop removed both copies (r9 review
+    finding, reproduced)."""
+    from sparklyclean_spark.operators.merge import merge_changes
+
+    target = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k bigint, ts bigint, v string"
+    )
+    changes = spark.createDataFrame(
+        [(1, 11, "a2", "U"), (1, 12, "a3", "U"), (2, 11, None, "D")],
+        "k bigint, ts bigint, v string, op string",
+    )
+    out = {r.k: r for r in merge_changes(target, changes, ["k"], order_cols=["ts"]).collect()}
+    assert set(out) == {1}
+    assert out[1].v == "a3" and out[1].ts == 12  # latest change wins
+
+
+def test_diff_rows_null_keys_and_key_only_tables(spark):
+    """A NULL-keyed row identical on both sides is 'unchanged' (the
+    equi-join reported phantom added+removed); key-only tables diff
+    as pure set membership instead of crashing on xxhash64() with
+    zero args (r9 review findings, both reproduced)."""
+    from sparklyclean_spark.operators.diff import diff_rows
+
+    l = spark.createDataFrame([(None, "p"), (1, "x")], "k bigint, v string")
+    r = spark.createDataFrame([(None, "p"), (1, "y")], "k bigint, v string")
+    out = {r_.k: r_.status for r_ in diff_rows(l, r, ["k"]).collect()}
+    assert out == {None: "unchanged", 1: "changed"}
+
+    lk = spark.createDataFrame([(1,), (2,)], "k bigint")
+    rk = spark.createDataFrame([(2,), (3,)], "k bigint")
+    out2 = {r_.k: r_.status for r_ in diff_rows(lk, rk, ["k"]).collect()}
+    assert out2 == {1: "removed", 2: "unchanged", 3: "added"}
+
+
+def test_change_data_feed_rejects_op_name_collision(spark):
+    """An op_name equal to a payload column silently replaced the real
+    payload with the op code and duplicated the column (reproduced);
+    it now raises."""
+    import pytest
+
+    from sparklyclean_spark.operators.diff import change_data_feed
+
+    old = spark.createDataFrame([(1, "x")], "k bigint, op string")
+    new = spark.createDataFrame([(1, "y")], "k bigint, op string")
+    with pytest.raises(ValueError):
+        change_data_feed(old, new, ["k"])
+    ok = change_data_feed(old, new, ["k"], op_name="_op").collect()
+    assert len(ok) == 1 and ok[0]["_op"] == "U" and ok[0].op == "y"
+
+
+def test_resample_marks_null_valued_observations(spark):
+    """A bucket containing an event whose value is NULL is an
+    OBSERVED bucket (presence-based flag); the forward fill carries
+    the prior non-null value across it (r9 review finding)."""
+    from sparklyclean_spark.operators.resample import resample_ffill
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 5.0),
+        (1, "2024-01-01 01:10:00", None),
+        (1, "2024-01-01 03:10:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts string, v double").selectExpr(
+        "k", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "v"
+    )
+    out = {r.bucket_ts.hour: r for r in resample_ffill(df, ["k"], "ts", "v").collect()}
+    assert [out[h].is_observed for h in (0, 1, 2, 3)] == [True, True, False, True]
+    assert [out[h].v for h in (0, 1, 2, 3)] == [5.0, 5.0, 5.0, 7.0]
+
+
+def test_latest_by_key_dotted_column_names(spark):
+    """Dotted column names are legal and survive parquet; the struct
+    field extraction must backtick-quote them (previously parsed as a
+    nested path and failed to resolve)."""
+    from sparklyclean_spark.operators.cdc import latest_by_key
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b")], ["k", "o.rd", "pay.load"]
+    )
+    out = latest_by_key(df, ["k"], ["o.rd"], ["pay.load"]).collect()
+    assert len(out) == 1 and out[0]["pay.load"] == "b"
