@@ -2369,8 +2369,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY 1
             )
             SELECT o.o_orderpriority,
-                   ROUND(MAX(m), 4) AS median,
-                   ROUND(quantile_cont(ABS(o_totalprice - m), 0.5), 4) AS mad
+                   floor(MAX(m) * 10000.0 + 0.5) / 10000.0 AS median,
+                   floor(quantile_cont(ABS(o_totalprice - m), 0.5)
+                         * 10000.0 + 0.5) / 10000.0 AS mad
             FROM orders o JOIN med
               ON o.o_orderpriority IS NOT DISTINCT FROM med.o_orderpriority
             GROUP BY o.o_orderpriority
@@ -3251,10 +3252,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT o_orderkey, o.o_orderpriority,
                    CASE WHEN sd IS NOT NULL AND sd <> 0.0
-                        THEN ROUND((o_totalprice - mu) / sd, 4) END
+                        THEN floor((o_totalprice - mu) / sd * 10000.0 + 0.5)
+                             / 10000.0 END
                        AS o_totalprice_z,
-                   ROUND(mu, 4) AS grp_mean,
-                   ROUND(sd, 4) AS grp_std
+                   floor(mu * 10000.0 + 0.5) / 10000.0 AS grp_mean,
+                   floor(sd * 10000.0 + 0.5) / 10000.0 AS grp_std
             FROM orders o JOIN s USING (o_orderpriority)
         """,
         "quantile_bins_order_prices": """
@@ -3381,13 +3383,17 @@ def oracle_sql() -> dict[str, str]:
         "target_encode_priority": """
             WITH per AS (
                 SELECT o_orderpriority, COUNT(*) AS n,
+                       COUNT(o_totalprice) AS nt,
                        SUM(o_totalprice) AS s
                 FROM orders GROUP BY 1
             ),
-            p AS (SELECT SUM(o_totalprice) / COUNT(*) AS prior FROM orders)
+            -- mean denominators count the TARGET (SUM skips NULLs;
+            -- COUNT(*) would bias means low on NULL-target data)
+            p AS (SELECT SUM(o_totalprice) / COUNT(o_totalprice) AS prior
+                  FROM orders)
             SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
-                   ROUND(s / n, 4) AS raw_mean,
-                   ROUND((s + 10.0 * prior) / (n + 10.0), 4) AS encoded,
+                   ROUND(s / nt, 4) AS raw_mean,
+                   ROUND((s + 10.0 * prior) / (nt + 10.0), 4) AS encoded,
                    ROUND(prior, 4) AS prior
             FROM per CROSS JOIN p
         """,
@@ -3421,12 +3427,13 @@ def oracle_sql() -> dict[str, str]:
                                       AND o_totalprice >= lo
                                       AND o_totalprice <= hi
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
-                   ROUND(MIN(lo), 4) AS lo_bound,
-                   ROUND(MIN(hi), 4) AS hi_bound,
-                   ROUND(AVG(CASE WHEN o_totalprice IS NOT NULL
+                   floor(MIN(lo) * 10000.0 + 0.5) / 10000.0 AS lo_bound,
+                   floor(MIN(hi) * 10000.0 + 0.5) / 10000.0 AS hi_bound,
+                   floor(AVG(CASE WHEN o_totalprice IS NOT NULL
                                        AND o_totalprice >= lo
                                        AND o_totalprice <= hi
-                                  THEN o_totalprice END), 4) AS trimmed_mean
+                                  THEN o_totalprice END)
+                         * 10000.0 + 0.5) / 10000.0 AS trimmed_mean
             FROM orders o JOIN b
               ON o.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority
             GROUP BY 1
@@ -4070,7 +4077,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    ROUND(LEAST(1.0, n_chars / 500.0), 4) AS keep_p
             FROM documents
-            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            WHERE ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), chr(31))), 1, 8))::UBIGINT
                       / 4294967296.0
                   < LEAST(1.0, n_chars / 500.0)
         """,
@@ -4178,12 +4185,16 @@ def oracle_sql() -> dict[str, str]:
                     ('zh', CAST(0.15 AS DOUBLE))) AS v(lang, p)
             ),
             c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
-            j AS (SELECT c.lang, c.n, t.p FROM c JOIN t USING (lang)),
+            -- LEFT join from the targets: a targeted-but-missing
+            -- lang caps the whole mixture at zero (r9 contract)
+            j AS (SELECT t.lang, COALESCE(c.n, 0) AS n, t.p
+                  FROM t LEFT JOIN c USING (lang)),
             cap AS (SELECT MIN(n / p) AS T FROM j),
             r AS (SELECT lang, p * T / n AS keep_rate FROM j CROSS JOIN cap)
             SELECT d.doc_id, d.lang, ROUND(r.keep_rate, 4) AS keep_rate
             FROM documents d JOIN r USING (lang)
-            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            WHERE ('0x' || substr(md5(COALESCE(CAST(d.doc_id AS VARCHAR),
+                                                chr(31))), 1, 8))::UBIGINT
                       / 4294967296.0
                   < r.keep_rate
         """,

@@ -37,20 +37,25 @@ def target_encode(
     approaches its own mean. Doubles use the q1-precedent
     ``ROUND(x, 4)`` (sums of ~10⁴+ magnitudes; association error is
     orders below the grid)."""
+    # mean denominators COUNT THE TARGET, not all rows: sum() skips
+    # NULL targets, so a count(*) denominator biased raw_mean/prior
+    # low on NULL-target data (r9 review finding). n stays the row
+    # count (the category's true size for the shrinkage weight).
     per = df.groupBy(cat_col).agg(
         F.count(F.lit(1)).alias("n"),
+        F.count(target_col).alias("_nt"),
         F.sum(target_col).alias("_sum"),
     )
     prior = df.agg(
-        (F.sum(target_col) / F.count(F.lit(1))).alias("_prior")
+        (F.sum(target_col) / F.count(target_col)).alias("_prior")
     )
     return per.join(F.broadcast(prior)).select(
         cat_col,
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("_sum") / F.col("n"), 4).alias("raw_mean"),
+        F.round(F.col("_sum") / F.col("_nt"), 4).alias("raw_mean"),
         F.round(
             (F.col("_sum") + F.lit(m) * F.col("_prior"))
-            / (F.col("n") + F.lit(m)),
+            / (F.col("_nt") + F.lit(m)),
             4,
         ).alias("encoded"),
         F.round("_prior", 4).alias("prior"),

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparklyclean_spark.functions.rounding import ratio4, round4
+
 
 def mixture_sample(
     df: DataFrame,
@@ -39,9 +41,15 @@ def mixture_sample(
     """Sample ``df`` so sources appear in ``targets`` proportions.
 
     Sources absent from ``targets`` are dropped (inner rates join).
+    A TARGETED source absent from the DATA caps the whole mixture at
+    zero — the largest corpus satisfying p_s > 0 with n_s = 0 rows of
+    s is empty, so the output is empty rather than a silently wrong
+    mix computed over the present sources only (r9 review finding).
     Appends ``rate_name`` (the per-source acceptance rate actually
     applied). Expected output size = ``min_s(n_s / p_s)``.
     """
+    from sparklyclean_spark.operators.sampling import md5_uniform
+
     spark = df.sparkSession
     tot = float(sum(targets.values()))
     t_df = spark.createDataFrame(
@@ -49,17 +57,23 @@ def mixture_sample(
         f"{source_col} string, _p double",
     )
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
-    j = counts.join(F.broadcast(t_df), source_col)
+    # LEFT join from the targets side: a targeted-but-missing source
+    # surfaces as n=0 and drives the feasibility cap to zero
+    j = F.broadcast(t_df).join(counts, source_col, "left").select(
+        source_col, "_p", F.coalesce("_n", F.lit(0)).alias("_n")
+    )
     cap = j.agg(F.min(F.col("_n") / F.col("_p")).alias("_T"))
+    # ANSI-safe: the n=0 (missing) source has no data rows to rate
+    # anyway — guard its division instead of erroring the whole plan
     rates = j.crossJoin(F.broadcast(cap)).select(
-        source_col, (F.col("_p") * F.col("_T") / F.col("_n")).alias(rate_name)
+        source_col,
+        F.when(
+            F.col("_n") > 0, F.col("_p") * F.col("_T") / F.col("_n")
+        ).alias(rate_name),
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(float(16**8))
+    return df.join(F.broadcast(rates), source_col).where(
+        md5_uniform(id_col) < F.col(rate_name)
     )
-    return df.join(F.broadcast(rates), source_col).where(u < F.col(rate_name))
 
 
 def corpus_mix_report(
@@ -80,7 +94,6 @@ def corpus_mix_report(
     No reference counterpart; §2.10 training-data-pipeline surface.
     """
     from sparklyclean_spark.functions import text as T
-    from sparklyclean_spark.functions.rounding import ratio4
 
     keys = by or ["source", "lang"]
     per_doc = docs.select(
@@ -139,14 +152,13 @@ def lang_mix_entropy(docs: DataFrame) -> DataFrame:
     )
     norm = F.when(
         F.col("n_langs") > 1,
-        F.floor(F.col("_h") / F.log(F.col("n_langs").cast("double"))
-                * 10000.0 + 0.5) / 10000.0,
+        round4(F.col("_h") / F.log(F.col("n_langs").cast("double"))),
     )
     return ent.select(
         "source",
         F.col("_n1").cast("bigint").alias("n_docs"),
         F.col("n_langs").cast("bigint").alias("n_langs"),
-        (F.floor(F.col("_h") * 10000.0 + 0.5) / 10000.0).alias("entropy"),
+        round4(F.col("_h")).alias("entropy"),
         norm.alias("entropy_norm"),
     )
 
@@ -174,8 +186,6 @@ def temperature_mix_weights(
     Scale: one map-side-combinable hash agg to #strata rows + a 1-row
     broadcast total — corpus size never shuffles.
     """
-    from sparklyclean_spark.functions.rounding import ratio4
-
     if alpha not in (0.5, 0.25):
         raise ValueError(
             "alpha must be 0.5 or 0.25 (sqrt chains are the only "

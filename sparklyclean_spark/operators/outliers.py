@@ -26,6 +26,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparklyclean_spark.functions.rounding import round4
+
+
+def _join_group_stats(df: DataFrame, keys: list[str], stats: DataFrame) -> DataFrame:
+    """Null-safe broadcast join of a per-group stats frame (key
+    columns pre-aliased ``_k_<k>``) back onto the rows — the shared
+    block of winsorize / quantile_bins / standardize / MAD /
+    trimmed_mean (was five inline copies; r9 review). Global stats
+    (no keys) cross-join the 1-row frame."""
+    if keys:
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
+            cond = c if cond is None else (cond & c)
+        return df.join(F.broadcast(stats), cond).drop(*[f"_k_{k}" for k in keys])
+    return df.crossJoin(F.broadcast(stats))
+
 
 def winsorize(
     df: DataFrame,
@@ -50,14 +67,7 @@ def winsorize(
         F.element_at("_b", 1).alias("_lo"),
         F.element_at("_b", 2).alias("_hi"),
     )
-    if keys:
-        cond = None
-        for k in keys:
-            c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
-            cond = c if cond is None else (cond & c)
-        joined = df.join(F.broadcast(bounds), cond).drop(*[f"_k_{k}" for k in keys])
-    else:
-        joined = df.crossJoin(F.broadcast(bounds))
+    joined = _join_group_stats(df, keys, bounds)
     return (
         joined.withColumn(
             # greatest/least skip NULLs in Spark, so an unguarded form
@@ -111,14 +121,7 @@ def quantile_bins(
     bounds = bounds.select(
         *[F.col(k).alias(f"_k_{k}") for k in keys], "_bounds"
     )
-    if keys:
-        cond = None
-        for k in keys:
-            c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
-            cond = c if cond is None else (cond & c)
-        joined = df.join(F.broadcast(bounds), cond).drop(*[f"_k_{k}" for k in keys])
-    else:
-        joined = df.crossJoin(F.broadcast(bounds))
+    joined = _join_group_stats(df, keys, bounds)
     bucket = F.lit(1) + F.size(
         F.filter("_bounds", lambda b: b <= v.cast("double"))
     )
@@ -152,22 +155,18 @@ def standardize(
         F.avg(v).alias("_mu"), F.stddev_samp(v).alias("_sd")
     )
     stats = stats.select(*[F.col(k).alias(f"_k_{k}") for k in keys], "_mu", "_sd")
-    if keys:
-        cond = None
-        for k in keys:
-            c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
-            cond = c if cond is None else (cond & c)
-        joined = df.join(F.broadcast(stats), cond).drop(*[f"_k_{k}" for k in keys])
-    else:
-        joined = df.crossJoin(F.broadcast(stats))
+    joined = _join_group_stats(df, keys, stats)
     z = F.when(
         F.col("_sd").isNotNull() & (F.col("_sd") != 0.0),
         (v - F.col("_mu")) / F.col("_sd"),
     )
+    # floor contract (round4), not engine F.round: z-scores are the
+    # rounding.py docstring's canonical floor-contract case, and the
+    # DuckDB oracle mirrors the identical floor formula
     return (
-        joined.withColumn(name, F.round(z, 4))
-        .withColumn("grp_mean", F.round("_mu", 4))
-        .withColumn("grp_std", F.round("_sd", 4))
+        joined.withColumn(name, round4(z))
+        .withColumn("grp_mean", round4(F.col("_mu")))
+        .withColumn("grp_std", round4(F.col("_sd")))
         .drop("_mu", "_sd")
     )
 
@@ -191,20 +190,13 @@ def median_abs_deviation(
     keys = by or []
     med = df.groupBy(*keys).agg(F.percentile(v, F.lit(0.5)).alias("_med"))
     med_k = med.select(*[F.col(k).alias(f"_k_{k}") for k in keys], "_med")
-    if keys:
-        cond = None
-        for k in keys:
-            c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
-            cond = c if cond is None else (cond & c)
-        joined = df.join(F.broadcast(med_k), cond)
-    else:
-        joined = df.crossJoin(F.broadcast(med_k))
+    joined = _join_group_stats(df, keys, med_k)
     dev = joined.select(*keys, "_med", F.abs(v - F.col("_med")).alias("_dev"))
     return (
         dev.groupBy(*keys)
         .agg(
-            F.round(F.first("_med"), 4).alias("median"),
-            F.round(F.percentile(F.col("_dev"), F.lit(0.5)), 4).alias("mad"),
+            round4(F.first("_med")).alias("median"),
+            round4(F.percentile(F.col("_dev"), F.lit(0.5))).alias("mad"),
         )
     )
 
@@ -234,11 +226,10 @@ def quantile_transform(
     w = Window.partitionBy(*keys).orderBy(value_col) if keys else (
         Window.orderBy(value_col)
     )
-    q = F.when(
-        F.col(value_col).isNotNull(), F.percent_rank().over(w)
-    )
+    # round4: the exact floor contract, previously inlined; the
+    # isNotNull guard was dead (this branch filters NULLs already)
     out = df.where(F.col(value_col).isNotNull()).withColumn(
-        name, F.floor(q * 10000.0 + 0.5) / 10000.0
+        name, round4(F.percent_rank().over(w))
     )
     nulls = df.where(F.col(value_col).isNull()).withColumn(
         name, F.lit(None).cast("double")
@@ -270,22 +261,13 @@ def trimmed_mean(
     bounds = bounds.select(
         *[F.col(k).alias(f"_k_{k}") for k in keys], "_b"
     )
-    if keys:
-        cond = None
-        for k in keys:
-            c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
-            cond = c if cond is None else (cond & c)
-        joined = df.join(F.broadcast(bounds), cond).drop(
-            *[f"_k_{k}" for k in keys]
-        )
-    else:
-        joined = df.crossJoin(F.broadcast(bounds))
+    joined = _join_group_stats(df, keys, bounds)
     v = F.col(value_col)
     inside = v.isNotNull() & (v >= F.col("_b")[0]) & (v <= F.col("_b")[1])
     return joined.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(inside.cast("bigint")).cast("bigint").alias("n_used"),
-        F.round(F.min(F.col("_b")[0]), 4).alias("lo_bound"),
-        F.round(F.min(F.col("_b")[1]), 4).alias("hi_bound"),
-        F.round(F.avg(F.when(inside, v)), 4).alias("trimmed_mean"),
+        round4(F.min(F.col("_b")[0])).alias("lo_bound"),
+        round4(F.min(F.col("_b")[1])).alias("hi_bound"),
+        round4(F.avg(F.when(inside, v))).alias("trimmed_mean"),
     )

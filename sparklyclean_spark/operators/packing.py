@@ -87,7 +87,10 @@ def pack_bins_greedy(
 
     Emits the input columns plus ``bin_id`` (globally unique:
     shard * 2^32 + local bin) and ``bin_fill`` (the bin's total size
-    after packing).
+    after packing). Documents with a NULL ``size_col`` are EXCLUDED —
+    a size-less document cannot be packed against a token budget, and
+    letting it through crashed the whole Arrow pass on the int cast
+    (r9 review finding); count them upstream if the gap matters.
     """
     import pandas as pd
 
@@ -96,7 +99,7 @@ def pack_bins_greedy(
     shard = F.pmod(F.xxhash64(*[F.col(c) for c in order_by]), F.lit(n_shards)).alias(
         "_shard"
     )
-    based = df.withColumn("_shard", shard)
+    based = df.where(F.col(size_col).isNotNull()).withColumn("_shard", shard)
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in based.schema.fields]
         + ["bin_id bigint", "bin_fill bigint"]

@@ -103,6 +103,28 @@ def stratified_sample(
     )
 
 
+def md5_uniform(id_col: str) -> "F.Column":
+    """The module's shared deterministic uniform draw in [0, 1): the
+    first 8 hex chars of md5(id) scaled down — a pure function of the
+    row id, stable across reruns/partitionings and reproducible
+    bit-for-bit by the DuckDB oracle. NULL ids take the U+001F
+    sentinel (the hash_split/kfold rule): md5(NULL) is NULL and a
+    NULL comparison would silently drop the row from every consumer
+    (weighted_sample, mixture_sample)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit("\x1f"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -168,12 +190,9 @@ def weighted_sample(
     so the decision is a pure function of (id, weight) — stable
     across reruns and engine-portable (DuckDB reproduces it exactly).
     Pure map-side; no shuffle, no RNG state."""
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(float(16**8))
+    return df.withColumn(weight_name, weight).where(
+        md5_uniform(id_col) < F.col(weight_name)
     )
-    return df.withColumn(weight_name, weight).where(u < F.col(weight_name))
 
 
 def weighted_sample_exact_k(

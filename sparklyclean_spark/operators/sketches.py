@@ -54,10 +54,15 @@ def distinct_rollup(
     key: Column,
     shard: Column,
     lg_k: int = 12,
+    total_label: str = "ALL",
 ) -> DataFrame:
-    """Per-shard distinct estimates plus an ``ALL`` row merged from
-    the per-shard sketches (no second scan of the raw data):
-    ``(shard string, est_distinct bigint)``."""
+    """Per-shard distinct estimates plus a merged total row labeled
+    ``total_label`` (no second scan of the raw data):
+    ``(shard string, est_distinct bigint)``.
+
+    ``total_label`` is RESERVED: a genuine shard value equal to it
+    would be indistinguishable from the merged row — pass a label
+    outside the shard domain (r9 review note)."""
     sk = shard_sketches(df, key, shard, lg_k)
     per_shard = sk.select(
         F.col("shard").cast("string").alias("shard"),
@@ -66,7 +71,7 @@ def distinct_rollup(
     merged = sk.agg(
         F.hll_union_agg(F.col("sketch"), F.lit(False)).alias("sketch")
     ).select(
-        F.lit("ALL").alias("shard"),
+        F.lit(total_label).alias("shard"),
         F.hll_sketch_estimate("sketch").alias("est_distinct"),
     )
     return per_shard.unionByName(merged)

@@ -102,7 +102,10 @@ def key_profile(
     from exact integer counts, rounded only at the edge.
     """
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
-    total = df.select(F.count(F.lit(1)).alias("_total"))
+    # total from the grouped aggregate, NOT a second scan of df — on
+    # the 100 TB table this diagnostic targets, a count(*) over the
+    # raw input would double the I/O for an identical number
+    total = counts.agg(F.sum("cnt").alias("_total"))
     return (
         counts.join(F.broadcast(total))
         .select(

@@ -576,3 +576,68 @@ def test_latest_by_key_dotted_column_names(spark):
     )
     out = latest_by_key(df, ["k"], ["o.rd"], ["pay.load"]).collect()
     assert len(out) == 1 and out[0]["pay.load"] == "b"
+
+
+def test_mixture_sample_missing_target_source_caps_at_zero(spark):
+    """A targeted source absent from the data makes the feasible
+    mixture empty — the inner join previously dropped the constraint
+    and emitted a silently wrong 100%-present-source mix (r9 review
+    finding)."""
+    from sparklyclean_spark.operators.mixing import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(100)], "doc_id bigint, source string"
+    )
+    out = mixture_sample(df, "source", {"web": 0.5, "books": 0.5}, "doc_id")
+    assert out.count() == 0
+    # all targets present: the constrained source is kept whole
+    df2 = df.union(
+        spark.createDataFrame([(1000 + i, "books") for i in range(10)],
+                              "doc_id bigint, source string")
+    )
+    out2 = mixture_sample(df2, "source", {"web": 0.5, "books": 0.5}, "doc_id")
+    kept = out2.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in kept}
+    assert by.get("books", 0) == 10  # rate 1.0 for the scarce source
+
+
+def test_target_encode_null_targets_use_observed_mean(spark):
+    """Mean denominators count the TARGET: a category with values
+    [10.0, NULL] has raw_mean 10.0, not 5.0 (r9 review finding); n
+    stays the full row count."""
+    from sparklyclean_spark.operators.encoding import target_encode
+
+    df = spark.createDataFrame(
+        [("A", 10.0), ("A", None), ("B", 4.0)], "cat string, t double"
+    )
+    out = {r.cat: r for r in target_encode(df, "cat", "t", m=0.0).collect()}
+    assert out["A"].n == 2 and out["A"].raw_mean == 10.0
+    assert out["B"].raw_mean == 4.0
+
+
+def test_pack_bins_greedy_excludes_null_sizes(spark):
+    """A NULL size previously crashed the whole Arrow pass on the
+    int cast; size-less docs are now excluded by contract."""
+    from sparklyclean_spark.operators.packing import pack_bins_greedy
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20)], "doc_id bigint, n_tokens bigint"
+    )
+    out = pack_bins_greedy(df, "n_tokens", ["doc_id"], capacity=64)
+    assert {r.doc_id for r in out.collect()} == {1, 3}
+
+
+def test_distinct_rollup_custom_total_label(spark):
+    """The merged row's label is parameterized so a shard domain
+    containing 'ALL' can pick a non-colliding sentinel."""
+    from pyspark.sql import functions as F
+
+    from sparklyclean_spark.operators.sketches import distinct_rollup
+
+    df = spark.createDataFrame(
+        [(1, "ALL"), (2, "ALL"), (2, "b")], "uid bigint, s string"
+    )
+    out = {r.shard: r.est_distinct
+           for r in distinct_rollup(df, F.col("uid"), F.col("s"),
+                                    total_label="\x1ftotal").collect()}
+    assert out == {"ALL": 2, "b": 1, "\x1ftotal": 2}
