@@ -3274,7 +3274,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_cohort_retention": """
             WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS active_day
-                         FROM events),
+                         FROM events WHERE user_id IS NOT NULL),
             f AS (SELECT u, MIN(active_day) AS cohort_day FROM act GROUP BY u),
             cs AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM f GROUP BY 1),
             j AS (SELECT f.cohort_day,
@@ -4032,18 +4032,30 @@ def oracle_sql() -> dict[str, str]:
                             || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
                             || '.7' AS text
                 FROM documents)
+            -- stage-by-stage counts on the progressively redacted
+            -- text (r9 contract): each count = placeholders actually
+            -- inserted at that stage
+            , staged AS (
+                SELECT doc_id, text,
+                       regexp_replace(text,
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                           '<EMAIL>', 'g') AS after_email
+                FROM injected),
+            staged2 AS (
+                SELECT *, regexp_replace(after_email,
+                           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS after_phone
+                FROM staged)
             SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-                       '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                   regexp_replace(after_phone,
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
                        AS redacted,
                    len(regexp_extract_all(text,
                        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
-                   len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
-                   len(regexp_extract_all(text,
+                   len(regexp_extract_all(after_email,
+                       '\b\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+                   len(regexp_extract_all(after_phone,
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
-            FROM injected
+            FROM staged2
         """,
         "decontam_overlap": f"""
             WITH w AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
@@ -4932,11 +4944,14 @@ def oracle_sql() -> dict[str, str]:
               FROM pu
             )
             SELECT CAST(1 AS INT) AS step_idx, 'view' AS step, u1 AS users,
-                   ROUND(u1 * 1.0 / u1, 6) AS pct_of_entry FROM wide
+                   floor(u1 * 1000000.0 / u1 + 0.5) / 1000000.0 AS pct_of_entry
+            FROM wide
             UNION ALL
-            SELECT CAST(2 AS INT), 'click', u2, ROUND(u2 * 1.0 / u1, 6) FROM wide
+            SELECT CAST(2 AS INT), 'click', u2,
+                   floor(u2 * 1000000.0 / u1 + 0.5) / 1000000.0 FROM wide
             UNION ALL
-            SELECT CAST(3 AS INT), 'purchase', u3, ROUND(u3 * 1.0 / u1, 6) FROM wide
+            SELECT CAST(3 AS INT), 'purchase', u3,
+                   floor(u3 * 1000000.0 / u1 + 0.5) / 1000000.0 FROM wide
         """,
         "bloom_semi_join_orders": """
             SELECT o_orderkey, o_custkey FROM orders

@@ -49,9 +49,9 @@ def sliding_chunks(
     exploded = df.select(
         F.col(id_col),
         text,
-        F.posexplode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
-            "_pos", "_i"
-        ),
+        # plain explode: for a 0-based sequence posexplode's position
+        # equals the value — the extra column was dead weight
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("_i"),
     )
     chunk = text.substr(
         (F.col("_i") * step + 1).cast("int"), F.lit(chunk_chars)

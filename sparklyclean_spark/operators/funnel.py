@@ -37,6 +37,13 @@ def funnel_steps(
     """Per-user funnel progression: one row per user who completed
     step 1, with ``step_<k>_ts`` timestamps (NULL once the funnel is
     abandoned) and ``steps_completed``."""
+    if len(set(steps)) != len(steps):
+        # a repeated step name lets ONE event satisfy two consecutive
+        # steps (ts >= prev includes the event itself), reporting 100%
+        # conversion for view->view funnels (r9 review finding);
+        # repeated-step funnels need event-level ordering this shape
+        # does not model — refuse loudly
+        raise ValueError("steps must be distinct event types")
     w = Window.partitionBy(user_col)
     df = events.where(F.col(type_col).isin(steps))
     prev = None
@@ -84,10 +91,16 @@ def funnel_summary(
                 F.lit(i).alias("step_idx"),
                 F.lit(s).alias("step"),
                 F.col(f"_u{i}").alias("users"),
-                # try_divide: zero entrants -> NULL pct, not an ANSI error
-                F.round(F.try_divide(F.col(f"_u{i}"), F.col("_u1")), 6).alias(
-                    "pct_of_entry"
-                ),
+                # try_divide: zero entrants -> NULL pct, not an ANSI
+                # error; floor-6 contract (not engine round) so a tie
+                # at the 7th decimal cannot split Spark from DuckDB
+                (
+                    F.floor(
+                        F.try_divide(F.col(f"_u{i}") * 1000000.0, F.col("_u1"))
+                        + 0.5
+                    )
+                    / 1000000.0
+                ).alias("pct_of_entry"),
             )
             for i, s in enumerate(steps, start=1)
         ]

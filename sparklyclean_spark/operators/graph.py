@@ -105,7 +105,16 @@ def pagerank(
         .localCheckpoint()
     )
     for _ in range(iters):
-        with_deg = ranks.join(deg, ranks.v == deg.dv, "left").drop("dv")
+        # localCheckpoint: BOTH branches below (dangling agg, contribs
+        # join) read with_deg; un-materialized, Spark re-executed the
+        # O(V) ranks-deg join once per branch per iteration (r9 review
+        # finding). The table is O(V) narrow rows — same class the
+        # rank checkpoint already pays.
+        with_deg = (
+            ranks.join(deg, ranks.v == deg.dv, "left")
+            .drop("dv")
+            .localCheckpoint()
+        )
         # dangling mass: ranks of vertices with no out-edges, each
         # snapped to the 1e-12 grid before the (exact decimal) sum
         dangling = (
@@ -191,7 +200,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     deg = nodes.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     summary = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        # exact halving: Column '/' is DOUBLE division (lossy past
+        # 2^53 on hub-heavy graphs); the decimal sum of an always-even
+        # quantity halves exactly (r9 review finding)
+        F.floor(
+            F.sum((F.col("d") * (F.col("d") - 1)).cast("decimal(38,0)")) / 2
+        )
         .cast("bigint")
         .alias("n_wedges"),
     )

@@ -28,21 +28,26 @@ def redact_pii(
     """(id, redacted, n_emails, n_phones, n_ips) — placeholders
     ``<EMAIL>`` / ``<PHONE>`` / ``<IP>``. Order matters: emails are
     scrubbed before IPs so a dotted domain can't half-match the IPv4
-    pattern after partial rewriting."""
+    pattern after partial rewriting.
+
+    Counts are taken STAGE-BY-STAGE on the progressively redacted
+    text, so each count equals the number of placeholders actually
+    inserted at that stage: counting every pattern on the original
+    text reported phantom hits — '555-123-4567@example.com' is ONE
+    redacted email, but the original-text phone count also claimed a
+    phone that was never scrubbed, and drop-or-keep policies keyed on
+    the counts acted on PII that does not survive in `redacted`
+    (r9 review finding)."""
     t = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-        ),
-        IPV4_RE,
-        "<IP>",
-    )
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PHONE_RE, "<PHONE>")
+    redacted = F.regexp_replace(after_phone, IPV4_RE, "<IP>")
     return df.select(
         id_col,
         redacted.alias("redacted"),
         F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
-        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(after_email, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(after_phone, F.lit(IPV4_RE)).alias("n_ips"),
     )
 
 

@@ -31,7 +31,17 @@ from pyspark.sql import functions as F
 
 def _as_text(col: Column, kind: str) -> Column:
     if kind == "num":
-        return F.round(col.cast("double"), 4).cast("decimal(38,4)").cast("string")
+        # NaN/Inf/|x|>=1e34 render as strings instead of erroring: a
+        # plain decimal cast ABORTS the whole profile under ANSI mode
+        # on exactly the dirty numerics this triage operator exists to
+        # surface (r9 review finding). try_cast -> NULL for the
+        # overflow case, then the raw double's string form is kept.
+        d = col.cast("double")
+        dec = F.round(d, 4).try_cast("decimal(38,4)")
+        return F.when(
+            F.isnan(d) | d.isin(float("inf"), float("-inf")) | dec.isNull(),
+            d.cast("string"),
+        ).otherwise(dec.cast("string"))
     return col.cast("string")
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparklyclean_spark.functions.rounding import ratio4
+
 
 def cohort_retention(
     events: DataFrame,
@@ -37,9 +39,15 @@ def cohort_retention(
     rounded with explicit floor arithmetic (engine-proof, same
     contract as repetition_signals)."""
     day = F.to_date(F.col(ts_col))
-    activity = events.select(
-        F.col(user_col).alias("u"), day.alias("active_day")
-    ).distinct()
+    # NULL users are excluded up front: groupBy would count them into
+    # cohort_size while the null-unsafe activity join dropped their
+    # cells, deflating every retention value and breaking
+    # retention(0) = 1.0 (r9 review finding)
+    activity = (
+        events.where(F.col(user_col).isNotNull())
+        .select(F.col(user_col).alias("u"), day.alias("active_day"))
+        .distinct()
+    )
     firsts = activity.groupBy("u").agg(F.min("active_day").alias("cohort_day"))
     cohort_sizes = firsts.groupBy("cohort_day").agg(
         F.count(F.lit(1)).alias("cohort_size")
@@ -53,9 +61,7 @@ def cohort_retention(
         F.count(F.lit(1)).alias("n_active")  # (u, day) pairs are distinct
     )
     out = cells.join(F.broadcast(cohort_sizes), "cohort_day")
-    retention = (
-        F.floor(F.col("n_active") * 10000.0 / F.col("cohort_size") + 0.5) / 10000.0
-    )
+    retention = ratio4("n_active", "cohort_size")
     return out.select(
         "cohort_day",
         F.col("day_offset").cast("int").alias("day_offset"),
@@ -70,6 +76,7 @@ def rolling_active_users(
     days: int = 7,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Trailing ``days``-day distinct active users per calendar day
     (the rolling-DAU/WAU engagement metric). A distinct-count over a
@@ -84,11 +91,15 @@ def rolling_active_users(
     the natural grain; a ``days``-way sequence explode (constant
     fan-out, zero shuffle); one count-distinct hash agg keyed by day
     (bounded by the calendar); a broadcast semi-join trims phantom
-    trailing days. No raw-event windows, no driver state.
+    trailing days. No raw-event windows, no driver state. Callers
+    that already hold the distinct (u, d) projection pass it via
+    ``pairs`` (dau_wau_stickiness does — one distinct shuffle shared
+    instead of three independent derivations; r9 review finding).
     """
-    pairs = events.select(
-        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
-    ).distinct()
+    if pairs is None:
+        pairs = events.select(
+            F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+        ).distinct()
     real_days = pairs.select("d").distinct()
     contrib = pairs.select(
         "u",
@@ -122,14 +133,20 @@ def dau_wau_stickiness(
     distinct (user, day) projection; both aggregations are keyed by
     calendar day (bounded).
     """
-    pairs = events.select(
-        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
-    ).distinct()
+    from sparklyclean_spark.cache import tracked_persist
+
+    # ONE persisted distinct (u, d) projection feeds the DAU agg AND
+    # both of rolling_active_users' branches (the docstring's sharing
+    # claim, now actually implemented)
+    pairs = tracked_persist(
+        events.select(
+            F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+        ).distinct()
+    )
     dau = pairs.groupBy(F.col("d").alias("obs_day")).agg(
         F.count_distinct("u").alias("dau")
     )
-    wau = rolling_active_users(events, 7, user_col, ts_col)
-    from sparklyclean_spark.functions.rounding import ratio4
+    wau = rolling_active_users(events, 7, user_col, ts_col, pairs=pairs)
 
     return dau.join(wau, "obs_day").select(
         "obs_day",

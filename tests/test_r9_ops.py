@@ -641,3 +641,71 @@ def test_distinct_rollup_custom_total_label(spark):
            for r in distinct_rollup(df, F.col("uid"), F.col("s"),
                                     total_label="\x1ftotal").collect()}
     assert out == {"ALL": 2, "b": 1, "\x1ftotal": 2}
+
+
+def test_redact_pii_counts_match_redactions(spark):
+    """Counts are stage-by-stage on the progressively redacted text:
+    a phone/IP swallowed by an earlier email redaction is not
+    phantom-counted (r9 review finding, reproduced)."""
+    from sparklyclean_spark.operators.pii import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "call 555-123-4567@example.com or 1.2.3.4@foo.io"),
+         (2, "real phone 555-123-4567 and ip 1.2.3.4")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (2, 0, 0)
+    assert "<PHONE>" not in out[1].redacted and "<IP>" not in out[1].redacted
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 1, 1)
+    # invariant: each count equals its placeholder occurrences
+    for r in out.values():
+        assert r.redacted.count("<EMAIL>") == r.n_emails
+        assert r.redacted.count("<PHONE>") == r.n_phones
+        assert r.redacted.count("<IP>") == r.n_ips
+
+
+def test_cohort_retention_null_users_excluded(spark):
+    """NULL users previously inflated cohort_size while their cells
+    vanished from the null-unsafe join, breaking retention(0)=1.0."""
+    from sparklyclean_spark.operators.retention import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+        (None, "2024-01-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts"
+    )
+    out = cohort_retention(df).collect()
+    assert len(out) == 1
+    assert out[0].cohort_size == 2 and out[0].retention == 1.0
+
+
+def test_profile_columns_survives_dirty_numerics(spark):
+    """NaN / Inf / decimal-overflow numerics render as strings
+    instead of aborting the profile under ANSI mode (r9 review
+    finding)."""
+    from sparklyclean_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf"),), (1e35,), (2.5,)], "x double"
+    )
+    rows = profile_columns(df, [("x", "num")]).collect()
+    assert len(rows) == 1 and rows[0].min_val == "2.5000"
+    assert rows[0].max_val == "NaN"
+
+
+def test_funnel_rejects_repeated_steps(spark):
+    """A repeated step name let ONE event satisfy two steps (ts >=
+    prev includes itself) — now rejected loudly."""
+    import pytest
+
+    from sparklyclean_spark.operators.funnel import funnel_steps
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "view")],
+        "user_id bigint, ts string, event_type string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_type")
+    with pytest.raises(ValueError):
+        funnel_steps(df, ["view", "view"])
