@@ -15,7 +15,10 @@ from sparklyclean_spark.sources.points import (
     write_labeled_points,
 )
 from sparklyclean_spark.sources.writers import (
+    read_orc,
+    write_compacted_parquet,
     write_csv,
+    write_orc,
     write_parquet,
     write_text,
 )
@@ -35,4 +38,7 @@ __all__ = [
     "write_csv",
     "write_parquet",
     "write_text",
+    "read_orc",
+    "write_orc",
+    "write_compacted_parquet",
 ]

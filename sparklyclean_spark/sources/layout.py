@@ -35,16 +35,36 @@ def _scale(col: Column, lo: Column, hi: Column, bits: int) -> Column:
         F.lit(0.0)
     )
     maxrank = (1 << bits) - 1
-    return F.least(
-        F.floor(frac * F.lit(maxrank + 1)).cast("bigint"), F.lit(maxrank)
+    # NULL values rank 0 EXPLICITLY: least() skips NULL operands, so
+    # an unguarded form returned maxrank and clustered NULL rows into
+    # the max-corner files — inflating their min/max stats so nothing
+    # near the max pruned (r9 review finding). Rank 0 keeps NULLs in
+    # one corner with tight stats on the other columns.
+    return F.when(col.isNull(), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor(frac * F.lit(maxrank + 1)).cast("bigint"), F.lit(maxrank)
+        )
     )
 
 
 def zorder_key_from_ranks(ranks: list[Column], bits: int) -> Column:
     """Interleave ``bits`` low bits of each rank column (first column
     owns the least-significant interleaved bit). Pure shift/or/and
-    Column arithmetic — one codegen expression, no UDF."""
+    Column arithmetic — one codegen expression, no UDF.
+
+    ``len(ranks) * bits`` must fit in the 63 value bits of a signed
+    long: 4 columns at the default 16 bits silently produced NEGATIVE
+    keys (signed-sort scrambles the clustering) and ≥5 columns wrap
+    the JVM shift count mod 64, colliding distinct points (r9 review
+    finding, reproduced). Lower ``bits`` for wide column sets (15
+    bits × 4 cols or 12 × 5 lose nothing at file granularity)."""
     n = len(ranks)
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} interleaved bits"
+            " exceeds the 63 available in a signed 64-bit key; lower"
+            f" bits to <= {63 // n}"
+        )
     terms = []
     for b in range(bits):
         for i, r in enumerate(ranks):

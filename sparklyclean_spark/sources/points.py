@@ -57,9 +57,15 @@ def write_labeled_points(df: DataFrame, path: str) -> None:
     """Reference S4 (delete-then-save ≡ ``mode("overwrite")``): emit
     the exact ``t1Id, t2Id, label, f...`` line format. Floats are
     rendered with Java's Double.toString semantics via CAST to keep
-    round-trips lossless."""
+    round-trips lossless. NULL features write as ``NaN`` (array_join
+    SKIPS null elements without a replacement, which silently shifted
+    every later feature one slot left on disk — r9 review finding;
+    ``NaN`` round-trips to a NaN double on re-read, keeping slots
+    aligned)."""
     feats = F.array_join(
-        F.transform(F.col("features"), lambda x: x.cast("string")), ", "
+        F.transform(F.col("features"), lambda x: x.cast("string")),
+        ", ",
+        "NaN",
     )
     # labels are 0/1 doubles in-memory but "0"/"1" on disk (README.md:122-126)
     label = (

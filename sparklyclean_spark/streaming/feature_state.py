@@ -39,15 +39,22 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-OUTPUT_SCHEMA = (
-    "user_id bigint, n_events bigint, sum_value double, last_ts timestamp"
-)
+def output_schema(key_col: str = "user_id", key_type: str = "bigint") -> str:
+    """Output schema for the given key column (r9: was hardcoded to
+    'user_id bigint' while key_col was advertised configurable)."""
+    return f"{key_col} {key_type}, n_events bigint, sum_value double, last_ts timestamp"
+
+
+OUTPUT_SCHEMA = output_schema()
 _STATE_SCHEMA = "n bigint, sv double, last timestamp"
 
 
 class LifetimeFeatures(StatefulProcessor):
     """Per-key running (count, sum, last event time); emits one
     refreshed feature row per key per micro-batch that touched it."""
+
+    def __init__(self, key_col: str = "user_id") -> None:
+        self._key_col = key_col
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._state = handle.getValueState("features", _STATE_SCHEMA)
@@ -66,7 +73,7 @@ class LifetimeFeatures(StatefulProcessor):
         self._state.update((n, sv, last))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                self._key_col: [key[0]],
                 "n_events": [n],
                 "sum_value": [sv],
                 "last_ts": [last],
@@ -82,6 +89,7 @@ def streaming_lifetime_features(
     source_dir: str,
     schema: str,
     key_col: str = "user_id",
+    key_type: str = "bigint",
 ):
     """File source → transformWithStateInPandas feature maintainer.
     Returns the unstarted streaming DataFrame (attach sink + trigger).
@@ -92,8 +100,8 @@ def streaming_lifetime_features(
         .parquet(source_dir)
     )
     return stream.groupBy(key_col).transformWithStateInPandas(
-        LifetimeFeatures(),
-        outputStructType=OUTPUT_SCHEMA,
+        LifetimeFeatures(key_col),
+        outputStructType=output_schema(key_col, key_type),
         outputMode="update",
         timeMode="None",
     )

@@ -23,14 +23,21 @@ from typing import Iterator
 
 import pandas as pd
 
-OUTPUT_SCHEMA = (
-    "user_id bigint, window_start timestamp, window_end timestamp, "
-    "n_events bigint, sum_value double"
-)
+def output_schema(key_col: str = "user_id", key_type: str = "bigint") -> str:
+    """Output schema for the given key column — hardcoding
+    'user_id bigint' broke any non-default key name/type while the
+    API advertised key_col as configurable (r9 review finding)."""
+    return (
+        f"{key_col} {key_type}, window_start timestamp, "
+        "window_end timestamp, n_events bigint, sum_value double"
+    )
+
+
+OUTPUT_SCHEMA = output_schema()
 STATE_SCHEMA = "start timestamp, last timestamp, n bigint, sv double"
 
 
-def _session_fn(gap_seconds: int):
+def _session_fn(gap_seconds: int, key_col: str = "user_id"):
     gap = pd.Timedelta(seconds=gap_seconds)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
@@ -45,21 +52,35 @@ def _session_fn(gap_seconds: int):
             state.remove()
         else:
             cur = list(state.get) if state.exists else None
-            ts_all: list[pd.Series] = []
-            for pdf in pdfs:
-                pdf = pdf.sort_values("ts")
-                for ts, val in zip(pdf["ts"], pdf["value"]):
-                    if cur is None:
-                        cur = [ts, ts, 0, 0.0]
-                    elif ts - cur[1] > gap:
-                        closed.append(
-                            (user_id, cur[0], cur[1] + gap, cur[2], cur[3])
-                        )
-                        cur = [ts, ts, 0, 0.0]
-                    cur[1] = ts
-                    cur[2] += 1
-                    cur[3] += float(val)
-                ts_all.append(pdf["ts"])
+            # ONE global sort over the concatenated Arrow chunks: a
+            # hot key spanning multiple chunks (maxRecordsPerBatch)
+            # sorted each chunk independently, so chunk 2 could start
+            # before chunk 1 ended and the walk saw disorder even for
+            # in-order data (r9 review finding)
+            frames = [pdf for pdf in pdfs]
+            pdf = (
+                pd.concat(frames, ignore_index=True).sort_values("ts")
+                if len(frames) > 1
+                else frames[0].sort_values("ts")
+                if frames
+                else pd.DataFrame(columns=["ts", "value"])
+            )
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                if cur is None:
+                    cur = [ts, ts, 0, 0.0]
+                elif ts - cur[1] > gap:
+                    closed.append(
+                        (user_id, cur[0], cur[1] + gap, cur[2], cur[3])
+                    )
+                    cur = [ts, ts, 0, 0.0]
+                # max(): a late-but-in-watermark event joining the open
+                # session must NOT regress its last-event timestamp —
+                # the unconditional assignment produced inverted
+                # (end < start) windows and wrong splits (r9 review
+                # finding)
+                cur[1] = max(cur[1], ts)
+                cur[2] += 1
+                cur[3] += float(val)
             if cur is not None:
                 state.update(tuple(cur))
                 # close the session once event time passes last+gap
@@ -72,7 +93,8 @@ def _session_fn(gap_seconds: int):
         if closed:
             yield pd.DataFrame(
                 closed,
-                columns=["user_id", "window_start", "window_end", "n_events", "sum_value"],
+                columns=[key_col, "window_start", "window_end",
+                         "n_events", "sum_value"],
             )
 
     return fn
@@ -85,6 +107,7 @@ def streaming_sessionize(
     gap_seconds: int = 900,
     watermark: str = "30 minutes",
     key_col: str = "user_id",
+    key_type: str = "bigint",
 ):
     """File source → watermark → stateful sessionizer. Returns the
     unstarted streaming DataFrame (attach a sink + trigger). Output
@@ -102,8 +125,8 @@ def streaming_sessionize(
         .withWatermark("ts", watermark)
     )
     return stream.groupBy(key_col).applyInPandasWithState(
-        _session_fn(gap_seconds),
-        outputStructType=OUTPUT_SCHEMA,
+        _session_fn(gap_seconds, key_col),
+        outputStructType=output_schema(key_col, key_type),
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

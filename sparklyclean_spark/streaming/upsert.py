@@ -109,6 +109,17 @@ class ParquetUpsertSink:
                     for c in changes.columns
                     if c not in self.keys and c not in self.order_cols
                 ]
+                # CONTRACT: a self-bootstrapped snapshot treats
+                # order_cols as change-log transport metadata and
+                # excludes them (test-pinned); because later merges
+                # drop order columns absent from the target schema,
+                # every subsequent snapshot stays consistent. To KEEP
+                # an order column (e.g. an updated_at ts) in the
+                # snapshot, pre-seed target_dir with a snapshot that
+                # carries it — merge_changes' target-schema rule then
+                # preserves it on every path (r9 review note: the two
+                # deployment histories differ by this choice, by
+                # design, not by accident).
                 changes = latest_by_key(
                     changes, self.keys, self.order_cols, payload
                 ).drop(*self.order_cols)

@@ -709,3 +709,81 @@ def test_funnel_rejects_repeated_steps(spark):
     ).selectExpr("user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_type")
     with pytest.raises(ValueError):
         funnel_steps(df, ["view", "view"])
+
+
+def test_zorder_rejects_overflow_and_ranks_nulls_low(spark):
+    """4 cols x 16 bits = 64 interleaved bits produced NEGATIVE keys
+    (signed sort scrambled the clustering — reproduced); now rejected.
+    NULL values rank 0 instead of riding least() up to maxrank."""
+    import pytest
+
+    from sparklyclean_spark.sources.layout import with_zorder_key
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0, 1.0, 1.0)], "a double, b double, c double, d double"
+    )
+    with pytest.raises(ValueError):
+        with_zorder_key(df, ["a", "b", "c", "d"], bits=16)
+    ok = with_zorder_key(df, ["a", "b", "c", "d"], bits=15)
+    assert ok.collect()[0].zkey >= 0
+
+    df2 = spark.createDataFrame(
+        [(0.0, 0.0), (100.0, 100.0), (None, 100.0)], "a double, b double"
+    )
+    keys = {(r.a, r.b): r.zkey for r in with_zorder_key(df2, ["a", "b"]).collect()}
+    # NULL-a row must sort strictly below the max-corner row
+    assert keys[(None, 100.0)] < keys[(100.0, 100.0)]
+
+
+def test_write_labeled_points_null_feature_alignment(spark, tmp_path):
+    """A NULL feature writes as NaN instead of being silently dropped
+    by array_join (which shifted every later feature one slot left on
+    disk — r9 review finding)."""
+    import math
+
+    from sparklyclean_spark.sources.points import (
+        read_labeled_points,
+        write_labeled_points,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, 1.0, [0.5, None, 0.7])],
+        "id1 bigint, id2 bigint, label double, features array<double>",
+    )
+    path = str(tmp_path / "pts")
+    write_labeled_points(df, path)
+    back = read_labeled_points(spark, path, n_features=3).collect()[0]
+    feats = list(back.features)
+    assert feats[0] == 0.5 and feats[2] == 0.7
+    assert feats[1] is None or math.isnan(feats[1])  # slot preserved
+
+
+def test_streaming_sessionize_fn_handles_disorder(spark):
+    """The session walk must not regress the open session's last-event
+    timestamp on a late-but-in-watermark event (inverted windows were
+    reproduced), and must globally sort multi-chunk input."""
+    import pandas as pd
+
+    from sparklyclean_spark.streaming.sessionize import _session_fn
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def update(self, t):
+            self.val = t
+
+        def setTimeoutTimestamp(self, x):
+            pass
+
+    fn = _session_fn(900)
+    # two chunks arriving out of global order
+    c1 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 10:00:00"]), "value": [1.0]})
+    c2 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 09:55:00",
+                                             "2024-01-01 10:05:00"]), "value": [1.0, 1.0]})
+    st = FakeState()
+    out = list(fn((1,), iter([c1, c2]), st))
+    assert out == []  # one open session, nothing closed
+    start, last, n, sv = st.val
+    assert n == 3 and last >= start  # never inverted
+    assert last == pd.Timestamp("2024-01-01 10:05:00")
