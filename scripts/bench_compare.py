@@ -44,10 +44,13 @@ def main() -> None:
         f"baseline {base_path.rsplit('/', 1)[-1]}: {len(bq)} queries;"
         f" current BENCH_RAW: {len(cq)} queries; {len(shared)} shared"
     )
-    print(
-        f"shared-subtotal: {c_total:.1f}s vs {b_total:.1f}s"
-        f" ({c_total / b_total:.2f}x)"
-    )
+    if shared and b_total > 0:
+        print(
+            f"shared-subtotal: {c_total:.1f}s vs {b_total:.1f}s"
+            f" ({c_total / b_total:.2f}x)"
+        )
+    else:
+        print("shared-subtotal: no shared queries — nothing to compare")
     new = sorted(set(cq) - set(bq))
     if new:
         print(f"new rows ({len(new)}): " + ", ".join(f"{n} {cq[n]:.2f}s" for n in new))

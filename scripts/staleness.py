@@ -92,11 +92,14 @@ def main() -> None:
             f"rows-only (no hash record by design, {len(rows_only_unchecked)}):"
             f" {rows_only_unchecked}"
         )
-    worst = stale[0] if stale else None
-    print(
-        f"projected staleness after r{current}: max={worst[0]}"
-        f" (e.g. {worst[1]}, last green r{worst[2]})"
-    )
+    if stale:
+        worst = stale[0]
+        print(
+            f"projected staleness after r{current}: max={worst[0]}"
+            f" (e.g. {worst[1]}, last green r{worst[2]})"
+        )
+    else:
+        print("projected staleness: no correctness records found")
     print("next rotation queue (oldest last-green, not in current window):")
     for age, name, lg in [s for s in stale if s[1] not in window][:25]:
         print(f"  {name}: last green r{lg} ({age} rounds)")

@@ -366,7 +366,11 @@ def cell_assign_udf(cents, top: int):
         sims = m @ cents.T
         if top == 1:
             return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
-        idx = np.argsort(-sims, axis=1)[:, :top].astype(np.int32)
+        # kind='stable': an exact float tie in query-to-centroid sims
+        # must break toward the LOWEST cell id, exactly like the
+        # oracle's ORDER BY sim DESC, cell ASC (default quicksort is
+        # not stable — r9 advisor finding)
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :top].astype(np.int32)
         return pd.Series(list(idx))
 
     return pandas_udf(impl, "int" if top == 1 else "array<int>")

@@ -68,6 +68,8 @@ def codebooks_from_vectors(vecs, m: int = 4, ks: int = 16, iters: int = 10, seed
     seed+j (independent inits)."""
     import numpy as np
 
+    if not len(vecs):
+        raise ValueError("empty training sample: PQ codebooks need >= 1 vector")
     x = np.array(vecs, dtype=np.float64)
     x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
     dim = x.shape[1]
@@ -342,10 +344,12 @@ def ivf_pq_topk(
     qx = _unit_rows(q_rows)
     sims = qx @ ivf_cents.T
     top = min(nprobe, len(ivf_cents))
+    # kind='stable': exact sim ties break toward the lowest cell id,
+    # matching the oracle's ORDER BY sim DESC, cell ASC
     probe_rows = [
         (int(r["query_id"]), int(cell))
         for qi, r in enumerate(q_rows)
-        for cell in np.argsort(-sims[qi])[:top]
+        for cell in np.argsort(-sims[qi], kind="stable")[:top]
     ]
     spark = corpus.sparkSession
     probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int")

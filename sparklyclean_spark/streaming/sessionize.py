@@ -73,11 +73,15 @@ def _session_fn(gap_seconds: int, key_col: str = "user_id"):
                         (user_id, cur[0], cur[1] + gap, cur[2], cur[3])
                     )
                     cur = [ts, ts, 0, 0.0]
-                # max(): a late-but-in-watermark event joining the open
-                # session must NOT regress its last-event timestamp —
-                # the unconditional assignment produced inverted
-                # (end < start) windows and wrong splits (r9 review
-                # finding)
+                # max()/min(): a late-but-in-watermark event joining
+                # the open session must NOT regress its last-event
+                # timestamp (the unconditional assignment produced
+                # inverted end < start windows, r9 review finding),
+                # and symmetrically a late event EARLIER than the
+                # recorded start must pull window_start back so the
+                # window actually contains every counted event (r10
+                # advisor finding)
+                cur[0] = min(cur[0], ts)
                 cur[1] = max(cur[1], ts)
                 cur[2] += 1
                 cur[3] += float(val)

@@ -371,3 +371,47 @@ def test_streaming_enrich_matches_batch(spark, event_dir):
         for r in spark.sql("SELECT * FROM enrich_smoke").collect()
     }
     assert got == expected
+
+
+def test_stateful_sessionize_late_event_extends_start(spark, tmp_path_factory):
+    """r10 advisor regression: a late-but-in-watermark event EARLIER
+    than the open session's recorded start must pull window_start back
+    so the closed window contains every counted event (the r9 fix only
+    clamped the end)."""
+    from sparklyclean_spark.streaming.sessionize import streaming_sessionize
+
+    path = str(tmp_path_factory.mktemp("sess_stream_late"))
+
+    def write_file(rows):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    # batch 1: user 1's session opens at 09:10
+    write_file([(1, "2024-01-01 09:10:00", 1, 1.0)])
+    # batch 2: late event at 09:05 (> watermark 08:40, < open start)
+    write_file([(2, "2024-01-01 09:05:00", 1, 2.0)])
+    # batch 3: far-future closer for another user
+    write_file([(3, "2024-01-01 12:00:00", 2, 3.0)])
+
+    out = streaming_sessionize(
+        spark, path,
+        "event_id bigint, ts timestamp, user_id bigint, value double",
+        gap_seconds=900,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessionize_late_start")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.user_id, str(r.window_start), str(r.window_end)): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sessionize_late_start").collect()
+    }
+    # the closed user-1 session must start at the EARLIEST contained
+    # event (09:05), end = 09:10 + 15 min, and count both events
+    assert rows[(1, "2024-01-01 09:05:00", "2024-01-01 09:25:00")] == (2, 3.0)
