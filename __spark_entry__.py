@@ -351,16 +351,21 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=32, nprobe=8)
 
 
-def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx_topk) -> DataFrame:
+def _recall_vs_exact(
+    spark: SparkSession, sf_dir: str, approx_topk, nq: int = 10
+) -> DataFrame:
     """Shared scaffold of every ANN quality row (IVF / LSH / PQ /
     IVF-PQ): per-query recall@5 of ``approx_topk(emb, q)`` against the
     exact brute-force top-5, computed IN-PLAN — exact LEFT JOIN approx
     on the pair, one coalesce-sum/count round per query. One place to
-    change k, the query set, or the rounding for all four rows."""
+    change k, the query set, or the rounding for all rows. ``nq``
+    widens the query set (vec_id < nq) for rows whose POINT is a mean
+    recall comparison — at the default 10 queries a recall delta is
+    only ±hits/50 granular."""
     from sparklyclean_spark.operators.similarity.knn import brute_force_topk
 
     emb = _tables(spark, sf_dir)["embeddings"]
-    q = emb.where(F.col("vec_id") < 10)
+    q = emb.where(F.col("vec_id") < nq)
     exact = brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
     approx = approx_topk(emb, q).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
@@ -425,6 +430,37 @@ def _ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _recall_vs_exact(
         spark, sf_dir, lambda emb, q: ivf_pq_topk(emb, q, k=5, n_cells=32, nprobe=8)
+    )
+
+
+def _ivf_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible quality number for RESIDUAL-encoding IVF-PQ
+    (pq.ivf_pq_residual_topk — the form Jégou TPAMI'11 §V and FAISS
+    IVFPQ publish: PQ codes the residual v - centroid, concentrating
+    the codebook on within-cell variance): per-query recall@5 vs the
+    exact brute-force top-k, in-plan. ORACLE-VERIFIED end-to-end via
+    THREE baked literal sets (IVF centroids, residual codebooks —
+    trained by the same numpy on the same hash-ordered sample at
+    render time — plus the probe ordering), so DuckDB recomputes cell
+    assignment, per-cell residuals, snapped encoding, the per-(query,
+    probed-cell) ADC tables, DECIMAL-exact sums, the top-5, and the
+    recall. Same accepted measure-zero float caveat as ivf_pq_recall.
+
+    Query set is vec_id < 100 (vs the other recall rows' 10): this
+    row's REASON to exist is the mean-recall comparison against the
+    raw tier, and at 10 queries the comparison is ±1/50 granular noise
+    (the first-10 subset happens to favor raw by 5 hits at sf0.01
+    while the 100-query mean favors residual at EVERY shipped SF:
+    0.194 vs 0.188 at sf0.001, 0.230 vs 0.196 at sf0.01, 0.122 vs
+    0.100 at sf0.1). The >= gate is pinned by
+    tests/test_r10_ops.py::test_residual_ivf_pq_recall_beats_raw."""
+    from sparklyclean_spark.operators.similarity.pq import ivf_pq_residual_topk
+
+    return _recall_vs_exact(
+        spark,
+        sf_dir,
+        lambda emb, q: ivf_pq_residual_topk(emb, q, k=5, n_cells=32, nprobe=8),
+        nq=100,
     )
 
 
@@ -1968,6 +2004,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_distortion": _q(PQ.pq_distortion, table="embeddings"),
         # r9: the composed IVF-PQ funnel (cells prune, ADC scores)
         "ivf_pq_recall": _ivf_pq_recall,
+        "ivf_pq_residual_recall": _ivf_pq_residual_recall,
         # r9: SemDeDup (Abbas et al. 2023) — embedding-space dedup over
         # the IVF cells; τ=0.35 sits in the synthetic corpus's near-dup
         # band (≈270 above-τ pairs at sf0.01, none above 0.7)
@@ -5098,6 +5135,7 @@ def oracle_sql() -> dict[str, str]:
         sql["knn_pq_recall"] = _pq_recall_sql()
         sql["pq_distortion"] = _pq_distortion_sql()
         sql["ivf_pq_recall"] = _ivf_pq_recall_sql()
+        sql["ivf_pq_residual_recall"] = _ivf_pq_residual_recall_sql()
     except Exception:
         pass
     # r9: the RAW ANN top-k rows graduate from rows-only — both are
@@ -6628,6 +6666,203 @@ def _ivf_pq_recall_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
                                 ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
                     FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
                     WHERE a.vec_id < 10
+                ) WHERE rank <= {k}
+            )
+            SELECT e.query_id,
+                   ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                         / COUNT(*), 4) AS recall_at_{k}
+            FROM exact e
+            LEFT JOIN approx a ON a.query_id = e.query_id
+                              AND a.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        """
+
+
+@functools.lru_cache(maxsize=8)
+def _rpq_codebooks_sql(
+    sf_dir: str,
+    n_cells: int = 32,
+    m: int = 4,
+    ks: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = 647,
+) -> str:
+    """DuckDB twin of pq.ivf_pq_residual_topk's residual training (the
+    `_pq_codebooks_sql` treatment plus the residual step): read the
+    SAME hash-ordered sample without Spark, train the SAME IVF
+    centroids (`knn._spherical_kmeans`), derive the SAME per-cell mean
+    origins (`pq.cell_means_from_sample`), compute the SAME residuals
+    (`pq.residuals_from_vectors`), train the codebooks with
+    ``normalize=False`` — bit-equal literals by construction. Returns
+    (codebook_values, mean_values) — the two literal sets the residual
+    oracle needs beyond the shared IVF centroids."""
+    import duckdb
+    import numpy as np
+
+    from sparklyclean_spark.operators.similarity.knn import _spherical_kmeans
+    from sparklyclean_spark.operators.similarity.pq import (
+        cell_means_from_sample,
+        codebooks_from_vectors,
+        residuals_from_vectors,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        f" ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {sample_cap}"
+    ).fetchall()
+    rows.sort(key=lambda r: r[0])
+    svecs = [r[1] for r in rows]
+    ivf_cents = _spherical_kmeans(
+        np.array(svecs, dtype=np.float64), n_cells, iters, seed
+    )
+    means = cell_means_from_sample(svecs, ivf_cents)
+    resid, _ = residuals_from_vectors(svecs, ivf_cents, means)
+    cents = codebooks_from_vectors(resid, m, ks, iters, seed, normalize=False)
+    cb_vals = ", ".join(
+        "(%d, %d, [%s])" % (j, c, ", ".join(repr(float(v)) for v in cents[j][c]))
+        for j in range(cents.shape[0])
+        for c in range(cents.shape[1])
+    )
+    mv_vals = ", ".join(
+        "(%d, [%s])" % (c, ", ".join(repr(float(v)) for v in means[c]))
+        for c in range(means.shape[0])
+    )
+    return f"(VALUES {cb_vals})", f"(VALUES {mv_vals})"
+
+
+@functools.lru_cache(maxsize=4)
+def _rpq_cb_union_sql() -> str:
+    """Fingerprint-guarded UNION of per-SF RESIDUAL PQ codebook
+    literals (scheme of _pq_cb_union_sql)."""
+    return _fp_guarded_embedding_union(
+        "RPQ",
+        lambda sf: f"SELECT * FROM {_rpq_codebooks_sql(sf)[0]} AS t(j, code, cv)",
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _ivf_means_union_sql() -> str:
+    """Fingerprint-guarded UNION of per-SF cell-mean origin literals
+    for the residual tier (scheme of _ivf_cents_union_sql)."""
+    return _fp_guarded_embedding_union(
+        "RPQM",
+        lambda sf: f"SELECT * FROM {_rpq_codebooks_sql(sf)[1]} AS t(cell, mv)",
+    )
+
+
+def _ivf_pq_residual_recall_sql(
+    dim: int = 64, nprobe: int = 8, k: int = 5, sub: int = 16, nq: int = 100
+) -> str:
+    """Full DuckDB oracle for ivf_pq_residual_recall: the IVF front
+    half (centroid literals -> cell argmax -> probe sets) feeding the
+    RESIDUAL PQ back half — every corpus vector's residual is taken
+    against ITS OWN cell's MEAN origin (a third literal set,
+    `_ivf_means_union_sql`) before the snapped-argmin encode, and the
+    query ADC lookup table is per (query, probed cell) because the
+    query residual changes with the probed cell's origin. DECIMAL ADC
+    sums, top-k by (adist ASC, neighbor_id ASC), recall vs the exact
+    cosine top-k. Probe ordering is (sim DESC, cell ASC), matching the
+    Spark path's stable argsort; residual arithmetic is elementwise
+    (division, subtraction — bit-identical across engines given equal
+    inputs), so the only float caveat is the inherited ~1-ulp list_sum
+    vs numpy-matmul class, tightened by the ROUND(.., 9) snap before
+    every argmin."""
+    return f"""
+            WITH icents AS ({_ivf_cents_union_sql()}),
+            mcents AS ({_ivf_means_union_sql()}),
+            rcb AS ({_rpq_cb_union_sql()}),
+            n AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       GREATEST(sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12)
+                           AS nrm
+                FROM embeddings
+            ),
+            sims AS (
+                SELECT n.vec_id, ic.cell,
+                       list_sum(list_transform(range(1, {dim} + 1),
+                           i -> (n.v[i] / n.nrm) * ic.cv[i])) AS sim
+                FROM n CROSS JOIN icents ic
+            ),
+            corpus_cell AS (
+                SELECT vec_id AS neighbor_id, cell FROM (
+                    SELECT vec_id, cell,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell ASC) AS rn
+                    FROM sims) WHERE rn = 1
+            ),
+            probes AS (
+                SELECT vec_id AS query_id, cell FROM (
+                    SELECT vec_id, cell,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell ASC) AS rn
+                    FROM sims WHERE vec_id < {nq}) WHERE rn <= {nprobe}
+            ),
+            resid AS (
+                SELECT cc.neighbor_id AS vec_id,
+                       list_transform(range(1, {dim} + 1),
+                           i -> n.v[i] / n.nrm - mc.mv[i]) AS rv
+                FROM corpus_cell cc
+                JOIN n ON n.vec_id = cc.neighbor_id
+                JOIN mcents mc ON mc.cell = cc.cell
+            ),
+            dists AS (
+                SELECT r.vec_id, cb.j, cb.code,
+                       ROUND(list_sum(list_transform(range(1, {sub} + 1),
+                           i -> (r.rv[cb.j * {sub} + i] - cb.cv[i])
+                              * (r.rv[cb.j * {sub} + i] - cb.cv[i]))), 9)
+                           AS d
+                FROM resid r CROSS JOIN rcb cb
+            ),
+            codes AS (
+                SELECT vec_id, j, code FROM (
+                    SELECT vec_id, j, code,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                ORDER BY d ASC, code ASC) AS rn
+                    FROM dists) WHERE rn = 1
+            ),
+            qresid AS (
+                SELECT p.query_id, p.cell,
+                       list_transform(range(1, {dim} + 1),
+                           i -> n.v[i] / n.nrm - mc.mv[i]) AS rv
+                FROM probes p
+                JOIN n ON n.vec_id = p.query_id
+                JOIN mcents mc ON mc.cell = p.cell
+            ),
+            lut AS (
+                SELECT qr.query_id, qr.cell, cb.j, cb.code,
+                       CAST(ROUND(list_sum(list_transform(range(1, {sub} + 1),
+                           i -> (qr.rv[cb.j * {sub} + i] - cb.cv[i])
+                              * (qr.rv[cb.j * {sub} + i] - cb.cv[i]))), 9)
+                           AS DECIMAL(18,9)) AS d
+                FROM qresid qr CROSS JOIN rcb cb
+            ),
+            adist AS (
+                SELECT p.query_id, cc.neighbor_id, SUM(l.d) AS adist_dec
+                FROM probes p
+                JOIN corpus_cell cc ON cc.cell = p.cell
+                JOIN codes c ON c.vec_id = cc.neighbor_id
+                JOIN lut l ON l.query_id = p.query_id AND l.cell = p.cell
+                          AND l.j = c.j AND l.code = c.code
+                WHERE cc.neighbor_id <> p.query_id
+                GROUP BY p.query_id, cc.neighbor_id
+            ),
+            approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist_dec ASC, neighbor_id ASC) AS rank
+                    FROM adist) WHERE rank <= {k}
+            ),
+            exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+                    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+                    WHERE a.vec_id < {nq}
                 ) WHERE rank <= {k}
             )
             SELECT e.query_id,

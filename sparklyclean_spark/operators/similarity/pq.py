@@ -57,21 +57,27 @@ def _l2_kmeans(x, ks: int, iters: int = 10, seed: int = 647):
     return cents
 
 
-def codebooks_from_vectors(vecs, m: int = 4, ks: int = 16, iters: int = 10, seed: int = 647):
+def codebooks_from_vectors(
+    vecs, m: int = 4, ks: int = 16, iters: int = 10, seed: int = 647,
+    normalize: bool = True,
+):
     """Shared training core: the (m x ks x dim/m) codebooks from a
     bounded id-sorted sample. Called by BOTH the Spark path
     (`train_pq_codebooks`) and the DuckDB oracle renderer
     (`__spark_entry__._pq_codebooks_sql`) — codebooks are bit-equal
     across engines by construction. Vectors are L2-normalized before
-    chopping, so ADC's squared-L2 ordering equals cosine ordering
-    (||q-x||^2 = 2 - 2cos on the unit sphere). Subspace j trains with
-    seed+j (independent inits)."""
+    chopping (``normalize=True``), so ADC's squared-L2 ordering equals
+    cosine ordering (||q-x||^2 = 2 - 2cos on the unit sphere); the
+    residual tier passes ``normalize=False`` because its inputs are
+    already (unit vector - centroid) differences that must NOT be
+    re-scaled. Subspace j trains with seed+j (independent inits)."""
     import numpy as np
 
     if not len(vecs):
         raise ValueError("empty training sample: PQ codebooks need >= 1 vector")
     x = np.array(vecs, dtype=np.float64)
-    x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+    if normalize:
+        x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -358,6 +364,204 @@ def ivf_pq_topk(
     scored = (
         cc.join(F.broadcast(probes), "cell")
         .join(F.broadcast(lut_df), ["query_id", "j", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adist_dec"))
+    )
+    from sparklyclean_spark.operators.skew import salted_topk
+
+    topk = salted_topk(
+        scored, ["query_id"], [F.asc("adist_dec"), F.asc("neighbor_id")], k
+    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("adist_dec").cast("double"), 4).alias("adist"),
+        F.col("rn").cast("int").alias("rank"),
+    )
+
+
+def cell_means_from_sample(svecs, ivf_cents):
+    """Per-cell SUBTRACTION POINTS for the residual tier: the mean of
+    the normalized sample vectors assigned (argmax cosine) to each
+    cell, falling back to the unit centroid for cells the sample never
+    hits. The spherical k-means centroid is unit-norm — right for
+    cosine ASSIGNMENT, wrong as a residual origin: on weakly-clustered
+    corpora E||v - c||^2 = 2 - 2·E[cos] can EXCEED E||v||^2 = 1,
+    making residuals harder to quantize than the raw vectors. The cell
+    mean is the L2-optimal origin (E||v - mu||^2 = 1 - ||mu||^2 < 1),
+    and because ADC compares candidates of one cell in that cell's
+    shared frame, any fixed per-cell offset cancels from the ordering:
+    (q - mu) - (v - mu) = q - v. Called by BOTH the Spark path and the
+    DuckDB oracle renderer — bit-equal literals by construction."""
+    import numpy as np
+
+    x = np.array(svecs, dtype=np.float64)
+    x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+    cells = np.argmax(x @ ivf_cents.T, axis=1)
+    means = ivf_cents.copy()
+    for c in range(len(ivf_cents)):
+        pts = x[cells == c]
+        if len(pts):
+            means[c] = pts.mean(axis=0)
+    return means
+
+
+def residuals_from_vectors(vecs, ivf_cents, sub_points=None):
+    """Shared residual computation (Jégou et al. 2011 §V): L2-normalize
+    each vector, assign it to its nearest IVF centroid (argmax cosine,
+    ties -> lowest cell, numpy argmax semantics == the oracle's ORDER
+    BY sim DESC, cell ASC), and return (residual matrix, cell vector)
+    with residual = unit_vector - sub_points[cell] (the cell-mean
+    origin from `cell_means_from_sample`; defaults to the centroids
+    themselves). Called by BOTH the Spark trainer/encoder and the
+    DuckDB oracle renderer so the residual codebooks are bit-equal
+    across engines by construction."""
+    import numpy as np
+
+    if sub_points is None:
+        sub_points = ivf_cents
+    x = np.array(vecs, dtype=np.float64)
+    x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+    cells = np.argmax(x @ ivf_cents.T, axis=1)
+    return x - sub_points[cells], cells
+
+
+def _residual_encode_udf(ivf_cents, sub_points, pq_cents):
+    """Arrow-batched residual encoder: embedding -> struct(cell int,
+    codes array<int>). The cell is the IVF argmax assignment; codes[j]
+    is the snapped-argmin codeword of the RESIDUAL's j-th sub-vector
+    (unit vector minus the cell's MEAN origin, see
+    `cell_means_from_sample`) against the residual-trained codebook
+    (ties -> lowest code). Same 1e-9 snap grid as `_encode_udf` so the
+    oracle's ROUND(.., 9) argmin agrees."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, sub = pq_cents.shape
+
+    def impl(vs):
+        x = np.asarray(vs.tolist(), dtype=np.float64)
+        x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+        cells = np.argmax(x @ ivf_cents.T, axis=1)
+        r = x - sub_points[cells]
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            block = r[:, j * sub : (j + 1) * sub]
+            d = ((block[:, None, :] - pq_cents[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = np.round(d, 9).argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype(np.int32), "codes": list(codes)}
+        )
+
+    return pandas_udf(impl, "struct<cell: int, codes: array<int>>")
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 32,
+    nprobe: int = 8,
+    m: int = 4,
+    ks: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = 647,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_cap: int = 1024,
+) -> DataFrame:
+    """Residual-encoding IVF-PQ — the form Jégou et al. (TPAMI 2011
+    §V) and the FAISS IVFPQ index actually publish: instead of
+    PQ-encoding the raw vector, encode the RESIDUAL (v - centroid of
+    v's cell), which concentrates the codebook's ks entries on
+    within-cell variance and buys recall at the same m-code budget.
+    ``ivf_pq_topk`` (raw-vector composition) stays as the
+    oracle-simpler tier; this is the fidelity refinement (VERDICT r9
+    item 3).
+
+    Mechanics vs the raw tier: residuals are taken against each
+    cell's MEAN origin, not the unit centroid (see
+    `cell_means_from_sample` — on weakly-clustered corpora the unit
+    centroid makes residuals HARDER to quantize than raw vectors; the
+    mean is the L2-optimal origin and cancels from within-cell ADC
+    ordering); the PQ codebooks train on sample residuals
+    (``normalize=False`` — residuals must not be re-scaled); the ADC
+    lookup table becomes PER (query, probed cell) — the query's
+    residual is taken against EACH probed cell's origin, so the table
+    is |queries| x nprobe x m x ks rows (still bounded and broadcast);
+    corpus codes carry (cell, j, code) and the scoring join adds
+    `cell` to the lookup key. Raw vectors still never shuffle — the
+    scored relation is 4 ints wide.
+
+    Returns (query_id, neighbor_id, adist, rank); adist ascending
+    (approximate ||q - v||^2 within the shared cell's frame).
+    """
+    import numpy as np
+
+    from sparklyclean_spark.operators.similarity.knn import _spherical_kmeans
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # ONE hash-ordered sample collect feeds both trainers (the
+    # ivf_pq_topk recipe); the PQ stage then trains on the sample's
+    # RESIDUALS under the just-trained coarse quantizer
+    srows = _hash_ordered_sample(c, "neighbor_id", sample_cap)
+    svecs = [r["cv"] for r in srows]
+    ivf_cents = _spherical_kmeans(
+        np.array(svecs, dtype=np.float64), n_cells, iters, seed
+    )
+    means = cell_means_from_sample(svecs, ivf_cents)
+    resid, _ = residuals_from_vectors(svecs, ivf_cents, means)
+    pq_cents = codebooks_from_vectors(resid, m, ks, iters, seed, normalize=False)
+
+    # corpus side: one Arrow pass -> (neighbor_id, cell, j, code)
+    cc = c.select(
+        "neighbor_id",
+        _residual_encode_udf(ivf_cents, means, pq_cents)(F.col("cv")).alias("e"),
+    ).select(
+        "neighbor_id",
+        F.col("e.cell").alias("cell"),
+        F.posexplode("e.codes").alias("j", "code"),
+    )
+
+    # query side: bounded collect -> probe sets + the per-(query, cell)
+    # residual ADC lookup table
+    q_rows = q.orderBy("query_id").limit(query_cap).collect()
+    qx = _unit_rows(q_rows)
+    sims = qx @ ivf_cents.T
+    top = min(nprobe, len(ivf_cents))
+    sub = pq_cents.shape[2]
+    probe_rows, lut = [], []
+    for qi, r in enumerate(q_rows):
+        qid = int(r["query_id"])
+        # kind='stable': sim ties break toward the lowest cell id,
+        # matching the oracle's ORDER BY sim DESC, cell ASC
+        for cell in np.argsort(-sims[qi], kind="stable")[:top]:
+            cell = int(cell)
+            probe_rows.append((qid, cell))
+            rq = qx[qi] - means[cell]
+            for j in range(m):
+                block = rq[j * sub : (j + 1) * sub]
+                d = np.round(((block[None, :] - pq_cents[j]) ** 2).sum(-1), 9)
+                lut.extend(
+                    (qid, cell, j, c_, float(d[c_])) for c_ in range(ks)
+                )
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int")
+    lut_df = spark.createDataFrame(
+        lut, "query_id bigint, cell int, j int, code int, d double"
+    ).select(
+        "query_id", "cell", "j", "code",
+        F.col("d").cast("decimal(18,9)").alias("d"),
+    )
+
+    scored = (
+        cc.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(lut_df), ["query_id", "cell", "j", "code"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").alias("adist_dec"))

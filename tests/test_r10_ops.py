@@ -11,3 +11,84 @@ def test_pq_empty_sample_raises():
 
     with pytest.raises(ValueError, match="empty training sample"):
         codebooks_from_vectors([])
+
+
+def test_residual_ivf_pq_recall_beats_raw(spark):
+    """VERDICT r9 item 3's done-gate: residual-encoding IVF-PQ (cell-
+    MEAN origins, Jégou §V) must reach mean recall@5 >= the raw-vector
+    composition on a statistically meaningful query set (100 queries —
+    at 10 the delta is inside the ±1/50 hit granularity)."""
+    from tests.conftest import SF_DIR
+
+    import __spark_entry__ as entry
+    from sparklyclean_spark.operators.similarity.pq import (
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+    )
+
+    means = {}
+    for name, fn in (("raw", ivf_pq_topk), ("residual", ivf_pq_residual_topk)):
+        rows = entry._recall_vs_exact(
+            spark, SF_DIR,
+            lambda emb, q: fn(emb, q, k=5, n_cells=32, nprobe=8),
+            nq=100,
+        ).collect()
+        means[name] = sum(r.recall_at_5 for r in rows) / len(rows)
+    assert means["residual"] >= means["raw"], means
+
+
+def test_residual_ivf_pq_duplicate_wins_and_is_deterministic(spark):
+    """An exact duplicate of the query lands in the query's own cell,
+    shares its residual, and therefore its codes — its ADC distance is
+    the per-cell table minimum and nothing can beat it (ties break by
+    id). Output is invariant under repartitioning; self-pairs are
+    excluded and ranks are 1..k."""
+    import random
+
+    from sparklyclean_spark.operators.similarity.pq import ivf_pq_residual_topk
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((100, list(rows[0][1])))  # exact dup of vec 0
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.where("vec_id = 0")
+    out = ivf_pq_residual_topk(emb, q, k=5, n_cells=4, nprobe=4, m=4, ks=8)
+    got = sorted(map(tuple, out.collect()), key=lambda t: t[3])
+    assert len(got) == 5
+    assert [t[3] for t in got] == [1, 2, 3, 4, 5]
+    assert all(t[1] != 0 for t in got)
+    assert got[0][1] == 100
+    out2 = sorted(
+        map(
+            tuple,
+            ivf_pq_residual_topk(
+                emb.repartition(5), q, k=5, n_cells=4, nprobe=4, m=4, ks=8
+            ).collect(),
+        ),
+        key=lambda t: t[3],
+    )
+    assert got == out2
+
+
+def test_cell_means_shrink_residual_energy():
+    """The point of the mean origin: on a weakly-clustered corpus the
+    unit spherical centroid gives residuals with MORE energy than the
+    vectors themselves, the per-cell mean strictly less."""
+    import numpy as np
+
+    from sparklyclean_spark.operators.similarity.knn import _spherical_kmeans
+    from sparklyclean_spark.operators.similarity.pq import (
+        cell_means_from_sample,
+        residuals_from_vectors,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.uniform(-1, 1, size=(400, 16))
+    cents = _spherical_kmeans(vecs, 8, 10, 647)
+    r_unit, _ = residuals_from_vectors(vecs, cents)
+    means = cell_means_from_sample(vecs, cents)
+    r_mean, _ = residuals_from_vectors(vecs, cents, means)
+    e_unit = (r_unit ** 2).sum(1).mean()
+    e_mean = (r_mean ** 2).sum(1).mean()
+    assert e_mean < 1.0 < e_unit
+    assert e_mean < e_unit
