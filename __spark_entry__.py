@@ -1646,6 +1646,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_cross_entropy": _q(TA.unigram_cross_entropy, table="documents"),
         # r9: tokenizer-training support — first BPE merge iteration
         "bpe_merge_pairs": _q(TA.bpe_merge_candidates, table="documents"),
+        "bpe_merge_table": _q(TA.bpe_merge_table, n_merges=8, table="documents"),
         # r9: vocab-size budgeting curve (coverage of top-k terms)
         "vocab_coverage_curve": _q(TA.vocab_coverage, table="documents"),
         # r9: CCNet head/middle/tail terciles over the xent signal
@@ -5136,6 +5137,7 @@ def oracle_sql() -> dict[str, str]:
         sql["pq_distortion"] = _pq_distortion_sql()
         sql["ivf_pq_recall"] = _ivf_pq_recall_sql()
         sql["ivf_pq_residual_recall"] = _ivf_pq_residual_recall_sql()
+        sql["bpe_merge_table"] = _bpe_merge_table_sql()
     except Exception:
         pass
     # r9: the RAW ANN top-k rows graduate from rows-only — both are
@@ -6873,6 +6875,76 @@ def _ivf_pq_residual_recall_sql(
                               AND a.neighbor_id = e.neighbor_id
             GROUP BY e.query_id
         """
+
+
+def _bpe_merge_table_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle for bpe_merge_table: the merge loop unrolled one
+    CTE-triplet per iteration (the `_pagerank_sql` precedent for
+    inherently sequential loops). Words live as a DELIMITED STRING in
+    canonical form '␠␠sym␠␠sym␠␠' (two spaces at every boundary;
+    symbols are whitespace-free by construction): the greedy
+    left-to-right non-overlapping merge is then exactly one
+    non-regex ``replace(s, ' lhs  rhs ', ' lhsrhs ')`` — each match
+    consumes ONE space of each boundary and the replacement restores
+    it, so the output stays canonical and adjacent occurrences chain
+    without rescanning (verified equal to the Spark side's
+    ``F.aggregate`` accumulator on overlap cases like 'aaaa').
+    Pair counts re-split the string per iteration; the top-1 scalar
+    subqueries are COALESCEd to an unmatchable chr(0) pattern when no
+    pair remains, making further iterations no-ops on both engines."""
+    parts = [
+        f"""
+            w0 AS (
+                SELECT tok, COUNT(*) AS freq
+                FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+                GROUP BY tok
+            ),
+            s0 AS (
+                SELECT '  ' || array_to_string(list_transform(
+                           range(1, length(tok) + 1),
+                           i -> substr(tok, CAST(i AS INT), 1)), '  ')
+                       || '  ' AS s,
+                       freq
+                FROM w0
+            )"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f"""
+            pc{k} AS (
+                SELECT p.lhs AS lhs, p.rhs AS rhs,
+                       CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (
+                    SELECT unnest(list_transform(
+                               range(1, GREATEST(len(syms) - 1, 0) + 1),
+                               i -> {{'lhs': syms[i], 'rhs': syms[i + 1]}}))
+                           AS p,
+                           freq
+                    FROM (SELECT str_split(trim(s), '  ') AS syms, freq
+                          FROM s{p})
+                )
+                GROUP BY p.lhs, p.rhs
+            ),
+            top{k} AS (
+                SELECT lhs, rhs, cnt FROM pc{k}
+                ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+            ),
+            s{k} AS (
+                SELECT replace(s,
+                           COALESCE((SELECT ' ' || lhs || '  ' || rhs || ' '
+                                     FROM top{k}), chr(0)),
+                           COALESCE((SELECT ' ' || lhs || rhs || ' '
+                                     FROM top{k}), chr(0))) AS s,
+                       freq
+                FROM s{p}
+            )""")
+        # the final s{n} CTE is rendered but unreferenced — harmless
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS step, lhs, rhs, lhs || rhs AS merged,"
+        f" cnt FROM top{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + selects
 
 
 def _pq_distortion_sql() -> str:

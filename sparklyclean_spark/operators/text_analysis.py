@@ -817,6 +817,102 @@ def bpe_merge_candidates(docs: DataFrame, top_k: int = 30) -> DataFrame:
     )
 
 
+def bpe_merge_table(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Full BPE merge LOOP (Sennrich et al., ACL'16 — extends
+    ``bpe_merge_candidates``' single iteration): learn the first
+    ``n_merges`` byte-pair merges of a tokenizer trained on this
+    corpus, i.e. the merge table a BPE trainer consumes. Each
+    iteration counts adjacent symbol pairs (weighted by word
+    frequency), picks the most frequent (ties: cnt DESC, lhs ASC,
+    rhs ASC), and rewrites every word by greedily merging
+    left-to-right non-overlapping occurrences of that pair.
+
+    Output: ``(step, lhs, rhs, merged, cnt)``, one row per learned
+    merge in order (``step`` 1-based); fewer than ``n_merges`` rows
+    only if the vocabulary runs out of adjacent pairs. No end-of-word
+    marker is appended (the </w> convention is a tokenizer-boundary
+    detail orthogonal to the merge statistics).
+
+    Scale shape: the corpus is scanned ONCE — the loop runs on the
+    word-FREQUENCY table (bounded by distinct words, the standard BPE
+    trainer reduction), not the corpus. Per iteration: one pair
+    explode + map-side-combinable hash agg, a TakeOrderedAndProject
+    top-1, ONE driver-side 1-row collect (the merge parameterizes the
+    next rewrite — inherently sequential, the PageRank-loop
+    precedent), and a JVM higher-order ``F.aggregate`` rewrite (no
+    Python). ``localCheckpoint`` truncates lineage at O(|vocab|) rows
+    per iteration, exactly like the PageRank O(V) checkpoint.
+
+    Character splitting uses code-point ``substr`` (NOT Java
+    ``split("")``) so multi-byte text segments identically to the
+    DuckDB oracle's ``substr``; symbols never contain whitespace
+    (words are whitespace tokens), which the oracle's delimited
+    string-rewrite twin relies on.
+
+    No reference counterpart; §2.10 capability-gap operator
+    (tokenizer training support for an LLM data pipeline).
+    """
+    spark = docs.sparkSession
+    toks = docs.select(F.explode(T.words("text")).alias("tok"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.col("tok").substr(i, F.lit(1)),
+    )
+    cur = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(chars.alias("syms"), "freq")
+        .localCheckpoint()
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        pair_list = F.when(
+            F.size("syms") < 2,
+            F.array().cast("array<struct<lhs:string,rhs:string>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("lhs"),
+                    F.element_at("syms", i + 1).alias("rhs"),
+                ),
+            )
+        )
+        top = (
+            cur.select(F.explode(pair_list).alias("p"), "freq")
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+        merges.append((step, lhs, rhs, lhs + rhs, cnt))
+        # greedy left-to-right non-overlapping merge: append unless the
+        # tail of the accumulator is an UNCONSUMED lhs followed by rhs
+        # (a just-merged tail equals lhs+rhs, never lhs — rhs is
+        # non-empty — so consumed positions cannot re-merge)
+        rewritten = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(lhs))
+                & (s == F.lit(rhs)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(lhs + rhs)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        cur = cur.select(rewritten.alias("syms"), "freq").localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, cnt bigint"
+    )
+
+
 def vocab_coverage(docs: DataFrame, ks: tuple = (16, 64, 256, 1024)) -> DataFrame:
     """Vocabulary coverage curve: for each candidate vocabulary size
     ``k``, the fraction of all token occurrences covered by the ``k``

@@ -92,3 +92,70 @@ def test_cell_means_shrink_residual_energy():
     e_mean = (r_mean ** 2).sum(1).mean()
     assert e_mean < 1.0 < e_unit
     assert e_mean < e_unit
+
+
+def test_bpe_merge_table_sennrich_example(spark):
+    """The ACL'16 worked example: vocab {low:5, lower:2, newest:6,
+    widest:3} learns es, est, lo, low, ... in that order."""
+    from sparklyclean_spark.operators.text_analysis import bpe_merge_table
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.cnt)
+        for r in bpe_merge_table(docs, n_merges=4).collect()
+    ]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+    ]
+
+
+def test_bpe_merge_rewrite_is_greedy_nonoverlapping(spark):
+    """'aaaa' under merge (a,a) must become [aa][aa] (both pairs),
+    'aaa' must become [aa][a] — the overlap cases where a naive
+    rewrite diverges from the Spark accumulator and the oracle's
+    delimited-string replace. Counts: step 1 counts OVERLAPPING
+    adjacent pairs (aaaa -> 3), step 2 counts pairs of the REWRITTEN
+    symbols."""
+    from sparklyclean_spark.operators.text_analysis import bpe_merge_table
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa")], "doc_id bigint, text string"
+    )
+    got = [
+        (r.step, r.lhs, r.rhs, r.merged, r.cnt)
+        for r in bpe_merge_table(docs, n_merges=2).collect()
+    ]
+    # step 1: pairs (a,a): 3 in 'aaaa' + 2 in 'aaa' = 5
+    assert got[0] == (1, "a", "a", "aa", 5)
+    # after rewrite: [aa,aa] and [aa,a] -> pairs (aa,aa):1, (aa,a):1;
+    # tie broken lexicographically: (aa,a) < (aa,aa)
+    assert got[1] == (2, "aa", "a", "aaa", 1)
+
+
+def test_bpe_merge_table_multibyte_and_oracle_parity(spark, duck):
+    """Code-point splitting (zh + accents + BMP symbols) must agree
+    with the DuckDB twin bit-for-bit — the cross-engine gate for the
+    delimited-string rewrite."""
+    import pandas as pd
+
+    from __spark_entry__ import _bpe_merge_table_sql
+    from sparklyclean_spark.operators.text_analysis import bpe_merge_table
+
+    rows = [
+        (1, "héllo héllo héllo wörld wörld"),
+        (2, "你好 你好 你好世界 café café"),
+        (3, "aaaa aaa ✓✓ ✓✓"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r.step, r.lhs, r.rhs, r.merged, r.cnt)
+        for r in bpe_merge_table(docs, n_merges=6).collect()
+    )
+    duck.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, duck.sql(_bpe_merge_table_sql(6)).fetchall()))
+    duck.unregister("documents")
+    assert got == want
