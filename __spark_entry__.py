@@ -67,7 +67,10 @@ from sparklyclean_spark.operators import encoding as EN
 from sparklyclean_spark.operators import drift as DR
 from sparklyclean_spark.operators.graph import triangle_stats
 from sparklyclean_spark.operators.similarity.stats import embedding_norm_stats
-from sparklyclean_spark.operators.similarity.semdedup import semdedup_dispositions
+from sparklyclean_spark.operators.similarity.semdedup import (
+    semdedup_dispositions,
+    semdedup_dispositions_pq,
+)
 from sparklyclean_spark.operators.similarity import pq as PQ
 from sparklyclean_spark.operators import outliers as OUT
 from sparklyclean_spark.operators.outliers import (
@@ -2011,6 +2014,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # band (≈270 above-τ pairs at sf0.01, none above 0.7)
         "semdedup_embeddings": _q(
             semdedup_dispositions, 0.35, table="embeddings"
+        ),
+        # r10: the PQ-prefiltered funnel — IDENTICAL contract (provably,
+        # via the triangle-inequality-safe prefilter), so it shares
+        # semdedup_embeddings' oracle verbatim (the winnowing-batch-tier
+        # precedent); within-cell pairs scored from 4-int PQ codes, raw
+        # vectors fetched only for surviving candidates
+        "semdedup_pq_funnel": _q(
+            semdedup_dispositions_pq, 0.35, table="embeddings"
         ),
         "knn_lsh_recall": _knn_lsh_recall,
         # -- event-time windowing (batch semantics == streaming plan) ---------
@@ -5130,6 +5141,7 @@ def oracle_sql() -> dict[str, str]:
         pass
     try:
         sql["semdedup_embeddings"] = _semdedup_sql()
+        sql["semdedup_pq_funnel"] = _semdedup_sql()
     except Exception:
         pass
     try:

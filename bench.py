@@ -179,6 +179,14 @@ def main() -> None:
         "knn_pq_recall",
         # the composed IVF-PQ funnel (cells prune, ADC scores codes)
         "ivf_pq_recall",
+        # r10 additions: the residual-encoding IVF-PQ tier (NOTE: its
+        # recall row runs 100 queries vs ivf_pq_recall's 10 — compare
+        # shape, not walls), the PQ-prefiltered SemDeDup funnel (A/B
+        # against semdedup_embeddings: identical output, codes-first
+        # physical shape), and the driver-iterated BPE merge loop
+        "ivf_pq_residual_recall",
+        "semdedup_pq_funnel",
+        "bpe_merge_table",
     ]
 
     def run_once(name: str) -> float:

@@ -159,3 +159,45 @@ def test_bpe_merge_table_multibyte_and_oracle_parity(spark, duck):
     want = sorted(map(tuple, duck.sql(_bpe_merge_table_sql(6)).fetchall()))
     duck.unregister("documents")
     assert got == want
+
+
+def test_semdedup_pq_funnel_parity_and_pruning(spark):
+    """The PQ-prefiltered funnel must return EXACTLY
+    semdedup_dispositions' table (the triangle-inequality bound admits
+    every true duplicate), on both a clustered corpus with planted
+    near-dups (where the prefilter genuinely prunes) and the sf
+    fixture corpus at the driver threshold."""
+    import random
+
+    from tests.conftest import SF_DIR
+
+    import __spark_entry__ as entry
+    from sparklyclean_spark.operators.similarity.semdedup import (
+        semdedup_dispositions,
+        semdedup_dispositions_pq,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    # 5 tight clusters of 20 + planted near-dup pairs
+    for c in range(5):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        for i in range(20):
+            rows.append(
+                (c * 100 + i,
+                 [b + rng.uniform(-0.05, 0.05) for b in base])
+            )
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    for thr in (0.92, 0.99):
+        base = sorted(map(tuple, semdedup_dispositions(
+            emb, thr, n_cells=8, sample_cap=4096).collect()))
+        funnel = sorted(map(tuple, semdedup_dispositions_pq(
+            emb, thr, n_cells=8, ks=8, sample_cap=4096).collect()))
+        assert base == funnel, f"thr={thr}"
+        assert any(r[3] for r in base)  # fixture actually has dups
+
+    # the sf fixture at the driver row's threshold
+    emb_sf = entry._tables(spark, SF_DIR)["embeddings"]
+    base = sorted(map(tuple, semdedup_dispositions(emb_sf, 0.35).collect()))
+    funnel = sorted(map(tuple, semdedup_dispositions_pq(emb_sf, 0.35).collect()))
+    assert base == funnel
