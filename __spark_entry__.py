@@ -1220,21 +1220,69 @@ def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # representative per family keeps breadth. Names dropped from the head
 # all carry green r3 records.
 _DRIVER_CHECK_ORDER = [
-    # ---- r9 window (first 50 = the driver's hash-checked set) ----
-    # Composition (VERDICT r8 item 1): rotate by LATEST-GREEN round,
-    # oldest first. Final r9 shape: 2 pinned flagships + 13 new or
-    # newly-oracled r9 rows + 35 stale re-certifications, every one
-    # with prior record <=r3 — exactly the >=35 floor item 1 set.
-    # Each new row's displacement took the most-certified in-window
-    # row whose family stays represented (commented in place). The
-    # trade accepted: 13 r3-cohort rows stay un-re-certified this
-    # round (max staleness stays 6, not the hoped <=4) in exchange
-    # for every new capability row AND both newly-oracled raw-ANN
-    # rows earning hash-green records; `scripts/staleness.py` prints
-    # the exact r10 rotate-in queue (the 13 r3 rows head it).
+    # ---- r10 window (first 50 = the driver's hash-checked set) ----
+    # Composition (VERDICT r9 item 1): retire the ENTIRE pre-r5
+    # re-certification backlog. 2 pinned flagships + all 22 rows whose
+    # last green record is r3 + all 12 r4 rows + the 3 new r10 rows
+    # (residual IVF-PQ, BPE merge loop, PQ-prefiltered SemDeDup) + the
+    # 11 alphabetically-first r5 rows. After this round no row's
+    # newest green predates r5, and `scripts/staleness.py` reports the
+    # remaining r5 cohort as the r11 queue. Displaced: the entire r9
+    # window except the flagships — every displaced row carries a
+    # fresh green r9 record.
+
     "dedup_pairs_disdedup_customer",  # pinned flagship: recorded row every round
     "ml_dedup_quality_gate",  # pinned flagship: ML gate, recorded row every round
-    "neardup_token_jaccard",  # last green r1
+    "anti_join_customers_no_open_orders",  # r3 cohort starts
+    "approx_distinct_parts_per_brand",
+    "cube_lineitem_flags",
+    "dedup_exact_documents",
+    "dedup_pairs_naive_customer",
+    "embedding_cosine_neardup",
+    "events_session_windows",
+    "events_tumbling_hourly",
+    "grouping_sets_order_stats",
+    "knn_bruteforce_cosine",
+    "outer_join_nation_order_counts",
+    "price_percentiles_by_priority",
+    "rollup_orders",
+    "scalar_string_date_math",
+    "semi_join_customers_with_open_orders",
+    "set_ops_nation_keys",
+    "text_fingerprints",
+    "text_language_id",
+    "text_quality_scores",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "window_running_order_total",
+    "asof_purchase_last_click",  # r4 cohort starts
+    "events_resample_ffill_hourly",
+    "exists_late_shipment_orders",
+    "q11_important_nations",
+    "q15_top_revenue_suppliers",
+    "q16_supplier_counts",
+    "q20_promo_heavy_suppliers",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "range_join_events_pairs",
+    "topk_orders_per_customer",
+    "ivf_pq_residual_recall",  # NEW r10: residual-encoding IVF-PQ recall (100-query set)
+    "bpe_merge_table",  # NEW r10: full BPE merge loop (unrolled SQL twin)
+    "semdedup_pq_funnel",  # NEW r10: PQ-prefiltered SemDeDup (shares the baseline oracle)
+    "bloom_semi_join_orders",  # r5 cohort head (11 slots)
+    "cdc_latest_events",
+    "cdf_orders_snapshots",
+    "chunk_dedup_within_doc",
+    "chunk_sliding_documents",
+    "cluster_safe_split_docs",
+    "dedup_pair_features_customer",
+    "dedup_pairs_disdedup_skewed",
+    "dedup_pairs_jw_customer",
+    "dedup_pairs_naive_skewed",
+    "dense_ids_documents",
+    # ---- below: recorded in earlier rounds; not in the r10 window ----
+    "neardup_token_jaccard",
     "neardup_shingle_jaccard",
     "events_sliding_users",
     "agg_order_stats_by_priority",
@@ -1269,73 +1317,19 @@ _DRIVER_CHECK_ORDER = [
     "profile_orders_columns",
     "scd2_user_values",
     "decontam_overlap",
-    "tcloseness_customer_audit",  # NEW r9: completes the privacy ladder;
-                                  # displaced the 3x-green
-                                  # approx_distinct_parts_per_brand (whose
-                                  # family is now repped by the newly
-                                  # oracled sketch_distinct row in-window)
-    "dsir_scores",  # NEW r9: DSIR importance scores; displaced the
-                    # 3x-green rollup_orders (parked below)
-    "bpe_merge_pairs",  # NEW r9: first BPE merge iteration (tokenizer
-                        # training support); displaced the 3x-green
-                        # dedup_pairs_naive_customer (family repped
-                        # in-window by naive_documents + the flagship)
-    "vocab_coverage_curve",  # NEW r9: vocab-size budgeting curve;
-                             # displaced anti_join_customers_no_open_orders
-                             # (2x-green, last r3; family stays repped by
-                             # anti_join_customers_without_orders)
-    "ccnet_perplexity_buckets",  # NEW r9: CCNet head/middle/tail split;
-                                 # displaced dedup_exact_documents
-                                 # (2x-green, last r3; exact-dedup family
-                                 # repped by dedup_pairs_naive_documents
-                                 # + chunk_dedup in-window)
-    "knn_pq_recall",  # NEW r9: PQ/ADC compressed-domain ANN recall;
-                      # displaced embedding_cosine_neardup (2x-green,
-                      # last r3; embedding family stays repped by
-                      # knn_bruteforce_cosine + semdedup + this row)
-    "pq_distortion",  # NEW r9: PQ quantization MSE card; displaced
-                      # events_tumbling_hourly (2x-green, last r3;
-                      # event-window family stays repped by
-                      # events_session_windows + events_sliding_users)
-    "ivf_pq_recall",  # NEW r9: the composed IVF-PQ funnel; displaced
-                      # knn_bruteforce_cosine (2x-green, last r3; the
-                      # exact-cosine computation is recomputed inside
-                      # every recall oracle in-window, incl. this one)
-    "knn_ivf_cosine",  # NEWLY-ORACLED r9 (was rows-only): raw IVF
-                       # top-k via the baked-centroid scheme; displaced
-                       # events_session_windows (2x-green, last r3;
-                       # event-window family stays repped by
-                       # events_sliding_users + events_tumbling's
-                       # parked green records)
-    "knn_lsh_cosine",  # NEWLY-ORACLED r9 (was rows-only): raw sign-LSH
-                       # top-k via the Rademacher plane literals;
-                       # displaced price_percentiles_by_priority
-                       # (2x-green, last r3; percentile family repped
-                       # by the parked GK-audit/percentile greens)
-    "semdedup_embeddings",  # NEW r9: embedding-space dedup over IVF cells;
-                            # displaced the 3x-green scalar_string_date_math
-    "sketch_distinct_users_daily",  # NEW-ORACLED r9: estimate-equality oracle
-                                    # (was rows-only); displaced the 3x-green
-                                    # text_tfidf_top_terms (parked below)
-    "text_winnowing_fp_batch",  # NEW r9: Arrow tier, displaced the 3x-green
-                                # window_running_order_total (parked below)
-    # ---- below the window: parked rows (driver does NOT check) ----
-    "window_running_order_total",  # 3x-green r3 rotate-in displaced for the
-                                   # r9 Arrow-tier row; heads the r10 queue
-    "dedup_pairs_naive_customer",  # 3x-green, displaced for bpe_merge_pairs
-    "anti_join_customers_no_open_orders",  # 2x-green r3, displaced for
-                                           # vocab_coverage_curve
-    "dedup_exact_documents",  # 2x-green r3, displaced for
-                              # ccnet_perplexity_buckets
-    "embedding_cosine_neardup",  # 2x-green r3, displaced for knn_pq_recall
-    "events_tumbling_hourly",  # 2x-green r3, displaced for pq_distortion
-    "knn_bruteforce_cosine",  # 2x-green r3, displaced for ivf_pq_recall
-    "events_session_windows",  # 2x-green r3, displaced for knn_ivf_cosine
-    "price_percentiles_by_priority",  # 2x-green r3, displaced for
-                                      # knn_lsh_cosine
-    # The entire r8 window (50 fresh r8-green records) is parked
-    # here, followed by the r7-debut queue and the registry tail —
-    # all have green records r4+ and head the r10 rotate-in queue.
+    "tcloseness_customer_audit",
+    "dsir_scores",
+    "bpe_merge_pairs",
+    "vocab_coverage_curve",
+    "ccnet_perplexity_buckets",
+    "knn_pq_recall",
+    "pq_distortion",
+    "ivf_pq_recall",
+    "knn_ivf_cosine",
+    "knn_lsh_cosine",
+    "semdedup_embeddings",
+    "sketch_distinct_users_daily",
+    "text_winnowing_fp_batch",
     "pack_training_sequences",
     "q12_priority_by_status",
     "text_repetition_signals",
@@ -1437,10 +1431,7 @@ _DRIVER_CHECK_ORDER = [
     "sample_docs_exact_k_weighted",
     "events_cohort_retention",
     "text_unigram_cross_entropy",
-    "dedup_pair_features_customer",
-    "cdf_orders_snapshots",
     "incr_agg_orders_priority",
-    "dedup_pairs_jw_customer",
     "knn_lsh_recall",
     "embedding_l2_normalize",
     "merge_replay_idempotent",
@@ -1450,57 +1441,16 @@ _DRIVER_CHECK_ORDER = [
     "corpus_curation_lsh",
     "q1_pricing_summary",
     "text_repetition_signals_counts",
-    "dense_ids_documents",
-    "dedup_pairs_disdedup_skewed",
     "embedding_quantize",
     "diff_orders_snapshots",
     "zorder_keys_orders",
-    "bloom_semi_join_orders",
-    "chunk_sliding_documents",
     "orders_above_global_avg",
     "winsorize_order_prices",
-    "cdc_latest_events",
     "neardup_minhash_lsh_exploded",
-    "chunk_dedup_within_doc",
-    "dedup_pairs_naive_skewed",
-    "text_tfidf_top_terms",  # 3x-green r3 rotate-in displaced for the newly
-                             # oracled sketch row; heads the r10 queue
-    "scalar_string_date_math",  # 3x-green r3 rotate-in displaced for the r9
-                                # semdedup row; heads the r10 queue
-    "rollup_orders",  # 3x-green r3 rotate-in displaced for the r9 dsir
-                      # row; heads the r10 queue
-    "approx_distinct_parts_per_brand",  # 3x-green r3 rotate-in displaced for
-                                        # the r9 t-closeness row; r10 queue
-    "cluster_safe_split_docs",
     "mixture_sample_docs",
     "merge_orders_upsert",
     "events_sessionize_4h",
-    "q5_revenue_by_nation",
-    "range_join_events_pairs",
-    "asof_purchase_last_click",
-    "exists_late_shipment_orders",
-    "q6_forecast_revenue",
-    "topk_orders_per_customer",
-    "events_resample_ffill_hourly",
-    "outer_join_nation_order_counts",
-    "grouping_sets_order_stats",
     "ml_dedup_confusion",
-    "q7_nation_volume",
-    "q11_important_nations",
-    "q15_top_revenue_suppliers",
-    "q16_supplier_counts",
-    "q20_promo_heavy_suppliers",
-    # registry tail previously absent from this list (r9 bookkeeping
-    # fix found by scripts/staleness.py): adding them here changes
-    # nothing the driver sees (it reads only the first 50) but lets
-    # the staleness report and future rotations track them
-    "cube_lineitem_flags",
-    "semi_join_customers_with_open_orders",
-    "set_ops_nation_keys",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_language_id",
-    "text_fingerprints",
     "neardup_simhash",
     "embedding_lsh_pairs",
 ]
