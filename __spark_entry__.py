@@ -67,6 +67,7 @@ from sparklyclean_spark.operators import encoding as EN
 from sparklyclean_spark.operators import drift as DR
 from sparklyclean_spark.operators.graph import triangle_stats
 from sparklyclean_spark.operators.similarity.stats import embedding_norm_stats
+from sparklyclean_spark.operators.similarity.pq import ivf_pq_residual_distortion
 from sparklyclean_spark.operators.similarity.semdedup import (
     semdedup_dispositions,
     semdedup_dispositions_pq,
@@ -1282,6 +1283,7 @@ _DRIVER_CHECK_ORDER = [
     "dedup_pairs_naive_skewed",
     "dense_ids_documents",
     # ---- below: recorded in earlier rounds; not in the r10 window ----
+    "rpq_distortion",  # NEW r10 (post-window): residual-tier MSE twin; r11 queue head
     "neardup_token_jaccard",
     "neardup_shingle_jaccard",
     "events_sliding_users",
@@ -1959,6 +1961,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9: the composed IVF-PQ funnel (cells prune, ADC scores)
         "ivf_pq_recall": _ivf_pq_recall,
         "ivf_pq_residual_recall": _ivf_pq_residual_recall,
+        "rpq_distortion": _q(ivf_pq_residual_distortion, table="embeddings"),
         # r9: SemDeDup (Abbas et al. 2023) — embedding-space dedup over
         # the IVF cells; τ=0.35 sits in the synthetic corpus's near-dup
         # band (≈270 above-τ pairs at sf0.01, none above 0.7)
@@ -5099,6 +5102,7 @@ def oracle_sql() -> dict[str, str]:
         sql["pq_distortion"] = _pq_distortion_sql()
         sql["ivf_pq_recall"] = _ivf_pq_recall_sql()
         sql["ivf_pq_residual_recall"] = _ivf_pq_residual_recall_sql()
+        sql["rpq_distortion"] = _rpq_distortion_sql()
         sql["bpe_merge_table"] = _bpe_merge_table_sql()
     except Exception:
         pass
@@ -6715,25 +6719,13 @@ def _ivf_means_union_sql() -> str:
     )
 
 
-def _ivf_pq_residual_recall_sql(
-    dim: int = 64, nprobe: int = 8, k: int = 5, sub: int = 16, nq: int = 100
-) -> str:
-    """Full DuckDB oracle for ivf_pq_residual_recall: the IVF front
-    half (centroid literals -> cell argmax -> probe sets) feeding the
-    RESIDUAL PQ back half — every corpus vector's residual is taken
-    against ITS OWN cell's MEAN origin (a third literal set,
-    `_ivf_means_union_sql`) before the snapped-argmin encode, and the
-    query ADC lookup table is per (query, probed cell) because the
-    query residual changes with the probed cell's origin. DECIMAL ADC
-    sums, top-k by (adist ASC, neighbor_id ASC), recall vs the exact
-    cosine top-k. Probe ordering is (sim DESC, cell ASC), matching the
-    Spark path's stable argsort; residual arithmetic is elementwise
-    (division, subtraction — bit-identical across engines given equal
-    inputs), so the only float caveat is the inherited ~1-ulp list_sum
-    vs numpy-matmul class, tightened by the ROUND(.., 9) snap before
-    every argmin."""
+def _rpq_common_sql(dim: int = 64, sub: int = 16) -> str:
+    """Shared CTE prefix of the residual-PQ oracles (recall AND
+    distortion — one place for the literal sets, the cell argmax, the
+    mean-origin residuals, and the snapped per-(vector, subspace,
+    code) distances, so the two rows can never desynchronize)."""
     return f"""
-            WITH icents AS ({_ivf_cents_union_sql()}),
+            icents AS ({_ivf_cents_union_sql()}),
             mcents AS ({_ivf_means_union_sql()}),
             rcb AS ({_rpq_cb_union_sql()}),
             n AS (
@@ -6757,13 +6749,6 @@ def _ivf_pq_residual_recall_sql(
                                 ORDER BY sim DESC, cell ASC) AS rn
                     FROM sims) WHERE rn = 1
             ),
-            probes AS (
-                SELECT vec_id AS query_id, cell FROM (
-                    SELECT vec_id, cell,
-                           ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY sim DESC, cell ASC) AS rn
-                    FROM sims WHERE vec_id < {nq}) WHERE rn <= {nprobe}
-            ),
             resid AS (
                 SELECT cc.neighbor_id AS vec_id,
                        list_transform(range(1, {dim} + 1),
@@ -6779,6 +6764,34 @@ def _ivf_pq_residual_recall_sql(
                               * (r.rv[cb.j * {sub} + i] - cb.cv[i]))), 9)
                            AS d
                 FROM resid r CROSS JOIN rcb cb
+            )"""
+
+
+def _ivf_pq_residual_recall_sql(
+    dim: int = 64, nprobe: int = 8, k: int = 5, sub: int = 16, nq: int = 100
+) -> str:
+    """Full DuckDB oracle for ivf_pq_residual_recall: the IVF front
+    half (centroid literals -> cell argmax -> probe sets) feeding the
+    RESIDUAL PQ back half — every corpus vector's residual is taken
+    against ITS OWN cell's MEAN origin (a third literal set,
+    `_ivf_means_union_sql`) before the snapped-argmin encode, and the
+    query ADC lookup table is per (query, probed cell) because the
+    query residual changes with the probed cell's origin. DECIMAL ADC
+    sums, top-k by (adist ASC, neighbor_id ASC), recall vs the exact
+    cosine top-k. Probe ordering is (sim DESC, cell ASC), matching the
+    Spark path's stable argsort; residual arithmetic is elementwise
+    (division, subtraction — bit-identical across engines given equal
+    inputs), so the only float caveat is the inherited ~1-ulp list_sum
+    vs numpy-matmul class, tightened by the ROUND(.., 9) snap before
+    every argmin."""
+    return f"""
+            WITH {_rpq_common_sql(dim, sub)},
+            probes AS (
+                SELECT vec_id AS query_id, cell FROM (
+                    SELECT vec_id, cell,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cell ASC) AS rn
+                    FROM sims WHERE vec_id < {nq}) WHERE rn <= {nprobe}
             ),
             codes AS (
                 SELECT vec_id, j, code FROM (
@@ -6836,6 +6849,23 @@ def _ivf_pq_residual_recall_sql(
             LEFT JOIN approx a ON a.query_id = e.query_id
                               AND a.neighbor_id = e.neighbor_id
             GROUP BY e.query_id
+        """
+
+
+def _rpq_distortion_sql() -> str:
+    """DuckDB oracle for rpq_distortion: the shared residual CTE chain
+    -> per-(vector, subspace) snapped minima -> DECIMAL(18,9) sums,
+    floor-divided once (the _pq_distortion_sql contract)."""
+    return f"""
+            WITH {_rpq_common_sql()},
+            mind AS (
+                SELECT vec_id, j, MIN(d) AS d FROM dists GROUP BY vec_id, j
+            )
+            SELECT j,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   floor(CAST(SUM(CAST(d AS DECIMAL(18,9))) AS DOUBLE)
+                         * 1000000.0 / COUNT(*) + 0.5) / 1000000.0 AS mse
+            FROM mind GROUP BY j ORDER BY j
         """
 
 

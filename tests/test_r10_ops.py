@@ -226,3 +226,22 @@ def test_distinct_rollup_lgk12_error_bound(spark):
     assert abs(out["0"] - 25_000) <= 25_000 * bound
     assert abs(out["1"] - 25_000) <= 25_000 * bound
     assert abs(out["ALL"] - 50_000) <= 50_000 * bound
+
+
+def test_residual_distortion_beats_raw(spark):
+    """The quantified fidelity claim behind the residual tier: at the
+    same (m, ks) budget, residual-tier total quantization MSE must run
+    below the raw tier's on the fixture corpus (0.60 vs 0.72 at
+    sf0.01 — the headroom the recall gain comes from)."""
+    from tests.conftest import SF_DIR
+
+    import __spark_entry__ as entry
+    from sparklyclean_spark.operators.similarity.pq import (
+        ivf_pq_residual_distortion,
+        pq_distortion,
+    )
+
+    emb = entry._tables(spark, SF_DIR)["embeddings"]
+    raw = sum(r.mse for r in pq_distortion(emb).collect())
+    res = sum(r.mse for r in ivf_pq_residual_distortion(emb).collect())
+    assert res < raw, (res, raw)
