@@ -1284,6 +1284,7 @@ _DRIVER_CHECK_ORDER = [
     "dense_ids_documents",
     # ---- below: recorded in earlier rounds; not in the r10 window ----
     "rpq_distortion",  # NEW r10 (post-window): residual-tier MSE twin; r11 queue head
+    "lsh_tuning_curve",  # NEW r10 (post-window): MinHash banding S-curve planner
     "neardup_token_jaccard",
     "neardup_shingle_jaccard",
     "events_sliding_users",
@@ -1910,6 +1911,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_prefix_jaccard": _q(TD.prefix_jaccard_pairs, 0.7, table="documents"),
         "neardup_common_ngrams": _q(TD.common_ngram_pairs, table="documents"),
         "neardup_minhash_lsh": _q(TD.minhash_lsh_pairs, 0.3, table="documents"),
+        # r10: the banding S-curve planner for the row above's (b, r)
+        # choice — pure math, no table read (ignores sf_dir)
+        "lsh_tuning_curve": lambda spark, sf_dir: TD.lsh_tuning_curve(spark),
         # A/B physical shape: explode/agg (cluster-shaped) variant
         "neardup_minhash_lsh_exploded": _q(
             TD.minhash_lsh_pairs_exploded, 0.3, table="documents"
@@ -5104,6 +5108,7 @@ def oracle_sql() -> dict[str, str]:
         sql["ivf_pq_residual_recall"] = _ivf_pq_residual_recall_sql()
         sql["rpq_distortion"] = _rpq_distortion_sql()
         sql["bpe_merge_table"] = _bpe_merge_table_sql()
+        sql["lsh_tuning_curve"] = _lsh_tuning_curve_sql()
     except Exception:
         pass
     # r9: the RAW ANN top-k rows graduate from rows-only — both are
@@ -6866,6 +6871,33 @@ def _rpq_distortion_sql() -> str:
                    floor(CAST(SUM(CAST(d AS DECIMAL(18,9))) AS DOUBLE)
                          * 1000000.0 / COUNT(*) + 0.5) / 1000000.0 AS mse
             FROM mind GROUP BY j ORDER BY j
+        """
+
+
+def _lsh_tuning_curve_sql(
+    num_hashes: int = 64, bands: int = 16, grid_step: float = 0.05
+) -> str:
+    """DuckDB twin of textdedup.lsh_tuning_curve: the SAME grid
+    literals (repr round-trip), the SAME unrolled left-associative
+    products for s^r and (1−s^r)^b (no libm pow in the hash contract),
+    the SAME driver-computed s_star literal, the SAME 1e-6
+    floor-snap."""
+    r = num_hashes // bands
+    s_star = (1.0 / bands) ** (1.0 / r)
+    grid = [round(k * grid_step, 4) for k in range(1, int(1.0 / grid_step))]
+    vals = ", ".join(f"({g!r})" for g in grid)
+    pb = " * ".join(["jaccard"] * r)
+    miss = " * ".join(["(1.0 - pb)"] * bands)
+    return f"""
+            WITH g0(jaccard) AS (VALUES {vals}),
+            g AS (SELECT CAST(jaccard AS DOUBLE) AS jaccard FROM g0),
+            t AS (SELECT jaccard, {pb} AS pb FROM g)
+            SELECT jaccard,
+                   floor(pb * 1000000.0 + 0.5) / 1000000.0 AS p_band,
+                   floor((1.0 - {miss}) * 1000000.0 + 0.5) / 1000000.0
+                       AS p_detect,
+                   CAST({s_star!r} AS DOUBLE) AS s_star
+            FROM t
         """
 
 

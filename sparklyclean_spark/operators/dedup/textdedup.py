@@ -282,6 +282,60 @@ def incremental_lsh_pairs(
     )
 
 
+def lsh_tuning_curve(
+    spark,
+    num_hashes: int = 64,
+    bands: int = 16,
+    grid_step: float = 0.05,
+) -> DataFrame:
+    """The MinHash-LSH parameter planner: the banding S-curve
+    ``p_detect(s) = 1 − (1 − s^r)^b`` for b bands of r = num_hashes/b
+    rows (Leskovec/Rajaraman/Ullman, MMDS ch.3), evaluated on a
+    Jaccard grid, plus the curve's threshold ``s_star = (1/b)^(1/r)``
+    (the similarity where detection probability crosses ~1−1/e).
+    This is the number a pipeline owner reads BEFORE running
+    `minhash_lsh_pairs` at 100 TB: pick (b, r) so s_star sits at the
+    dedup threshold, then the candidate volume and the false-negative
+    band both follow from this table.
+
+    Output: ``(jaccard, p_band, p_detect, s_star)``, one row per grid
+    point — p_band = s^r (one band agrees), p_detect the full curve.
+
+    Determinism: NO libm pow in the hash contract — s^r and (1−s^r)^b
+    are UNROLLED left-associative products of the grid literal, so
+    Spark and the SQL twin run the identical IEEE multiply sequence;
+    s_star needs a fractional power, so it is computed ONCE driver-side
+    and baked as the same literal into both engines. Floor-snap to
+    1e-6 (the repo's cross-engine rounding).
+
+    Scale shape: a constant ~19-row local relation — the planner costs
+    nothing; its value is front-loading the b/r choice with math
+    instead of a corpus-scale trial run.
+    """
+    from functools import reduce
+
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes {num_hashes} not divisible by bands={bands}")
+    r = num_hashes // bands
+    s_star = (1.0 / bands) ** (1.0 / r)
+    grid = [round(k * grid_step, 4) for k in range(1, int(1.0 / grid_step))]
+    g = spark.createDataFrame([(s,) for s in grid], "jaccard double")
+    p_band = reduce(lambda a, _: a * F.col("jaccard"), range(r - 1), F.col("jaccard"))
+    g = g.withColumn("_pb", p_band)
+    miss = reduce(
+        lambda a, _: a * (F.lit(1.0) - F.col("_pb")),
+        range(bands - 1),
+        F.lit(1.0) - F.col("_pb"),
+    )
+    snap = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return g.select(
+        "jaccard",
+        snap(F.col("_pb")).alias("p_band"),
+        snap(F.lit(1.0) - miss).alias("p_detect"),
+        F.lit(float(s_star)).alias("s_star"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float,

@@ -245,3 +245,26 @@ def test_residual_distortion_beats_raw(spark):
     raw = sum(r.mse for r in pq_distortion(emb).collect())
     res = sum(r.mse for r in ivf_pq_residual_distortion(emb).collect())
     assert res < raw, (res, raw)
+
+
+def test_lsh_tuning_curve_math(spark):
+    """The banding S-curve values must equal the closed form
+    1-(1-s^r)^b (checked against libm at 1e-6), s_star must sit where
+    the curve crosses ~1-1/e, and the curve must be monotone."""
+    from sparklyclean_spark.operators.dedup.textdedup import lsh_tuning_curve
+
+    rows = {r.jaccard: r for r in lsh_tuning_curve(spark, 64, 16).collect()}
+    assert len(rows) == 19
+    b, r = 16, 4
+    for s, row in rows.items():
+        assert abs(row.p_band - s ** r) < 1e-6
+        assert abs(row.p_detect - (1 - (1 - s ** r) ** b)) < 1e-6
+        assert row.s_star == (1 / b) ** (1 / r) == 0.5
+    ps = [rows[s].p_detect for s in sorted(rows)]
+    assert ps == sorted(ps)
+    # detection prob at the threshold similarity is ~1 - 1/e
+    assert abs(rows[0.5].p_detect - (1 - (1 - 0.5 ** 4) ** 16)) < 1e-6
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_tuning_curve(spark, 64, 7)  # 64 not divisible by 7
