@@ -224,4 +224,32 @@ results["ivf_pq_10x_embeddings"] = {
 approx.unpersist()
 print(json.dumps({"ivf_pq_10x_embeddings": results["ivf_pq_10x_embeddings"]}), file=sys.stderr)
 
+
+# ---- residual IVF-PQ over 10x embeddings (r10) ------------------------------
+# the fidelity tier's scale evidence: same funnel, residual codes. The
+# prune funnel is identical by construction (same cells/probes), so the
+# arm records wall + recall vs the SAME exact top-5, demonstrating the
+# recall gain survives 10x (the 100-query claim at shipped SFs).
+from sparklyclean_spark.operators.similarity.pq import ivf_pq_residual_topk  # noqa: E402
+
+q100 = emb10.where(F.col("vec_id") < 100)
+exact100 = brute_force_topk(emb10, q100, k=5).select("query_id", "neighbor_id").persist()
+n_exact100 = exact100.count()
+arms = {}
+for label, fn in (("raw", ivf_pq_topk), ("residual", ivf_pq_residual_topk)):
+    t0 = time.time()
+    a = fn(emb10, q100, k=5, n_cells=32, nprobe=8).persist()
+    a.count()
+    w = time.time() - t0
+    h = exact100.join(a.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]).count()
+    a.unpersist()
+    arms[label] = {"wall_sec": round(w, 1), "recall_at_5": round(h / max(n_exact100, 1), 4)}
+exact100.unpersist()
+results["ivf_pq_residual_10x_embeddings"] = {
+    "vectors": n_vecs,
+    "queries": 100,
+    **{f"{k}_{m}": v[m] for k, v in arms.items() for m in ("wall_sec", "recall_at_5")},
+}
+print(json.dumps({"ivf_pq_residual_10x_embeddings": results["ivf_pq_residual_10x_embeddings"]}), file=sys.stderr)
+
 print(json.dumps(results))

@@ -290,6 +290,11 @@ def _spherical_kmeans(x, n_cells: int, iters: int = 10, seed: int = 647):
     empty cells keep their previous centroid: fully deterministic."""
     import numpy as np
 
+    if not len(x):
+        # same contract as pq.codebooks_from_vectors (r10 review): an
+        # empty corpus/sample must fail loudly, not as an opaque
+        # rng.choice IndexError three frames down
+        raise ValueError("empty training sample: IVF centroids need >= 1 vector")
     x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
     rng = np.random.RandomState(seed)
     n_cells = min(n_cells, len(x))
@@ -445,6 +450,11 @@ def lsh_bucketed_topk(
     """ANN top-k: sign-sketch band buckets → candidate join → exact
     cosine re-rank. Recall < 1 by construction; pair with
     ``brute_force_topk`` on a sample to measure it."""
+    if n_planes % bands:
+        # r10 review: a non-divisible (n_planes, bands) silently
+        # DROPPED the trailing planes from every bucket (rows*bands <
+        # n_planes), quietly degrading recall with no error
+        raise ValueError(f"n_planes {n_planes} not divisible by bands={bands}")
     rows = n_planes // bands
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))

@@ -268,3 +268,25 @@ def test_lsh_tuning_curve_math(spark):
 
     with pytest.raises(ValueError):
         lsh_tuning_curve(spark, 64, 7)  # 64 not divisible by 7
+
+
+def test_ivf_empty_sample_and_lsh_band_validation(spark):
+    """r10 review batch: empty IVF training samples must raise a clear
+    ValueError (the PQ advisor fix, applied symmetrically), and
+    lsh_bucketed_topk must reject a (n_planes, bands) pair that would
+    silently drop trailing planes from every bucket."""
+    import numpy as np
+
+    from sparklyclean_spark.operators.similarity.knn import (
+        _spherical_kmeans,
+        lsh_bucketed_topk,
+    )
+
+    with pytest.raises(ValueError, match="empty training sample"):
+        _spherical_kmeans(np.zeros((0, 8)), 4)
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [0.5] * 8)], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        lsh_bucketed_topk(emb, emb, n_planes=16, bands=5, dim=8)
