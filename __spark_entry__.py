@@ -1285,6 +1285,7 @@ _DRIVER_CHECK_ORDER = [
     # ---- below: recorded in earlier rounds; not in the r10 window ----
     "rpq_distortion",  # NEW r10 (post-window): residual-tier MSE twin; r11 queue head
     "lsh_tuning_curve",  # NEW r10 (post-window): MinHash banding S-curve planner
+    "bpe_apply_token_counts",  # NEW r10 (post-window): BPE train->apply token budget
     "neardup_token_jaccard",
     "neardup_shingle_jaccard",
     "events_sliding_users",
@@ -1603,6 +1604,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9: tokenizer-training support — first BPE merge iteration
         "bpe_merge_pairs": _q(TA.bpe_merge_candidates, table="documents"),
         "bpe_merge_table": _q(TA.bpe_merge_table, n_merges=8, table="documents"),
+        "bpe_apply_token_counts": _q(
+            TA.bpe_apply_counts, n_merges=8, table="documents"
+        ),
         # r9: vocab-size budgeting curve (coverage of top-k terms)
         "vocab_coverage_curve": _q(TA.vocab_coverage, table="documents"),
         # r9: CCNet head/middle/tail terciles over the xent signal
@@ -5109,6 +5113,7 @@ def oracle_sql() -> dict[str, str]:
         sql["rpq_distortion"] = _rpq_distortion_sql()
         sql["bpe_merge_table"] = _bpe_merge_table_sql()
         sql["lsh_tuning_curve"] = _lsh_tuning_curve_sql()
+        sql["bpe_apply_token_counts"] = _bpe_apply_counts_sql()
     except Exception:
         pass
     # r9: the RAW ANN top-k rows graduate from rows-only — both are
@@ -6901,6 +6906,61 @@ def _lsh_tuning_curve_sql(
         """
 
 
+def _bpe_train_ctes(n_merges: int = 8) -> list:
+    """The BPE training loop as an unrolled CTE chain (shared by the
+    merge-table oracle and the apply-counts oracle, so train and apply
+    can never desynchronize): w0/s0 (word freqs + canonical
+    double-space strings) then per iteration pc{k} (pair counts),
+    top{k} (the merge), s{k} (the rewritten vocabulary)."""
+    parts = [
+        f"""
+            w0 AS MATERIALIZED (
+                SELECT tok, COUNT(*) AS freq
+                FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+                GROUP BY tok
+            ),
+            s0 AS MATERIALIZED (
+                SELECT '  ' || array_to_string(list_transform(
+                           range(1, length(tok) + 1),
+                           i -> substr(tok, CAST(i AS INT), 1)), '  ')
+                       || '  ' AS s,
+                       freq
+                FROM w0
+            )"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f"""
+            pc{k} AS MATERIALIZED (
+                SELECT p.lhs AS lhs, p.rhs AS rhs,
+                       CAST(SUM(freq) AS BIGINT) AS cnt
+                FROM (
+                    SELECT unnest(list_transform(
+                               range(1, GREATEST(len(syms) - 1, 0) + 1),
+                               i -> {{'lhs': syms[i], 'rhs': syms[i + 1]}}))
+                           AS p,
+                           freq
+                    FROM (SELECT str_split(trim(s), '  ') AS syms, freq
+                          FROM s{p})
+                )
+                GROUP BY p.lhs, p.rhs
+            ),
+            top{k} AS MATERIALIZED (
+                SELECT lhs, rhs, cnt FROM pc{k}
+                ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+            ),
+            s{k} AS MATERIALIZED (
+                SELECT replace(s,
+                           COALESCE((SELECT ' ' || lhs || '  ' || rhs || ' '
+                                     FROM top{k}), chr(0)),
+                           COALESCE((SELECT ' ' || lhs || rhs || ' '
+                                     FROM top{k}), chr(0))) AS s,
+                       freq
+                FROM s{p}
+            )""")
+    return parts
+
+
 def _bpe_merge_table_sql(n_merges: int = 8) -> str:
     """DuckDB oracle for bpe_merge_table: the merge loop unrolled one
     CTE-triplet per iteration (the `_pagerank_sql` precedent for
@@ -6916,59 +6976,63 @@ def _bpe_merge_table_sql(n_merges: int = 8) -> str:
     Pair counts re-split the string per iteration; the top-1 scalar
     subqueries are COALESCEd to an unmatchable chr(0) pattern when no
     pair remains, making further iterations no-ops on both engines."""
-    parts = [
-        f"""
-            w0 AS (
-                SELECT tok, COUNT(*) AS freq
-                FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
-                GROUP BY tok
-            ),
-            s0 AS (
-                SELECT '  ' || array_to_string(list_transform(
-                           range(1, length(tok) + 1),
-                           i -> substr(tok, CAST(i AS INT), 1)), '  ')
-                       || '  ' AS s,
-                       freq
-                FROM w0
-            )"""
-    ]
-    for k in range(1, n_merges + 1):
-        p = k - 1
-        parts.append(f"""
-            pc{k} AS (
-                SELECT p.lhs AS lhs, p.rhs AS rhs,
-                       CAST(SUM(freq) AS BIGINT) AS cnt
-                FROM (
-                    SELECT unnest(list_transform(
-                               range(1, GREATEST(len(syms) - 1, 0) + 1),
-                               i -> {{'lhs': syms[i], 'rhs': syms[i + 1]}}))
-                           AS p,
-                           freq
-                    FROM (SELECT str_split(trim(s), '  ') AS syms, freq
-                          FROM s{p})
-                )
-                GROUP BY p.lhs, p.rhs
-            ),
-            top{k} AS (
-                SELECT lhs, rhs, cnt FROM pc{k}
-                ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
-            ),
-            s{k} AS (
-                SELECT replace(s,
-                           COALESCE((SELECT ' ' || lhs || '  ' || rhs || ' '
-                                     FROM top{k}), chr(0)),
-                           COALESCE((SELECT ' ' || lhs || rhs || ' '
-                                     FROM top{k}), chr(0))) AS s,
-                       freq
-                FROM s{p}
-            )""")
-        # the final s{n} CTE is rendered but unreferenced — harmless
+    parts = _bpe_train_ctes(n_merges)
     selects = " UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS step, lhs, rhs, lhs || rhs AS merged,"
         f" cnt FROM top{k}"
         for k in range(1, n_merges + 1)
     )
     return "WITH " + ",".join(parts) + "\n" + selects
+
+
+def _bpe_apply_counts_sql(n_merges: int = 8) -> str:
+    """DuckDB oracle for bpe_apply_token_counts: the SAME unrolled
+    training chain (so the learned merges are identical by
+    construction), then the corpus rendered per DOCUMENT to the
+    canonical delimited form (word blocks joined by newlines — merges
+    can never span words) and pushed through the same n_merges
+    replace()s. Counting uses the 2k+2-spaces-per-k-symbol-word
+    identity: n_bpe = (n_spaces − 2·n_words) / 2 — no re-split."""
+    parts = _bpe_train_ctes(n_merges)
+    doc_chain = ["""
+            c0 AS MATERIALIZED (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       COALESCE(list_sum(list_transform(toks,
+                           w -> length(w))), 0) AS n_chars,
+                       array_to_string(list_transform(toks, w ->
+                           '  ' || array_to_string(list_transform(
+                               range(1, length(w) + 1),
+                               i -> substr(w, CAST(i AS INT), 1)), '  ')
+                           || '  '), chr(10)) AS s
+                FROM (SELECT doc_id, {toks} AS toks FROM documents)
+            )""".format(toks=_TOKS_SQL)]
+    for k in range(1, n_merges + 1):
+        doc_chain.append(f"""
+            c{k} AS MATERIALIZED (
+                SELECT doc_id, n_words, n_chars,
+                       replace(s,
+                           COALESCE((SELECT ' ' || lhs || '  ' || rhs || ' '
+                                     FROM top{k}), chr(0)),
+                           COALESCE((SELECT ' ' || lhs || rhs || ' '
+                                     FROM top{k}), chr(0))) AS s
+                FROM c{k - 1}
+            )""")
+    final = f"""
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST((length(s) - length(replace(s, ' ', ''))
+                         - 2 * n_words) / 2 AS BIGINT) AS n_bpe_tokens,
+                   CASE WHEN (length(s) - length(replace(s, ' ', ''))
+                              - 2 * n_words) / 2 > 0
+                        THEN floor(n_chars * 10000.0
+                                   / ((length(s) - length(replace(s, ' ', ''))
+                                       - 2 * n_words) / 2) + 0.5) / 10000.0
+                        ELSE 0.0 END AS chars_per_tok
+            FROM c{n_merges}
+        """
+    return "WITH " + ",".join(parts + doc_chain) + final
 
 
 def _pq_distortion_sql() -> str:

@@ -913,6 +913,71 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     )
 
 
+def bpe_apply_counts(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Apply the learned BPE merge table back to the corpus — the
+    APPLY half that closes the tokenizer loop ``bpe_merge_table``
+    trains: per-document token counts under the first ``n_merges``
+    learned merges, i.e. the real token budget a corpus costs under
+    this tokenizer (vs the regex estimate in ``token_estimate``).
+
+    Output: ``(doc_id, n_words, n_chars, n_bpe_tokens, chars_per_tok)``
+    — n_chars is the pre-merge symbol count (code points inside
+    words), n_bpe_tokens the post-merge symbol count, chars_per_tok
+    the floor-snapped compression ratio (0 for empty docs).
+
+    Physical shape — ALL JVM codegen, no Python, no extra shuffle:
+    each document renders ONCE to the canonical delimited string the
+    merge-table oracle uses (words as '␠␠char␠␠char␠␠' blocks joined
+    by newlines — symbols contain no whitespace, so patterns can never
+    span words), and each merge is ONE literal ``F.replace`` whose
+    leftmost-non-overlapping scan IS the greedy BPE rewrite (verified
+    equal to DuckDB's replace on the overlap cases). Counting needs no
+    re-split: a word of k symbols carries exactly 2k+2 spaces, so
+    ``n_bpe_tokens = (n_spaces − 2·n_words) / 2`` — two length() calls.
+
+    The merge table itself comes from ``bpe_merge_table`` (the
+    driver-iterated training loop, one bounded collect per merge); the
+    corpus-wide apply pass is a single scan.
+
+    No reference counterpart; §2.10 capability-gap operator (tokenizer
+    training support — the train→apply pair).
+    """
+    merges = [
+        (r["lhs"], r["rhs"]) for r in bpe_merge_table(docs, n_merges).collect()
+    ]
+    toks = T.words("text")
+    word_block = lambda w: F.concat(  # noqa: E731
+        F.lit("  "),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+            ),
+            "  ",
+        ),
+        F.lit("  "),
+    )
+    s = F.array_join(F.transform(toks, word_block), "\n")
+    for lhs, rhs in merges:
+        s = F.replace(s, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+    n_words = F.size(toks).cast("bigint")
+    n_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+    )
+    n_spaces = F.length(s) - F.length(F.replace(s, F.lit(" "), F.lit("")))
+    n_bpe = ((n_spaces - 2 * n_words) / 2).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(
+            n_bpe > 0, F.floor(n_chars * 10000.0 / n_bpe + 0.5) / 10000.0
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_tok"),
+    )
+
+
 def vocab_coverage(docs: DataFrame, ks: tuple = (16, 64, 256, 1024)) -> DataFrame:
     """Vocabulary coverage curve: for each candidate vocabulary size
     ``k``, the fraction of all token occurrences covered by the ``k``

@@ -290,3 +290,26 @@ def test_ivf_empty_sample_and_lsh_band_validation(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         lsh_bucketed_topk(emb, emb, n_planes=16, bands=5, dim=8)
+
+
+def test_bpe_apply_counts_hand_case(spark):
+    """Applying the learned merges must reproduce the hand-derivable
+    segmentation: on the Sennrich corpus after 4 merges (es, est, lo,
+    low), 'lowest' segments to [low][est] = 2 tokens, 'low' to 1,
+    'newest' to [n][e][w][est] = 4."""
+    from sparklyclean_spark.operators.text_analysis import bpe_apply_counts
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame(
+        [(1, text), (2, "lowest"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in bpe_apply_counts(docs, n_merges=4).collect()}
+    # doc 2: 'lowest' -> low + est
+    assert (out[2].n_words, out[2].n_chars, out[2].n_bpe_tokens) == (1, 6, 2)
+    assert out[2].chars_per_tok == 3.0
+    # doc 3: empty -> all zeros
+    assert (out[3].n_words, out[3].n_chars, out[3].n_bpe_tokens) == (0, 0, 0)
+    assert out[3].chars_per_tok == 0.0
+    # doc 1: 5*low(1) + 2*lower(low,e,r=3) + 6*newest(n,e,w,est=4) + 3*widest(w,i,d,est=4)
+    assert out[1].n_bpe_tokens == 5 * 1 + 2 * 3 + 6 * 4 + 3 * 4
