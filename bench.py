@@ -187,6 +187,8 @@ def main() -> None:
         "ivf_pq_residual_recall",
         "semdedup_pq_funnel",
         "bpe_merge_table",
+        # BPE apply pass (train loop + one all-codegen corpus rewrite)
+        "bpe_apply_token_counts",
     ]
 
     def run_once(name: str) -> float:
