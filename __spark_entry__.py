@@ -1224,13 +1224,15 @@ _DRIVER_CHECK_ORDER = [
     # ---- r10 window (first 50 = the driver's hash-checked set) ----
     # Composition (VERDICT r9 item 1): retire the ENTIRE pre-r5
     # re-certification backlog. 2 pinned flagships + all 22 rows whose
-    # last green record is r3 + all 12 r4 rows + the 3 new r10 rows
-    # (residual IVF-PQ, BPE merge loop, PQ-prefiltered SemDeDup) + the
-    # 11 alphabetically-first r5 rows. After this round no row's
-    # newest green predates r5, and `scripts/staleness.py` reports the
-    # remaining r5 cohort as the r11 queue. Displaced: the entire r9
-    # window except the flagships — every displaced row carries a
-    # fresh green r9 record.
+    # last green record is r3 + all 12 r4 rows + the 6 new r10 rows
+    # (residual IVF-PQ recall + distortion, BPE merge loop + apply,
+    # PQ-prefiltered SemDeDup, LSH tuning curve — every new row IN the
+    # window so zero oracled rows are ever never-green) + the 8
+    # alphabetically-first r5 rows. After this round no row's newest
+    # green predates r5, and `scripts/staleness.py` reports the
+    # remaining r5 cohort (max staleness 5) as the r11 queue.
+    # Displaced: the entire r9 window except the flagships — every
+    # displaced row carries a fresh green r9 record.
 
     "dedup_pairs_disdedup_customer",  # pinned flagship: recorded row every round
     "ml_dedup_quality_gate",  # pinned flagship: ML gate, recorded row every round
@@ -1279,13 +1281,13 @@ _DRIVER_CHECK_ORDER = [
     "cluster_safe_split_docs",
     "dedup_pair_features_customer",
     "dedup_pairs_disdedup_skewed",
+    "rpq_distortion",  # NEW r10: residual-tier MSE twin (displaced dedup_pairs_jw_customer, green r5)
+    "lsh_tuning_curve",  # NEW r10: MinHash banding S-curve planner (displaced dedup_pairs_naive_skewed, green r5)
+    "bpe_apply_token_counts",  # NEW r10: BPE train->apply token budget (displaced dense_ids_documents, green r5)
+    # ---- below: recorded in earlier rounds; not in the r10 window ----
     "dedup_pairs_jw_customer",
     "dedup_pairs_naive_skewed",
     "dense_ids_documents",
-    # ---- below: recorded in earlier rounds; not in the r10 window ----
-    "rpq_distortion",  # NEW r10 (post-window): residual-tier MSE twin; r11 queue head
-    "lsh_tuning_curve",  # NEW r10 (post-window): MinHash banding S-curve planner
-    "bpe_apply_token_counts",  # NEW r10 (post-window): BPE train->apply token budget
     "neardup_token_jaccard",
     "neardup_shingle_jaccard",
     "events_sliding_users",
