@@ -5113,6 +5113,13 @@ def oracle_sql() -> dict[str, str]:
         sql["ivf_pq_recall"] = _ivf_pq_recall_sql()
         sql["ivf_pq_residual_recall"] = _ivf_pq_residual_recall_sql()
         sql["rpq_distortion"] = _rpq_distortion_sql()
+    except Exception:
+        pass
+    # SEPARATE try (r10 review): the renderers above read the
+    # embeddings parquet at render time — an embeddings-side failure
+    # must not silently drop these data-independent text/math oracles
+    # and degrade their in-window rows to rows-only
+    try:
         sql["bpe_merge_table"] = _bpe_merge_table_sql()
         sql["lsh_tuning_curve"] = _lsh_tuning_curve_sql()
         sql["bpe_apply_token_counts"] = _bpe_apply_counts_sql()
@@ -6678,14 +6685,8 @@ def _rpq_codebooks_sql(
     (codebook_values, mean_values) — the two literal sets the residual
     oracle needs beyond the shared IVF centroids."""
     import duckdb
-    import numpy as np
 
-    from sparklyclean_spark.operators.similarity.knn import _spherical_kmeans
-    from sparklyclean_spark.operators.similarity.pq import (
-        cell_means_from_sample,
-        codebooks_from_vectors,
-        residuals_from_vectors,
-    )
+    from sparklyclean_spark.operators.similarity.pq import residual_train
 
     rows = duckdb.sql(
         f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
@@ -6693,12 +6694,9 @@ def _rpq_codebooks_sql(
     ).fetchall()
     rows.sort(key=lambda r: r[0])
     svecs = [r[1] for r in rows]
-    ivf_cents = _spherical_kmeans(
-        np.array(svecs, dtype=np.float64), n_cells, iters, seed
-    )
-    means = cell_means_from_sample(svecs, ivf_cents)
-    resid, _ = residuals_from_vectors(svecs, ivf_cents, means)
-    cents = codebooks_from_vectors(resid, m, ks, iters, seed, normalize=False)
+    # the ONE shared residual training sequence (pq.residual_train) —
+    # bit-equal to the Spark paths by construction (r10 review)
+    _ivf, means, cents = residual_train(svecs, n_cells, m, ks, iters, seed)
     cb_vals = ", ".join(
         "(%d, %d, [%s])" % (j, c, ", ".join(repr(float(v)) for v in cents[j][c]))
         for j in range(cents.shape[0])
@@ -7002,11 +7000,14 @@ def _bpe_apply_counts_sql(n_merges: int = 8) -> str:
                        len(toks) AS n_words,
                        COALESCE(list_sum(list_transform(toks,
                            w -> length(w))), 0) AS n_chars,
-                       array_to_string(list_transform(toks, w ->
+                       COALESCE(array_to_string(list_transform(toks, w ->
                            '  ' || array_to_string(list_transform(
                                range(1, length(w) + 1),
                                i -> substr(w, CAST(i AS INT), 1)), '  ')
-                           || '  '), chr(10)) AS s
+                           || '  '), chr(10)), '') AS s
+                       -- COALESCE: DuckDB array_to_string([]) is NULL
+                       -- (Spark array_join([]) is '') — a zero-word doc
+                       -- must count 0 bpe tokens, not NULL (r10 review)
                 FROM (SELECT doc_id, {toks} AS toks FROM documents)
             )""".format(toks=_TOKS_SQL)]
     for k in range(1, n_merges + 1):

@@ -427,6 +427,28 @@ def residuals_from_vectors(vecs, ivf_cents, sub_points=None):
     return x - sub_points[cells], cells
 
 
+def residual_train(svecs, n_cells=32, m=4, ks=16, iters=10, seed=647):
+    """ONE shared residual-tier trainer: sample vectors -> seeded
+    spherical k-means -> cell-mean origins -> residual codebooks
+    (``normalize=False``). Returns (ivf_cents, means, pq_cents).
+    Called by ivf_pq_residual_topk, ivf_pq_residual_distortion, AND
+    the DuckDB oracle renderer (`__spark_entry__._rpq_codebooks_sql`)
+    — the bit-equality contract across the three depends on one
+    training sequence existing in exactly one place (r10 review
+    finding)."""
+    import numpy as np
+
+    from sparklyclean_spark.operators.similarity.knn import _spherical_kmeans
+
+    ivf_cents = _spherical_kmeans(
+        np.array(svecs, dtype=np.float64), n_cells, iters, seed
+    )
+    means = cell_means_from_sample(svecs, ivf_cents)
+    resid, _ = residuals_from_vectors(svecs, ivf_cents, means)
+    pq_cents = codebooks_from_vectors(resid, m, ks, iters, seed, normalize=False)
+    return ivf_cents, means, pq_cents
+
+
 def _residual_encode_udf(ivf_cents, sub_points, pq_cents):
     """Arrow-batched residual encoder: embedding -> struct(cell int,
     codes array<int>, mdist array<double>). The cell is the IVF argmax
@@ -509,21 +531,15 @@ def ivf_pq_residual_topk(
     """
     import numpy as np
 
-    from sparklyclean_spark.operators.similarity.knn import _spherical_kmeans
-
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     # ONE hash-ordered sample collect feeds both trainers (the
-    # ivf_pq_topk recipe); the PQ stage then trains on the sample's
-    # RESIDUALS under the just-trained coarse quantizer
+    # ivf_pq_topk recipe) via the ONE shared residual_train sequence
     srows = _hash_ordered_sample(c, "neighbor_id", sample_cap)
     svecs = [r["cv"] for r in srows]
-    ivf_cents = _spherical_kmeans(
-        np.array(svecs, dtype=np.float64), n_cells, iters, seed
+    ivf_cents, means, pq_cents = residual_train(
+        svecs, n_cells, m, ks, iters, seed
     )
-    means = cell_means_from_sample(svecs, ivf_cents)
-    resid, _ = residuals_from_vectors(svecs, ivf_cents, means)
-    pq_cents = codebooks_from_vectors(resid, m, ks, iters, seed, normalize=False)
 
     # corpus side: one Arrow pass -> (neighbor_id, cell, j, code)
     cc = c.select(
@@ -605,19 +621,12 @@ def ivf_pq_residual_distortion(
     ``ivf_pq_residual_recall`` measures. Returns (j, n_vecs, mse),
     same contract and snapping discipline as pq_distortion (snapped
     minima summed DECIMAL(18,9), floor-ratio'd once)."""
-    import numpy as np
-
-    from sparklyclean_spark.operators.similarity.knn import _spherical_kmeans
-
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     srows = _hash_ordered_sample(c, "id", sample_cap)
     svecs = [r["v"] for r in srows]
-    ivf_cents = _spherical_kmeans(
-        np.array(svecs, dtype=np.float64), n_cells, iters, seed
+    ivf_cents, means, pq_cents = residual_train(
+        svecs, n_cells, m, ks, iters, seed
     )
-    means = cell_means_from_sample(svecs, ivf_cents)
-    resid, _ = residuals_from_vectors(svecs, ivf_cents, means)
-    pq_cents = codebooks_from_vectors(resid, m, ks, iters, seed, normalize=False)
 
     enc = c.select(
         _residual_encode_udf(ivf_cents, means, pq_cents)(F.col("v"))[

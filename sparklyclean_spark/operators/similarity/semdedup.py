@@ -67,23 +67,22 @@ def semdedup_dispositions(
     join back is an equi-join on id reusing the cell shuffle's data.
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+
+    from sparklyclean_spark.operators.similarity.knn import cell_assign_udf
 
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     rows = _hash_ordered_sample(c, "id", sample_cap)
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     cents = _spherical_kmeans(x, n_cells, iters, seed)
 
-    def impl(vs):
-        m = np.asarray(vs.tolist(), dtype=np.float64)
-        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
-        return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
-
     # assignment feeds both join sides AND the disposition join back —
-    # persist so the matmul pass runs once (the _sig_table precedent)
+    # persist so the matmul pass runs once (the _sig_table precedent).
+    # knn.cell_assign_udf(cents, 1) IS the quantizer assignment — one
+    # implementation shared with ivf_topk and the PQ funnel, so a
+    # future assignment-semantics change cannot desynchronize the
+    # three (r10 review finding)
     assigned = tracked_persist(
-        c.withColumn("cell", pandas_udf(impl, "int")(F.col("v")))
+        c.withColumn("cell", cell_assign_udf(cents, 1)(F.col("v")))
     )
     assigned.count()
     a = assigned.select("cell", F.col("id").alias("id1"), F.col("v").alias("v1"))
@@ -143,13 +142,15 @@ def semdedup_dispositions_pq(
 
     The prefilter is EXACT-SAFE, not heuristic: a pair survives when
     its symmetric code distance satisfies the triangle-inequality
-    bound  sqrt(SDC(x,y)) <= sqrt(2 - 2·threshold) + e_x + e_y  with
-    ``e`` each vector's own quantization error ||x̂ - q(x̂)|| (the
-    encoder's snapped per-subspace minima). Any true duplicate
-    (cos >= threshold, i.e. ||x̂ - ŷ|| <= sqrt(2-2t)) necessarily
-    passes, because ||q(x̂)-q(ŷ)|| <= ||x̂-ŷ|| + e_x + e_y — so the
-    funnel provably returns semdedup_dispositions' exact pair set and
-    the pytest parity gate pins it. (Zero-norm vectors normalize to 0
+    bound  sqrt(SDC(x,y)) <= sqrt(2 - 2·threshold) + e_x + e_y + s
+    with ``e`` each vector's own quantization error ||x̂ - q(x̂)||
+    (the encoder's snapped per-subspace minima) and ``s = 1e-4`` a
+    slack strictly larger than the worst-case deficit the 1e-9 snap
+    can put into the two e's (≤ 2·sqrt(m·5e-10) ≈ 9e-5). Any true
+    duplicate (cos >= threshold, i.e. ||x̂ - ŷ|| <= sqrt(2-2t))
+    necessarily passes, because ||q(x̂)-q(ŷ)|| <= ||x̂-ŷ|| + e_x +
+    e_y — so the funnel provably returns semdedup_dispositions' exact
+    pair set and the pytest parity gate pins it. (Zero-norm vectors normalize to 0
     and can only be PRUNED, which is correct for any threshold > 0 —
     their cosine is defined as 0.)
 
@@ -170,6 +171,7 @@ def semdedup_dispositions_pq(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from sparklyclean_spark.operators.similarity.knn import cell_assign_udf
     from sparklyclean_spark.operators.similarity.pq import (
         _encode_udf,
         codebooks_from_vectors,
@@ -183,13 +185,11 @@ def semdedup_dispositions_pq(
     )
     pq_cents = codebooks_from_vectors(svecs, m, ks, iters, seed)
 
-    def cell_impl(vs):
-        x = np.asarray(vs.tolist(), dtype=np.float64)
-        x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
-        return pd.Series(np.argmax(x @ cents.T, axis=1).astype(np.int32))
-
+    # the shared quantizer assignment (knn.cell_assign_udf) — NOT an
+    # inline copy, so the funnel's cells can never diverge from the
+    # baseline whose oracle it shares (r10 review finding)
     enc = tracked_persist(
-        c.withColumn("cell", pandas_udf(cell_impl, "int")(F.col("v")))
+        c.withColumn("cell", cell_assign_udf(cents, 1)(F.col("v")))
         .withColumn("_e", _encode_udf(pq_cents)(F.col("v")))
         .select(
             "id",
@@ -237,8 +237,16 @@ def semdedup_dispositions_pq(
         slim_a.join(slim_b, "cell")
         .where(F.col("id1") < F.col("id2"))
         .where(
+            # slack 1e-4 COVERS the encoder's snap deficit (r10 review:
+            # each per-subspace mdist is round(d, 9), so the summed
+            # squared error can run 2e-9 under truth and sqrt's
+            # concavity bounds the per-vector qerr deficit by
+            # sqrt(2e-9) ~= 4.5e-5 — 9e-5 for the pair; 1e-9 was
+            # SMALLER than the deficit, quietly voiding the
+            # admission guarantee). Extra admitted candidates only pay
+            # the exact verify — never a wrong answer.
             F.sqrt(sdc(F.col("c1"), F.col("c2")))
-            <= F.lit(lim) + F.col("e1") + F.col("e2") + F.lit(1e-9)
+            <= F.lit(lim) + F.col("e1") + F.col("e2") + F.lit(1e-4)
         )
         .select("id1", "id2")
     )

@@ -65,26 +65,36 @@ def _session_fn(gap_seconds: int, key_col: str = "user_id"):
                 if frames
                 else pd.DataFrame(columns=["ts", "value"])
             )
-            for ts, val in zip(pdf["ts"], pdf["value"]):
-                if cur is None:
-                    cur = [ts, ts, 0, 0.0]
-                elif ts - cur[1] > gap:
-                    closed.append(
-                        (user_id, cur[0], cur[1] + gap, cur[2], cur[3])
-                    )
-                    cur = [ts, ts, 0, 0.0]
-                # max()/min(): a late-but-in-watermark event joining
-                # the open session must NOT regress its last-event
-                # timestamp (the unconditional assignment produced
-                # inverted end < start windows, r9 review finding),
-                # and symmetrically a late event EARLIER than the
-                # recorded start must pull window_start back so the
-                # window actually contains every counted event (r10
-                # advisor finding)
-                cur[0] = min(cur[0], ts)
-                cur[1] = max(cur[1], ts)
-                cur[2] += 1
-                cur[3] += float(val)
+            # General interval sweep over (batch events + the open
+            # session), in TIME order — the r9/r10 incremental clamps
+            # (max the end, min the start) still over-merged: a late
+            # in-watermark event more than `gap` EARLIER than the open
+            # session's start belongs to its own earlier session, not
+            # this one (the batch session_windows twin yields two
+            # sessions there — r10 review finding). Sorting the open
+            # state in with the events and gap-merging sequentially
+            # reproduces the batch semantics exactly; every merged
+            # session except the LAST is definitively closed (a later
+            # session exists), the last becomes the new state.
+            items = [
+                (ts, ts, 1, float(val))
+                for ts, val in zip(pdf["ts"], pdf["value"])
+            ]
+            if cur is not None:
+                items.append((cur[0], cur[1], cur[2], cur[3]))
+            items.sort(key=lambda t: (t[0], t[1]))
+            sessions: list[list] = []
+            for s_, e_, n_, v_ in items:
+                if sessions and s_ - sessions[-1][1] <= gap:
+                    last = sessions[-1]
+                    last[1] = max(last[1], e_)
+                    last[2] += n_
+                    last[3] += v_
+                else:
+                    sessions.append([s_, e_, n_, v_])
+            for s in sessions[:-1]:
+                closed.append((user_id, s[0], s[1] + gap, s[2], s[3]))
+            cur = sessions[-1] if sessions else None
             if cur is not None:
                 state.update(tuple(cur))
                 # close the session once event time passes last+gap

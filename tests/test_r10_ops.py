@@ -313,3 +313,27 @@ def test_bpe_apply_counts_hand_case(spark):
     assert out[3].chars_per_tok == 0.0
     # doc 1: 5*low(1) + 2*lower(low,e,r=3) + 6*newest(n,e,w,est=4) + 3*widest(w,i,d,est=4)
     assert out[1].n_bpe_tokens == 5 * 1 + 2 * 3 + 6 * 4 + 3 * 4
+
+
+def test_bpe_apply_oracle_parity_with_empty_doc(spark, duck):
+    """r10 review regression: DuckDB array_to_string([]) is NULL while
+    Spark array_join([]) is '' — a zero-word document must count 0 bpe
+    tokens on BOTH engines (the shipped fixtures have no empty docs,
+    so only this gate catches it)."""
+    import pandas as pd
+
+    from __spark_entry__ import _bpe_apply_counts_sql
+    from sparklyclean_spark.operators.text_analysis import bpe_apply_counts
+
+    rows = [(1, "bb bbaba"), (2, "bbb"), (3, ""), (4, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        (r.doc_id, r.n_words, r.n_chars, r.n_bpe_tokens, r.chars_per_tok)
+        for r in bpe_apply_counts(docs, n_merges=3).collect()
+    )
+    duck.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = sorted(map(tuple, duck.sql(_bpe_apply_counts_sql(3)).fetchall()))
+    duck.unregister("documents")
+    assert got == want
+    assert got[2][1:] == (0, 0, 0, 0.0)  # doc 3, empty
+    assert got[3][1:] == (0, 0, 0, 0.0)  # doc 4, whitespace-only

@@ -415,3 +415,49 @@ def test_stateful_sessionize_late_event_extends_start(spark, tmp_path_factory):
     # the closed user-1 session must start at the EARLIEST contained
     # event (09:05), end = 09:10 + 15 min, and count both events
     assert rows[(1, "2024-01-01 09:05:00", "2024-01-01 09:25:00")] == (2, 3.0)
+
+
+def test_stateful_sessionize_distant_late_event_own_session(spark, tmp_path_factory):
+    """r10 review regression: a late in-watermark event more than
+    `gap` EARLIER than the open session's start must form its OWN
+    earlier session (the incremental min-clamp merged it, producing a
+    window spanning a silence longer than gap and diverging from the
+    batch session_windows twin)."""
+    from sparklyclean_spark.streaming.sessionize import streaming_sessionize
+
+    path = str(tmp_path_factory.mktemp("sess_stream_distant"))
+
+    def write_file(rows):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    # batch 1: open session at 09:30
+    write_file([(1, "2024-01-01 09:30:00", 1, 1.0)])
+    # batch 2: late event at 09:05 — 25 min late (inside the 30-min
+    # watermark), 25 min BEFORE the open start (> the 15-min gap)
+    write_file([(2, "2024-01-01 09:05:00", 1, 2.0)])
+    # batch 3: far-future closer
+    write_file([(3, "2024-01-01 12:00:00", 2, 3.0)])
+
+    out = streaming_sessionize(
+        spark, path,
+        "event_id bigint, ts timestamp, user_id bigint, value double",
+        gap_seconds=900,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessionize_distant_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.user_id, str(r.window_start), str(r.window_end)): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sessionize_distant_late").collect()
+    }
+    # TWO user-1 sessions, exactly the batch twin's answer
+    assert rows[(1, "2024-01-01 09:05:00", "2024-01-01 09:20:00")] == (1, 2.0)
+    assert rows[(1, "2024-01-01 09:30:00", "2024-01-01 09:45:00")] == (1, 1.0)
