@@ -131,6 +131,7 @@ def semdedup_dispositions_pq(
     seed: int = 647,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stage: str = "dispositions",
 ) -> DataFrame:
     """PQ-prefiltered SemDeDup funnel (VERDICT r9 item 4, the
     LSH-funnel pattern applied to the within-cell verification):
@@ -166,7 +167,15 @@ def semdedup_dispositions_pq(
     lookup is one broadcast (m × ks × ks) numpy table inside an Arrow
     UDF; raw vectors travel only in the two final equi-joins on the
     candidate stream.
+
+    ``stage`` taps the funnel for instrumentation (the lsh_cosine_pairs
+    precedent): "cellmates" returns the raw within-cell (id1, id2)
+    pair stream, "prefiltered" the SDC-bound survivors, "dispositions"
+    (default) the full output — the candidates/survivors ratio is the
+    funnel's measured pruning power on a given corpus.
     """
+    if stage not in ("cellmates", "prefiltered", "dispositions"):
+        raise ValueError(f"unknown stage {stage!r}")
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -233,9 +242,13 @@ def semdedup_dispositions_pq(
         F.col("codes").alias("c2"),
         F.col("qerr").alias("e2"),
     )
+    raw_pairs = (
+        slim_a.join(slim_b, "cell").where(F.col("id1") < F.col("id2"))
+    )
+    if stage == "cellmates":
+        return raw_pairs.select("id1", "id2")
     cand = (
-        slim_a.join(slim_b, "cell")
-        .where(F.col("id1") < F.col("id2"))
+        raw_pairs
         .where(
             # slack 1e-4 COVERS the encoder's snap deficit (r10 review:
             # each per-subspace mdist is round(d, 9), so the summed
@@ -250,6 +263,8 @@ def semdedup_dispositions_pq(
         )
         .select("id1", "id2")
     )
+    if stage == "prefiltered":
+        return cand
     va = enc.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
     vb = enc.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
     pairs = (

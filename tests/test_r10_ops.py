@@ -337,3 +337,40 @@ def test_bpe_apply_oracle_parity_with_empty_doc(spark, duck):
     assert got == want
     assert got[2][1:] == (0, 0, 0, 0.0)  # doc 3, empty
     assert got[3][1:] == (0, 0, 0, 0.0)  # doc 4, whitespace-only
+
+
+def test_semdedup_funnel_stage_taps_and_pruning(spark):
+    """The funnel's instrumentation taps (lsh_cosine_pairs precedent):
+    cellmates >= prefiltered >= verified pairs, and on a TIGHT
+    clustered corpus at a high threshold the SDC bound genuinely
+    prunes (survivors < cellmates)."""
+    import random
+
+    from sparklyclean_spark.operators.similarity.semdedup import (
+        semdedup_dispositions_pq,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    for c in range(4):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        for i in range(25):
+            rows.append(
+                (c * 100 + i, [b + rng.uniform(-0.01, 0.01) for b in base])
+            )
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    # n_cells=2 with 4 clusters: each cell holds TWO dissimilar
+    # clusters, so cross-cluster cellmate pairs exist for the SDC
+    # bound to prune (with one cell per cluster every cellmate is a
+    # true near-dup and there is nothing to prune)
+    kw = dict(n_cells=2, ks=8, sample_cap=4096)
+    cellmates = semdedup_dispositions_pq(emb, 0.9999, stage="cellmates", **kw).count()
+    pref = semdedup_dispositions_pq(emb, 0.9999, stage="prefiltered", **kw).count()
+    assert cellmates >= pref
+    assert pref < cellmates  # the bound prunes on tight clusters
+    out = semdedup_dispositions_pq(emb, 0.9999, **kw)
+    assert out.count() == len(rows)  # dispositions cover every vector
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown stage"):
+        semdedup_dispositions_pq(emb, 0.9, stage="bogus")
