@@ -6674,7 +6674,7 @@ def _rpq_codebooks_sql(
     sample_cap: int = 4096,
     iters: int = 10,
     seed: int = 647,
-) -> str:
+) -> tuple[str, str]:
     """DuckDB twin of pq.ivf_pq_residual_topk's residual training (the
     `_pq_codebooks_sql` treatment plus the residual step): read the
     SAME hash-ordered sample without Spark, train the SAME IVF
@@ -6887,9 +6887,11 @@ def _lsh_tuning_curve_sql(
     products for s^r and (1−s^r)^b (no libm pow in the hash contract),
     the SAME driver-computed s_star literal, the SAME 1e-6
     floor-snap."""
+    from sparklyclean_spark.operators.dedup.textdedup import _jaccard_grid
+
     r = num_hashes // bands
     s_star = (1.0 / bands) ** (1.0 / r)
-    grid = [round(k * grid_step, 4) for k in range(1, int(1.0 / grid_step))]
+    grid = _jaccard_grid(grid_step)
     vals = ", ".join(f"({g!r})" for g in grid)
     pb = " * ".join(["jaccard"] * r)
     miss = " * ".join(["(1.0 - pb)"] * bands)

@@ -282,6 +282,21 @@ def incremental_lsh_pairs(
     )
 
 
+def _jaccard_grid(grid_step: float) -> list[float]:
+    """Every multiple of grid_step strictly below 1.0. The r10 form
+    ``range(1, int(1.0 / grid_step))`` truncated for non-divisor
+    steps, silently dropping the top grid point (grid_step=0.15 ended
+    at 0.75, omitting 0.90 — r11 advisor fix). Shared by the Spark
+    planner and the SQL twin renderer so the grids can never diverge."""
+    import math
+
+    return [
+        s
+        for k in range(1, math.ceil(1.0 / grid_step) + 1)
+        if (s := round(k * grid_step, 4)) < 1.0
+    ]
+
+
 def lsh_tuning_curve(
     spark,
     num_hashes: int = 64,
@@ -318,7 +333,7 @@ def lsh_tuning_curve(
         raise ValueError(f"num_hashes {num_hashes} not divisible by bands={bands}")
     r = num_hashes // bands
     s_star = (1.0 / bands) ** (1.0 / r)
-    grid = [round(k * grid_step, 4) for k in range(1, int(1.0 / grid_step))]
+    grid = _jaccard_grid(grid_step)
     g = spark.createDataFrame([(s,) for s in grid], "jaccard double")
     p_band = reduce(lambda a, _: a * F.col("jaccard"), range(r - 1), F.col("jaccard"))
     g = g.withColumn("_pb", p_band)

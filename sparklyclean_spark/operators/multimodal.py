@@ -54,11 +54,15 @@ def _decode_real(payload: bytes, kind: str) -> tuple[int, int]:
 
     Tiered so the engine stays dependency-honest:
 
-    1. PNG / GIF / BMP dimensions are parsed from the container header
-       with the stdlib only (magic-sniffed, not ``kind``-trusted) —
-       fully functional in this container and covered by
-       ``tests/test_multimodal.py`` with a real in-memory PNG.
-    2. Anything else dispatches to Pillow when importable (JPEG/WebP/
+    1. PNG / GIF / BMP / JPEG dimensions are parsed from the container
+       header with the stdlib only (magic-sniffed, not ``kind``-trusted)
+       — fully functional in this container and covered by
+       ``tests/test_multimodal.py`` with real in-memory bytes. JPEG
+       (the dominant crawl image format) walks the marker-segment list
+       to the first SOF frame header (baseline SOF0 through SOF15,
+       skipping the non-frame DHT/JPG/DAC markers) and reads
+       (height, width) from it — ITU-T T.81 §B.2.2.
+    2. Anything else dispatches to Pillow when importable (WebP/
        TIFF/...); heavier media (audio/video) would dispatch to
        soundfile/pyav the same way.
     3. No parser and no Pillow -> NotImplementedError, which
@@ -77,6 +81,8 @@ def _decode_real(payload: bytes, kind: str) -> tuple[int, int]:
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack("<ii", b[18:26])
         return (w, abs(h))
+    if b[:2] == b"\xff\xd8":
+        return _parse_jpeg_dims(b)
     try:
         from io import BytesIO
 
@@ -87,6 +93,47 @@ def _decode_real(payload: bytes, kind: str) -> tuple[int, int]:
         ) from exc
     with Image.open(BytesIO(b)) as im:
         return im.size
+
+
+def _parse_jpeg_dims(b: bytes) -> tuple[int, int]:
+    """(width, height) from a JPEG by walking the marker-segment list
+    to the first SOF frame header (ITU-T T.81 §B.2.2). Handles fill
+    bytes (repeated 0xFF before a marker), standalone markers
+    (TEM/RST/SOI), and every SOFn variant — baseline SOF0, extended
+    SOF1, progressive SOF2, lossless SOF3/7/11/15, arithmetic 9/10 —
+    while skipping the non-frame 0xC4/0xC8/0xCC (DHT/JPG/DAC). SOF
+    always precedes SOS, so the walk never enters entropy-coded data;
+    truncation anywhere before SOF raises (→ ok=False upstream)."""
+    import struct
+
+    pos = 2  # past SOI
+    while pos < len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        while pos < len(b) and b[pos] == 0xFF:
+            pos += 1  # fill bytes
+        if pos >= len(b):
+            break
+        marker = b[pos]
+        pos += 1
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            continue  # standalone: TEM / RSTn / SOI
+        if marker == 0xD9:  # EOI with no frame header
+            break
+        if pos + 2 > len(b):
+            raise ValueError("JPEG segment length truncated")
+        (seglen,) = struct.unpack(">H", b[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(b):
+            raise ValueError("JPEG segment truncated")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seglen < 7:
+                raise ValueError("SOF segment too short")
+            h, w = struct.unpack(">HH", b[pos + 3 : pos + 7])
+            return (w, h)
+        if marker == 0xDA:  # SOS before any SOF: malformed
+            break
+        pos += seglen
+    raise ValueError("no SOF marker before SOS/EOI/end of buffer")
 
 
 def _decode_fake(payload: bytes) -> tuple[int, int]:

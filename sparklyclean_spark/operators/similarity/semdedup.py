@@ -145,9 +145,14 @@ def semdedup_dispositions_pq(
     its symmetric code distance satisfies the triangle-inequality
     bound  sqrt(SDC(x,y)) <= sqrt(2 - 2·threshold) + e_x + e_y + s
     with ``e`` each vector's own quantization error ||x̂ - q(x̂)||
-    (the encoder's snapped per-subspace minima) and ``s = 1e-4`` a
-    slack strictly larger than the worst-case deficit the 1e-9 snap
-    can put into the two e's (≤ 2·sqrt(m·5e-10) ≈ 9e-5). Any true
+    (the encoder's snapped per-subspace minima) and ``s`` a slack
+    strictly larger than the worst-case deficit the 1e-9 snap can put
+    into the two e's. Each per-subspace mdist is round(d, 9), so a
+    vector's summed squared error can run m·5e-10 under truth and
+    sqrt's concavity bounds the per-vector qerr deficit by
+    sqrt(m·5e-10); the pair deficit is 2·sqrt(m·5e-10), and
+    ``s = 2·sqrt(m·5e-10) + 1e-5`` covers it for EVERY m (the r10
+    literal 1e-4 held only for m ≤ 5 — r11 advisor fix). Any true
     duplicate (cos >= threshold, i.e. ||x̂ - ŷ|| <= sqrt(2-2t))
     necessarily passes, because ||q(x̂)-q(ŷ)|| <= ||x̂-ŷ|| + e_x +
     e_y — so the funnel provably returns semdedup_dispositions' exact
@@ -230,6 +235,10 @@ def semdedup_dispositions_pq(
 
     sdc = pandas_udf(sdc_impl, "double")
     lim = float(np.sqrt(max(2.0 - 2.0 * threshold, 0.0)))
+    # slack derived from m (see docstring): the worst-case pair snap
+    # deficit 2*sqrt(m*5e-10) plus margin — a literal was only safe
+    # for the default m (r11 advisor fix)
+    slack = 2.0 * float(np.sqrt(m * 5e-10)) + 1e-5
     slim_a = enc.select(
         "cell",
         F.col("id").alias("id1"),
@@ -250,16 +259,11 @@ def semdedup_dispositions_pq(
     cand = (
         raw_pairs
         .where(
-            # slack 1e-4 COVERS the encoder's snap deficit (r10 review:
-            # each per-subspace mdist is round(d, 9), so the summed
-            # squared error can run 2e-9 under truth and sqrt's
-            # concavity bounds the per-vector qerr deficit by
-            # sqrt(2e-9) ~= 4.5e-5 — 9e-5 for the pair; 1e-9 was
-            # SMALLER than the deficit, quietly voiding the
-            # admission guarantee). Extra admitted candidates only pay
-            # the exact verify — never a wrong answer.
+            # slack COVERS the encoder's snap deficit for any m (see
+            # docstring derivation). Extra admitted candidates only
+            # pay the exact verify — never a wrong answer.
             F.sqrt(sdc(F.col("c1"), F.col("c2")))
-            <= F.lit(lim) + F.col("e1") + F.col("e2") + F.lit(1e-4)
+            <= F.lit(lim) + F.col("e1") + F.col("e2") + F.lit(slack)
         )
         .select("id1", "id2")
     )

@@ -9,12 +9,20 @@ when the watermark passes ``last_event + gap``. (The reference has no
 streaming at all; SURVEY.md §2.10 requires custom stateful operators
 as an engine capability.)
 
-State per key is O(1) (open-session accumulator), so executor memory
-is bounded by #active keys regardless of stream length — the property
-that matters at production scale. Out-of-order events WITHIN the
-watermark that arrive after an intervening event have gap semantics
-applied in arrival order per micro-batch (events are sorted inside a
-batch; cross-batch reordering is bounded by the watermark).
+State per key is a LIST of open sessions (r11 advisor fix: the r10
+version held only the newest session and emitted every earlier merged
+session immediately, even when the watermark had not yet passed its
+end + gap — a later in-watermark event could still bridge or extend
+such a session, so append-mode output could diverge from the batch
+``session_windows`` twin). A session is emitted only once
+``last + gap < watermark``, at which point no acceptable future event
+(all have ``ts >= watermark``) can merge into it — closure is now a
+watermark fact, not an arrival-order heuristic, and parity with the
+batch twin holds for ANY in-watermark arrival order. The list stays
+small: all open sessions except possibly the oldest end within
+``gap + watermark_delay`` of the max seen event time, so its length
+is bounded by how far ahead of the watermark a key's events run,
+never by stream length.
 """
 
 from __future__ import annotations
@@ -34,24 +42,74 @@ def output_schema(key_col: str = "user_id", key_type: str = "bigint") -> str:
 
 
 OUTPUT_SCHEMA = output_schema()
-STATE_SCHEMA = "start timestamp, last timestamp, n bigint, sv double"
+# open sessions as parallel arrays (epoch-MICROSECOND bigints for the
+# bounds: array<timestamp> round-trips through the state encoder less
+# predictably than plain longs, and micros is parquet's native unit)
+STATE_SCHEMA = (
+    "starts array<bigint>, lasts array<bigint>, "
+    "ns array<bigint>, svs array<double>"
+)
+
+_US = 1_000  # micros per milli
 
 
 def _session_fn(gap_seconds: int, key_col: str = "user_id"):
     gap = pd.Timedelta(seconds=gap_seconds)
+    gap_us = gap_seconds * 1_000_000
+
+    def _emit(user_id, s):
+        start_us, last_us, n, sv = s
+        return (
+            user_id,
+            pd.Timestamp(start_us, unit="us"),
+            pd.Timestamp(last_us + gap_us, unit="us"),
+            int(n),
+            float(sv),
+        )
+
+    def _held(state) -> list[list]:
+        if not state.exists:
+            return []
+        starts, lasts, ns, svs = state.get
+        return [
+            [int(a), int(b), int(c), float(d)]
+            for a, b, c, d in zip(starts, lasts, ns, svs)
+        ]
+
+    def _store(state, kept: list[list], wm_ms: int) -> None:
+        if not kept:
+            state.remove()
+            return
+        state.update((
+            [s[0] for s in kept],
+            [s[1] for s in kept],
+            [s[2] for s in kept],
+            [s[3] for s in kept],
+        ))
+        # re-arm at the earliest closure point; Spark requires the
+        # timeout to sit strictly beyond the current watermark
+        min_close_ms = min(s[1] + gap_us for s in kept) // _US
+        state.setTimeoutTimestamp(max(min_close_ms, wm_ms + 1))
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * _US
         closed: list[tuple] = []
 
         if state.hasTimedOut:
-            # watermark passed last+gap with no new events: close the
-            # open session and drop the state
-            start, last, n, sv = state.get
-            closed.append((user_id, start, last + gap, n, sv))
-            state.remove()
+            # the watermark passed the earliest open session's
+            # last+gap: close every session no future in-watermark
+            # event (ts >= wm) can still merge into; keep the rest
+            sessions = _held(state)
+            kept = []
+            for s in sessions:
+                if s[1] + gap_us < wm_us:
+                    closed.append(_emit(user_id, s))
+                else:
+                    kept.append(s)
+            _store(state, kept, wm_ms)
         else:
-            cur = list(state.get) if state.exists else None
             # ONE global sort over the concatenated Arrow chunks: a
             # hot key spanning multiple chunks (maxRecordsPerBatch)
             # sorted each chunk independently, so chunk 2 could start
@@ -65,44 +123,36 @@ def _session_fn(gap_seconds: int, key_col: str = "user_id"):
                 if frames
                 else pd.DataFrame(columns=["ts", "value"])
             )
-            # General interval sweep over (batch events + the open
-            # session), in TIME order — the r9/r10 incremental clamps
-            # (max the end, min the start) still over-merged: a late
-            # in-watermark event more than `gap` EARLIER than the open
-            # session's start belongs to its own earlier session, not
-            # this one (the batch session_windows twin yields two
-            # sessions there — r10 review finding). Sorting the open
-            # state in with the events and gap-merging sequentially
-            # reproduces the batch semantics exactly; every merged
-            # session except the LAST is definitively closed (a later
-            # session exists), the last becomes the new state.
+            # general interval sweep over (batch events + ALL held
+            # open sessions) in TIME order — exactly the batch
+            # session_windows gap-merge (inclusive <= gap)
             items = [
-                (ts, ts, 1, float(val))
+                [int(pd.Timestamp(ts).value // _US),
+                 int(pd.Timestamp(ts).value // _US), 1, float(val)]
                 for ts, val in zip(pdf["ts"], pdf["value"])
             ]
-            if cur is not None:
-                items.append((cur[0], cur[1], cur[2], cur[3]))
+            items.extend(_held(state))
             items.sort(key=lambda t: (t[0], t[1]))
             sessions: list[list] = []
-            for s_, e_, n_, v_ in items:
-                if sessions and s_ - sessions[-1][1] <= gap:
+            for it in items:
+                if sessions and it[0] - sessions[-1][1] <= gap_us:
                     last = sessions[-1]
-                    last[1] = max(last[1], e_)
-                    last[2] += n_
-                    last[3] += v_
+                    last[1] = max(last[1], it[1])
+                    last[2] += it[2]
+                    last[3] += it[3]
                 else:
-                    sessions.append([s_, e_, n_, v_])
-            for s in sessions[:-1]:
-                closed.append((user_id, s[0], s[1] + gap, s[2], s[3]))
-            cur = sessions[-1] if sessions else None
-            if cur is not None:
-                state.update(tuple(cur))
-                # close the session once event time passes last+gap
-                # (pd.Timestamp() normalizes: state.get returns
-                # datetime, batch rows return pd.Timestamp)
-                state.setTimeoutTimestamp(
-                    int((pd.Timestamp(cur[1]) + gap).value // 1_000_000)
-                )
+                    sessions.append(list(it))
+            # emit ONLY watermark-closed sessions (r11 advisor fix):
+            # an earlier merged session that the watermark has not yet
+            # passed could still be bridged by a late in-watermark
+            # event, so it stays open in state
+            kept = []
+            for s in sessions:
+                if s[1] + gap_us < wm_us:
+                    closed.append(_emit(user_id, s))
+                else:
+                    kept.append(s)
+            _store(state, kept, wm_ms)
 
         if closed:
             yield pd.DataFrame(
@@ -125,9 +175,10 @@ def streaming_sessionize(
 ):
     """File source → watermark → stateful sessionizer. Returns the
     unstarted streaming DataFrame (attach a sink + trigger). Output
-    rows are CLOSED sessions only, emitted exactly once; semantics
+    rows are CLOSED sessions only — closed meaning the event-time
+    watermark passed ``last + gap`` — emitted exactly once; semantics
     match ``session_windows`` (gap-merge inclusive, end = last+gap)
-    for in-watermark data."""
+    for every in-watermark arrival order."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -104,18 +104,71 @@ def test_real_codec_decodes_real_images(spark):
 @pytest.mark.needs_pillow
 def test_real_codec_pillow_fallback(spark):
     """When Pillow is importable, formats without a stdlib parser
-    (JPEG here) decode through it in the same hook."""
+    (TIFF here — JPEG gained a stdlib SOF parser in r11) decode
+    through it in the same hook."""
     from io import BytesIO
 
     from PIL import Image
 
     buf = BytesIO()
-    Image.new("RGB", (11, 6)).save(buf, format="JPEG")
+    Image.new("RGB", (11, 6)).save(buf, format="TIFF")
     df = spark.createDataFrame(
-        [(1, "image/jpeg", bytearray(buf.getvalue()), 0)], MM.MEDIA_SCHEMA
+        [(1, "image/tiff", bytearray(buf.getvalue()), 0)], MM.MEDIA_SCHEMA
     )
     row = MM.decode_metadata(df, use_real_codec=True).collect()[0]
     assert (row["width"], row["height"], row["ok"]) == (11, 6, True)
+
+
+def _jpeg_bytes(w: int, h: int, sof: int = 0xC0, truncate_at: int | None = None) -> bytes:
+    """A structurally valid JPEG header stream built with the stdlib
+    only: SOI, APP0/JFIF, a fill byte, DQT, COM, then the SOFn frame
+    header carrying the true (height, width) — the segment walk a
+    decoder performs per ITU-T T.81 §B.2.2. ``truncate_at`` cuts the
+    stream mid-segment to model a truncated crawl payload."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)  # leading fill byte
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"crawl"
+    sof_seg = (
+        bytes([0xFF, sof])
+        + struct.pack(">H", 11)  # 2 len + 9: prec, h, w, ncomp, 3/comp
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01"  # 1 component
+        + b"\x01\x11\x00"  # id, sampling, quant table
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x11\x00\x3f\x00"
+    stream = b"\xff\xd8" + app0 + dqt + com + sof_seg + sos + b"\x12\x34" + b"\xff\xd9"
+    return stream if truncate_at is None else stream[:truncate_at]
+
+
+def test_real_codec_decodes_jpeg_stdlib(spark):
+    """r11: JPEG dimensions come from the stdlib SOF marker walk — no
+    Pillow — for baseline (SOF0), progressive (SOF2), and arithmetic
+    (SOF9) frames; truncated streams and SOF-less streams yield
+    ok=False rows, never a failed task."""
+    baseline = _jpeg_bytes(640, 480, sof=0xC0)
+    progressive = _jpeg_bytes(123, 4567, sof=0xC2)
+    arithmetic = _jpeg_bytes(9, 7, sof=0xC9)
+    truncated = _jpeg_bytes(640, 480, truncate_at=30)  # cut inside DQT
+    no_sof = _jpeg_bytes(640, 480)[:20]  # SOI + APP0 only, then EOF
+    df = spark.createDataFrame(
+        [
+            (1, "image/jpeg", bytearray(baseline), 0),
+            (2, "image/jpeg", bytearray(progressive), 0),
+            (3, "image/jpeg", bytearray(arithmetic), 0),
+            (4, "image/jpeg", bytearray(truncated), 0),
+            (5, "image/jpeg", bytearray(no_sof), 0),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in MM.decode_metadata(df, use_real_codec=True).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["ok"]) == (640, 480, True)
+    assert (out[2]["width"], out[2]["height"], out[2]["ok"]) == (123, 4567, True)
+    assert (out[3]["width"], out[3]["height"], out[3]["ok"]) == (9, 7, True)
+    assert out[4]["ok"] is False and out[4]["width"] is None
+    assert out[5]["ok"] is False and out[5]["width"] is None
 
 
 def test_features_shape_and_norm(media):

@@ -188,12 +188,16 @@ def test_semdedup_pq_funnel_parity_and_pruning(spark):
                  [b + rng.uniform(-0.05, 0.05) for b in base])
             )
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
-    for thr in (0.92, 0.99):
+    for thr, m in ((0.92, 4), (0.99, 4), (0.99, 8)):
+        # m=8 pins the r11 advisor fix: the snap deficit 2*sqrt(m*5e-10)
+        # ≈ 1.26e-4 EXCEEDS the old literal 1e-4 slack, which could
+        # silently prune true duplicates; the slack is now derived
+        # from m so exact parity must hold for every m
         base = sorted(map(tuple, semdedup_dispositions(
             emb, thr, n_cells=8, sample_cap=4096).collect()))
         funnel = sorted(map(tuple, semdedup_dispositions_pq(
-            emb, thr, n_cells=8, ks=8, sample_cap=4096).collect()))
-        assert base == funnel, f"thr={thr}"
+            emb, thr, n_cells=8, m=m, ks=8, sample_cap=4096).collect()))
+        assert base == funnel, f"thr={thr} m={m}"
         assert any(r[3] for r in base)  # fixture actually has dups
 
     # the sf fixture at the driver row's threshold

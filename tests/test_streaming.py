@@ -181,8 +181,10 @@ def test_sessionize_property_matches_batch(spark, tmp_path_factory, seed):
     """Property check on RANDOMIZED event sets: the streaming
     sessionizer's closed sessions must equal the batch
     ``session_window`` result restricted to closed sessions — closed
-    meaning a later same-user session exists (in-processing closure)
-    or the session end precedes the final watermark (timeout closure).
+    meaning the final event-time watermark passed the session end
+    (r11: closure is a watermark fact only; the r10 in-processing
+    closure emitted sessions a later in-watermark event could still
+    bridge).
 
     Events are chunked time-sorted into 4 files (one micro-batch each,
     arrival order = event order, nothing beyond the watermark), which
@@ -237,17 +239,13 @@ def test_sessionize_property_matches_batch(spark, tmp_path_factory, seed):
     bdf = spark.createDataFrame(events, schema)
     batch = session_windows(bdf, "15 minutes").collect()
     final_wm = max(e[1] for e in events) - wm
-    last_end = {}
-    for r in batch:
-        u = r["user_id"]
-        last_end[u] = max(last_end.get(u, r["window_end"]), r["window_end"])
     expected = {
         (r["user_id"], r["window_start"], r["window_end"]): (
             r["n_events"],
             r["sum_value"],
         )
         for r in batch
-        if r["window_end"] < final_wm or r["window_end"] < last_end[r["user_id"]]
+        if r["window_end"] < final_wm
     }
     assert got == expected, (
         f"streaming-only: {sorted(set(got) - set(expected))}; "
@@ -461,3 +459,54 @@ def test_stateful_sessionize_distant_late_event_own_session(spark, tmp_path_fact
     # TWO user-1 sessions, exactly the batch twin's answer
     assert rows[(1, "2024-01-01 09:05:00", "2024-01-01 09:20:00")] == (1, 2.0)
     assert rows[(1, "2024-01-01 09:30:00", "2024-01-01 09:45:00")] == (1, 1.0)
+
+
+def test_stateful_sessionize_late_bridge_single_session(spark, tmp_path_factory):
+    """r11 advisor regression: an earlier merged session must NOT be
+    emitted until the watermark passes its end+gap — a later
+    in-watermark event can still BRIDGE it into the next session.
+    Here 10:00 arrives, then late 09:40 (own session, > gap earlier),
+    then late 09:50 bridges the two: the batch twin yields ONE session
+    [09:40, 10:15]; the r10 code had already emitted [09:40, 09:55]
+    and would emit a second overlapping window."""
+    from sparklyclean_spark.streaming.sessionize import streaming_sessionize
+
+    path = str(tmp_path_factory.mktemp("sess_stream_bridge"))
+
+    def write_file(rows):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    write_file([(1, "2024-01-01 10:00:00", 1, 1.0)])
+    # 20 min before the open start (> 15-min gap), inside the 30-min
+    # watermark (wm after batch 1 = 09:30)
+    write_file([(2, "2024-01-01 09:40:00", 1, 2.0)])
+    # bridges: 09:40 -> 09:50 -> 10:00 are all within gap
+    write_file([(3, "2024-01-01 09:50:00", 1, 4.0)])
+    # far-future closer for another user advances the watermark
+    write_file([(4, "2024-01-01 13:00:00", 2, 8.0)])
+
+    out = streaming_sessionize(
+        spark, path,
+        "event_id bigint, ts timestamp, user_id bigint, value double",
+        gap_seconds=900,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessionize_bridge")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.user_id, str(r.window_start), str(r.window_end)): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM sessionize_bridge").collect()
+    }
+    # ONE user-1 session spanning all three events — no premature
+    # [09:40, 09:55] fragment, no overlapping windows
+    assert rows == {
+        (1, "2024-01-01 09:40:00", "2024-01-01 10:15:00"): (3, 7.0)
+    }
