@@ -265,6 +265,88 @@ def make_av_media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def make_image_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic IMAGE table with REAL container bytes —
+    the `make_av_media_table` pattern applied to the image ladder so
+    the real-codec decode is oracle-checkable end-to-end: each doc's
+    UTF-8 bytes become trailing payload data wrapped in a genuine
+    header whose dimensions are closed-form functions of doc_id
+    (width = doc_id % 317 + 16, height = doc_id % 211 + 16). Format by
+    doc_id % 4: 0 → baseline JPEG (SOF0), 2 → progressive JPEG (SOF2)
+    — JPEG on half the rows because it dominates real crawls — 1 → PNG
+    (CRC-valid chunks; doc bytes ride in a private ancillary chunk so
+    total length stays closed-form), 3 → GIF89a (13-byte header + raw
+    trailer). Every 97th id is truncated to 9 bytes — a corrupt blob
+    the decoder must survive per-row. Payload lengths: JPEG 45+L,
+    PNG 77+L, GIF 13+L (L = octet length of the text)."""
+    import struct
+    import zlib
+
+    def _png_chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    empty_idat = zlib.compress(b"")  # 8 bytes, deterministic
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = ("" if text is None else str(text)).encode("utf-8")
+                w = doc_id % 317 + 16
+                h = doc_id % 211 + 16
+                m = doc_id % 4
+                if m in (0, 2):
+                    kind = "image/jpeg"
+                    sof = 0xC0 if m == 0 else 0xC2
+                    payload = (
+                        b"\xff\xd8"  # SOI
+                        + b"\xff\xe0" + struct.pack(">H", 16)
+                        + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+                        + bytes([0xFF, sof]) + struct.pack(">H", 11)
+                        + b"\x08" + struct.pack(">HH", h, w)
+                        + b"\x01" + b"\x01\x11\x00"
+                        + b"\xff\xda" + struct.pack(">H", 8)
+                        + b"\x01\x01\x11\x00\x3f\x00"
+                        + data
+                        + b"\xff\xd9"  # EOI
+                    )
+                elif m == 1:
+                    kind = "image/png"
+                    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                    payload = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + _png_chunk(b"IHDR", ihdr)
+                        + _png_chunk(b"IDAT", empty_idat)
+                        + _png_chunk(b"duMp", data)
+                        + _png_chunk(b"IEND", b"")
+                    )
+                else:
+                    kind = "image/gif"
+                    payload = (
+                        b"GIF89a"
+                        + struct.pack("<HH", w, h)
+                        + b"\x00\x00\x00"
+                        + data
+                    )
+                if doc_id % 97 == 0:
+                    payload = payload[:9]
+                ids.append(doc_id)
+                kinds.append(kind)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="media_id bigint, kind string, payload binary"
+    )
+
+
 def _parse_wav(b: bytes) -> tuple[int, int, int]:
     """(duration_ms, sample_rate, channels) from a RIFF/WAVE header by
     walking the chunk list (fmt may precede or follow other chunks —

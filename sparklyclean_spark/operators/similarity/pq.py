@@ -602,6 +602,74 @@ def ivf_pq_residual_topk(
     )
 
 
+def ivf_pq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine_r: int = 40,
+    n_cells: int = 32,
+    nprobe: int = 8,
+    m: int = 4,
+    ks: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    seed: int = 647,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_cap: int = 1024,
+) -> DataFrame:
+    """The refine (re-rank) tier FAISS deployments append to IVFPQ
+    (`IndexRefineFlat`; Jégou TPAMI'11 §VII "re-ranking"): the residual
+    ADC funnel proposes its top-R candidates per query, then ONLY those
+    R rows fetch raw vectors for an exact-cosine re-rank to the final
+    top-k. ADC ordering error becomes recall at candidate-stream cost:
+    the corpus-wide scan still moves 4-int code rows; raw vectors
+    travel once, for |queries|·R candidates, through an equi-join on
+    the candidate stream (the semdedup funnel's verify pattern).
+
+    Returns (query_id, neighbor_id, cos, rank) — brute_force_topk's
+    contract, so the recall scaffold and oracles compose unchanged.
+    Tie-break (cos DESC, neighbor_id ASC) is total.
+
+    Scale: R is the knob that trades one bounded shuffle
+    (|queries|·R·dim floats) for recall; FAISS practice is R ≈ 4–8k
+    per query at billion-vector scale — here the default 40 matches
+    the test corpus's per-cell occupancy. At any R the re-rank's
+    per-query work is R log R, never |corpus|.
+    """
+    from sparklyclean_spark.operators.similarity.knn import (
+        _topk_select,
+        cosine_pandas,
+    )
+
+    cand = ivf_pq_residual_topk(
+        corpus,
+        queries,
+        k=refine_r,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        m=m,
+        ks=ks,
+        sample_cap=sample_cap,
+        iters=iters,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_cap=query_cap,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        # candidate stream is bounded (≤ query_cap·R rows): broadcast
+        # it into the corpus scan so raw vectors never shuffle
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos_raw", cosine_pandas(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cos_raw")
+    )
+    return _topk_select(scored, k)
+
+
 def ivf_pq_residual_distortion(
     corpus: DataFrame,
     n_cells: int = 32,

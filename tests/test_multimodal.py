@@ -138,7 +138,7 @@ def _jpeg_bytes(w: int, h: int, sof: int = 0xC0, truncate_at: int | None = None)
         + b"\x01"  # 1 component
         + b"\x01\x11\x00"  # id, sampling, quant table
     )
-    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x11\x00\x3f\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x11\x00\x3f\x00"
     stream = b"\xff\xd8" + app0 + dqt + com + sof_seg + sos + b"\x12\x34" + b"\xff\xd9"
     return stream if truncate_at is None else stream[:truncate_at]
 
@@ -280,3 +280,36 @@ def test_av_decode_round_trip(spark):
     assert (r3.container, r3.timescale) == ("mp4", 4000)
     assert r3.duration_ms == 600 * 103 * 1000 // 4000
     assert r3.sample_rate == -1 and r3.n_bytes == 140 + 103
+
+
+def test_image_decode_round_trip(spark):
+    """r11: builder -> real-codec decoder round trip on real IMAGE
+    container bytes (JPEG baseline/progressive, PNG, GIF) — dims are
+    closed forms of doc_id, corrupt rows ok=False. This is the pytest
+    side of the multimodal_image_meta oracle row."""
+    from sparklyclean_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (100 + i)) for i in range(0, 200)] + [(200, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r.media_id: r for r in MM.decode_metadata(
+        MM.make_image_media_table(docs), use_real_codec=True).collect()}
+    assert len(out) == 201
+    for i in (2, 5, 7, 8, 101):  # jpeg/png/gif/jpeg-progressive mix
+        r = out[i]
+        assert r.ok, i
+        assert (r.width, r.height) == (i % 317 + 16, i % 211 + 16), i
+        L = 0 if i == 200 else 100 + i
+        want_kind, want_n = {
+            0: ("image/jpeg", 45 + L),
+            2: ("image/jpeg", 45 + L),
+            1: ("image/png", 77 + L),
+            3: ("image/gif", 13 + L),
+        }[i % 4]
+        assert (r.kind, r.n_bytes) == (want_kind, want_n), i
+    # truncated rows (id % 97 == 0) survive as ok=False
+    assert not out[0].ok and out[0].n_bytes == 9
+    assert not out[97].ok and out[97].width is None
+    # NULL text -> header-only container, still decodable
+    assert out[200].ok and out[200].n_bytes == 45 + 0  # 200 % 4 == 0: jpeg

@@ -1,0 +1,122 @@
+"""Round-11 operator tests: the IVF-PQ refine (re-rank) tier, the
+driver-side BPE trainer, the perplexity-bucket approx escape, and the
+LSH tuning-grid regression."""
+import pytest
+
+
+def test_refine_recall_beats_residual(spark):
+    """VERDICT r10 item 3's done-gate: the refine tier (exact-cosine
+    re-rank of the residual funnel's top-R ADC candidates, FAISS
+    IndexRefineFlat) must STRICTLY improve mean recall@5 over the
+    residual tier on the 100-query comparison set — measured 0.588 vs
+    0.230 at sf0.01."""
+    from tests.conftest import SF_DIR
+
+    import __spark_entry__ as entry
+    from sparklyclean_spark.operators.similarity.pq import (
+        ivf_pq_refine_topk,
+        ivf_pq_residual_topk,
+    )
+
+    means = {}
+    for name, fn in (
+        ("residual", lambda emb, q: ivf_pq_residual_topk(
+            emb, q, k=5, n_cells=32, nprobe=8)),
+        ("refine", lambda emb, q: ivf_pq_refine_topk(
+            emb, q, k=5, refine_r=40, n_cells=32, nprobe=8)),
+    ):
+        rows = entry._recall_vs_exact(spark, SF_DIR, fn, nq=100).collect()
+        means[name] = sum(r.recall_at_5 for r in rows) / len(rows)
+    assert means["refine"] > means["residual"], means
+
+
+def test_refine_is_exact_over_candidates(spark):
+    """The refine tier's output must equal brute force whenever R
+    covers every candidate the probes admit — the re-rank is EXACT
+    math, so with refine_r >= |corpus| and nprobe = n_cells the
+    funnel admits everything and refine == brute force."""
+    import random
+
+    from sparklyclean_spark.operators.similarity.knn import brute_force_topk
+    from sparklyclean_spark.operators.similarity.pq import ivf_pq_refine_topk
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = emb.where("vec_id < 6")
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    )
+    refined = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_pq_refine_topk(
+            emb, q, k=5, refine_r=80, n_cells=4, nprobe=4, m=4, ks=4
+        ).collect()
+    )
+    assert refined == exact
+
+
+def test_bpe_local_trainer_equals_distributed(spark):
+    """VERDICT r10 item 5's done-gate: the driver-side heap trainer
+    must return the EXACT merge table of the distributed loop (same
+    pair counts, same tie-breaks, same greedy rewrite) at n=8 and
+    n=16, on both a hand corpus with overlap/tie edge cases and the
+    sf fixture corpus."""
+    from tests.conftest import SF_DIR
+
+    import __spark_entry__ as entry
+    from sparklyclean_spark.operators.text_analysis import (
+        bpe_merge_table,
+        bpe_merge_table_local,
+    )
+
+    hand = spark.createDataFrame(
+        [
+            (1, "aaa banana bandana"),
+            (2, "aaaa abab low lower lowest"),
+            (3, "banana band bandit"),
+            (4, None),
+            (5, "low low low newest newest"),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpora = [hand, entry._tables(spark, SF_DIR)["documents"]]
+    for docs in corpora:
+        for n in (8, 16):
+            dist = [tuple(r) for r in bpe_merge_table(docs, n).collect()]
+            local = [tuple(r) for r in bpe_merge_table_local(docs, n).collect()]
+            assert local == dist, f"n={n}"
+
+
+def test_bpe_apply_accepts_precomputed_merges(spark):
+    """bpe_apply_counts(merges=...) must skip the embedded re-train
+    and produce the identical table (VERDICT r10 'what's wrong 2')."""
+    from sparklyclean_spark.operators.text_analysis import (
+        bpe_apply_counts,
+        bpe_merge_table_local,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer newest"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    merges = [
+        (r.lhs, r.rhs) for r in bpe_merge_table_local(docs, 6).collect()
+    ]
+    default = sorted(map(tuple, bpe_apply_counts(docs, 6).collect()))
+    pre = sorted(map(tuple, bpe_apply_counts(docs, merges=merges).collect()))
+    assert pre == default
+
+
+def test_lsh_tuning_grid_non_divisor_step(spark):
+    """r11 advisor regression: a non-divisor grid_step must still
+    reach the top grid point below 1.0 (0.15 ends at 0.90, not
+    0.75)."""
+    from sparklyclean_spark.operators.dedup.textdedup import lsh_tuning_curve
+
+    rows = lsh_tuning_curve(spark, grid_step=0.15).collect()
+    got = sorted(r.jaccard for r in rows)
+    assert got == [0.15, 0.3, 0.45, 0.6, 0.75, 0.9]
