@@ -1246,22 +1246,69 @@ def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # representative per family keeps breadth. Names dropped from the head
 # all carry green r3 records.
 _DRIVER_CHECK_ORDER = [
-    # ---- r10 window (first 50 = the driver's hash-checked set) ----
-    # Composition (VERDICT r9 item 1): retire the ENTIRE pre-r5
-    # re-certification backlog. 2 pinned flagships + all 22 rows whose
-    # last green record is r3 + all 12 r4 rows + the 6 new r10 rows
-    # (residual IVF-PQ recall + distortion, BPE merge loop + apply,
-    # PQ-prefiltered SemDeDup, LSH tuning curve — every new row IN the
-    # window so zero oracled rows are ever never-green) + the 8
-    # alphabetically-first r5 rows. After this round no row's newest
-    # green predates r5, and `scripts/staleness.py` reports the
-    # remaining r5 cohort (max staleness 5) as the r11 queue.
-    # Displaced: the entire r9 window except the flagships — every
-    # displaced row carries a fresh green r9 record.
+    # ---- r11 window (first 50 = the driver's hash-checked set) ----
+    # Composition (VERDICT r10 item 1): rotate onto the staleness
+    # queue. 2 pinned flagships + the ENTIRE r5/r6 cohort (29 + 3 —
+    # after this round no row's newest green predates r7, projected
+    # max staleness 4) + the 4 new r11 rows (IVF-PQ refine recall,
+    # driver-side BPE trainer, real-image-container decode, the
+    # perplexity-bucket approx escape — every new row in the window
+    # at debut) + the 12 alphabetically-first r7 rows.
+    # Displaced: the entire r10 window except the flagships — every
+    # displaced row carries a fresh green r10 record.
 
     "dedup_pairs_disdedup_customer",  # pinned flagship: recorded row every round
     "ml_dedup_quality_gate",  # pinned flagship: ML gate, recorded row every round
-    "anti_join_customers_no_open_orders",  # r3 cohort starts
+    "dedup_pairs_jw_customer",  # r5 cohort starts (29 rows)
+    "dedup_pairs_naive_skewed",
+    "dense_ids_documents",
+    "diff_orders_snapshots",
+    "dq_orders_constraints",
+    "embedding_l2_normalize",
+    "embedding_quantize",
+    "events_cohort_retention",
+    "events_out_of_order_stats",
+    "events_sessionize_4h",
+    "funnel_view_click_purchase",
+    "histogram_order_prices",
+    "incr_agg_orders_priority",
+    "kanon_customer_audit",
+    "knn_lsh_recall",
+    "merge_orders_upsert",
+    "merge_replay_idempotent",
+    "mixture_sample_docs",
+    "neardup_minhash_lsh_exploded",
+    "neardup_prefix_jaccard",
+    "orders_above_global_avg",
+    "q13_order_count_distribution",
+    "quantile_bins_order_prices",
+    "sample_docs_exact_k_weighted",
+    "skew_key_profile_events",
+    "text_bm25_rank",
+    "text_unigram_cross_entropy",
+    "winsorize_order_prices",
+    "zorder_keys_orders",
+    "attribution_last_touch",  # r6 cohort (3 rows)
+    "q1_pricing_summary",
+    "text_repetition_signals_counts",
+    "ivf_pq_refine_recall",  # NEW r11: FAISS-style exact re-rank of the residual funnel's top-R
+    "bpe_merge_table_fast",  # NEW r11: driver-side heap BPE trainer (shares bpe_merge_table's oracle)
+    "multimodal_image_meta",  # NEW r11: real JPEG/PNG/GIF container round-trip, stdlib codec ladder
+    "ccnet_perplexity_buckets_approx",  # NEW r11: the implemented 100 TB escape (rows-only-inherent; oracled exact twin)
+    "asof_next_click_tolerance",  # r7 cohort head (12 slots)
+    "attribution_linear",
+    "blocking_quality_customer",
+    "brand_cooccurrence_lift",
+    "cms_freq_orders",
+    "corpus_mix_report",
+    "corpus_temperature_weights",
+    "corr_price_qty_by_status",
+    "curation_training_manifest",
+    "dedup_survivors_longest",
+    "embedding_l2_normalize_batch",
+    "events_conversion_wilson",
+    # ---- below: recorded in earlier rounds; not in the r11 window ----
+    "anti_join_customers_no_open_orders",
     "approx_distinct_parts_per_brand",
     "cube_lineitem_flags",
     "dedup_exact_documents",
@@ -1283,7 +1330,7 @@ _DRIVER_CHECK_ORDER = [
     "text_tfidf_top_terms",
     "text_token_stats",
     "window_running_order_total",
-    "asof_purchase_last_click",  # r4 cohort starts
+    "asof_purchase_last_click",
     "events_resample_ffill_hourly",
     "exists_late_shipment_orders",
     "q11_important_nations",
@@ -1295,10 +1342,10 @@ _DRIVER_CHECK_ORDER = [
     "q7_nation_volume",
     "range_join_events_pairs",
     "topk_orders_per_customer",
-    "ivf_pq_residual_recall",  # NEW r10: residual-encoding IVF-PQ recall (100-query set)
-    "bpe_merge_table",  # NEW r10: full BPE merge loop (unrolled SQL twin)
-    "semdedup_pq_funnel",  # NEW r10: PQ-prefiltered SemDeDup (shares the baseline oracle)
-    "bloom_semi_join_orders",  # r5 cohort head (11 slots)
+    "ivf_pq_residual_recall",
+    "bpe_merge_table",
+    "semdedup_pq_funnel",
+    "bloom_semi_join_orders",
     "cdc_latest_events",
     "cdf_orders_snapshots",
     "chunk_dedup_within_doc",
@@ -1306,13 +1353,9 @@ _DRIVER_CHECK_ORDER = [
     "cluster_safe_split_docs",
     "dedup_pair_features_customer",
     "dedup_pairs_disdedup_skewed",
-    "rpq_distortion",  # NEW r10: residual-tier MSE twin (displaced dedup_pairs_jw_customer, green r5)
-    "lsh_tuning_curve",  # NEW r10: MinHash banding S-curve planner (displaced dedup_pairs_naive_skewed, green r5)
-    "bpe_apply_token_counts",  # NEW r10: BPE train->apply token budget (displaced dense_ids_documents, green r5)
-    # ---- below: recorded in earlier rounds; not in the r10 window ----
-    "dedup_pairs_jw_customer",
-    "dedup_pairs_naive_skewed",
-    "dense_ids_documents",
+    "rpq_distortion",
+    "lsh_tuning_curve",
+    "bpe_apply_token_counts",
     "neardup_token_jaccard",
     "neardup_shingle_jaccard",
     "events_sliding_users",
@@ -1409,78 +1452,37 @@ _DRIVER_CHECK_ORDER = [
     "text_winnowing_fp",
     "winnowing_overlap_pairs",
     "attribution_time_decay",
-    "neardup_prefix_jaccard",
-    "funnel_view_click_purchase",
-    "dq_orders_constraints",
-    "attribution_last_touch",
     "q2_best_region_supplier",
     "q8_market_share",
     "q9_product_profit",
-    "brand_cooccurrence_lift",
     "mad_order_prices",
     "ldiversity_customer_audit",
     "neardup_triangle_count",
-    "asof_next_click_tolerance",
     "user_activity_streaks",
     "session_path_trigrams_4h",
-    "attribution_linear",
     "events_transition_entropy",
-    "cms_freq_orders",
     "heavy_hitters_orders",
     "quantile_sketch_audit_orders",
     "sample_docs_proportional",
     "neardup_clusters_star",
     "neardup_simhash_md5",
     "neardup_containment",
-    "dedup_survivors_longest",
     "multimodal_frame_sample",
     "multimodal_features",
-    "corpus_mix_report",
-    "corpus_temperature_weights",
-    "curation_training_manifest",
     "text_oov_rate",
     "text_ngram_diversity",
     "text_source_term_lift",
     "text_gopher_gate",
     "lang_label_audit",
-    "corr_price_qty_by_status",
-    "events_conversion_wilson",
-    "blocking_quality_customer",
     "events_rolling_active_7d",
     "events_time_to_convert",
     "events_hourly_seasonality",
     "quantile_transform_prices",
     "trimmed_mean_order_prices",
     "text_char_entropy",
-    "embedding_l2_normalize_batch",
-    "histogram_order_prices",
-    "q13_order_count_distribution",
-    "skew_key_profile_events",
-    "text_bm25_rank",
-    "events_out_of_order_stats",
-    "quantile_bins_order_prices",
-    "sample_docs_exact_k_weighted",
-    "events_cohort_retention",
-    "text_unigram_cross_entropy",
-    "incr_agg_orders_priority",
-    "knn_lsh_recall",
-    "embedding_l2_normalize",
-    "merge_replay_idempotent",
-    "kanon_customer_audit",
     "pack_bins_greedy_docs",
     "pagerank_neardup_graph",
     "corpus_curation_lsh",
-    "q1_pricing_summary",
-    "text_repetition_signals_counts",
-    "embedding_quantize",
-    "diff_orders_snapshots",
-    "zorder_keys_orders",
-    "orders_above_global_avg",
-    "winsorize_order_prices",
-    "neardup_minhash_lsh_exploded",
-    "mixture_sample_docs",
-    "merge_orders_upsert",
-    "events_sessionize_4h",
     "ml_dedup_confusion",
     "neardup_simhash",
     "embedding_lsh_pairs",
@@ -1638,6 +1640,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_table_fast": _q(
             TA.bpe_merge_table_local, n_merges=8, table="documents"
         ),
+        # r11 bench row: the driver tier at a production-shaped merge
+        # budget (the distributed loop would run 256 sequential jobs).
+        # Rows-only-inherent (an unrolled 256-iteration CTE oracle is
+        # not a reasonable twin); the n=8 prefix IS oracled via
+        # bpe_merge_table_fast and the trainer is iteration-prefix
+        # deterministic, so the oracled twin covers the algorithm
+        "bpe_merge_local_256": _q(
+            TA.bpe_merge_table_local, n_merges=256, table="documents"
+        ),
         "bpe_apply_token_counts": _q(
             TA.bpe_apply_counts, n_merges=8, table="documents"
         ),
@@ -1645,6 +1656,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_curve": _q(TA.vocab_coverage, table="documents"),
         # r9: CCNet head/middle/tail terciles over the xent signal
         "ccnet_perplexity_buckets": _q(TA.perplexity_buckets, table="documents"),
+        # r11: the implemented 100 TB escape (VERDICT r10 item 4) —
+        # per-lang approx_percentile cutoffs broadcast back, no
+        # per-lang sort. Rows-only-inherent (the GK sketch is
+        # engine-specific); the exact NTILE twin above is oracled and
+        # the randomized pytest parity gate bounds divergence to the
+        # sketch's rank-error window at the tercile boundaries
+        "ccnet_perplexity_buckets_approx": _q(
+            TA.perplexity_buckets, approx_cutoffs=True, table="documents"
+        ),
         # BM25 keyword retrieval: 3 common + 1 rare term for idf spread
         "text_bm25_rank": _q(
             lambda d: TA.bm25_scores(d, ["hash", "join", "scan", "dup"]),

@@ -189,6 +189,22 @@ def main() -> None:
         "bpe_merge_table",
         # BPE apply pass (train loop + one all-codegen corpus rewrite)
         "bpe_apply_token_counts",
+        # r11 additions: the refine re-rank tier (residual funnel +
+        # exact-cosine re-rank of the top-R candidate stream — compare
+        # against ivf_pq_residual_recall, same 100-query set), the
+        # real-image-container codec pass (JPEG SOF walk in the
+        # mapInPandas ladder), and the two BPE trainer tiers A/B'd at
+        # n=8 (distributed loop vs driver heap) plus the driver tier
+        # at a production-shaped n=256 (VERDICT r10 item 5's bench
+        # row — 32 sequential Spark jobs would be the distributed cost)
+        "ivf_pq_refine_recall",
+        "multimodal_image_meta",
+        "bpe_merge_table_fast",
+        "bpe_merge_local_256",
+        # the perplexity-bucket 100 TB escape A/B: exact per-lang
+        # NTILE sort vs approx_percentile cutoffs broadcast back
+        "ccnet_perplexity_buckets",
+        "ccnet_perplexity_buckets_approx",
     ]
 
     def run_once(name: str) -> float:

@@ -252,4 +252,92 @@ results["ivf_pq_residual_10x_embeddings"] = {
 }
 print(json.dumps({"ivf_pq_residual_10x_embeddings": results["ivf_pq_residual_10x_embeddings"]}), file=sys.stderr)
 
+# ---- refine tier over 10x embeddings (r11) ---------------------------------
+# the re-rank rung's scale evidence: same residual funnel, then exact
+# cosine over ONLY the top-R candidate stream. Recall vs the same
+# exact top-5; wall is one full execution.
+from sparklyclean_spark.operators.similarity.pq import ivf_pq_refine_topk  # noqa: E402
+
+exact100 = brute_force_topk(emb10, q100, k=5).select("query_id", "neighbor_id").persist()
+n_exact100 = exact100.count()
+t0 = time.time()
+a = ivf_pq_refine_topk(emb10, q100, k=5, refine_r=40, n_cells=32, nprobe=8).persist()
+a.count()
+w = time.time() - t0
+h = exact100.join(a.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]).count()
+a.unpersist()
+exact100.unpersist()
+results["ivf_pq_refine_10x_embeddings"] = {
+    "vectors": n_vecs,
+    "queries": 100,
+    "refine_r": 40,
+    "wall_sec": round(w, 1),
+    "recall_at_5": round(h / max(n_exact100, 1), 4),
+}
+print(json.dumps({"ivf_pq_refine_10x_embeddings": results["ivf_pq_refine_10x_embeddings"]}), file=sys.stderr)
+
+
+# ---- SemDeDup PQ funnel stage taps (r11) ------------------------------------
+# VERDICT r10 item 7: the funnel's measured pruning at bench scale.
+# Two corpora, both 2,000 vectors:
+#  - the sf0.1 embeddings at the driver threshold — near-uniform, the
+#    prefilter's WORST case: per-vector quantization error is large
+#    (rpq MSE ~0.7), so the triangle-inequality bound admits nearly
+#    everything (kill ≈ 0) and the funnel degrades to the baseline
+#    plus one cheap code pass — never a wrong answer, just no win;
+#  - a clustered corpus in SemDeDup's actual regime (arXiv:2303.09540
+#    §3: most mass near few directions): 16 tight clusters under 4
+#    coarse cells, so each cell holds ~4 dissimilar clusters and the
+#    ks=16 codebook RESOLVES them (e small vs inter-cluster distance)
+#    — the regime where the bound bites. Pruning requires exactly
+#    this: cells coarser than the dup-group structure AND a codebook
+#    tight enough to separate groups; both hold on real crawl
+#    embeddings at production cell counts.
+# wall = one full dispositions execution; the stage taps re-execute
+# the funnel prefix OUTSIDE the timed window.
+import random  # noqa: E402
+
+from sparklyclean_spark.operators.similarity.semdedup import (  # noqa: E402
+    semdedup_dispositions_pq,
+)
+
+emb_sf = E._tables(spark, "/root/testdata/sf0.1")["embeddings"]
+rng = random.Random(647)
+crows = []
+for c in range(16):
+    base_v = [rng.uniform(-1, 1) for _ in range(64)]
+    for i in range(125):
+        crows.append(
+            (c * 1000 + i, [b + rng.uniform(-0.02, 0.02) for b in base_v])
+        )
+clustered = spark.createDataFrame(
+    crows, "vec_id bigint, embedding array<double>"
+).repartition(32).persist()
+clustered.count()
+
+for label, corpus, thr, kw in (
+    ("semdedup_funnel_sf01", emb_sf, 0.35, {}),
+    ("semdedup_funnel_clustered", clustered, 0.92, {"n_cells": 4, "ks": 16}),
+):
+    t0 = time.time()
+    out = semdedup_dispositions_pq(corpus, thr, **kw)
+    n_dups = out.where("is_dup").count()
+    wall = time.time() - t0
+    cellmates = semdedup_dispositions_pq(
+        corpus, thr, stage="cellmates", **kw
+    ).count()
+    pref = semdedup_dispositions_pq(
+        corpus, thr, stage="prefiltered", **kw
+    ).count()
+    results[label] = {
+        "vectors": corpus.count(),
+        "threshold": thr,
+        "cellmate_pairs": cellmates,
+        "prefiltered_pairs": pref,
+        "dup_rows": n_dups,
+        "prefilter_kill_ratio": round(1.0 - pref / max(cellmates, 1), 4),
+        "wall_sec": round(wall, 1),
+    }
+    print(json.dumps({label: results[label]}), file=sys.stderr)
+
 print(json.dumps(results))

@@ -1141,7 +1141,9 @@ def vocab_coverage(docs: DataFrame, ks: tuple = (16, 64, 256, 1024)) -> DataFram
     )
 
 
-def perplexity_buckets(docs: DataFrame) -> DataFrame:
+def perplexity_buckets(
+    docs: DataFrame, approx_cutoffs: bool = False, accuracy: int = 10000
+) -> DataFrame:
     """CCNet-style head/middle/tail split (Wenzek et al., LREC'20):
     per-language terciles of the unigram cross-entropy signal — the
     standard curation split that keeps the fluent "head" of a crawl,
@@ -1154,18 +1156,45 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
     bucket in {'head','middle','tail'}. Docs with zero tokens carry no
     entropy and are excluded (same domain as the xent operator).
 
-    Determinism: NTILE(3) over ``(cross_entropy, doc_id)`` — the
-    entropy values are the already-oracle-exact rounded doubles, and
-    the doc_id tie-break pins equal scores; NTILE's ceil-distribution
-    is ANSI-identical across engines.
+    Determinism (exact form): NTILE(3) over ``(cross_entropy,
+    doc_id)`` — the entropy values are the already-oracle-exact
+    rounded doubles, and the doc_id tie-break pins equal scores;
+    NTILE's ceil-distribution is ANSI-identical across engines.
 
-    Scale: the per-lang NTILE is a per-lang sort. At 100 TB swap the
-    exact tercile for per-lang approx_percentile(cross_entropy,
-    [1/3, 2/3]) cutoffs broadcast back (same escape as ks_test's
-    ECDF); the exact form is the oracle contract.
+    Scale: the per-lang NTILE is a per-lang SORT — a straggler when
+    one language holds most of a 100 TB crawl. ``approx_cutoffs=True``
+    is the implemented escape (VERDICT r10 item 4, the bucket_hours
+    precedent): per-lang ``approx_percentile(cross_entropy,
+    [1/3, 2/3])`` — a partial-aggregable Greenwald-Khanna sketch, so
+    map-side combine instead of a sort — broadcast back as a cutoff
+    table, labels by comparison. Divergence from the exact form is
+    confined to rows within the sketch's rank-error bound
+    (±n_lang/accuracy, plus ties at the cutoff value) of a tercile
+    boundary — pinned by
+    tests/test_r11_ops.py::test_perplexity_buckets_approx_parity.
+    The exact form remains the oracle contract.
     """
     xent = unigram_cross_entropy(docs)
     joined = xent.join(docs.select("doc_id", "lang"), "doc_id")
+    if approx_cutoffs:
+        cuts = joined.groupBy("lang").agg(
+            F.percentile_approx(
+                "cross_entropy", [1.0 / 3.0, 2.0 / 3.0], accuracy
+            ).alias("c")
+        ).select(
+            "lang",
+            F.element_at("c", 1).alias("_c1"),
+            F.element_at("c", 2).alias("_c2"),
+        )
+        return joined.join(F.broadcast(cuts), "lang").select(
+            "doc_id",
+            "lang",
+            "cross_entropy",
+            F.when(F.col("cross_entropy") <= F.col("_c1"), F.lit("head"))
+            .when(F.col("cross_entropy") <= F.col("_c2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
     w = Window.partitionBy("lang").orderBy(
         F.asc("cross_entropy"), F.asc("doc_id")
     )

@@ -111,6 +111,70 @@ def test_bpe_apply_accepts_precomputed_merges(spark):
     assert pre == default
 
 
+@pytest.mark.parametrize("seed", [3, 77])
+def test_perplexity_buckets_approx_parity(spark, seed):
+    """VERDICT r10 item 4's done-gate: the approx_cutoffs escape
+    (per-lang approx_percentile cutoffs broadcast back, no per-lang
+    sort) must agree with the exact NTILE form except on rows within
+    the sketch's rank-error bound of a tercile boundary — and any
+    divergence moves a row only to the ADJACENT bucket."""
+    import math
+    import random
+
+    from sparklyclean_spark.operators.text_analysis import perplexity_buckets
+
+    rng = random.Random(seed)
+    langs = ["en", "de", "fr"]
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        (
+            i,
+            " ".join(rng.choices(vocab, k=rng.randrange(3, 40))),
+            rng.choice(langs),
+        )
+        for i in range(600)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+    accuracy = 10000
+    exact = {
+        r.doc_id: (r.lang, r.cross_entropy, r.bucket)
+        for r in perplexity_buckets(docs).collect()
+    }
+    approx = {
+        r.doc_id: r.bucket
+        for r in perplexity_buckets(
+            docs, approx_cutoffs=True, accuracy=accuracy
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+
+    # per-lang rank table in the exact NTILE order
+    order = {"head": 0, "middle": 1, "tail": 2}
+    by_lang = {}
+    for doc_id, (lang, xe, _) in exact.items():
+        by_lang.setdefault(lang, []).append((xe, doc_id))
+    rank = {}
+    for lang, lst in by_lang.items():
+        lst.sort()
+        for r_, (xe, doc_id) in enumerate(lst, start=1):
+            rank[doc_id] = (r_, len(lst))
+    for doc_id, (lang, xe, eb) in exact.items():
+        ab = approx[doc_id]
+        if ab == eb:
+            continue
+        assert abs(order[ab] - order[eb]) == 1, (doc_id, eb, ab)
+        r_, n = rank[doc_id]
+        err = max(1, math.ceil(n / accuracy))
+        # ties at this doc's (rounded) xent widen the admissible window
+        ties = sum(1 for xe2, _ in by_lang[lang] if xe2 == xe)
+        # NTILE group sizes: floor(n/3) each, first (n mod 3) get +1
+        n1 = n // 3 + (1 if n % 3 >= 1 else 0)
+        n2 = n1 + n // 3 + (1 if n % 3 >= 2 else 0)
+        near = min(abs(r_ - n1), abs(r_ - n2))
+        assert near <= err + ties, (doc_id, lang, r_, n, eb, ab, ties)
+
+
 def test_lsh_tuning_grid_non_divisor_step(spark):
     """r11 advisor regression: a non-divisor grid_step must still
     reach the top grid point below 1.0 (0.15 ends at 0.90, not
