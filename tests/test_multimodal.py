@@ -171,6 +171,43 @@ def test_real_codec_decodes_jpeg_stdlib(spark):
     assert out[5]["ok"] is False and out[5]["width"] is None
 
 
+def test_real_codec_decodes_webp_stdlib(spark):
+    """r11: WebP dimensions from the stdlib RIFF walk for all three
+    RFC 9649 variants (VP8 lossy, VP8L lossless, VP8X extended);
+    truncated/corrupt streams yield ok=False rows."""
+    import struct
+
+    def riff(fourcc: bytes, payload: bytes) -> bytes:
+        chunk = fourcc + struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + struct.pack("<HH", 320, 240) + b"\x00" * 8)
+    bits = (111 - 1) | ((222 - 1) << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 4)
+    vp8x = riff(
+        b"VP8X",
+        b"\x00\x00\x00\x00"
+        + (1023).to_bytes(3, "little")
+        + (767).to_bytes(3, "little"),
+    )
+    truncated = vp8[:16]
+    df = spark.createDataFrame(
+        [
+            (1, "image/webp", bytearray(vp8), 0),
+            (2, "image/webp", bytearray(vp8l), 0),
+            (3, "image/webp", bytearray(vp8x), 0),
+            (4, "image/webp", bytearray(truncated), 0),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in MM.decode_metadata(df, use_real_codec=True).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["ok"]) == (320, 240, True)
+    assert (out[2]["width"], out[2]["height"], out[2]["ok"]) == (111, 222, True)
+    assert (out[3]["width"], out[3]["height"], out[3]["ok"]) == (1024, 768, True)
+    assert out[4]["ok"] is False and out[4]["width"] is None
+
+
 def test_features_shape_and_norm(media):
     feats = MM.extract_features(media).collect()
     assert all(len(r["feat"]) == MM.FEATURE_DIM for r in feats)
