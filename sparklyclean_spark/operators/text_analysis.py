@@ -1172,7 +1172,10 @@ def perplexity_buckets(
     (±n_lang/accuracy, plus ties at the cutoff value) of a tercile
     boundary — pinned by
     tests/test_r11_ops.py::test_perplexity_buckets_approx_parity.
-    The exact form remains the oracle contract.
+    The exact form remains the oracle contract; the approx form's
+    driver row is rows-only by design (the GK sketch is
+    engine-specific, so no cross-engine hash can exist) with the
+    oracled exact twin as its check.
     """
     xent = unigram_cross_entropy(docs)
     joined = xent.join(docs.select("doc_id", "lang"), "doc_id")
