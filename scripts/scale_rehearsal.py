@@ -244,7 +244,6 @@ for label, fn in (("raw", ivf_pq_topk), ("residual", ivf_pq_residual_topk)):
     h = exact100.join(a.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]).count()
     a.unpersist()
     arms[label] = {"wall_sec": round(w, 1), "recall_at_5": round(h / max(n_exact100, 1), 4)}
-exact100.unpersist()
 results["ivf_pq_residual_10x_embeddings"] = {
     "vectors": n_vecs,
     "queries": 100,
@@ -254,12 +253,12 @@ print(json.dumps({"ivf_pq_residual_10x_embeddings": results["ivf_pq_residual_10x
 
 # ---- refine tier over 10x embeddings (r11) ---------------------------------
 # the re-rank rung's scale evidence: same residual funnel, then exact
-# cosine over ONLY the top-R candidate stream. Recall vs the same
-# exact top-5; wall is one full execution.
+# cosine over ONLY the top-R candidate stream. Recall vs the SAME
+# persisted exact top-5 as the raw/residual arms (r11 review finding:
+# a second brute-force pass over the 10x corpus was pure waste); wall
+# is one full refine execution.
 from sparklyclean_spark.operators.similarity.pq import ivf_pq_refine_topk  # noqa: E402
 
-exact100 = brute_force_topk(emb10, q100, k=5).select("query_id", "neighbor_id").persist()
-n_exact100 = exact100.count()
 t0 = time.time()
 a = ivf_pq_refine_topk(emb10, q100, k=5, refine_r=40, n_cells=32, nprobe=8).persist()
 a.count()

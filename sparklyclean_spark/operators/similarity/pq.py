@@ -658,7 +658,14 @@ def ivf_pq_refine_topk(
         query_cap=query_cap,
     ).select("query_id", "neighbor_id")
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # broadcast only the query_cap-limited query vectors the candidate
+    # stream can reference — broadcasting the full queries relation
+    # ships raw vectors for rows cand already excluded (r11 review)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .orderBy("query_id")
+        .limit(query_cap)
+    )
     scored = (
         # candidate stream is bounded (≤ query_cap·R rows): broadcast
         # it into the corpus scan so raw vectors never shuffle

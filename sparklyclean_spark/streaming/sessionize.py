@@ -53,16 +53,35 @@ STATE_SCHEMA = (
 _US = 1_000  # micros per milli
 
 
-def _session_fn(gap_seconds: int, key_col: str = "user_id"):
-    gap = pd.Timedelta(seconds=gap_seconds)
+def _session_fn(gap_seconds: int, key_col: str = "user_id", tz: str = "UTC"):
     gap_us = gap_seconds * 1_000_000
+
+    # TZ basis (r11 review finding): Arrow hands the worker
+    # SESSION-LOCAL naive timestamps, but getCurrentWatermarkMs() and
+    # setTimeoutTimestamp() are TRUE epoch millis — comparing local
+    # micros to the watermark shifts closure by the session-tz offset
+    # (premature emission west of UTC, withheld sessions east). All
+    # internal state/arithmetic is true epoch micros: localize on the
+    # way in, de-localize for the emitted naive-local output rows.
+    def _to_epoch_us(ts) -> int:
+        t = pd.Timestamp(ts)
+        if t.tzinfo is None:
+            t = t.tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
+        return int(t.value // 1_000)
+
+    def _to_local_naive(epoch_us: int) -> pd.Timestamp:
+        return (
+            pd.Timestamp(epoch_us, unit="us", tz="UTC")
+            .tz_convert(tz)
+            .tz_localize(None)
+        )
 
     def _emit(user_id, s):
         start_us, last_us, n, sv = s
         return (
             user_id,
-            pd.Timestamp(start_us, unit="us"),
-            pd.Timestamp(last_us + gap_us, unit="us"),
+            _to_local_naive(start_us),
+            _to_local_naive(last_us + gap_us),
             int(n),
             float(sv),
         )
@@ -127,8 +146,7 @@ def _session_fn(gap_seconds: int, key_col: str = "user_id"):
             # open sessions) in TIME order — exactly the batch
             # session_windows gap-merge (inclusive <= gap)
             items = [
-                [int(pd.Timestamp(ts).value // _US),
-                 int(pd.Timestamp(ts).value // _US), 1, float(val)]
+                [(e := _to_epoch_us(ts)), e, 1, float(val)]
                 for ts, val in zip(pdf["ts"], pdf["value"])
             ]
             items.extend(_held(state))
@@ -182,6 +200,11 @@ def streaming_sessionize(
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # Arrow hands the worker session-LOCAL naive timestamps while the
+    # GroupState watermark/timeout API is true epoch — capture the
+    # session timezone so the worker can convert (r11 review finding:
+    # a non-UTC session tz shifted closure by the UTC offset)
+    tz = spark.conf.get("spark.sql.session.timeZone")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -190,7 +213,7 @@ def streaming_sessionize(
         .withWatermark("ts", watermark)
     )
     return stream.groupBy(key_col).applyInPandasWithState(
-        _session_fn(gap_seconds, key_col),
+        _session_fn(gap_seconds, key_col, tz),
         outputStructType=output_schema(key_col, key_type),
         stateStructType=STATE_SCHEMA,
         outputMode="append",

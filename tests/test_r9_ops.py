@@ -776,6 +776,9 @@ def test_streaming_sessionize_fn_handles_disorder(spark):
         def setTimeoutTimestamp(self, x):
             pass
 
+        def getCurrentWatermarkMs(self):
+            return 0  # r11 state contract: watermark-gated closure
+
     fn = _session_fn(900)
     # two chunks arriving out of global order
     c1 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 10:00:00"]), "value": [1.0]})
@@ -783,7 +786,8 @@ def test_streaming_sessionize_fn_handles_disorder(spark):
                                              "2024-01-01 10:05:00"]), "value": [1.0, 1.0]})
     st = FakeState()
     out = list(fn((1,), iter([c1, c2]), st))
-    assert out == []  # one open session, nothing closed
-    start, last, n, sv = st.val
-    assert n == 3 and last >= start  # never inverted
-    assert last == pd.Timestamp("2024-01-01 10:05:00")
+    assert out == []  # one open session, nothing closed (wm = 0)
+    # r11 state shape: parallel arrays of epoch-micros sessions
+    starts, lasts, ns, svs = st.val
+    assert len(starts) == 1 and ns[0] == 3 and lasts[0] >= starts[0]
+    assert lasts[0] == pd.Timestamp("2024-01-01 10:05:00").value // 1_000

@@ -510,3 +510,65 @@ def test_stateful_sessionize_late_bridge_single_session(spark, tmp_path_factory)
     assert rows == {
         (1, "2024-01-01 09:40:00", "2024-01-01 10:15:00"): (3, 7.0)
     }
+
+
+def test_stateful_sessionize_non_utc_session_timezone(spark, tmp_path_factory):
+    """r11 review regression: Arrow hands the worker session-LOCAL
+    naive timestamps while GroupState's watermark/timeout API is true
+    epoch — mixing the two shifted closure by the UTC offset (west of
+    UTC: premature emission of bridgeable sessions; east: withheld
+    sessions). Under a non-UTC session timezone the output must be
+    wall-clock identical to the UTC run (the bridge scenario would
+    regress to two overlapping windows at UTC-8)."""
+    from sparklyclean_spark.streaming.sessionize import streaming_sessionize
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    path = str(tmp_path_factory.mktemp("sess_stream_tz"))
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+
+        def write_file(rows):
+            df = spark.createDataFrame(
+                rows, "event_id bigint, ts string, user_id bigint, value double"
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            df.coalesce(1).write.mode("append").parquet(path)
+
+        write_file([(1, "2024-01-01 10:00:00", 1, 1.0)])
+        write_file([(2, "2024-01-01 09:40:00", 1, 2.0)])
+        write_file([(3, "2024-01-01 09:50:00", 1, 4.0)])
+        write_file([(4, "2024-01-01 13:00:00", 2, 8.0)])
+
+        out = streaming_sessionize(
+            spark, path,
+            "event_id bigint, ts timestamp, user_id bigint, value double",
+            gap_seconds=900,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessionize_tz")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = {
+            (r.user_id, r.window_start, r.window_end): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM sessionize_tz").collect()
+        }
+        # the contract is INSTANT equality with the batch twin under
+        # the same session tz (collect() renders in the system zone,
+        # input strings parse in the session zone — literals shift)
+        batch = {
+            (r.user_id, r.window_start, r.window_end): (r.n_events, r.sum_value)
+            for r in session_windows(
+                spark.read.parquet(path), "15 minutes"
+            ).collect()
+            if r.user_id == 1
+        }
+        user1 = {k: v for k, v in rows.items() if k[0] == 1}
+        # exactly ONE user-1 window (no premature fragment, no overlap),
+        # identical to the batch twin, covering all three events
+        assert user1 == batch and len(user1) == 1
+        assert next(iter(user1.values())) == (3, 7.0)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
