@@ -28,7 +28,7 @@ from sparklyclean_spark.operators.bloom import bloom_semi_join
 from sparklyclean_spark.operators.diff import diff_summary
 from sparklyclean_spark.operators.funnel import funnel_steps, funnel_summary
 from sparklyclean_spark.operators.profile import histogram
-from sparklyclean_spark.sources.layout import with_zorder_key
+from sparklyclean_spark.sources.layout import with_hilbert_key, with_zorder_key
 from sparklyclean_spark.operators.sketches import (
     cms_freq_audit,
     distinct_rollup,
@@ -1295,7 +1295,8 @@ _DRIVER_CHECK_ORDER = [
     "bpe_merge_table_fast",  # NEW r11: driver-side heap BPE trainer (shares bpe_merge_table's oracle)
     "multimodal_image_meta",  # NEW r11: real JPEG/PNG/GIF container round-trip, stdlib codec ladder
     "ccnet_perplexity_buckets_approx",  # NEW r11: the implemented 100 TB escape (rows-only-inherent; oracled exact twin)
-    "asof_next_click_tolerance",  # r7 cohort head (12 slots)
+    "hilbert_keys_orders",  # NEW r11: Hilbert clustering key (displaced events_conversion_wilson, green r7)
+    "asof_next_click_tolerance",  # r7 cohort head (11 slots)
     "attribution_linear",
     "blocking_quality_customer",
     "brand_cooccurrence_lift",
@@ -1306,8 +1307,8 @@ _DRIVER_CHECK_ORDER = [
     "curation_training_manifest",
     "dedup_survivors_longest",
     "embedding_l2_normalize_batch",
-    "events_conversion_wilson",
     # ---- below: recorded in earlier rounds; not in the r11 window ----
+    "events_conversion_wilson",
     "anti_join_customers_no_open_orders",
     "approx_distinct_parts_per_brand",
     "cube_lineitem_flags",
@@ -2110,6 +2111,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).select("o_orderkey", "zkey"),
             table="orders",
         ),
+        # r11: the Hilbert refinement over the SAME columns/bits —
+        # consecutive keys are always grid-neighbors (no Morton
+        # diagonal jumps), so the same file count gets tighter
+        # min/max boxes; classic xy->d walk, pure codegen
+        "hilbert_keys_orders": _q(
+            lambda o: with_hilbert_key(
+                o, ["o_custkey", "o_totalprice"], bits=8
+            ).select("o_orderkey", "hkey"),
+            table="orders",
+        ),
         # fixed-width per-group value histogram (sparse buckets)
         "histogram_order_prices": _q(
             lambda o: histogram(
@@ -2174,6 +2185,58 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _hilbert_oracle_sql(cols: list[str], bits: int) -> str:
+    """DuckDB twin of ``with_hilbert_key``: identical min/max floor
+    scaling, then the classic xy→d walk unrolled as one CTE PAIR per
+    level (p{k} computes the quadrant bits, l{k} the Gray-coded d
+    increment and the reflect/swap frame update) — linear SQL in
+    ``bits``, mirroring the Spark side's linear withColumns chain."""
+    maxrank = (1 << bits) - 1
+    cx, cy = cols
+    ranks = {}
+    for c in cols:
+        ranks[c] = (
+            f"LEAST(CAST(FLOOR(CASE WHEN (hi_{c} - lo_{c}) > 0 "
+            f"THEN (CAST({c} AS DOUBLE) - lo_{c}) / (hi_{c} - lo_{c}) "
+            f"ELSE 0.0 END * {maxrank + 1}.0) AS BIGINT), {maxrank})"
+        )
+    bounds = ", ".join(
+        f"CAST(MIN({c}) AS DOUBLE) AS lo_{c}, CAST(MAX({c}) AS DOUBLE) AS hi_{c}"
+        for c in cols
+    )
+    parts = [
+        f"bounds AS (SELECT {bounds} FROM orders)",
+        f"""l{bits} AS (
+          SELECT o_orderkey, {ranks[cx]} AS x, {ranks[cy]} AS y,
+                 CAST(0 AS BIGINT) AS d
+          FROM orders CROSS JOIN bounds
+        )""",
+    ]
+    for level in range(bits - 1, -1, -1):
+        k = level + 1
+        side = maxrank
+        parts.append(f"""p{level} AS (
+          SELECT o_orderkey, x, y, d,
+                 (x >> {level}) & 1 AS rx, (y >> {level}) & 1 AS ry
+          FROM l{k}
+        )""")
+        parts.append(f"""l{level} AS (
+          SELECT o_orderkey,
+                 CASE WHEN ry = 0 THEN
+                   (CASE WHEN rx = 1 THEN {side} - y ELSE y END)
+                 ELSE x END AS x,
+                 CASE WHEN ry = 0 THEN
+                   (CASE WHEN rx = 1 THEN {side} - x ELSE x END)
+                 ELSE y END AS y,
+                 d + (CAST(xor(rx * 3, ry) AS BIGINT) << {2 * level}) AS d
+          FROM p{level}
+        )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT o_orderkey, d AS hkey FROM l0"
+    )
+
+
 def _zorder_oracle_sql(cols: list[str], bits: int) -> str:
     """Generate the DuckDB twin of ``with_zorder_key``: identical
     min/max floor scaling, then the bit interleave written out as
@@ -2209,6 +2272,7 @@ def _zorder_oracle_sql(cols: list[str], bits: int) -> str:
 
 
 _ZORDER_ORDERS_SQL = _zorder_oracle_sql(["o_custkey", "o_totalprice"], bits=8)
+_HILBERT_ORDERS_SQL = _hilbert_oracle_sql(["o_custkey", "o_totalprice"], bits=8)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5053,6 +5117,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "zorder_keys_orders": _ZORDER_ORDERS_SQL,
+        "hilbert_keys_orders": _HILBERT_ORDERS_SQL,
         "diff_orders_snapshots": """
             WITH l AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
             r AS (

@@ -205,6 +205,9 @@ def main() -> None:
         # NTILE sort vs approx_percentile cutoffs broadcast back
         "ccnet_perplexity_buckets",
         "ccnet_perplexity_buckets_approx",
+        # Morton vs Hilbert clustering-key A/B (same columns/bits)
+        "zorder_keys_orders",
+        "hilbert_keys_orders",
     ]
 
     def run_once(name: str) -> float:

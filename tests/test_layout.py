@@ -1,12 +1,16 @@
-"""Z-order layout: Morton key correctness + the data-skipping payoff
-(selective predicates touch few files of a z-ordered write)."""
+"""Z-order / Hilbert layout: clustering-key correctness + the
+data-skipping payoff (selective predicates touch few files of a
+clustered write)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sparklyclean_spark.sources.layout import (
+    with_hilbert_key,
     with_zorder_key,
+    write_hilbert_clustered,
     write_zordered,
     zorder_key_from_ranks,
 )
@@ -83,3 +87,82 @@ def test_zorder_write_skips_files_on_either_dimension(spark, tmp_path_factory):
     lin = spark.read.parquet(base + "/linear")
     fy_lin = files_touched(lin.where((F.col("y") >= 100) & (F.col("y") < 110)))
     assert fy_lin == 16
+
+
+def _xy2d(order_bits: int, x: int, y: int) -> int:
+    """The classic public-domain Hilbert xy->d walk as a test oracle."""
+    n = 1 << order_bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_and_is_a_curve(spark):
+    """r11: the Column-unrolled Hilbert key must equal the classic walk
+    on the full 8x8 grid, and the reference itself must be a bijection
+    whose consecutive keys are grid-NEIGHBORS (the property Morton
+    lacks — its diagonal jumps are why Hilbert boxes are tighter)."""
+    bits, side = 3, 8
+    rows = [(x, y) for x in range(side) for y in range(side)]
+    # identity scaling: lo=0, hi=side-1 maps v -> v exactly at 3 bits
+    df = spark.createDataFrame(rows, "x int, y int")
+    out = {
+        (r.x, r.y): r.hkey
+        for r in with_hilbert_key(df, ["x", "y"], bits=bits).collect()
+    }
+    ref = {(x, y): _xy2d(bits, x, y) for x, y in rows}
+    assert out == ref
+    inv = {d: c for c, d in ref.items()}
+    assert len(inv) == side * side  # bijection
+    for d in range(side * side - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit steps only
+
+
+def test_hilbert_rejects_bad_shapes(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    with pytest.raises(ValueError, match="2-D"):
+        with_hilbert_key(df, ["a", "b", "c"])
+    with pytest.raises(ValueError, match="signed-long"):
+        with_hilbert_key(df, ["a", "b"], bits=32)
+
+
+def test_hilbert_write_skips_files_on_either_dimension(spark, tmp_path_factory):
+    """Same 200x200 grid / 16 files as the Z-order test: Hilbert must
+    prune at least as well on both single-dimension bands and the
+    2-D box (its contiguous ranges are tighter boxes)."""
+    base = str(tmp_path_factory.mktemp("hilbert"))
+    grid = (
+        spark.range(200 * 200)
+        .select(
+            (F.col("id") % 200).alias("x"),
+            (F.col("id") / 200).cast("bigint").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    write_hilbert_clustered(grid, base + "/h", ["x", "y"], num_files=16, bits=8)
+
+    def files_touched(df):
+        return df.select(F.input_file_name().alias("f")).distinct().count()
+
+    h = spark.read.parquet(base + "/h")
+    assert files_touched(h) == 16
+    fx = files_touched(h.where((F.col("x") >= 100) & (F.col("x") < 110)))
+    fy = files_touched(h.where((F.col("y") >= 100) & (F.col("y") < 110)))
+    assert fx <= 8 and fy <= 8, (fx, fy)
+    fbox = files_touched(
+        h.where(
+            (F.col("x") >= 100) & (F.col("x") < 110)
+            & (F.col("y") >= 100) & (F.col("y") < 110)
+        )
+    )
+    assert fbox <= 4, fbox
