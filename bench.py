@@ -208,6 +208,9 @@ def main() -> None:
         # Morton vs Hilbert clustering-key A/B (same columns/bits)
         "zorder_keys_orders",
         "hilbert_keys_orders",
+        # OPQ rotation tier A/B against the plain-PQ distortion card
+        "pq_distortion",
+        "opq_distortion",
     ]
 
     def run_once(name: str) -> float:

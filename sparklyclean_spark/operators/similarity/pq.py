@@ -602,6 +602,127 @@ def ivf_pq_residual_topk(
     )
 
 
+def opq_train(
+    svecs, m: int = 4, ks: int = 16, iters: int = 10,
+    opq_iters: int = 8, seed: int = 647,
+):
+    """OPQ-NP trainer (Ge et al., CVPR 2013 §4 — the non-parametric
+    Optimized Product Quantization FAISS ships as OPQMatrix): learn an
+    orthogonal rotation R that redistributes variance across the m
+    subspaces before PQ chops them, by alternating
+      (1) PQ-encode the rotated sample and reconstruct it,
+      (2) the orthogonal-Procrustes update R = U·Vᵀ from
+          SVD(Xᵀ·X̂) (the closed-form minimizer of ‖XR − X̂‖_F),
+      (3) retrain codebooks on X·R.
+    Rotation is an isometry, so the cosine/L2 ordering contract of the
+    PQ tier is unchanged — only the subspace DECOMPOSITION improves.
+    On isotropic data R buys ~nothing (no axis is special); the win
+    appears exactly when variance is concentrated in directions that
+    straddle subspace boundaries — the anisotropic regime real
+    embedding models produce (pytest gates the win on such a fixture).
+
+    Returns (R, codebooks): R is (dim × dim) orthogonal, codebooks the
+    (m × ks × dim/m) array trained on the rotated sample. Driver-side
+    numpy on the bounded sample, called by BOTH the Spark path and the
+    DuckDB oracle renderer — bit-equal literals by construction (the
+    `residual_train` contract)."""
+    import numpy as np
+
+    if not len(svecs):
+        raise ValueError("empty training sample: OPQ needs >= 1 vector")
+    x = np.array(svecs, dtype=np.float64)
+    x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    R = np.eye(dim)
+    cents = codebooks_from_vectors(x @ R, m, ks, iters, seed, normalize=False)
+    for _ in range(opq_iters):
+        xr = x @ R
+        recon = np.empty_like(xr)
+        for j in range(m):
+            block = xr[:, j * sub : (j + 1) * sub]
+            d = ((block[:, None, :] - cents[j][None, :, :]) ** 2).sum(-1)
+            codes = np.round(d, 9).argmin(axis=1)
+            recon[:, j * sub : (j + 1) * sub] = cents[j][codes]
+        u, _, vt = np.linalg.svd(x.T @ recon)
+        R = u @ vt
+        cents = codebooks_from_vectors(
+            x @ R, m, ks, iters, seed, normalize=False
+        )
+    return R, cents
+
+
+def _opq_encode_udf(R, cents):
+    """Arrow-batched OPQ encoder: normalize → rotate by R → SNAP the
+    rotated coordinates to the 1e-9 grid (both engines then encode
+    from identical inputs, shrinking the 1-ulp matmul-vs-list_sum
+    divergence surface to snap boundaries) → per-subspace snapped
+    argmin, exactly `_encode_udf`'s contract."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    m, ks, sub = cents.shape
+
+    def impl(vs):
+        x = np.asarray(vs.tolist(), dtype=np.float64)
+        x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+        xr = np.round(x @ R, 9)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        mdist = np.empty((len(x), m), dtype=np.float64)
+        for j in range(m):
+            block = xr[:, j * sub : (j + 1) * sub]
+            d = ((block[:, None, :] - cents[j][None, :, :]) ** 2).sum(-1)
+            d = np.round(d, 9)
+            codes[:, j] = d.argmin(axis=1)
+            mdist[:, j] = d.min(axis=1)
+        return pd.DataFrame({"codes": list(codes), "mdist": list(mdist)})
+
+    return pandas_udf(impl, "struct<codes: array<int>, mdist: array<double>>")
+
+
+def opq_distortion(
+    corpus: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 10,
+    opq_iters: int = 8,
+    seed: int = 647,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace quantization MSE of the OPQ tier — `pq_distortion`
+    with the learned rotation applied before chopping. Same output
+    contract (j, n_vecs, mse), same snapping/DECIMAL discipline. The
+    rotation's value is anisotropy-dependent: the pytest gate pins
+    MSE(OPQ) < MSE(PQ) on an anisotropic fixture; on this repo's
+    near-isotropic synthetic corpus the two tiers measure ~equal (the
+    honest number, reported rather than hidden)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    srows = _hash_ordered_sample(c, "id", sample_cap)
+    R, cents = opq_train([r["v"] for r in srows], m, ks, iters, opq_iters, seed)
+    enc = c.select(_opq_encode_udf(R, cents)(F.col("v"))["mdist"].alias("mdist"))
+    per = enc.select(F.posexplode("mdist").alias("j", "d")).select(
+        "j", F.col("d").cast("decimal(18,9)").alias("d")
+    )
+    return (
+        per.groupBy("j")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("d").alias("s"))
+        .select(
+            "j",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            (
+                F.floor(F.col("s").cast("double") * 1000000.0 / F.col("n_vecs") + 0.5)
+                / 1000000.0
+            ).alias("mse"),
+        )
+    )
+
+
 def ivf_pq_refine_topk(
     corpus: DataFrame,
     queries: DataFrame,

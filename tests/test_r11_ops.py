@@ -175,6 +175,39 @@ def test_perplexity_buckets_approx_parity(spark, seed):
         assert near <= err + ties, (doc_id, lang, r_, n, eb, ab, ties)
 
 
+def test_opq_beats_pq_on_anisotropic_data(spark):
+    """OPQ's value claim, gated where it holds (Ge CVPR'13 §1): on
+    data whose variance concentrates in directions STRADDLING subspace
+    boundaries, the learned rotation must cut total quantization MSE
+    well below plain PQ (measured ~0.29x on this fixture). Also pins
+    trainer determinism and R's orthogonality."""
+    import numpy as np
+
+    from sparklyclean_spark.operators.similarity.pq import (
+        opq_distortion,
+        pq_distortion,
+    )
+
+    rng = np.random.RandomState(7)
+    dirs = rng.randn(6, 64)
+    coef = rng.randn(800, 6) * np.array([8, 5, 3, 2, 1.5, 1])
+    x = coef @ dirs + 0.05 * rng.randn(800, 64)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    mse_pq = sum(r.mse for r in pq_distortion(emb).collect())
+    mse_opq = sum(r.mse for r in opq_distortion(emb).collect())
+    assert mse_opq < 0.7 * mse_pq, (mse_opq, mse_pq)
+
+    from sparklyclean_spark.operators.similarity.pq import opq_train
+
+    xs = x / np.linalg.norm(x, axis=1, keepdims=True)
+    r1, c1 = opq_train(xs, 4, 16, 10, 8, 647)
+    r2, c2 = opq_train(xs, 4, 16, 10, 8, 647)
+    assert np.array_equal(r1, r2) and np.array_equal(c1, c2)
+    assert np.allclose(r1 @ r1.T, np.eye(64), atol=1e-10)
+
+
 def test_lsh_tuning_grid_non_divisor_step(spark):
     """r11 advisor regression: a non-divisor grid_step must still
     reach the top grid point below 1.0 (0.15 ends at 0.90, not
