@@ -1300,7 +1300,8 @@ _DRIVER_CHECK_ORDER = [
     "ccnet_perplexity_buckets_approx",  # NEW r11: the implemented 100 TB escape (rows-only-inherent; oracled exact twin)
     "hilbert_keys_orders",  # NEW r11: Hilbert clustering key (displaced events_conversion_wilson, green r7)
     "opq_distortion",  # NEW r11: OPQ rotation tier (displaced embedding_l2_normalize_batch, green r7)
-    "asof_next_click_tolerance",  # r7 cohort head (10 slots)
+    "text_kn_bigram_xent",  # NEW r11: interpolated Kneser-Ney bigram LM xent (displaced dedup_survivors_longest, green r7)
+    "asof_next_click_tolerance",  # r7 cohort head (9 slots)
     "attribution_linear",
     "blocking_quality_customer",
     "brand_cooccurrence_lift",
@@ -1309,8 +1310,8 @@ _DRIVER_CHECK_ORDER = [
     "corpus_temperature_weights",
     "corr_price_qty_by_status",
     "curation_training_manifest",
-    "dedup_survivors_longest",
     # ---- below: recorded in earlier rounds; not in the r11 window ----
+    "dedup_survivors_longest",
     "embedding_l2_normalize_batch",
     "events_conversion_wilson",
     "anti_join_customers_no_open_orders",
@@ -1636,6 +1637,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_signals_counts": _q(TA.repetition_counts, table="documents"),
         # CCNet-style corpus-LM quality signal
         "text_unigram_cross_entropy": _q(TA.unigram_cross_entropy, table="documents"),
+        # r11: the LM-scoring rung above unigram — interpolated
+        # Kneser-Ney bigram cross-entropy (the model class CCNet
+        # buckets on)
+        "text_kn_bigram_xent": _q(TA.kn_bigram_cross_entropy, table="documents"),
         # r9: tokenizer-training support — first BPE merge iteration
         "bpe_merge_pairs": _q(TA.bpe_merge_candidates, table="documents"),
         "bpe_merge_table": _q(TA.bpe_merge_table, n_merges=8, table="documents"),
@@ -3331,6 +3336,40 @@ def oracle_sql() -> dict[str, str]:
                    FROM t JOIN v USING (term) CROSS JOIN tot)
             SELECT doc_id,
                    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS cross_entropy
+            FROM lp GROUP BY doc_id
+        """,
+        # interpolated Kneser-Ney bigram xent: the SAME parenthesized
+        # probability expression as the Spark Column (exact-int model
+        # counts -> bit-equal doubles into ln), round-6 DECIMAL logs
+        "text_kn_bigram_xent": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+            bg AS (
+                SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, GREATEST(len(ws) - 1, 0) + 1),
+                               i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS b
+                    FROM t
+                )
+            ),
+            c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+            lft AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1l FROM c2 GROUP BY w1),
+            rgt AS (SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY w2),
+            bt AS (SELECT SUM(n1r) AS _bt FROM rgt),
+            lp AS (
+                SELECT doc_id,
+                       CAST(ROUND(ln(
+                           (CAST(c2 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+                           + ((0.75 * CAST(n1l AS DOUBLE)) / CAST(c1 AS DOUBLE))
+                           * (CAST(n1r AS DOUBLE) / CAST(_bt AS DOUBLE))
+                       ), 6) AS DECIMAL(18,6)) AS lp
+                FROM bg JOIN c2 USING (w1, w2) JOIN lft USING (w1)
+                     JOIN rgt USING (w2) CROSS JOIN bt
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                    ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS cross_entropy
             FROM lp GROUP BY doc_id
         """,

@@ -211,6 +211,8 @@ def main() -> None:
         # OPQ rotation tier A/B against the plain-PQ distortion card
         "pq_distortion",
         "opq_distortion",
+        # KN bigram LM scoring vs the unigram row already benched
+        "text_kn_bigram_xent",
     ]
 
     def run_once(name: str) -> float:

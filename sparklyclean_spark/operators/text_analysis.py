@@ -397,6 +397,94 @@ def unigram_cross_entropy(docs: DataFrame) -> DataFrame:
     )
 
 
+def kn_bigram_cross_entropy(docs: DataFrame, discount: float = 0.75) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney
+    BIGRAM model trained on the corpus itself — the model class CCNet
+    actually buckets on (Wenzek LREC'20 scores with a KN LM;
+    ``unigram_cross_entropy`` is the cheaper first rung). Kneser &
+    Ney '95 / Chen & Goodman '98 interpolated form with one absolute
+    discount D:
+
+        p(w2|w1) = (c(w1,w2) − D)/c(w1·)
+                 + (D · N1+(w1·)/c(w1·)) · (N1+(·w2)/N1+(··))
+
+    where c(w1·) sums bigram counts with left context w1, N1+(w1·)
+    counts w1's distinct continuations, N1+(·w2) the distinct left
+    contexts of w2 (the "how many ways can w2 continue something"
+    continuation probability — the part that makes KN beat plain
+    backoff), and N1+(··) the total distinct bigram types. Bigrams are
+    within-document only (no BOS/EOS padding, no cross-doc bigrams);
+    self-scoring means every scored bigram has c ≥ 1, so the
+    discounted term is always positive at D < 1. Docs with fewer than
+    2 tokens carry no bigram and are excluded (the xent domain rule).
+
+    Output: ``(doc_id, n_bigrams, cross_entropy)`` with
+    ce = −mean(ln p) rounded 4.
+
+    Scale shape: one bigram explode → three vocab²-bounded hash aggs
+    (bigram counts; per-w1 totals + continuation fan-out; per-w2 left
+    fan-in) — all map-side combinable; occurrences join them on the
+    term keys (AQE-splittable hash joins — a 100 TB corpus's bigram
+    table does not broadcast); the single global scalar N1+(··) is a
+    1-row broadcast. Determinism: all model quantities are exact
+    BIGINTs; p is evaluated with ONE fixed parenthesization mirrored
+    by the oracle (int→double is exact, so both engines see bit-equal
+    inputs to ln), per-bigram ln rounded to DECIMAL(18,6) before the
+    exact per-doc sum — the unigram row's contract.
+
+    No reference counterpart; §2.10 capability-gap operator (the
+    curation pillar's LM-scoring rung above unigram).
+    """
+    d = float(discount)
+    bg_list = F.when(
+        F.size(T.words("text")) < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(T.words("text")) - 1),
+            lambda i: F.struct(
+                F.element_at(T.words("text"), i).alias("w1"),
+                F.element_at(T.words("text"), i + 1).alias("w2"),
+            ),
+        )
+    )
+    bg = docs.select("doc_id", F.explode(bg_list).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    left = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1l")
+    )
+    right = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1r"))
+    types_total = right.agg(F.sum("n1r").alias("_bt"))
+    p = (
+        (F.col("c2").cast("double") - F.lit(d)) / F.col("c1").cast("double")
+        + ((F.lit(d) * F.col("n1l").cast("double")) / F.col("c1").cast("double"))
+        * (F.col("n1r").cast("double") / F.col("_bt").cast("double"))
+    )
+    lp = (
+        bg.join(c2, ["w1", "w2"])
+        .join(left, "w1")
+        .join(right, "w2")
+        .join(F.broadcast(types_total))
+        .select(
+            "doc_id",
+            F.round(F.log(p), 6).cast("decimal(18,6)").alias("_lp"),
+        )
+    )
+    return (
+        lp.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("_lp").alias("_s"))
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(-(F.col("_s").cast("double")) / F.col("n_bigrams"), 4).alias(
+                "cross_entropy"
+            ),
+        )
+    )
+
+
 def oov_stats(docs: DataFrame, min_df: int = 2) -> DataFrame:
     """Tokenizer/vocab coverage signal: per-doc out-of-vocabulary
     rate against the corpus's own document-frequency-thresholded

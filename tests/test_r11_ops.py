@@ -208,6 +208,36 @@ def test_opq_beats_pq_on_anisotropic_data(spark):
     assert np.allclose(r1 @ r1.T, np.eye(64), atol=1e-10)
 
 
+def test_kn_bigram_xent_hand_case(spark):
+    """Interpolated Kneser-Ney bigram xent against hand-computed
+    probabilities (D=0.75): corpus 'a b a b' / 'a c' / 'x' gives
+    p(b|a) = 1.25/3 + (1.5/3)(1/3), p(a|b) = .25 + .75(1/3),
+    p(c|a) = .25/3 + (1.5/3)(1/3); the 1-token doc carries no bigram
+    and is excluded."""
+    import math
+
+    from sparklyclean_spark.operators.text_analysis import (
+        kn_bigram_cross_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "x")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy)
+        for r in kn_bigram_cross_entropy(docs).collect()
+    }
+    p_ba = 1.25 / 3 + (0.75 * 2 / 3) * (1 / 3)
+    p_ab = 0.25 + 0.75 * (1 / 3)
+    p_ca = 0.25 / 3 + (0.75 * 2 / 3) * (1 / 3)
+    ce1 = -(2 * round(math.log(p_ba), 6) + round(math.log(p_ab), 6)) / 3
+    ce2 = -round(math.log(p_ca), 6)
+    assert set(got) == {1, 2}  # the 1-token doc is excluded
+    assert got[1] == (3, round(ce1, 4))
+    assert got[2] == (1, round(ce2, 4))
+
+
 def test_lsh_tuning_grid_non_divisor_step(spark):
     """r11 advisor regression: a non-divisor grid_step must still
     reach the top grid point below 1.0 (0.15 ends at 0.90, not
