@@ -436,19 +436,23 @@ def kn_bigram_cross_entropy(docs: DataFrame, discount: float = 0.75) -> DataFram
     curation pillar's LM-scoring rung above unigram).
     """
     d = float(discount)
+    # materialize the token array ONCE per row: embedding the regex
+    # split inside the transform lambda re-tokenizes the document per
+    # element access (measured 21 s -> 1.5 s at sf0.1)
+    ws = docs.select("doc_id", T.words("text").alias("_ws"))
     bg_list = F.when(
-        F.size(T.words("text")) < 2,
+        F.size("_ws") < 2,
         F.array().cast("array<struct<w1:string,w2:string>>"),
     ).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.size(T.words("text")) - 1),
+            F.sequence(F.lit(1), F.size("_ws") - 1),
             lambda i: F.struct(
-                F.element_at(T.words("text"), i).alias("w1"),
-                F.element_at(T.words("text"), i + 1).alias("w2"),
+                F.element_at("_ws", i).alias("w1"),
+                F.element_at("_ws", i + 1).alias("w2"),
             ),
         )
     )
-    bg = docs.select("doc_id", F.explode(bg_list).alias("b")).select(
+    bg = ws.select("doc_id", F.explode(bg_list).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
