@@ -1249,20 +1249,71 @@ def _ml_dedup_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # representative per family keeps breadth. Names dropped from the head
 # all carry green r3 records.
 _DRIVER_CHECK_ORDER = [
-    # ---- r11 window (first 50 = the driver's hash-checked set) ----
-    # Composition (VERDICT r10 item 1): rotate onto the staleness
-    # queue. 2 pinned flagships + the ENTIRE r5/r6 cohort (29 + 3 —
-    # after this round no row's newest green predates r7, projected
-    # max staleness 4) + the 4 new r11 rows (IVF-PQ refine recall,
-    # driver-side BPE trainer, real-image-container decode, the
-    # perplexity-bucket approx escape — every new row in the window
-    # at debut) + the 12 alphabetically-first r7 rows.
-    # Displaced: the entire r10 window except the flagships — every
-    # displaced row carries a fresh green r10 record.
+    # ---- r12 window (first 50 = the driver's hash-checked set) ----
+    # Composition (VERDICT r11 item 1): rotate onto the r7 staleness
+    # cohort — the ONLY rows whose newest green predates r8. 2 pinned
+    # flagships + ccnet_perplexity_buckets (the ORACLED exact twin of
+    # the r11 approx row, swapped in per VERDICT r11 wrong-item 1
+    # so the slot certifies a hashable plan; the approx row parks with
+    # the other rows-only rows) + the ENTIRE 31-row r7 cohort (after
+    # this round no row's newest green predates r8) + the 16 head
+    # rows of the r8 cohort. New r12 rows displace the r8 tail as
+    # they land (displacements commented in place).
+    # Displaced: the entire r11 window except the flagships — every
+    # displaced row carries a fresh green r11 record.
 
     "dedup_pairs_disdedup_customer",  # pinned flagship: recorded row every round
     "ml_dedup_quality_gate",  # pinned flagship: ML gate, recorded row every round
-    "dedup_pairs_jw_customer",  # r5 cohort starts (29 rows)
+    "ccnet_perplexity_buckets",  # oracled exact twin holds the slot (VERDICT r11 wrong-item 1)
+    "dedup_survivors_longest",  # r7 cohort starts (31 rows)
+    "embedding_l2_normalize_batch",
+    "events_conversion_wilson",
+    "q2_best_region_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "mad_order_prices",
+    "ldiversity_customer_audit",
+    "neardup_triangle_count",
+    "user_activity_streaks",
+    "session_path_trigrams_4h",
+    "events_transition_entropy",
+    "heavy_hitters_orders",
+    "quantile_sketch_audit_orders",
+    "sample_docs_proportional",
+    "neardup_clusters_star",
+    "neardup_simhash_md5",
+    "neardup_containment",
+    "multimodal_frame_sample",
+    "multimodal_features",
+    "text_oov_rate",
+    "text_ngram_diversity",
+    "text_source_term_lift",
+    "text_gopher_gate",
+    "lang_label_audit",
+    "events_rolling_active_7d",
+    "events_time_to_convert",
+    "events_hourly_seasonality",
+    "quantile_transform_prices",
+    "trimmed_mean_order_prices",
+    "text_char_entropy",
+    "pack_training_sequences",  # r8 cohort head (16 slots; displaced by new r12 rows from the tail up)
+    "q12_priority_by_status",
+    "text_repetition_signals",
+    "knn_ivf_recall",
+    "embedding_cell_balance",
+    "text_bigram_pmi",
+    "mi_lang_source",
+    "pagerank_containment_graph",
+    "bucketed_join_orders",
+    "multimodal_av_meta",
+    "event_transition_matrix",
+    "events_interarrival_stats",
+    "orders_revenue_gini",
+    "kfold_docs_by_lang",
+    "embedding_norm_stats",
+    "neardup_cluster_stats",
+    # ---- below: recorded in earlier rounds; not in the r12 window ----
+    "dedup_pairs_jw_customer",
     "dedup_pairs_naive_skewed",
     "dense_ids_documents",
     "diff_orders_snapshots",
@@ -1291,17 +1342,17 @@ _DRIVER_CHECK_ORDER = [
     "text_unigram_cross_entropy",
     "winsorize_order_prices",
     "zorder_keys_orders",
-    "attribution_last_touch",  # r6 cohort (3 rows)
+    "attribution_last_touch",
     "q1_pricing_summary",
     "text_repetition_signals_counts",
-    "ivf_pq_refine_recall",  # NEW r11: FAISS-style exact re-rank of the residual funnel's top-R
-    "bpe_merge_table_fast",  # NEW r11: driver-side heap BPE trainer (shares bpe_merge_table's oracle)
-    "multimodal_image_meta",  # NEW r11: real JPEG/PNG/GIF container round-trip, stdlib codec ladder
-    "ccnet_perplexity_buckets_approx",  # NEW r11: the implemented 100 TB escape (rows-only-inherent; oracled exact twin)
-    "hilbert_keys_orders",  # NEW r11: Hilbert clustering key (displaced events_conversion_wilson, green r7)
-    "opq_distortion",  # NEW r11: OPQ rotation tier (displaced embedding_l2_normalize_batch, green r7)
-    "text_kn_bigram_xent",  # NEW r11: interpolated Kneser-Ney bigram LM xent (displaced dedup_survivors_longest, green r7)
-    "asof_next_click_tolerance",  # r7 cohort head (9 slots)
+    "ivf_pq_refine_recall",
+    "bpe_merge_table_fast",
+    "multimodal_image_meta",
+    "ccnet_perplexity_buckets_approx",
+    "hilbert_keys_orders",
+    "opq_distortion",
+    "text_kn_bigram_xent",
+    "asof_next_click_tolerance",
     "attribution_linear",
     "blocking_quality_customer",
     "brand_cooccurrence_lift",
@@ -1310,10 +1361,6 @@ _DRIVER_CHECK_ORDER = [
     "corpus_temperature_weights",
     "corr_price_qty_by_status",
     "curation_training_manifest",
-    # ---- below: recorded in earlier rounds; not in the r11 window ----
-    "dedup_survivors_longest",
-    "embedding_l2_normalize_batch",
-    "events_conversion_wilson",
     "anti_join_customers_no_open_orders",
     "approx_distinct_parts_per_brand",
     "cube_lineitem_flags",
@@ -1401,7 +1448,6 @@ _DRIVER_CHECK_ORDER = [
     "dsir_scores",
     "bpe_merge_pairs",
     "vocab_coverage_curve",
-    "ccnet_perplexity_buckets",
     "knn_pq_recall",
     "pq_distortion",
     "ivf_pq_recall",
@@ -1410,22 +1456,6 @@ _DRIVER_CHECK_ORDER = [
     "semdedup_embeddings",
     "sketch_distinct_users_daily",
     "text_winnowing_fp_batch",
-    "pack_training_sequences",
-    "q12_priority_by_status",
-    "text_repetition_signals",
-    "knn_ivf_recall",
-    "embedding_cell_balance",
-    "text_bigram_pmi",
-    "mi_lang_source",
-    "pagerank_containment_graph",
-    "bucketed_join_orders",
-    "multimodal_av_meta",
-    "event_transition_matrix",
-    "events_interarrival_stats",
-    "orders_revenue_gini",
-    "kfold_docs_by_lang",
-    "embedding_norm_stats",
-    "neardup_cluster_stats",
     "target_encode_priority",
     "source_freshness_events",
     "psi_order_price_drift",
@@ -1458,34 +1488,6 @@ _DRIVER_CHECK_ORDER = [
     "text_winnowing_fp",
     "winnowing_overlap_pairs",
     "attribution_time_decay",
-    "q2_best_region_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "mad_order_prices",
-    "ldiversity_customer_audit",
-    "neardup_triangle_count",
-    "user_activity_streaks",
-    "session_path_trigrams_4h",
-    "events_transition_entropy",
-    "heavy_hitters_orders",
-    "quantile_sketch_audit_orders",
-    "sample_docs_proportional",
-    "neardup_clusters_star",
-    "neardup_simhash_md5",
-    "neardup_containment",
-    "multimodal_frame_sample",
-    "multimodal_features",
-    "text_oov_rate",
-    "text_ngram_diversity",
-    "text_source_term_lift",
-    "text_gopher_gate",
-    "lang_label_audit",
-    "events_rolling_active_7d",
-    "events_time_to_convert",
-    "events_hourly_seasonality",
-    "quantile_transform_prices",
-    "trimmed_mean_order_prices",
-    "text_char_entropy",
     "pack_bins_greedy_docs",
     "pagerank_neardup_graph",
     "corpus_curation_lsh",
@@ -1686,6 +1688,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch's rank-error window at the tercile boundaries
         "ccnet_perplexity_buckets_approx": _q(
             TA.perplexity_buckets, approx_cutoffs=True, table="documents"
+        ),
+        # r12 (VERDICT r11 item 2): CCNet's PUBLISHED recipe buckets on
+        # a Kneser-Ney LM's perplexity — terciles over the interpolated
+        # KN bigram xent (text_kn_bigram_xent's stack composed with the
+        # NTILE stage; domain shrinks to docs with >=1 bigram). The
+        # approx escape composes identically (signal="kn",
+        # approx_cutoffs=True — parity pytest-gated).
+        "ccnet_kn_buckets": _q(
+            TA.perplexity_buckets, signal="kn", table="documents"
         ),
         # BM25 keyword retrieval: 3 common + 1 rare term for idf spread
         "text_bm25_rank": _q(
@@ -3410,6 +3421,50 @@ def oracle_sql() -> dict[str, str]:
             lp AS (SELECT doc_id,
                           CAST(ROUND(ln(c / total), 6) AS DECIMAL(18,6)) AS lp
                    FROM t JOIN v USING (term) CROSS JOIN tot),
+            x AS (SELECT doc_id,
+                         ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS cross_entropy
+                  FROM lp GROUP BY doc_id),
+            b AS (SELECT x.doc_id, d.lang, x.cross_entropy,
+                         NTILE(3) OVER (PARTITION BY d.lang
+                                        ORDER BY x.cross_entropy, x.doc_id) AS nt
+                  FROM x JOIN documents d ON x.doc_id = d.doc_id)
+            SELECT doc_id, lang, cross_entropy,
+                   CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                           ELSE 'tail' END AS bucket
+            FROM b
+        """,
+        # r12: CCNet terciles on the KN signal — text_kn_bigram_xent's
+        # CTE stack chained into ccnet_perplexity_buckets' NTILE stage
+        # (same per-bigram DECIMAL(18,6) snap, same (xent, doc_id)
+        # tie-break). c2 is referenced three times -> MATERIALIZED so
+        # DuckDB does not re-expand the bigram scan per reference.
+        "ccnet_kn_buckets": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+            bg AS MATERIALIZED (
+                SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, GREATEST(len(ws) - 1, 0) + 1),
+                               i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS b
+                    FROM t
+                )
+            ),
+            c2 AS MATERIALIZED (
+                SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+            lft AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1l FROM c2 GROUP BY w1),
+            rgt AS MATERIALIZED (SELECT w2, COUNT(*) AS n1r FROM c2 GROUP BY w2),
+            bt AS (SELECT SUM(n1r) AS _bt FROM rgt),
+            lp AS (
+                SELECT doc_id,
+                       CAST(ROUND(ln(
+                           (CAST(c2 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+                           + ((0.75 * CAST(n1l AS DOUBLE)) / CAST(c1 AS DOUBLE))
+                           * (CAST(n1r AS DOUBLE) / CAST(_bt AS DOUBLE))
+                       ), 6) AS DECIMAL(18,6)) AS lp
+                FROM bg JOIN c2 USING (w1, w2) JOIN lft USING (w1)
+                     JOIN rgt USING (w2) CROSS JOIN bt
+            ),
             x AS (SELECT doc_id,
                          ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) AS cross_entropy
                   FROM lp GROUP BY doc_id),
@@ -6894,7 +6949,6 @@ def _ivf_pq_recall_sql(dim: int = 64, nprobe: int = 8, k: int = 5) -> str:
 
 
 @functools.lru_cache(maxsize=8)
-@functools.lru_cache(maxsize=8)
 def _opq_mats_sql(
     sf_dir: str,
     m: int = 4,
@@ -7001,6 +7055,7 @@ def _opq_distortion_sql(dim: int = 64, sub: int = 16) -> str:
         """
 
 
+@functools.lru_cache(maxsize=8)
 def _rpq_codebooks_sql(
     sf_dir: str,
     n_cells: int = 32,

@@ -1234,7 +1234,10 @@ def vocab_coverage(docs: DataFrame, ks: tuple = (16, 64, 256, 1024)) -> DataFram
 
 
 def perplexity_buckets(
-    docs: DataFrame, approx_cutoffs: bool = False, accuracy: int = 10000
+    docs: DataFrame,
+    approx_cutoffs: bool = False,
+    accuracy: int = 10000,
+    signal: str = "unigram",
 ) -> DataFrame:
     """CCNet-style head/middle/tail split (Wenzek et al., LREC'20):
     per-language terciles of the unigram cross-entropy signal — the
@@ -1268,8 +1271,21 @@ def perplexity_buckets(
     driver row is rows-only by design (the GK sketch is
     engine-specific, so no cross-engine hash can exist) with the
     oracled exact twin as its check.
+
+    ``signal`` (r12, VERDICT r11 item 2): CCNet's published recipe
+    buckets on a Kneser-Ney LM's perplexity, not a unigram one —
+    ``signal="kn"`` composes ``kn_bigram_cross_entropy`` instead of
+    ``unigram_cross_entropy`` (same tercile machinery, the domain
+    shrinks to docs with ≥1 bigram, and the per-lang ordering is over
+    the KN xent). ``signal="unigram"`` stays the default/cheap rung.
+    Both signals compose with ``approx_cutoffs``.
     """
-    xent = unigram_cross_entropy(docs)
+    if signal == "kn":
+        xent = kn_bigram_cross_entropy(docs)
+    elif signal == "unigram":
+        xent = unigram_cross_entropy(docs)
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown signal {signal!r}")
     joined = xent.join(docs.select("doc_id", "lang"), "doc_id")
     if approx_cutoffs:
         cuts = joined.groupBy("lang").agg(

@@ -23,6 +23,16 @@ small: all open sessions except possibly the oldest end within
 ``gap + watermark_delay`` of the max seen event time, so its length
 is bounded by how far ahead of the watermark a key's events run,
 never by stream length.
+
+DST (r12 advisor fix): the worker's epoch basis is the JVM-computed
+``unix_micros(ts)`` column, never a pandas re-localization of the
+naive wall times Arrow hands over — so input events in a fall-back
+repeated hour keep their true instants and sessionize identically to
+the batch ``session_windows`` twin. Output bounds are emitted as
+TZ-AWARE timestamps (Arrow carries the instant; verified to
+round-trip exactly through the state serializer even inside the
+repeated hour), so neither direction ever performs an ambiguous
+local→epoch conversion.
 """
 
 from __future__ import annotations
@@ -61,27 +71,26 @@ def _session_fn(gap_seconds: int, key_col: str = "user_id", tz: str = "UTC"):
     # setTimeoutTimestamp() are TRUE epoch millis — comparing local
     # micros to the watermark shifts closure by the session-tz offset
     # (premature emission west of UTC, withheld sessions east). All
-    # internal state/arithmetic is true epoch micros: localize on the
-    # way in, de-localize for the emitted naive-local output rows.
-    def _to_epoch_us(ts) -> int:
-        t = pd.Timestamp(ts)
-        if t.tzinfo is None:
-            t = t.tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
-        return int(t.value // 1_000)
-
-    def _to_local_naive(epoch_us: int) -> pd.Timestamp:
-        return (
-            pd.Timestamp(epoch_us, unit="us", tz="UTC")
-            .tz_convert(tz)
-            .tz_localize(None)
-        )
+    # internal state/arithmetic is true epoch micros, taken from the
+    # JVM-computed ``ts_us`` column (r12 advisor fix: re-localizing
+    # the naive values with pandas resolved DST fall-back-ambiguous
+    # wall times differently from Spark's own conversion, so a session
+    # straddling the repeated hour could diverge from the batch twin
+    # by the DST offset — unix_micros() carries the original instant,
+    # so no local→epoch conversion happens in the worker at all).
+    # Output bounds stay TZ-AWARE for the same reason: a naive bound
+    # inside the repeated fall-back hour would be re-interpreted at
+    # the earlier offset on the way back; the Arrow state serializer
+    # carries the aware instant exactly (probed on Spark 4.1).
+    def _to_local(epoch_us: int) -> pd.Timestamp:
+        return pd.Timestamp(epoch_us, unit="us", tz="UTC").tz_convert(tz)
 
     def _emit(user_id, s):
         start_us, last_us, n, sv = s
         return (
             user_id,
-            _to_local_naive(start_us),
-            _to_local_naive(last_us + gap_us),
+            _to_local(start_us),
+            _to_local(last_us + gap_us),
             int(n),
             float(sv),
         )
@@ -134,20 +143,24 @@ def _session_fn(gap_seconds: int, key_col: str = "user_id", tz: str = "UTC"):
             # sorted each chunk independently, so chunk 2 could start
             # before chunk 1 ended and the walk saw disorder even for
             # in-order data (r9 review finding)
+            # sort on the INSTANT (ts_us), not the naive-local ts: a
+            # fall-back DST hour repeats wall times, so a local sort
+            # could disorder events that are strictly increasing in
+            # real time
             frames = [pdf for pdf in pdfs]
             pdf = (
-                pd.concat(frames, ignore_index=True).sort_values("ts")
+                pd.concat(frames, ignore_index=True).sort_values("ts_us")
                 if len(frames) > 1
-                else frames[0].sort_values("ts")
+                else frames[0].sort_values("ts_us")
                 if frames
-                else pd.DataFrame(columns=["ts", "value"])
+                else pd.DataFrame(columns=["ts_us", "value"])
             )
             # general interval sweep over (batch events + ALL held
             # open sessions) in TIME order — exactly the batch
             # session_windows gap-merge (inclusive <= gap)
             items = [
-                [(e := _to_epoch_us(ts)), e, 1, float(val)]
-                for ts, val in zip(pdf["ts"], pdf["value"])
+                [int(e), int(e), 1, float(val)]
+                for e, val in zip(pdf["ts_us"], pdf["value"])
             ]
             items.extend(_held(state))
             items.sort(key=lambda t: (t[0], t[1]))
@@ -211,6 +224,11 @@ def streaming_sessionize(
         .parquet(source_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
+        # true epoch micros, computed by the SAME engine that drives
+        # the watermark — the worker does all session arithmetic on
+        # this instant and never converts local→epoch itself (DST
+        # fall-back wall times are ambiguous; r12 advisor fix)
+        .withColumn("ts_us", F.unix_micros(F.col("ts")))
     )
     return stream.groupBy(key_col).applyInPandasWithState(
         _session_fn(gap_seconds, key_col, tz),

@@ -572,3 +572,82 @@ def test_stateful_sessionize_non_utc_session_timezone(spark, tmp_path_factory):
         assert next(iter(user1.values())) == (3, 7.0)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+def test_stateful_sessionize_dst_fallback_hour(spark, tmp_path_factory):
+    """r12 advisor finding: the old worker re-localized Arrow's naive
+    session-local wall times with pandas ``tz_localize(ambiguous=True)``
+    (always the DST/first occurrence), while Spark resolves the same
+    repeated fall-back wall time with Java's rules — so a session
+    straddling the transition could shift by the DST offset vs the
+    batch twin. Events at instants 08:30Z/08:50Z/09:10Z under
+    America/Los_Angeles are wall 01:30 PDT / 01:50 PDT / 01:10 PST —
+    the third WALL time sorts before the first even though its instant
+    is 40 min later. With the JVM-derived ts_us basis the three events
+    merge into one session identical (as instants) to the batch twin;
+    the old basis produced a session "starting" at the 01:10 wall time.
+    """
+    from sparklyclean_spark.streaming.sessionize import streaming_sessionize
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    path = str(tmp_path_factory.mktemp("sess_stream_dst"))
+    try:
+        # write instants unambiguously (UTC wall == instant), then
+        # run the stream under the DST-observing session timezone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for batch_rows in (
+            [
+                (1, "2024-11-03 08:30:00", 1, 1.0),  # 01:30 PDT
+                (2, "2024-11-03 08:50:00", 1, 2.0),  # 01:50 PDT
+                (3, "2024-11-03 09:10:00", 1, 4.0),  # 01:10 PST (repeated hour)
+            ],
+            # far-future event: watermark passes 09:10Z + gap
+            [(4, "2024-11-03 20:00:00", 2, 8.0)],
+        ):
+            df = spark.createDataFrame(
+                batch_rows, "event_id bigint, ts string, user_id bigint, value double"
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            df.coalesce(1).write.mode("append").parquet(path)
+
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        out = streaming_sessionize(
+            spark, path,
+            "event_id bigint, ts timestamp, user_id bigint, value double",
+            gap_seconds=1500,  # 25 min: instants merge (20-min real gaps)
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessionize_dst")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # assert on INSTANTS (unix_micros), immune to render zones
+        rows = {
+            (r.user_id, r.s_us, r.e_us): (r.n_events, r.sum_value)
+            for r in spark.sql(
+                "SELECT user_id, unix_micros(window_start) AS s_us, "
+                "unix_micros(window_end) AS e_us, n_events, sum_value "
+                "FROM sessionize_dst"
+            ).collect()
+        }
+        batch = {
+            (r.user_id, r.s_us, r.e_us): (r.n_events, r.sum_value)
+            for r in session_windows(spark.read.parquet(path), "25 minutes")
+            .selectExpr(
+                "user_id", "unix_micros(window_start) AS s_us",
+                "unix_micros(window_end) AS e_us", "n_events", "sum_value",
+            )
+            .collect()
+            if r.user_id == 1
+        }
+        user1 = {k: v for k, v in rows.items() if k[0] == 1}
+        assert user1 == batch and len(user1) == 1
+        ((_, s_us, e_us),) = user1
+        # start = 08:30Z, end = 09:10Z + 25 min — true instants, not
+        # the first-occurrence re-localization (which would give
+        # start 08:10Z / the 01:10 wall time)
+        assert s_us == 1730622600000000 and e_us == 1730626500000000
+        assert next(iter(user1.values())) == (3, 7.0)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
