@@ -213,6 +213,11 @@ def main() -> None:
         "opq_distortion",
         # KN bigram LM scoring vs the unigram row already benched
         "text_kn_bigram_xent",
+        # r12: CCNet terciles on the KN signal (the published recipe)
+        "ccnet_kn_buckets",
+        # r12: OPQ composed into the residual IVF-PQ funnel — A/B
+        # against ivf_pq_residual_recall (same 100-query set)
+        "opq_ivf_pq_recall",
     ]
 
     def run_once(name: str) -> float:

@@ -449,7 +449,36 @@ def residual_train(svecs, n_cells=32, m=4, ks=16, iters=10, seed=647):
     return ivf_cents, means, pq_cents
 
 
-def _residual_encode_udf(ivf_cents, sub_points, pq_cents):
+def ropq_train(
+    svecs, n_cells=32, m=4, ks=16, iters=10, opq_iters=8, seed=647
+):
+    """ONE shared trainer for the OPQ∘IVF-PQ composition (FAISS's
+    ``OPQMatrix`` + ``IndexIVFPQ`` deployment; VERDICT r11 item 3):
+    learn the OPQ rotation on the raw sample (`opq_train` — its
+    full-dim codebooks are only the training objective and are
+    discarded), rotate + 1e-9-snap the unit sample into the frame
+    every downstream stage operates in, then run the UNCHANGED
+    `residual_train` sequence on the rotated sample. Rotation is an
+    isometry, so the funnel's cosine/L2 ordering contract is
+    unchanged — only the subspace decomposition the PQ chop sees
+    improves. Returns (R, ivf_cents, means, pq_cents); called by BOTH
+    the Spark funnels and the DuckDB oracle renderer
+    (`__spark_entry__._ropq_mats_sql`) so all four literal sets are
+    bit-equal across engines by construction (the `residual_train`
+    contract)."""
+    import numpy as np
+
+    R, _ = opq_train(svecs, m, ks, iters, opq_iters, seed)
+    x = np.array(svecs, dtype=np.float64)
+    x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+    xr = np.round(x @ R, 9)
+    ivf_cents, means, pq_cents = residual_train(
+        list(xr), n_cells, m, ks, iters, seed
+    )
+    return R, ivf_cents, means, pq_cents
+
+
+def _residual_encode_udf(ivf_cents, sub_points, pq_cents, R=None):
     """Arrow-batched residual encoder: embedding -> struct(cell int,
     codes array<int>, mdist array<double>). The cell is the IVF argmax
     assignment; codes[j] is the snapped-argmin codeword of the
@@ -457,7 +486,15 @@ def _residual_encode_udf(ivf_cents, sub_points, pq_cents):
     origin, see `cell_means_from_sample`) against the residual-trained
     codebook (ties -> lowest code); mdist[j] is that snapped minimum
     (feeds rpq_distortion). Same 1e-9 snap grid as `_encode_udf` so
-    the oracle's ROUND(.., 9) argmin agrees."""
+    the oracle's ROUND(.., 9) argmin agrees.
+
+    ``R`` (r12, the OPQ∘IVF-PQ composition): when given, the unit
+    vector is rotated and SNAPPED to the 1e-9 grid before the cell
+    argmax and residual — `_opq_encode_udf`'s prep feeding the
+    residual machinery. The rotated vector is NOT re-normalized (its
+    norm is 1 up to snap error; a re-normalize would add an unsnapped
+    cross-engine float divide between two snapped stages), and the
+    downstream trainer/oracle operate on the same snapped frame."""
     import numpy as np
     import pandas as pd
 
@@ -468,6 +505,8 @@ def _residual_encode_udf(ivf_cents, sub_points, pq_cents):
     def impl(vs):
         x = np.asarray(vs.tolist(), dtype=np.float64)
         x = x / np.clip(np.linalg.norm(x, axis=1, keepdims=True), 1e-12, None)
+        if R is not None:
+            x = np.round(x @ R, 9)
         cells = np.argmax(x @ ivf_cents.T, axis=1)
         r = x - sub_points[cells]
         codes = np.empty((len(x), m), dtype=np.int32)
@@ -502,6 +541,8 @@ def ivf_pq_residual_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_cap: int = 1024,
+    opq: bool = False,
+    opq_iters: int = 8,
 ) -> DataFrame:
     """Residual-encoding IVF-PQ — the form Jégou et al. (TPAMI 2011
     §V) and the FAISS IVFPQ index actually publish: instead of
@@ -528,6 +569,15 @@ def ivf_pq_residual_topk(
 
     Returns (query_id, neighbor_id, adist, rank); adist ascending
     (approximate ||q - v||^2 within the shared cell's frame).
+
+    ``opq=True`` (r12, VERDICT r11 item 3 — FAISS's ``OPQMatrix`` +
+    ``IndexIVFPQ`` deployment): train the OPQ rotation on the same
+    sample (`ropq_train`), rotate + snap every unit vector (corpus
+    encode UDF and driver query path alike) into the learned frame,
+    and run the identical funnel there. Isometry keeps the ordering
+    contract; the PQ chop sees a better subspace decomposition. Raw
+    vectors still never shuffle; the only extra cost is one dim×dim
+    matmul inside the existing Arrow pass.
     """
     import numpy as np
 
@@ -537,14 +587,20 @@ def ivf_pq_residual_topk(
     # ivf_pq_topk recipe) via the ONE shared residual_train sequence
     srows = _hash_ordered_sample(c, "neighbor_id", sample_cap)
     svecs = [r["cv"] for r in srows]
-    ivf_cents, means, pq_cents = residual_train(
-        svecs, n_cells, m, ks, iters, seed
-    )
+    if opq:
+        R, ivf_cents, means, pq_cents = ropq_train(
+            svecs, n_cells, m, ks, iters, opq_iters, seed
+        )
+    else:
+        R = None
+        ivf_cents, means, pq_cents = residual_train(
+            svecs, n_cells, m, ks, iters, seed
+        )
 
     # corpus side: one Arrow pass -> (neighbor_id, cell, j, code)
     cc = c.select(
         "neighbor_id",
-        _residual_encode_udf(ivf_cents, means, pq_cents)(F.col("cv")).alias("e"),
+        _residual_encode_udf(ivf_cents, means, pq_cents, R)(F.col("cv")).alias("e"),
     ).select(
         "neighbor_id",
         F.col("e.cell").alias("cell"),
@@ -555,6 +611,10 @@ def ivf_pq_residual_topk(
     # residual ADC lookup table
     q_rows = q.orderBy("query_id").limit(query_cap).collect()
     qx = _unit_rows(q_rows)
+    if R is not None:
+        # the encoder's prep, verbatim: rotate the unit query into the
+        # learned frame and snap; no re-normalize (see the encode UDF)
+        qx = np.round(qx @ R, 9)
     sims = qx @ ivf_cents.T
     top = min(nprobe, len(ivf_cents))
     sub = pq_cents.shape[2]
@@ -738,6 +798,8 @@ def ivf_pq_refine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_cap: int = 1024,
+    opq: bool = False,
+    opq_iters: int = 8,
 ) -> DataFrame:
     """The refine (re-rank) tier FAISS deployments append to IVFPQ
     (`IndexRefineFlat`; Jégou TPAMI'11 §VII "re-ranking"): the residual
@@ -777,6 +839,12 @@ def ivf_pq_refine_topk(
         id_col=id_col,
         vec_col=vec_col,
         query_cap=query_cap,
+        # OPQ pass-through (r12): the proposal funnel runs in the
+        # learned rotated frame; the exact re-rank below stays on RAW
+        # vectors — cosine is rotation-invariant, so the refine
+        # contract is untouched
+        opq=opq,
+        opq_iters=opq_iters,
     ).select("query_id", "neighbor_id")
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     # broadcast only the query_cap-limited query vectors the candidate
