@@ -22,6 +22,7 @@ from sparklyclean_spark.operators.dedup.blocking import BlockingRule
 from sparklyclean_spark.operators.dedup.compare import FieldComparator, select_pair_features
 from sparklyclean_spark.operators.dedup.disdedup import candidate_pairs_disdedup
 from sparklyclean_spark.operators.dedup.pairs import candidate_pairs_naive
+from sparklyclean_spark.operators.dedup import exactsubstr as ES
 from sparklyclean_spark.operators import quality as DQ
 from sparklyclean_spark.operators.chunking import sliding_chunks
 from sparklyclean_spark.operators.bloom import bloom_semi_join
@@ -1344,11 +1345,13 @@ _DRIVER_CHECK_ORDER = [
     "multimodal_av_meta",
     "event_transition_matrix",
     "events_interarrival_stats",
-    "orders_revenue_gini",
-    "kfold_docs_by_lang",
+    "exactsubstr_spans",  # NEW r12: ExactSubstr dedup tier (displaced orders_revenue_gini, green r8)
+    "exactsubstr_scrub",  # NEW r12: the remove-all scrub step (displaced kfold_docs_by_lang, green r8)
     "ccnet_kn_buckets",  # NEW r12: CCNet terciles on the KN bigram signal (displaced embedding_norm_stats, green r8)
     "opq_ivf_pq_recall",  # NEW r12: OPQ composed into the IVF-PQ funnel (displaced neardup_cluster_stats, green r8)
     # ---- below: recorded in earlier rounds; not in the r12 window ----
+    "orders_revenue_gini",
+    "kfold_docs_by_lang",
     "embedding_norm_stats",
     "neardup_cluster_stats",
     "dedup_pairs_jw_customer",
@@ -2013,6 +2016,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # asymmetric containment (r7): quote/subset detection jaccard misses
         "neardup_containment": _q(TD.containment_pairs, table="documents"),
+        # r12 (VERDICT r11 item 5): ExactSubstr dedup (Lee et al. 2022
+        # §4.1) — every duplicated >= L-token substring found at ANY
+        # alignment via the L-gram coverage identity (the modality the
+        # fixed-grid chunk_dedup misses by construction); min_len=20
+        # exercises the fixture's real dup structure (45 spans at
+        # sf0.01; the operator default stays the paper's 50)
+        "exactsubstr_spans": _q(
+            ES.exactsubstr_spans, min_len=20, table="documents"
+        ),
+        # the removal step: drop EVERY covered token (remove-all, vs
+        # the chunk family's keep-one-winner), re-render clean_text
+        "exactsubstr_scrub": _q(
+            ES.exactsubstr_scrub, min_len=20, table="documents"
+        ),
         # r8: span-level winnowing fingerprints (SIGMOD'03 / MOSS) —
         # position-aware copy signatures next to the set-based family
         "text_winnowing_fp": _q(TD.winnowing_fingerprints, table="documents"),
@@ -4808,6 +4825,93 @@ def oracle_sql() -> dict[str, str]:
             SELECT fp, MIN(id) AS keep_id, COUNT(*) - 1 AS n_dups
             FROM (SELECT doc_id AS id, {_FP_SQL} AS fp FROM documents)
             GROUP BY fp
+        """,
+        # r12: ExactSubstr (Lee et al. 2022) — the L-gram coverage
+        # identity recomputed exactly: every 20-token gram, global
+        # occurrence count >= 2 (string identity — the Spark path's
+        # xxhash64 grouping is output-equal absent 2^-64 collisions,
+        # pinned by the hash==string pytest), gaps-and-islands span
+        # merge per doc. bg/h MATERIALIZED against CTE re-expansion.
+        "exactsubstr_spans": f"""
+            WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+            g AS MATERIALIZED (
+                SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 range(1, GREATEST(len(ws) - 20 + 1, 0) + 1),
+                                 i -> {{'pos': i,
+                                       'gram': array_to_string(
+                                           list_transform(range(i, i + 20),
+                                                          j -> ws[j]), ' ')}})) AS s
+                      FROM t)
+            ),
+            d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            h AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+            isl AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN prev IS NULL OR pos - prev > 20
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM (SELECT doc_id, pos,
+                             LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS prev
+                      FROM h)
+            )
+            SELECT doc_id,
+                   CAST(MIN(pos) AS INT) AS span_start,
+                   CAST(MAX(pos) + 20 - 1 AS INT) AS span_end,
+                   CAST(MAX(pos) - MIN(pos) + 20 AS INT) AS n_tokens
+            FROM isl GROUP BY doc_id, island
+        """,
+        # the removal step over the same span chain: kept tokens
+        # re-joined in position order; '' when nothing survives
+        "exactsubstr_scrub": f"""
+            WITH t AS MATERIALIZED (
+                SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+            g AS MATERIALIZED (
+                SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 range(1, GREATEST(len(ws) - 20 + 1, 0) + 1),
+                                 i -> {{'pos': i,
+                                       'gram': array_to_string(
+                                           list_transform(range(i, i + 20),
+                                                          j -> ws[j]), ' ')}})) AS s
+                      FROM t)
+            ),
+            d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            h AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+            isl AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN prev IS NULL OR pos - prev > 20
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM (SELECT doc_id, pos,
+                             LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS prev
+                      FROM h)
+            ),
+            spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 20 - 1 AS e
+                      FROM isl GROUP BY doc_id, island),
+            cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS i FROM spans),
+            tok AS (SELECT doc_id, s['i'] AS i, s['tok'] AS tok
+                    FROM (SELECT doc_id,
+                                 unnest(list_transform(range(1, len(ws) + 1),
+                                     i -> {{'i': i, 'tok': ws[i]}})) AS s
+                          FROM t)),
+            kept AS (SELECT tok.doc_id, tok.i, tok.tok
+                     FROM tok LEFT JOIN cov
+                       ON cov.doc_id = tok.doc_id AND cov.i = tok.i
+                     WHERE cov.i IS NULL),
+            agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                           string_agg(tok, ' ' ORDER BY i) AS clean
+                    FROM kept GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.ws) AS BIGINT) AS n_tokens,
+                   CAST(len(t.ws) - COALESCE(a.n_kept, 0) AS BIGINT)
+                       AS n_removed,
+                   COALESCE(a.clean, '') AS clean_text
+            FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
         """,
         "neardup_token_jaccard": f"""
             WITH t AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents)

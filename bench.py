@@ -218,6 +218,10 @@ def main() -> None:
         # r12: OPQ composed into the residual IVF-PQ funnel — A/B
         # against ivf_pq_residual_recall (same 100-query set)
         "opq_ivf_pq_recall",
+        # r12: ExactSubstr dedup (Lee et al. 2022) — L-gram coverage
+        # spans + the remove-all scrub
+        "exactsubstr_spans",
+        "exactsubstr_scrub",
     ]
 
     def run_once(name: str) -> float:

@@ -1,0 +1,188 @@
+"""ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+Makes Language Models Better" §4.1), Spark-first.
+
+The paper removes every substring of >= 50 BPE tokens that appears
+more than once in the corpus (across documents OR repeated inside
+one), built there on a monolithic suffix array. The suffix array
+does not distribute; this module re-expresses the IDENTICAL span
+semantics with an L-gram identity that needs only hash aggregation:
+
+    a token position lies inside some duplicated substring of
+    length >= L  <=>  it is covered by a duplicated L-gram.
+
+(Any shared span of length M >= L is a union of its M - L + 1
+consecutive L-grams, each duplicated; conversely a duplicated L-gram
+IS a duplicated span of length L.) So ExactSubstr = explode every
+L-gram -> global occurrence count -> keep grams with count >= 2 ->
+merge the surviving [pos, pos+L-1] intervals per document into
+maximal spans. Unlike the fixed-grid ``chunk_dedup`` next door, a
+shared span is found at ANY alignment — the case the chunk grid by
+construction misses (pinned in tests/test_r12_ops.py).
+
+The reference engine has no intra-document dedup at all (its unit is
+the whole record, GenerateLabeledPoints.scala:47-111); this is the
+§2.10 capability-gap dedup modality VERDICT r11 item 5 names.
+
+Scale shape — document text NEVER rides a shuffle:
+
+1. one projection renders each doc's token array ONCE (the KN-bigram
+   lesson: never tokenize inside a higher-order-function lambda),
+   then explodes to ``(doc_id, pos, xxhash64(L-gram))`` — 8-byte
+   fingerprints on the wire, not L-token strings (``hash_grams=False``
+   keeps the strings for collision-free runs; a 64-bit collision can
+   only over-mark one gram as duplicated, odds ~(#grams²)/2⁶⁵ — the
+   ``chunk_dedup`` argument);
+2. duplicate detection is ONE map-side-combinable hash agg (a gram
+   repeated a billion times contributes one partial count per input
+   partition), and the survivors join back on the fingerprint — an
+   AQE-splittable shuffle join, never a broadcast of the gram table;
+3. span merge is a per-document window (gaps-and-islands over sorted
+   positions) — bounded by single-document length, never corpus size;
+4. only ``exactsubstr_scrub`` ever moves text: one equi-join of the
+   spans (small) back to the docs table.
+
+vs the suffix array: this finds every duplicated span of length >= L
+exactly, but reports maximal COVERED runs rather than the maximal
+repeated substring itself — exactly what the removal step consumes.
+Work is O(total_tokens · L) compute for the gram render (L-token
+concat per position; a rolling hash would make it O(1)/position at
+the cost of leaving whole-stage codegen) and O(total_tokens) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparklyclean_spark.functions import text as T
+
+
+def _gram_structs(ws: Column, min_len: int) -> Column:
+    """array<struct<pos int, gram string>> of every ``min_len``-token
+    gram (1-based start positions); [] for docs shorter than L."""
+    gen = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - min_len + 1),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.concat_ws(" ", F.slice(ws, i, F.lit(min_len))).alias("gram"),
+        ),
+    )
+    return F.when(
+        F.size(ws) < min_len,
+        F.array().cast("array<struct<pos:int,gram:string>>"),
+    ).otherwise(gen)
+
+
+def _dup_positions(
+    docs: DataFrame, min_len: int, id_col: str, text_col: str, hash_grams: bool
+) -> DataFrame:
+    """(id, pos) of every L-gram whose token sequence occurs >= 2
+    times corpus-wide (across docs or within one)."""
+    ws = docs.select(
+        F.col(id_col).alias("_id"), T.words(text_col).alias("_ws")
+    )
+    g = ws.select(
+        "_id", F.explode(_gram_structs(F.col("_ws"), min_len)).alias("s")
+    ).select(
+        "_id",
+        F.col("s.pos").alias("pos"),
+        (F.xxhash64("s.gram") if hash_grams else F.col("s.gram")).alias("k"),
+    )
+    dup = (
+        g.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= 2)
+        .select("k")
+    )
+    return g.join(dup, "k").select("_id", "pos")
+
+
+def exactsubstr_spans(
+    docs: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Maximal per-document runs of tokens covered by some duplicated
+    substring of >= ``min_len`` tokens (the paper's default 50):
+    ``(doc_id, span_start, span_end, n_tokens)``, positions 1-based
+    inclusive. Docs with no duplicated span emit no row."""
+    hits = _dup_positions(docs, min_len, id_col, text_col, hash_grams)
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    # coverage gap: intervals are [pos, pos+L-1]; a new maximal run
+    # starts when this gram's start exceeds the previous covered end
+    # + 1, i.e. pos - prev > L
+    flag = F.when(
+        prev.isNull() | (F.col("pos") - prev > min_len), F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = hits.withColumn(
+        "_isl",
+        F.sum(flag).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy("_id", "_isl")
+        .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_s").cast("int").alias("span_start"),
+            (F.col("_e") + min_len - 1).cast("int").alias("span_end"),
+            (F.col("_e") - F.col("_s") + min_len).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def exactsubstr_scrub(
+    docs: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """The paper's removal step: drop every token covered by a
+    duplicated >= ``min_len``-token substring, keeping ZERO copies
+    (Lee et al. §4.1 remove-all; the chunk/C4 operators next door are
+    the keep-one-winner family). Output ``(doc_id, n_tokens,
+    n_removed, clean_text)`` for EVERY doc — clean_text is the kept
+    tokens of the engine's token domain re-joined with single spaces
+    (the corpus-normal form every text operator here scores), ''
+    when everything was duplicated or the doc had no tokens."""
+    spans = exactsubstr_spans(docs, min_len, id_col, text_col, hash_grams)
+    covered = spans.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.sequence("span_start", "span_end")).alias("i"),
+    )
+    toks = (
+        docs.select(F.col(id_col).alias("_id"), T.words(text_col).alias("_ws"))
+        .select("_id", F.posexplode("_ws").alias("i0", "tok"))
+        .select("_id", (F.col("i0") + 1).cast("int").alias("i"), "tok")
+    )
+    kept = toks.join(covered, ["_id", "i"], "left_anti")
+    agg = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("_clean"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(T.words(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        base.join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -139,3 +139,84 @@ def test_opq_funnel_beats_plain_on_anisotropic_data(spark):
     # and R is a real rotation applied before training: orthogonal,
     # and the rotated-frame IVF centroids differ from the raw frame's
     assert np.allclose(a[0] @ a[0].T, np.eye(64), atol=1e-10)
+
+
+def test_exactsubstr_finds_span_at_any_alignment(spark):
+    """The ExactSubstr value claim (Lee et al. 2022; VERDICT r11
+    item 5's done-gate): a shared >= L-token span is found regardless
+    of where it sits in either document — the case the fixed-grid
+    chunk dedup misses by construction. Doc 1 carries a 7-token span
+    at positions 4..10; doc 2 carries the same span at 1..7 (different
+    chunk-grid alignment). With L=5 the span is recovered EXACTLY
+    (maximal covered run), and chunk_dedup at width 5 finds no
+    cross-doc duplicate chunk."""
+    from sparklyclean_spark.operators.dedup.chunks import chunk_dedup
+    from sparklyclean_spark.operators.dedup.exactsubstr import (
+        exactsubstr_scrub,
+        exactsubstr_spans,
+    )
+
+    shared = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb cc {shared} dd ee"),
+            (2, f"{shared} xx yy zz qq ww"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_tokens)
+        for r in exactsubstr_spans(docs, min_len=5).collect()
+    }
+    assert spans == {1: (4, 10, 7), 2: (1, 7, 7)}
+
+    # the chunk grid (width 5, offsets 1-5/6-10/...) slices the span
+    # differently in the two docs -> no repeated chunk, nothing found
+    survivors = chunk_dedup(docs, chunk_tokens=5)
+    assert all(r.n_dropped == 0 for r in survivors.collect())
+
+    # remove-all scrub: BOTH occurrences go (paper semantics), the
+    # kept tokens re-join in order
+    scrub = {r.doc_id: (r.n_removed, r.clean_text)
+             for r in exactsubstr_scrub(docs, min_len=5).collect()}
+    assert scrub[1] == (7, "aa bb cc dd ee")
+    assert scrub[2] == (7, "xx yy zz qq ww")
+
+
+def test_exactsubstr_within_doc_repeat_and_merge(spark):
+    """Within-ONE-document repeats count toward the >= 2 occurrence
+    threshold (the paper dedupes within-corpus, not just cross-doc),
+    and overlapping duplicated grams merge into one maximal span.
+    Doc: a 6-token phrase repeated back-to-back -> with L=5 every
+    5-gram inside the 12-token block is duplicated (gram at pos i
+    equals gram at pos i+6), so the maximal span covers all 12."""
+    from sparklyclean_spark.operators.dedup.exactsubstr import (
+        exactsubstr_spans,
+    )
+
+    phrase = "p q r s t u"
+    docs = spark.createDataFrame(
+        [(1, f"intro {phrase} {phrase} outro done")],
+        "doc_id bigint, text string",
+    )
+    spans = [
+        (r.span_start, r.span_end, r.n_tokens)
+        for r in exactsubstr_spans(docs, min_len=5).collect()
+    ]
+    assert spans == [(2, 13, 12)]
+
+
+def test_exactsubstr_hash_path_equals_string_path(spark):
+    """The 100 TB path groups on xxhash64(gram) (8-byte shuffle keys)
+    instead of the L-token string; absent 2^-64 collisions the output
+    is identical — pinned on the sf0.001 fixture corpus."""
+    from tests.conftest import SF_DIR
+
+    from sparklyclean_spark.operators.dedup.exactsubstr import (
+        exactsubstr_spans,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = {tuple(r) for r in exactsubstr_spans(docs, min_len=8).collect()}
+    b = {tuple(r) for r in exactsubstr_spans(docs, min_len=8, hash_grams=False).collect()}
+    assert a == b and a
