@@ -29,7 +29,11 @@ from sparklyclean_spark.operators.bloom import bloom_semi_join
 from sparklyclean_spark.operators.diff import diff_summary
 from sparklyclean_spark.operators.funnel import funnel_steps, funnel_summary
 from sparklyclean_spark.operators.profile import histogram
-from sparklyclean_spark.sources.layout import with_hilbert_key, with_zorder_key
+from sparklyclean_spark.sources.layout import (
+    with_hilbert_key,
+    with_hilbert_key_nd,
+    with_zorder_key,
+)
 from sparklyclean_spark.operators.sketches import (
     cms_freq_audit,
     distinct_rollup,
@@ -1344,12 +1348,13 @@ _DRIVER_CHECK_ORDER = [
     "bucketed_join_orders",
     "multimodal_av_meta",
     "event_transition_matrix",
-    "events_interarrival_stats",
+    "hilbert3_keys_orders",  # NEW r12: n-D Hilbert clustering key (displaced events_interarrival_stats, green r8)
     "exactsubstr_spans",  # NEW r12: ExactSubstr dedup tier (displaced orders_revenue_gini, green r8)
     "exactsubstr_scrub",  # NEW r12: the remove-all scrub step (displaced kfold_docs_by_lang, green r8)
     "ccnet_kn_buckets",  # NEW r12: CCNet terciles on the KN bigram signal (displaced embedding_norm_stats, green r8)
     "opq_ivf_pq_recall",  # NEW r12: OPQ composed into the IVF-PQ funnel (displaced neardup_cluster_stats, green r8)
     # ---- below: recorded in earlier rounds; not in the r12 window ----
+    "events_interarrival_stats",
     "orders_revenue_gini",
     "kfold_docs_by_lang",
     "embedding_norm_stats",
@@ -2205,6 +2210,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).select("o_orderkey", "hkey"),
             table="orders",
         ),
+        # r12 (VERDICT r11 item 6): the n-D generalization — Skilling's
+        # transpose algorithm, so 3-4 clustered columns get the same
+        # neighbor-contiguity win n-D liquid clustering needs (the 2-D
+        # row above keeps the classic xy->d walk and its oracle)
+        "hilbert3_keys_orders": _q(
+            lambda o: with_hilbert_key_nd(
+                o, ["o_custkey", "o_totalprice", "o_orderkey"], bits=8
+            ).select("o_orderkey", "hkey"),
+            table="orders",
+        ),
         # fixed-width per-group value histogram (sparse buckets)
         "histogram_order_prices": _q(
             lambda o: histogram(
@@ -2321,6 +2336,88 @@ def _hilbert_oracle_sql(cols: list[str], bits: int) -> str:
     )
 
 
+def _hilbert_nd_oracle_sql(cols: list[str], bits: int) -> str:
+    """DuckDB twin of ``with_hilbert_key_nd`` (Skilling's transpose
+    algorithm): identical min/max floor ranks, then the SAME loop the
+    Spark side runs — one CTE per (level, i) invert/exchange step
+    (sequential across i, the pair update simultaneous within a
+    step), sequential Gray-encode CTEs, the trailing-correction CTE
+    pair, and the transpose interleave — generated by a Python loop
+    so the two engines unroll ONE algorithm, linear in bits × n."""
+    maxrank = (1 << bits) - 1
+    n = len(cols)
+    hs = [f"h{i}" for i in range(n)]
+
+    def sel(updates: dict[str, str], src: str) -> str:
+        exprs = ", ".join(
+            f"{updates.get(h, h)} AS {h}" if h in updates else h for h in hs
+        )
+        return f"SELECT o_orderkey, {exprs} FROM {src}"
+
+    ranks = ", ".join(
+        f"LEAST(CAST(FLOOR(CASE WHEN (hi_{c} - lo_{c}) > 0 "
+        f"THEN (CAST({c} AS DOUBLE) - lo_{c}) / (hi_{c} - lo_{c}) "
+        f"ELSE 0.0 END * {maxrank + 1}.0) AS BIGINT), {maxrank}) AS h{i}"
+        for i, c in enumerate(cols)
+    )
+    bounds = ", ".join(
+        f"CAST(MIN({c}) AS DOUBLE) AS lo_{c}, CAST(MAX({c}) AS DOUBLE) AS hi_{c}"
+        for c in cols
+    )
+    parts = [
+        f"bounds AS (SELECT {bounds} FROM orders)",
+        f"s0 AS (SELECT o_orderkey, {ranks} FROM orders CROSS JOIN bounds)",
+    ]
+    k = 0
+    for level in range(bits - 1, 0, -1):
+        q = 1 << level
+        p = q - 1
+        for i in range(n):
+            k += 1
+            if i == 0:
+                upd = {
+                    "h0": f"CASE WHEN (h0 & {q}) != 0"
+                    f" THEN xor(h0, {p}) ELSE h0 END"
+                }
+            else:
+                t = f"(xor(h0, h{i}) & {p})"
+                upd = {
+                    "h0": f"CASE WHEN (h{i} & {q}) != 0"
+                    f" THEN xor(h0, {p}) ELSE xor(h0, {t}) END",
+                    f"h{i}": f"CASE WHEN (h{i} & {q}) != 0"
+                    f" THEN h{i} ELSE xor(h{i}, {t}) END",
+                }
+            parts.append(f"s{k} AS ({sel(upd, f's{k - 1}')})")
+    for i in range(1, n):
+        k += 1
+        parts.append(
+            f"s{k} AS ({sel({f'h{i}': f'xor(h{i}, h{i - 1})'}, f's{k - 1}')})"
+        )
+    t_expr = "CAST(0 AS BIGINT)"
+    for level in range(bits - 1, 0, -1):
+        t_expr = (
+            f"xor({t_expr}, CASE WHEN ((h{n - 1} >> {level}) & 1) != 0"
+            f" THEN {(1 << level) - 1} ELSE 0 END)"
+        )
+    parts.append(
+        f"tt AS (SELECT o_orderkey, {', '.join(hs)}, {t_expr} AS t FROM s{k})"
+    )
+    parts.append(
+        "fin AS (SELECT o_orderkey, "
+        + ", ".join(f"xor(h{i}, t) AS h{i}" for i in range(n))
+        + " FROM tt)"
+    )
+    terms = " | ".join(
+        f"(((h{i} >> {j}) & 1) << {j * n + (n - 1 - i)})"
+        for j in range(bits)
+        for i in range(n)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT o_orderkey, CAST({terms} AS BIGINT) AS hkey FROM fin"
+    )
+
+
 def _zorder_oracle_sql(cols: list[str], bits: int) -> str:
     """Generate the DuckDB twin of ``with_zorder_key``: identical
     min/max floor scaling, then the bit interleave written out as
@@ -2356,6 +2453,9 @@ def _zorder_oracle_sql(cols: list[str], bits: int) -> str:
 
 
 _ZORDER_ORDERS_SQL = _zorder_oracle_sql(["o_custkey", "o_totalprice"], bits=8)
+_HILBERT3_ORDERS_SQL = _hilbert_nd_oracle_sql(
+    ["o_custkey", "o_totalprice", "o_orderkey"], bits=8
+)
 _HILBERT_ORDERS_SQL = _hilbert_oracle_sql(["o_custkey", "o_totalprice"], bits=8)
 
 
@@ -5367,6 +5467,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_keys_orders": _ZORDER_ORDERS_SQL,
         "hilbert_keys_orders": _HILBERT_ORDERS_SQL,
+        "hilbert3_keys_orders": _HILBERT3_ORDERS_SQL,
         "diff_orders_snapshots": """
             WITH l AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
             r AS (

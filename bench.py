@@ -222,6 +222,9 @@ def main() -> None:
         # spans + the remove-all scrub
         "exactsubstr_spans",
         "exactsubstr_scrub",
+        # r12: n-D Hilbert key (Skilling transpose) next to the 2-D
+        # walk and Morton rows already benched
+        "hilbert3_keys_orders",
     ]
 
     def run_once(name: str) -> float:

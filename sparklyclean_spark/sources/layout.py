@@ -161,6 +161,114 @@ def with_hilbert_key(
     return out
 
 
+def with_hilbert_key_nd(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    key_name: str = "hkey",
+) -> DataFrame:
+    """n-D Hilbert clustering key (VERDICT r11 item 6 — lakehouse
+    liquid clustering is n-D, and the 2-D ``with_hilbert_key`` fell
+    back to Z-order beyond two columns): Skilling's transpose
+    algorithm ("Programming the Hilbert curve", AIP Conf. Proc. 707,
+    2004 — the compact public-domain n-D form), which maps the n rank
+    coordinates in place with two bit-level passes (per-level
+    invert/exchange "inverse undo", then Gray encode + the trailing
+    correction) so that the plain bit-interleave of the transformed
+    coordinates IS the Hilbert index. Verified properties (pytest,
+    n=3): the key is a bijection on the grid and CONSECUTIVE keys are
+    always grid neighbors — the defining Hilbert property Morton
+    lacks, which is exactly what tightens per-file min/max boxes.
+
+    Same discipline as the 2-D walk: ``_scale`` ranks (floor
+    arithmetic, NULLs pinned to rank 0), one 1-row bounds aggregate
+    broadcast back, and the per-level state advances through a
+    ``withColumns`` chain — ``bits`` × n Projects, each expression
+    pure shift/xor/and codegen arithmetic, no UDF, plan LINEAR in
+    ``bits``. The i=0 step of each level only carries the invert
+    branch (the exchange with itself is the identity). n=2 reproduces
+    a Hilbert curve too (orientation differs from the classic xy→d
+    walk — both are THE curve up to isometry); the 2-D operator stays
+    as-is for its established oracle contract.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("hilbert_nd needs >= 2 columns")
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} interleaved bits"
+            " exceeds the 63 available in a signed 64-bit key; lower"
+            f" bits to <= {63 // n}"
+        )
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    bounds = df.agg(*aggs)
+    based = df.crossJoin(F.broadcast(bounds))
+    cur = based.withColumns({
+        f"_h{i}": _scale(
+            F.col(c), F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits
+        )
+        for i, c in enumerate(cols)
+    })
+    # inverse undo: levels Q = 2^(bits-1) .. 2; within a level the
+    # i-loop is SEQUENTIAL (X[0] updates feed the next i), so each i
+    # is its own Project; the (X[0], X[i]) pair updates inside one i
+    # are simultaneous (both read pre-step values), matching the C
+    # form where t is computed before either ^=
+    for level in range(bits - 1, 0, -1):
+        q = 1 << level
+        p = q - 1
+        for i in range(n):
+            x0 = F.col("_h0")
+            xi = F.col(f"_h{i}")
+            inv = xi.bitwiseAND(F.lit(q)) != 0
+            if i == 0:
+                cur = cur.withColumns({
+                    "_h0": F.when(inv, x0.bitwiseXOR(F.lit(p))).otherwise(x0)
+                })
+            else:
+                t = (x0.bitwiseXOR(xi)).bitwiseAND(F.lit(p))
+                cur = cur.withColumns({
+                    "_h0": F.when(inv, x0.bitwiseXOR(F.lit(p))).otherwise(
+                        x0.bitwiseXOR(t)
+                    ),
+                    f"_h{i}": F.when(inv, xi).otherwise(xi.bitwiseXOR(t)),
+                })
+    # Gray encode (sequential: X[i] ^= updated X[i-1])
+    for i in range(1, n):
+        cur = cur.withColumns({
+            f"_h{i}": F.col(f"_h{i}").bitwiseXOR(F.col(f"_h{i - 1}"))
+        })
+    # trailing correction: t = xor of (2^level - 1) over set high bits
+    # of X[n-1]; all X[i] ^= t — one simultaneous Project (every
+    # expression reads the pre-update X[n-1])
+    t_expr = F.lit(0).cast("bigint")
+    for level in range(bits - 1, 0, -1):
+        bit = F.shiftright(F.col(f"_h{n - 1}"), level).bitwiseAND(F.lit(1))
+        t_expr = t_expr.bitwiseXOR(
+            F.when(bit != 0, F.lit((1 << level) - 1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    cur = cur.withColumns({
+        f"_h{i}": F.col(f"_h{i}").bitwiseXOR(t_expr) for i in range(n)
+    })
+    # transpose interleave: bit j of X[i] lands at j*n + (n-1-i) —
+    # X[0] owns the most significant bit of each n-bit digit
+    terms = []
+    for j in range(bits):
+        for i in range(n):
+            bit = F.shiftright(F.col(f"_h{i}"), j).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, j * n + (n - 1 - i)))
+    key = reduce(lambda a, c: a.bitwiseOR(c), terms)
+    return cur.withColumn(key_name, key.cast("bigint")).drop(
+        *[f"_h{i}" for i in range(n)],
+        *[f"_lo_{c}" for c in cols],
+        *[f"_hi_{c}" for c in cols],
+    )
+
+
 def write_hilbert_clustered(
     df: DataFrame,
     path: str,
@@ -171,6 +279,26 @@ def write_hilbert_clustered(
     """Cluster ``df`` into ``num_files`` parquet files by Hilbert order
     over two columns — ``write_zordered`` with the tighter curve."""
     keyed = with_hilbert_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(num_files, "hkey")
+        .sortWithinPartitions("hkey")
+        .drop("hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_hilbert_nd_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int,
+    bits: int = 8,
+) -> None:
+    """Cluster ``df`` into ``num_files`` parquet files by n-D Hilbert
+    order (``with_hilbert_key_nd``) — ``write_hilbert_clustered``
+    beyond two columns."""
+    keyed = with_hilbert_key_nd(df, cols, bits)
     (
         keyed.repartitionByRange(num_files, "hkey")
         .sortWithinPartitions("hkey")

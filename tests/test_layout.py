@@ -166,3 +166,115 @@ def test_hilbert_write_skips_files_on_either_dimension(spark, tmp_path_factory):
         )
     )
     assert fbox <= 4, fbox
+
+
+def _axes_to_hilbert_nd(coords, b, n):
+    """Skilling's AxesToTranspose (AIP CP707, 2004) + transpose
+    interleave — the published reference the Column unroll must
+    reproduce bit-for-bit."""
+    X = list(coords)
+    Q = 1 << (b - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            if X[i] & Q:
+                X[0] ^= P
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0] ^= t
+                X[i] ^= t
+        Q >>= 1
+    for i in range(1, n):
+        X[i] ^= X[i - 1]
+    t = 0
+    Q = 1 << (b - 1)
+    while Q > 1:
+        if X[n - 1] & Q:
+            t ^= Q - 1
+        Q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    h = 0
+    for j in range(b):
+        for i in range(n):
+            h |= ((X[i] >> j) & 1) << (j * n + (n - 1 - i))
+    return h
+
+
+def test_hilbert_nd_matches_reference_and_is_a_curve(spark):
+    """r12 (VERDICT r11 item 6): the n-D Column unroll must equal
+    Skilling's published algorithm on the full 4x4x4 grid, and the
+    key must be a bijection whose consecutive keys are grid NEIGHBORS
+    — the defining Hilbert property, in 3-D."""
+    import itertools
+
+    from sparklyclean_spark.sources.layout import with_hilbert_key_nd
+
+    bits, side, n = 2, 4, 3
+    rows = list(itertools.product(range(side), repeat=n))
+    df = spark.createDataFrame(rows, "x int, y int, z int")
+    out = {
+        (r.x, r.y, r.z): r.hkey
+        for r in with_hilbert_key_nd(df, ["x", "y", "z"], bits=bits).collect()
+    }
+    ref = {c: _axes_to_hilbert_nd(c, bits, n) for c in rows}
+    assert out == ref
+    inv = {d: c for c, d in ref.items()}
+    assert len(inv) == side**n  # bijection
+    for d in range(side**n - 1):
+        a, b = inv[d], inv[d + 1]
+        assert sum(abs(p - q) for p, q in zip(a, b)) == 1  # unit steps
+
+
+def test_hilbert_nd_write_skips_files_vs_zorder_3d(spark, tmp_path_factory):
+    """File-skipping parity on a 3-D grid (the done-gate): clustered
+    into the same 16 files over a 32^3 grid, the n-D Hilbert layout
+    must prune the 3-D box predicate at least as well as Z-order
+    (measured 1 vs 2 files) and stay at band parity on each single
+    dimension (Morton's diagonal jumps inflate its boxes; Hilbert
+    ranges are contiguous cubes)."""
+    from sparklyclean_spark.sources.layout import (
+        write_hilbert_nd_clustered,
+        write_zordered,
+    )
+
+    base = str(tmp_path_factory.mktemp("hilbert3"))
+    side = 32
+    grid = spark.range(side**3).select(
+        (F.col("id") % side).alias("x"),
+        ((F.col("id") / side).cast("bigint") % side).alias("y"),
+        (F.col("id") / (side * side)).cast("bigint").alias("z"),
+        F.col("id").alias("payload"),
+    )
+    write_hilbert_nd_clustered(grid, base + "/h", ["x", "y", "z"], num_files=16, bits=5)
+    write_zordered(grid, base + "/z", ["x", "y", "z"], num_files=16, bits=5)
+
+    def ft(df):
+        return df.select(F.input_file_name().alias("f")).distinct().count()
+
+    h = spark.read.parquet(base + "/h")
+    z = spark.read.parquet(base + "/z")
+    assert ft(h) == 16 and ft(z) == 16
+
+    def box(d):
+        return d.where(
+            (F.col("x") >= 8) & (F.col("x") < 16)
+            & (F.col("y") >= 8) & (F.col("y") < 16)
+            & (F.col("z") >= 8) & (F.col("z") < 16)
+        )
+
+    assert ft(box(h)) <= ft(box(z))
+    assert ft(box(h)) <= 2
+    for c in ("x", "y", "z"):
+        band = h.where((F.col(c) >= 10) & (F.col(c) < 14))
+        assert ft(band) <= 10, c
+
+
+def test_hilbert_nd_rejects_bad_shapes(spark):
+    from sparklyclean_spark.sources.layout import with_hilbert_key_nd
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a int, b int, c int, d int")
+    with pytest.raises(ValueError, match=">= 2"):
+        with_hilbert_key_nd(df, ["a"])
+    with pytest.raises(ValueError, match="exceeds the 63"):
+        with_hilbert_key_nd(df, ["a", "b", "c", "d"], bits=16)
