@@ -1,4 +1,7 @@
-"""Controlled A/B for the r9 bench drift cluster (VERDICT r9 item 2).
+"""Controlled same-session A/B for bench drift clusters (first used
+for the r9 cluster, VERDICT r9 item 2; r12 defaults target the six
+rows the r11 closing bench flagged at 1.5-2.1x of r10 — all on code
+untouched in r11, VERDICT r11 item 7).
 
 Hypothesis space: (a) box noise / hypervisor stalls, (b) session
 composition (the r9 bench ran 50 queries vs r8's 42 — JIT profile
@@ -28,13 +31,14 @@ import sys
 import time
 
 OUTLIERS = [
-    "dedup_pairs_disdedup_customer",
-    "events_cohort_retention",
-    "neardup_minhash_lsh_exploded",
-    "events_session_windows",
+    # r12 defaults: the six rows the final r11 session flagged at
+    # 1.5-2.1x of r10 with zero r11 diffs in their files
+    "heavy_hitters_orders",
+    "brand_cooccurrence_lift",
     "neardup_containment",
-    "neardup_simhash_md5",
-    "sketch_distinct_users_daily",
+    "dq_orders_constraints",
+    "event_transition_matrix",
+    "text_bigram_pmi",
 ]
 PRELUDE_A = [
     "q1_pricing_summary",
@@ -91,11 +95,21 @@ def main() -> None:
             for n in OUTLIERS:
                 results[n][ctx].append(run(n))
 
-    r8 = json.load(open("/root/repo/BENCH_r08.json"))
-    r9 = json.load(open("/root/repo/BENCH_r09.json"))
-    q8 = (r8.get("parsed") or r8)["queries"]
-    q9 = (r9.get("parsed") or r9)["queries"]
-    print(f"\n{'query':34s} {'r8':>6s} {'r9':>6s} {'medA':>6s} {'medB':>6s} raw")
+    def load_queries(path):
+        d = json.load(open(path))
+        src_ = d.get("parsed") or d
+        if "queries" in src_:
+            return src_["queries"]
+        # driver artifacts sometimes ship a truncated tail with
+        # parsed=None (BENCH_r11.json); the builder's own BENCH_RAW
+        # carries the same session's full record
+        return None
+
+    q8 = load_queries("/root/repo/BENCH_r10.json")
+    q9 = load_queries("/root/repo/BENCH_r11.json") or load_queries(
+        "/root/repo/BENCH_RAW.json"
+    )
+    print(f"\n{'query':34s} {'r10':>6s} {'r11':>6s} {'medA':>6s} {'medB':>6s} raw")
     verdicts = []
     for n in OUTLIERS:
         a, b = results[n]["A"], results[n]["B"]
@@ -107,9 +121,9 @@ def main() -> None:
         base = q8.get(n)
         if base:
             verdicts.append((n, min(ma, mb) / base, mb / ma if ma else float("nan")))
-    print("\nper-query: best-median/r8 (<=1.3 clears the bar), B/A context ratio")
+    print("\nper-query: best-median/r10 (<=1.2 clears the r12 bar), B/A context ratio")
     for n, vs_r8, b_over_a in verdicts:
-        print(f"  {n}: vs_r8={vs_r8:.2f}x  B/A={b_over_a:.2f}x")
+        print(f"  {n}: vs_r10={vs_r8:.2f}x  B/A={b_over_a:.2f}x")
 
 
 if __name__ == "__main__":
