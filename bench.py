@@ -225,6 +225,12 @@ def main() -> None:
         # r12: n-D Hilbert key (Skilling transpose) next to the 2-D
         # walk and Morton rows already benched
         "hilbert3_keys_orders",
+        # r12: the last TPC-H shape (correlated EXISTS)
+        "q4_priority_late_ship",
+        # r12: the complete FAISS stack (OPQ + residual IVF-PQ +
+        # refine) and the corpus dup-burden rollup
+        "opq_ivf_pq_refine_recall",
+        "exactsubstr_stats",
     ]
 
     def run_once(name: str) -> float:

@@ -186,3 +186,45 @@ def exactsubstr_scrub(
             F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def exactsubstr_stats(
+    docs: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """One-row corpus report of the duplicated-substring burden (the
+    number the paper leads with — what fraction of the corpus is
+    >= min_len-token duplicated text): ``(n_docs, docs_with_spans,
+    total_tokens, dup_tokens, dup_token_share)``; share floor-snapped
+    to 4 decimals (the engine-portable ratio contract)."""
+    spans = exactsubstr_spans(docs, min_len, id_col, text_col, hash_grams)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("n_tokens").alias("_dup")
+    )
+    base = docs.select(
+        F.col(id_col).alias(id_col),
+        F.size(T.words(text_col)).cast("bigint").alias("_n"),
+    )
+    j = base.join(per_doc, id_col, "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("_dup").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("docs_with_spans"),
+        F.sum("_n").cast("bigint").alias("total_tokens"),
+        F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("bigint").alias("dup_tokens"),
+    ).select(
+        "n_docs",
+        "docs_with_spans",
+        "total_tokens",
+        "dup_tokens",
+        (
+            F.floor(
+                F.col("dup_tokens") * 10000.0 / F.col("total_tokens") + 0.5
+            )
+            / 10000.0
+        ).alias("dup_token_share"),
+    )

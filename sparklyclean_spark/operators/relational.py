@@ -703,6 +703,39 @@ def q11_important_nations(t: dict[str, DataFrame], fraction: float = 0.04) -> Da
     )
 
 
+def q4_priority_late_ship(t: dict[str, DataFrame]) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape — the correlated
+    EXISTS rung, the last of the 22 shapes): count orders per
+    priority in a one-year band where EXISTS a lineitem of the order
+    that shipped more than 60 days after the order date. The
+    published Q4 predicate is l_commitdate < l_receiptdate; the
+    driver's synthetic lineitem carries neither column, so the
+    lateness predicate is re-expressed on l_shipdate vs o_orderdate —
+    the SHAPE (date-banded fact, correlated existential on the child
+    fact, group on the enum) is what the rung exercises.
+
+    Scale: the EXISTS compiles to a LEFT SEMI hash join on the order
+    key (the non-equi lateness term stays a join residual, never a
+    cartesian); one map-combinable count per priority after. 100 TB:
+    both sides shuffle on the join key — AQE-splittable.
+    """
+    o, l = t["orders"], t["lineitem"]
+    band = o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    late = band.join(
+        l,
+        (band.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > band.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
 def q12_priority_by_status(t: dict[str, DataFrame]) -> DataFrame:
     """Conditional-count split per line status (TPC-H Q12 shape:
     CASE-aggregation after a fact-fact join, date-banded)."""
