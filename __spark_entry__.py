@@ -701,6 +701,26 @@ def _decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap(docs, bench, n=3, threshold=0.5)
 
 
+def _exactsubstr_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact leaked-span scan (r12): train = docs with doc_id % 5 != 0,
+    benchmark = the % 5 == 0 subset (the _decontam_overlap split
+    pattern, widened so cross-split dup structure exists — 13 spans at
+    sf0.01); every maximal >= 20-token train span whose text also
+    occurs in the benchmark, at any alignment. The fuzzy 3-gram
+    fraction row (`decontam_overlap`) scores; this one pins WHERE the
+    leak is — the pair of hygiene passes a pretraining pipeline runs."""
+    from sparklyclean_spark.operators.dedup.exactsubstr import (
+        exactsubstr_decontam,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return exactsubstr_decontam(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        min_len=20,
+    )
+
+
 def _neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest dedup: docs with doc_id % 10 == 0 play the new
     shard; the rest are the pre-indexed corpus (band buckets +
@@ -1320,10 +1340,10 @@ _DRIVER_CHECK_ORDER = [
     # the r11 approx row, swapped in per VERDICT r11 wrong-item 1
     # so the slot certifies a hashable plan; the approx row parks with
     # the other rows-only rows) + the ENTIRE 31-row r7 cohort (after
-    # this round no row's newest green predates r8) + the 8 r12
+    # this round no row's newest green predates r8) + the 9 r12
     # debuts (every new oracled row in the window at debut; the one
     # rows-only debut, ccnet_kn_buckets_approx, parks below — the
-    # window burns no slot on a row that cannot hash) + the 8 head
+    # window burns no slot on a row that cannot hash) + the 7 head
     # rows of the r8 cohort (the debuts displaced the r8 tail, each
     # displacement commented in place; every displaced row carries a
     # green r8 record).
@@ -1364,14 +1384,14 @@ _DRIVER_CHECK_ORDER = [
     "quantile_transform_prices",
     "trimmed_mean_order_prices",
     "text_char_entropy",
-    "pack_training_sequences",  # r8 cohort head (8 slots after debut displacement)
+    "pack_training_sequences",  # r8 cohort head (7 slots after debut displacement)
     "q12_priority_by_status",
     "text_repetition_signals",
     "knn_ivf_recall",
     "embedding_cell_balance",
     "text_bigram_pmi",
     "mi_lang_source",
-    "pagerank_containment_graph",
+    "exactsubstr_decontam",  # NEW r12: span-level train/eval leakage (displaced pagerank_containment_graph, green r8)
     "q4_priority_late_ship",  # NEW r12: the correlated-EXISTS rung, TPC-H 22/22 (displaced multimodal_av_meta, green r8)
     "opq_ivf_pq_refine_recall",  # NEW r12: the complete FAISS stack row (displaced event_transition_matrix, green r8)
     "hilbert3_keys_orders",  # NEW r12: n-D Hilbert clustering key (displaced events_interarrival_stats, green r8)
@@ -1381,6 +1401,7 @@ _DRIVER_CHECK_ORDER = [
     "ccnet_kn_buckets",  # NEW r12: CCNet terciles on the KN bigram signal (displaced embedding_norm_stats, green r8)
     "opq_ivf_pq_recall",  # NEW r12: OPQ composed into the IVF-PQ funnel (displaced neardup_cluster_stats, green r8)
     # ---- below: recorded in earlier rounds; not in the r12 window ----
+    "pagerank_containment_graph",
     "multimodal_av_meta",
     "event_transition_matrix",
     "bucketed_join_orders",
@@ -2085,6 +2106,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_stats": _q(
             ES.exactsubstr_stats, min_len=20, table="documents"
         ),
+        # span-level train/eval leakage (the ngram_overlap row's exact
+        # sibling): benchmark = doc_id % 5 == 0, gram set broadcast
+        "exactsubstr_decontam": _exactsubstr_decontam,
         # r8: span-level winnowing fingerprints (SIGMOD'03 / MOSS) —
         # position-aware copy signatures next to the set-based family
         "text_winnowing_fp": _q(TD.winnowing_fingerprints, table="documents"),
@@ -5121,6 +5145,41 @@ def oracle_sql() -> dict[str, str]:
                    floor(SUM(COALESCE(dup, 0)) * 10000.0 / SUM(n) + 0.5)
                        / 10000.0 AS dup_token_share
             FROM j
+        """,
+        # r12: exact leaked spans vs the %5 benchmark split
+        "exactsubstr_decontam": f"""
+            WITH t AS MATERIALIZED (
+                SELECT doc_id, {_TOKS_SQL} AS ws FROM documents),
+            g AS MATERIALIZED (
+                SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 range(1, GREATEST(len(ws) - 20 + 1, 0) + 1),
+                                 i -> {{'pos': i,
+                                       'gram': array_to_string(
+                                           list_transform(range(i, i + 20),
+                                                          j -> ws[j]), ' ')}})) AS s
+                      FROM t)
+            ),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0),
+            h AS (SELECT doc_id, pos FROM g
+                  WHERE doc_id % 5 != 0
+                    AND gram IN (SELECT gram FROM bg)),
+            isl AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN prev IS NULL OR pos - prev > 20
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM (SELECT doc_id, pos,
+                             LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS prev
+                      FROM h)
+            )
+            SELECT doc_id,
+                   CAST(MIN(pos) AS INT) AS span_start,
+                   CAST(MAX(pos) + 20 - 1 AS INT) AS span_end,
+                   CAST(MAX(pos) - MIN(pos) + 20 AS INT) AS n_tokens
+            FROM isl GROUP BY doc_id, island
         """,
         "neardup_token_jaccard": f"""
             WITH t AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents)

@@ -231,6 +231,8 @@ def main() -> None:
         # refine) and the corpus dup-burden rollup
         "opq_ivf_pq_refine_recall",
         "exactsubstr_stats",
+        # r12: span-level train/eval leakage scan
+        "exactsubstr_decontam",
     ]
 
     def run_once(name: str) -> float:

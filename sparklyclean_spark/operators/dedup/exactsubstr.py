@@ -228,3 +228,64 @@ def exactsubstr_stats(
             / 10000.0
         ).alias("dup_token_share"),
     )
+
+
+def exactsubstr_decontam(
+    train: DataFrame,
+    benchmark: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Span-level train/eval decontamination (Lee et al. 2022 apply
+    exact-substring matching to benchmark leakage; the fuzzier
+    ``decontam.ngram_overlap`` next door scores distinct-3-gram
+    FRACTIONS — this pins the exact leaked spans): maximal runs of
+    train-document tokens covered by some >= ``min_len``-token
+    substring that ALSO occurs in the benchmark, at any alignment.
+    Output is `exactsubstr_spans`' contract over the TRAIN side.
+
+    Scale shape: the benchmark is small relative to a 100 TB corpus
+    (eval sets are thousands of docs), so its distinct gram-key set
+    builds in one pass and BROADCASTS into the train-side scan — the
+    only corpus-wide shuffle left is the per-doc span-merge window.
+    Same 8-byte xxhash64 keys / string-identity-oracle split as the
+    in-corpus operator.
+    """
+    tg = train.select(
+        F.col(id_col).alias("_id"), T.words(text_col).alias("_ws")
+    ).select(
+        "_id", F.explode(_gram_structs(F.col("_ws"), min_len)).alias("s")
+    ).select(
+        "_id",
+        F.col("s.pos").alias("pos"),
+        (F.xxhash64("s.gram") if hash_grams else F.col("s.gram")).alias("k"),
+    )
+    bg = benchmark.select(T.words(text_col).alias("_ws")).select(
+        F.explode(_gram_structs(F.col("_ws"), min_len)).alias("s")
+    ).select(
+        (F.xxhash64("s.gram") if hash_grams else F.col("s.gram")).alias("k")
+    ).distinct()
+    hits = tg.join(F.broadcast(bg), "k").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flag = F.when(
+        prev.isNull() | (F.col("pos") - prev > min_len), F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = hits.withColumn(
+        "_isl",
+        F.sum(flag).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy("_id", "_isl")
+        .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_s").cast("int").alias("span_start"),
+            (F.col("_e") + min_len - 1).cast("int").alias("span_end"),
+            (F.col("_e") - F.col("_s") + min_len).cast("int").alias("n_tokens"),
+        )
+    )

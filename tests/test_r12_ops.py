@@ -220,3 +220,31 @@ def test_exactsubstr_hash_path_equals_string_path(spark):
     a = {tuple(r) for r in exactsubstr_spans(docs, min_len=8).collect()}
     b = {tuple(r) for r in exactsubstr_spans(docs, min_len=8, hash_grams=False).collect()}
     assert a == b and a
+
+
+def test_exactsubstr_decontam_cross_table_alignment(spark):
+    """Span-level decontamination: a benchmark phrase leaked into a
+    train doc is pinned at its exact train-side location regardless
+    of alignment, and train-internal duplication (both copies on the
+    train side, absent from the benchmark) does NOT flag."""
+    from sparklyclean_spark.operators.dedup.exactsubstr import (
+        exactsubstr_decontam,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta"
+    train = spark.createDataFrame(
+        [
+            (1, f"t1 t2 t3 {leak} t4"),          # leaked at pos 4..9
+            (2, "r r2 r3 r4 r5 r r2 r3 r4 r5"),  # train-internal dup only
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"{leak} unrelated tail words")],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_tokens)
+        for r in exactsubstr_decontam(train, bench, min_len=5).collect()
+    }
+    assert spans == {1: (4, 9, 6)}
