@@ -109,6 +109,14 @@ def main() -> None:
     q9 = load_queries("/root/repo/BENCH_r11.json") or load_queries(
         "/root/repo/BENCH_RAW.json"
     )
+    # fail FAST on a malformed baseline (r12 review finding: an
+    # unguarded q8=None crashed only AFTER the full benchmark ran)
+    if q8 is None or q9 is None:
+        raise SystemExit(
+            "baseline bench artifact unparseable (parsed=None and no"
+            " queries key) — fix the artifact before burning minutes"
+            " of benchmark passes"
+        )
     print(f"\n{'query':34s} {'r10':>6s} {'r11':>6s} {'medA':>6s} {'medB':>6s} raw")
     verdicts = []
     for n in OUTLIERS:

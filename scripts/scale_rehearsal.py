@@ -350,23 +350,36 @@ for label, corpus, thr, kw in (
 # The word-freq collect is O(|vocab|) regardless of corpus bytes; if
 # the corpus's pair supply exhausts before 32k the trainer stops and
 # merges_produced records the honest count.
-import resource  # noqa: E402
-
 from sparklyclean_spark.operators.text_analysis import bpe_merge_table_local  # noqa: E402
 
+
+def _current_rss_mb() -> float:
+    """CURRENT resident set from /proc/self/statm — ru_maxrss is the
+    process-LIFETIME peak, which in this multi-arm script attributes
+    whichever earlier arm peaked highest to the arm being measured
+    (r12 review finding). Before/after current-RSS readings bound the
+    arm's own footprint; the standalone fresh-process run recorded in
+    README is the clean peak measurement."""
+    import os
+
+    with open("/proc/self/statm") as fh:
+        pages = int(fh.read().split()[1])
+    return pages * os.sysconf("SC_PAGE_SIZE") / (1024.0 * 1024.0)
+
+
 docs_sf = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-rss0_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+rss0_mb = _current_rss_mb()
 t0 = time.time()
 bpe32k = bpe_merge_table_local(docs_sf, n_merges=32768)
 n_merges_out = bpe32k.count()
 wall = time.time() - t0
-rss1_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+rss1_mb = _current_rss_mb()
 results["bpe_trainer_32k_sf01"] = {
     "merge_budget": 32768,
     "merges_produced": int(n_merges_out),
     "wall_sec": round(wall, 1),
-    "peak_driver_rss_mb": round(rss1_kb / 1024.0, 1),
-    "rss_growth_mb": round((rss1_kb - rss0_kb) / 1024.0, 1),
+    "rss_before_mb": round(rss0_mb, 1),
+    "rss_after_mb": round(rss1_mb, 1),
 }
 print(json.dumps({"bpe_trainer_32k_sf01": results["bpe_trainer_32k_sf01"]}), file=sys.stderr)
 
@@ -389,15 +402,17 @@ salted = docs_sf.select(
         ),
     ).alias("text"),
 )
+rss0_mb = _current_rss_mb()
 t0 = time.time()
 n_merges_out = bpe_merge_table_local(salted, n_merges=32768).count()
 wall = time.time() - t0
-rss2_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+rss1_mb = _current_rss_mb()
 results["bpe_trainer_32k_salted_vocab"] = {
     "merge_budget": 32768,
     "merges_produced": int(n_merges_out),
     "wall_sec": round(wall, 1),
-    "peak_driver_rss_mb": round(rss2_kb / 1024.0, 1),
+    "rss_before_mb": round(rss0_mb, 1),
+    "rss_after_mb": round(rss1_mb, 1),
 }
 print(json.dumps({"bpe_trainer_32k_salted_vocab": results["bpe_trainer_32k_salted_vocab"]}), file=sys.stderr)
 

@@ -73,42 +73,37 @@ def _gram_structs(ws: Column, min_len: int) -> Column:
     ).otherwise(gen)
 
 
-def _dup_positions(
-    docs: DataFrame, min_len: int, id_col: str, text_col: str, hash_grams: bool
-) -> DataFrame:
-    """(id, pos) of every L-gram whose token sequence occurs >= 2
-    times corpus-wide (across docs or within one)."""
-    ws = docs.select(
+def _ws_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """ONE tokenized projection (_id, _ws) every downstream subtree
+    derives from — the KN-bigram lesson (tokenize once, never inside
+    a lambda), applied at the DataFrame level too (r12 review
+    finding: scrub/stats previously re-tokenized the corpus per
+    subtree)."""
+    return docs.select(
         F.col(id_col).alias("_id"), T.words(text_col).alias("_ws")
     )
-    g = ws.select(
+
+
+def _gram_keys(ws: DataFrame, min_len: int, hash_grams: bool) -> DataFrame:
+    """(_id, pos, k): every L-gram occurrence keyed by xxhash64 (the
+    8-byte shuffle key of the scale path) or the gram string (the
+    collision-free / oracle-identity form)."""
+    return ws.select(
         "_id", F.explode(_gram_structs(F.col("_ws"), min_len)).alias("s")
     ).select(
         "_id",
         F.col("s.pos").alias("pos"),
         (F.xxhash64("s.gram") if hash_grams else F.col("s.gram")).alias("k"),
     )
-    dup = (
-        g.groupBy("k")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .where(F.col("_c") >= 2)
-        .select("k")
-    )
-    return g.join(dup, "k").select("_id", "pos")
 
 
-def exactsubstr_spans(
-    docs: DataFrame,
-    min_len: int = 50,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    hash_grams: bool = True,
+def _spans_from_hits(
+    hits: DataFrame, min_len: int, id_col: str
 ) -> DataFrame:
-    """Maximal per-document runs of tokens covered by some duplicated
-    substring of >= ``min_len`` tokens (the paper's default 50):
-    ``(doc_id, span_start, span_end, n_tokens)``, positions 1-based
-    inclusive. Docs with no duplicated span emit no row."""
-    hits = _dup_positions(docs, min_len, id_col, text_col, hash_grams)
+    """Gaps-and-islands merge of duplicated-gram positions into
+    maximal covered runs — the ONE span-merge tail shared by the
+    in-corpus and cross-table operators (r12 review finding: a copy
+    had started to drift)."""
     w = Window.partitionBy("_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     # coverage gap: intervals are [pos, pos+L-1]; a new maximal run
@@ -135,6 +130,77 @@ def exactsubstr_spans(
     )
 
 
+def _dup_positions(ws: DataFrame, min_len: int, hash_grams: bool) -> DataFrame:
+    """(_id, pos) of every L-gram whose token sequence occurs >= 2
+    times corpus-wide (across docs or within one). The gram subtree
+    feeds both the count agg and the join-back probe — the same
+    deliberate 2x-linear scan trade as unigram_cross_entropy (build
+    the dup set, probe it), with the render kept cheap by the 8-byte
+    key."""
+    g = _gram_keys(ws, min_len, hash_grams)
+    dup = (
+        g.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= 2)
+        .select("k")
+    )
+    return g.join(dup, "k").select("_id", "pos")
+
+
+def exactsubstr_spans(
+    docs: DataFrame,
+    min_len: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Maximal per-document runs of tokens covered by some duplicated
+    substring of >= ``min_len`` tokens (the paper's default 50):
+    ``(doc_id, span_start, span_end, n_tokens)``, positions 1-based
+    inclusive. Docs with no duplicated span emit no row."""
+    ws = _ws_df(docs, id_col, text_col)
+    return _spans_from_hits(
+        _dup_positions(ws, min_len, hash_grams), min_len, id_col
+    )
+
+
+def _scrub_from_ws(
+    ws: DataFrame, spans: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared removal tail: drop covered token positions, re-join the
+    kept tokens in order, emit a row for EVERY doc."""
+    covered = spans.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.sequence("span_start", "span_end")).alias("i"),
+    )
+    toks = ws.select(
+        "_id", F.posexplode("_ws").alias("i0", "tok")
+    ).select("_id", (F.col("i0") + 1).cast("int").alias("i"), "tok")
+    kept = toks.join(covered, ["_id", "i"], "left_anti")
+    agg = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("_clean"),
+    )
+    base = ws.select("_id", F.size("_ws").cast("bigint").alias("n_tokens"))
+    return (
+        base.join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def exactsubstr_scrub(
     docs: DataFrame,
     min_len: int = 50,
@@ -150,42 +216,11 @@ def exactsubstr_scrub(
     tokens of the engine's token domain re-joined with single spaces
     (the corpus-normal form every text operator here scores), ''
     when everything was duplicated or the doc had no tokens."""
-    spans = exactsubstr_spans(docs, min_len, id_col, text_col, hash_grams)
-    covered = spans.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.sequence("span_start", "span_end")).alias("i"),
+    ws = _ws_df(docs, id_col, text_col)
+    spans = _spans_from_hits(
+        _dup_positions(ws, min_len, hash_grams), min_len, id_col
     )
-    toks = (
-        docs.select(F.col(id_col).alias("_id"), T.words(text_col).alias("_ws"))
-        .select("_id", F.posexplode("_ws").alias("i0", "tok"))
-        .select("_id", (F.col("i0") + 1).cast("int").alias("i"), "tok")
-    )
-    kept = toks.join(covered, ["_id", "i"], "left_anti")
-    agg = kept.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("_clean"),
-    )
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        F.size(T.words(text_col)).cast("bigint").alias("n_tokens"),
-    )
-    return (
-        base.join(agg, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
-            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
-        )
-    )
+    return _scrub_from_ws(ws, spans, id_col)
 
 
 def exactsubstr_stats(
@@ -200,13 +235,14 @@ def exactsubstr_stats(
     >= min_len-token duplicated text): ``(n_docs, docs_with_spans,
     total_tokens, dup_tokens, dup_token_share)``; share floor-snapped
     to 4 decimals (the engine-portable ratio contract)."""
-    spans = exactsubstr_spans(docs, min_len, id_col, text_col, hash_grams)
-    per_doc = spans.groupBy(id_col).agg(
-        F.sum("n_tokens").alias("_dup")
+    ws = _ws_df(docs, id_col, text_col)
+    spans = _spans_from_hits(
+        _dup_positions(ws, min_len, hash_grams), min_len, id_col
     )
-    base = docs.select(
-        F.col(id_col).alias(id_col),
-        F.size(T.words(text_col)).cast("bigint").alias("_n"),
+    per_doc = spans.groupBy(id_col).agg(F.sum("n_tokens").alias("_dup"))
+    base = ws.select(
+        F.col("_id").alias(id_col),
+        F.size("_ws").cast("bigint").alias("_n"),
     )
     j = base.join(per_doc, id_col, "left")
     return j.agg(
@@ -251,41 +287,15 @@ def exactsubstr_decontam(
     builds in one pass and BROADCASTS into the train-side scan — the
     only corpus-wide shuffle left is the per-doc span-merge window.
     Same 8-byte xxhash64 keys / string-identity-oracle split as the
-    in-corpus operator.
+    in-corpus operator; the gram projection and span-merge tail are
+    the SAME helpers the in-corpus family uses, so the two cannot
+    drift.
     """
-    tg = train.select(
-        F.col(id_col).alias("_id"), T.words(text_col).alias("_ws")
-    ).select(
-        "_id", F.explode(_gram_structs(F.col("_ws"), min_len)).alias("s")
-    ).select(
-        "_id",
-        F.col("s.pos").alias("pos"),
-        (F.xxhash64("s.gram") if hash_grams else F.col("s.gram")).alias("k"),
+    tg = _gram_keys(_ws_df(train, id_col, text_col), min_len, hash_grams)
+    bg = (
+        _gram_keys(_ws_df(benchmark, id_col, text_col), min_len, hash_grams)
+        .select("k")
+        .distinct()
     )
-    bg = benchmark.select(T.words(text_col).alias("_ws")).select(
-        F.explode(_gram_structs(F.col("_ws"), min_len)).alias("s")
-    ).select(
-        (F.xxhash64("s.gram") if hash_grams else F.col("s.gram")).alias("k")
-    ).distinct()
     hits = tg.join(F.broadcast(bg), "k").select("_id", "pos")
-    w = Window.partitionBy("_id").orderBy("pos")
-    prev = F.lag("pos").over(w)
-    flag = F.when(
-        prev.isNull() | (F.col("pos") - prev > min_len), F.lit(1)
-    ).otherwise(F.lit(0))
-    isl = hits.withColumn(
-        "_isl",
-        F.sum(flag).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return (
-        isl.groupBy("_id", "_isl")
-        .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_s").cast("int").alias("span_start"),
-            (F.col("_e") + min_len - 1).cast("int").alias("span_end"),
-            (F.col("_e") - F.col("_s") + min_len).cast("int").alias("n_tokens"),
-        )
-    )
+    return _spans_from_hits(hits, min_len, id_col)

@@ -456,20 +456,41 @@ def scalar_array_map_funcs(t: dict[str, DataFrame]) -> DataFrame:
 # Subquery shapes (correlated EXISTS / correlated & global scalar subqueries)
 # ---------------------------------------------------------------------------
 
-def exists_late_shipment_orders(t: dict[str, DataFrame]) -> DataFrame:
+def exists_late_shipment_orders(
+    t: dict[str, DataFrame],
+    lateness_days: int = 30,
+    date_band: tuple[str, str] | None = None,
+    count_alias: str = "n_orders",
+) -> DataFrame:
     """Correlated EXISTS (TPC-H Q4 shape, adapted to this schema):
     count orders per priority having at least one line shipped more
-    than 30 days after the order date. The correlation (l_shipdate >
-    o_orderdate + 30d) rides the orderkey equi-join as a left-semi
-    post-filter, so the plan stays hash-join shaped."""
+    than ``lateness_days`` after the order date, optionally
+    restricted to orders in a ``[lo, hi)`` date band (published Q4
+    scans one quarter). The correlation (l_shipdate > o_orderdate +
+    N days) rides the orderkey equi-join as a left-semi post-filter,
+    so the plan stays hash-join shaped. ONE implementation backs both
+    registry rows (`exists_late_shipment_orders` — bandless, 30 days
+    — and `q4_priority_late_ship` — banded, 60 days; r12 review
+    finding: the two had drifted into near-duplicate siblings)."""
     o, l = t["orders"], t["lineitem"]
+    if date_band is not None:
+        lo, hi = date_band
+        o = o.where(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        )
     late = o.join(
         l,
         (o.o_orderkey == l.l_orderkey)
-        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        & (
+            l.l_shipdate
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {lateness_days} DAYS")
+        ),
         "left_semi",
     )
-    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias(count_alias)
+    )
 
 
 def lineitem_below_partavg(t: dict[str, DataFrame]) -> DataFrame:
@@ -704,37 +725,21 @@ def q11_important_nations(t: dict[str, DataFrame], fraction: float = 0.04) -> Da
 
 
 def q4_priority_late_ship(t: dict[str, DataFrame]) -> DataFrame:
-    """Order-priority checking (TPC-H Q4 shape — the correlated
-    EXISTS rung, the last of the 22 shapes): count orders per
-    priority in a one-year band where EXISTS a lineitem of the order
-    that shipped more than 60 days after the order date. The
-    published Q4 predicate is l_commitdate < l_receiptdate; the
-    driver's synthetic lineitem carries neither column, so the
-    lateness predicate is re-expressed on l_shipdate vs o_orderdate —
-    the SHAPE (date-banded fact, correlated existential on the child
-    fact, group on the enum) is what the rung exercises.
-
-    Scale: the EXISTS compiles to a LEFT SEMI hash join on the order
-    key (the non-equi lateness term stays a join residual, never a
-    cartesian); one map-combinable count per priority after. 100 TB:
-    both sides shuffle on the join key — AQE-splittable.
-    """
-    o, l = t["orders"], t["lineitem"]
-    band = o.where(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    """Order-priority checking, the FULL TPC-H Q4 rung (the last of
+    the 22 shapes): the correlated-EXISTS lateness count over a
+    one-year order band — i.e. `exists_late_shipment_orders` plus the
+    date-band element the published query has and the bandless row
+    lacks. Lateness is re-expressed on l_shipdate vs o_orderdate + 60
+    days (the synthetic lineitem has no commit/receipt dates); the
+    SHAPE (date-banded fact, correlated existential on the child fact,
+    group on the enum) is what the rung exercises. Scale notes in the
+    shared implementation."""
+    return exists_late_shipment_orders(
+        t,
+        lateness_days=60,
+        date_band=("1995-01-01", "1996-01-01"),
+        count_alias="order_count",
     )
-    late = band.join(
-        l,
-        (band.o_orderkey == l.l_orderkey)
-        & (l.l_shipdate > band.o_orderdate + F.expr("INTERVAL 60 DAYS")),
-        "left_semi",
-    )
-    return (
-        late.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
-    )
-
 
 def q12_priority_by_status(t: dict[str, DataFrame]) -> DataFrame:
     """Conditional-count split per line status (TPC-H Q12 shape:
