@@ -780,10 +780,20 @@ def test_streaming_sessionize_fn_handles_disorder(spark):
             return 0  # r11 state contract: watermark-gated closure
 
     fn = _session_fn(900)
+
+    # the worker's input contract (r12 DST fix): the wrapper supplies
+    # ``ts_us`` = unix_micros(ts), and the fn sorts/merges on that
+    # instant column rather than the naive-local ts
+    def chunk(times):
+        ts = pd.to_datetime(times)
+        return pd.DataFrame(
+            {"ts": ts, "value": [1.0] * len(ts),
+             "ts_us": [t.value // 1_000 for t in ts]}
+        )
+
     # two chunks arriving out of global order
-    c1 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 10:00:00"]), "value": [1.0]})
-    c2 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 09:55:00",
-                                             "2024-01-01 10:05:00"]), "value": [1.0, 1.0]})
+    c1 = chunk(["2024-01-01 10:00:00"])
+    c2 = chunk(["2024-01-01 09:55:00", "2024-01-01 10:05:00"])
     st = FakeState()
     out = list(fn((1,), iter([c1, c2]), st))
     assert out == []  # one open session, nothing closed (wm = 0)
