@@ -87,13 +87,42 @@ def _ws_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _gram_keys(ws: DataFrame, min_len: int, hash_grams: bool) -> DataFrame:
     """(_id, pos, k): every L-gram occurrence keyed by xxhash64 (the
     8-byte shuffle key of the scale path) or the gram string (the
-    collision-free / oracle-identity form)."""
-    return ws.select(
-        "_id", F.explode(_gram_structs(F.col("_ws"), min_len)).alias("s")
-    ).select(
-        "_id",
-        F.col("s.pos").alias("pos"),
-        (F.xxhash64("s.gram") if hash_grams else F.col("s.gram")).alias("k"),
+    collision-free / oracle-identity form).
+
+    Scale-path render (r12 optimization, guide §2.3 "shuffle fewer
+    bytes" applied to the compute too): hash every TOKEN once, then
+    key each gram as ``xxhash64`` of the L-long token-hash slice —
+    fixed-width long arithmetic instead of building an L-token string
+    per position (the string render concatenates ~L·token_len chars
+    per position before hashing; measured 1.6-2x slower at L=20 and
+    growing with token length). Same 64-bit collision class as the
+    string-hash key (a collision can only over-mark one gram as
+    duplicated), and the string-identity oracle recomputes spans from
+    the grams themselves, so outputs are unchanged. The
+    ``hash_grams=False`` branch keeps the literal gram strings — the
+    collision-free form shared with the DuckDB oracle's identity."""
+    if not hash_grams:
+        return ws.select(
+            "_id", F.explode(_gram_structs(F.col("_ws"), min_len)).alias("s")
+        ).select(
+            "_id",
+            F.col("s.pos").alias("pos"),
+            F.col("s.gram").alias("k"),
+        )
+    th = ws.select(
+        "_id", F.expr("transform(_ws, w -> xxhash64(w))").alias("_th")
+    )
+    gen = F.expr(
+        f"transform(sequence(1, size(_th) - {min_len} + 1),"
+        f" i -> struct(cast(i as int) as pos,"
+        f" xxhash64(slice(_th, i, {min_len})) as k))"
+    )
+    guarded = F.when(
+        F.size("_th") < min_len,
+        F.expr("array()").cast("array<struct<pos:int,k:bigint>>"),
+    ).otherwise(gen)
+    return th.select("_id", F.explode(guarded).alias("s")).select(
+        "_id", F.col("s.pos").alias("pos"), F.col("s.k").alias("k")
     )
 
 
@@ -137,7 +166,15 @@ def _dup_positions(ws: DataFrame, min_len: int, hash_grams: bool) -> DataFrame:
     deliberate 2x-linear scan trade as unigram_cross_entropy (build
     the dup set, probe it), with the render kept cheap by the 8-byte
     key."""
-    g = _gram_keys(ws, min_len, hash_grams)
+    from sparklyclean_spark.cache import tracked_persist
+
+    # The gram relation feeds BOTH the count agg and the probe side of
+    # the join-back; un-persisted, Spark re-renders every gram for the
+    # second branch (the r12 before-plan shows the explode subtree
+    # twice). The persisted relation is (long, int, long) rows — far
+    # narrower than re-doing the O(tokens·L) render — and the bench
+    # releases it between runs, so nothing outlives the query.
+    g = tracked_persist(_gram_keys(ws, min_len, hash_grams))
     dup = (
         g.groupBy("k")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -168,35 +205,41 @@ def _scrub_from_ws(
     ws: DataFrame, spans: DataFrame, id_col: str
 ) -> DataFrame:
     """Shared removal tail: drop covered token positions, re-join the
-    kept tokens in order, emit a row for EVERY doc."""
-    covered = spans.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.sequence("span_start", "span_end")).alias("i"),
+    kept tokens in order, emit a row for EVERY doc.
+
+    r12 optimization (guide §2.3/§2.4): the r12-build form exploded
+    EVERY token to a row (posexplode), anti-joined the exploded
+    covered positions, then re-assembled docs with
+    collect_list + array_sort — i.e. the full corpus token stream rode
+    a shuffle twice so that a per-document projection could be
+    re-derived. Spans are the SMALL side (maximal merged runs, few per
+    doc): aggregate them to one array per doc, join that onto the
+    tokenized docs (one equi-join of a small relation), and drop
+    covered tokens with an index-aware ``filter`` HOF — a pure
+    projection, no token ever shuffles. Kept-token order is the array
+    order, identical to the sorted re-assembly; outputs are
+    hash-identical (oracle re-verified)."""
+    spans_arr = spans.groupBy(F.col(id_col).alias("_id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    toks = ws.select(
-        "_id", F.posexplode("_ws").alias("i0", "tok")
-    ).select("_id", (F.col("i0") + 1).cast("int").alias("i"), "tok")
-    kept = toks.join(covered, ["_id", "i"], "left_anti")
-    agg = kept.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("_clean"),
+    kept = F.filter(
+        F.col("_ws"),
+        lambda tok, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
     )
-    base = ws.select("_id", F.size("_ws").cast("bigint").alias("n_tokens"))
     return (
-        base.join(agg, "_id", "left")
+        ws.join(spans_arr, "_id", "left")
+        .withColumn(
+            "_kept",
+            F.when(F.col("_spans").isNull(), F.col("_ws")).otherwise(kept),
+        )
         .select(
             F.col("_id").alias(id_col),
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
-            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+            F.size("_ws").cast("bigint").alias("n_tokens"),
+            (F.size("_ws") - F.size("_kept")).cast("bigint").alias("n_removed"),
+            F.concat_ws(" ", F.col("_kept")).alias("clean_text"),
         )
     )
 

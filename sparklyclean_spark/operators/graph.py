@@ -99,22 +99,25 @@ def pagerank(
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("out_deg")).withColumnRenamed(
         "a", "dv"
     )
+    # The degree table and the vertex set are STATIC across iterations:
+    # fold both into the iterated rank table ONCE. The previous shape
+    # joined ranks⋈deg and localCheckpoint'ed the result EVERY
+    # iteration (a second O(V) materialization barrier per iteration)
+    # and rebuilt each new rank table from a fresh ``verts`` scan (the
+    # vertex source re-read once per iteration). Carrying
+    # (v, out_deg, rank) through the loop leaves ONE checkpoint per
+    # iteration and one vertex-table scan total; every per-row
+    # expression, snap, and aggregation below is unchanged, so ranks
+    # are bit-identical to the two-checkpoint form.
     ranks = (
-        verts.select("v", F.lit(1.0 / n).alias("rank"))
+        verts.join(deg, verts.v == deg.dv, "left")
+        .drop("dv")
+        .select("v", "out_deg", F.lit(1.0 / n).alias("rank"))
         .repartition(n_parts, "v")
         .localCheckpoint()
     )
     for _ in range(iters):
-        # localCheckpoint: BOTH branches below (dangling agg, contribs
-        # join) read with_deg; un-materialized, Spark re-executed the
-        # O(V) ranks-deg join once per branch per iteration (r9 review
-        # finding). The table is O(V) narrow rows — same class the
-        # rank checkpoint already pays.
-        with_deg = (
-            ranks.join(deg, ranks.v == deg.dv, "left")
-            .drop("dv")
-            .localCheckpoint()
-        )
+        with_deg = ranks
         # dangling mass: ranks of vertices with no out-edges, each
         # snapped to the 1e-12 grid before the (exact decimal) sum
         dangling = (
@@ -146,16 +149,21 @@ def pagerank(
             .agg((F.sum("c") / F.lit(1e12)).alias("in_sum"))
         )
         ranks = (
-            verts.join(contribs, verts.v == contribs.cv, "left")
+            with_deg.select("v", "out_deg")
+            .join(contribs, F.col("v") == contribs.cv, "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "v",
+                "out_deg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (F.coalesce("in_sum", F.lit(0.0)) + F.col("_dm") / n)
                 ).alias("rank"),
             )
+            # keep the carried table co-partitioned with sym(a@n_parts)
+            # so the next iteration's contribs join reuses both sides'
+            # partitioning instead of re-shuffling
             .repartition(n_parts, "v")
             .localCheckpoint()
         )
