@@ -48,20 +48,63 @@ def brute_force_topk(
     """Exact top-k neighbors per query by cosine.
 
     Returns (query_id, neighbor_id, cos, rank). Tie-break by
-    neighbor_id for a total order. Queries are broadcast — corpus is
-    scanned once regardless of |queries|.
+    neighbor_id for a total order. The bounded query set rides along
+    in the score function's closure (≤4096 queries, the pq query_cap
+    guard class) — corpus is scanned once regardless of |queries| and
+    raw corpus vectors cross the Python boundary exactly once.
     """
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
     q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_raw", cosine_pandas(F.col("qv"), F.col("cv")))
-        # vectors are dead after scoring — project them out BEFORE the
-        # top-k shuffle so it moves 24-byte rows, not dim*4-byte payloads
-        .select("query_id", "neighbor_id", "cos_raw")
+
+    # r12 optimization (guide §4.1/§8): the r5-r11 shape broadcast-
+    # joined queries×corpus BEFORE the Python boundary, so BOTH raw
+    # vectors crossed Arrow once per PAIR — |corpus|·|queries|·2·dim
+    # doubles of traffic to compute 3-column score rows. The query set
+    # is bounded (every caller passes ≤ ~100; the cap below is the
+    # pq_topk query_cap guard class), so collect it once, ship the
+    # (|q|×dim) matrix to each task in the function closure, and score
+    # every corpus batch against ALL queries in one numpy pass: corpus
+    # vectors cross the boundary exactly once, and only (query_id,
+    # neighbor_id, cos_raw) rows come back. Numerics are BIT-IDENTICAL
+    # to the per-pair pandas UDF: np.einsum("ij,kj->ik") (no optimize)
+    # and the per-pair "ij,ij->i" both reduce j sequentially in C, and
+    # the factored norms are the same np.linalg.norm values (verified
+    # array_equal on random data) — so the oracled rows' hashes are
+    # unchanged.
+    import numpy as np
+
+    q_rows = q.orderBy("query_id").limit(4096).collect()
+    qid_type = q.schema["query_id"].dataType.simpleString()
+    nid_type = c.schema["neighbor_id"].dataType.simpleString()
+    qids = [r["query_id"] for r in q_rows]
+    qx = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qx, axis=1) if len(q_rows) else None
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not len(qids):
+                continue
+            cx = np.asarray(pdf[pdf.columns[1]].tolist(), dtype=np.float64)
+            num = np.einsum("ij,kj->ik", cx, qx)
+            den = np.linalg.norm(cx, axis=1)[:, None] * qnorm[None, :]
+            cos = np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den))
+            nid = pdf[pdf.columns[0]].to_numpy()
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, len(pdf)),
+                    "neighbor_id": np.repeat(nid, len(qids)),
+                    "cos_raw": cos.ravel(),
+                }
+            )
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    scored = c.mapInPandas(
+        score,
+        f"query_id {qid_type}, neighbor_id {nid_type}, cos_raw double",
     )
     return _topk_select(scored, k)
 

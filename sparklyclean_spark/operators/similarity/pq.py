@@ -82,12 +82,24 @@ def codebooks_from_vectors(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    return np.stack(
-        [
-            _l2_kmeans(x[:, j * sub : (j + 1) * sub], ks, iters, seed + j)
-            for j in range(m)
-        ]
-    )
+    # The m subspace trainers are independent (seed+j each, disjoint
+    # column blocks) and numpy's ufunc reduces release the GIL on the
+    # (n × ks × sub) distance tensors, so a thread map cuts the
+    # driver-side training wall ~linearly in m with BIT-IDENTICAL
+    # output per subspace (same ops, same order, no shared state) —
+    # the OPQ trainer re-runs this 9x per fit, where it matters.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        blocks = list(
+            pool.map(
+                lambda j: _l2_kmeans(
+                    x[:, j * sub : (j + 1) * sub], ks, iters, seed + j
+                ),
+                range(m),
+            )
+        )
+    return np.stack(blocks)
 
 
 def train_pq_codebooks(
@@ -156,17 +168,29 @@ def _query_lut(spark, q_rows, qx, cents, id_field: str = "query_id"):
     the 1e-9-snapped partial squared L2 of the normalized query
     sub-vector to each codeword, cast DECIMAL(18,9) for exact sums."""
     import numpy as np
+    import pandas as pd
 
     m, ks, sub = cents.shape
-    lut = []
-    for qi, r in enumerate(q_rows):
-        qid = int(r[id_field])
-        for j in range(m):
-            block = qx[qi, j * sub : (j + 1) * sub]
-            d = np.round(((block[None, :] - cents[j]) ** 2).sum(-1), 9)
-            lut.extend((qid, j, c_, float(d[c_])) for c_ in range(ks))
+    # r12: one batched numpy pass + an Arrow-path pandas createDataFrame
+    # instead of |q|·m·ks Python tuple constructions (the loop built
+    # 50k+ tuples per funnel construction and shipped them row-pickled).
+    # The trailing-axis sum reduces each (sub,) slice with the same
+    # kernel as the per-(q, j) form — verified np.array_equal, so the
+    # baked-literal oracle contract is untouched.
+    qids = np.array([int(r[id_field]) for r in q_rows], dtype=np.int64)
+    nq = len(qids)
+    blocks = qx.reshape(nq, m, sub)
+    d = np.round(((blocks[:, :, None, :] - cents[None, :, :, :]) ** 2).sum(-1), 9)
+    pdf = pd.DataFrame(
+        {
+            "query_id": np.repeat(qids, m * ks),
+            "j": np.tile(np.repeat(np.arange(m, dtype=np.int32), ks), nq),
+            "code": np.tile(np.arange(ks, dtype=np.int32), nq * m),
+            "d": d.ravel(),
+        }
+    )
     return spark.createDataFrame(
-        lut, "query_id bigint, j int, code int, d double"
+        pdf, "query_id bigint, j int, code int, d double"
     ).select("query_id", "j", "code", F.col("d").cast("decimal(18,9)").alias("d"))
 
 
@@ -351,14 +375,20 @@ def ivf_pq_topk(
     sims = qx @ ivf_cents.T
     top = min(nprobe, len(ivf_cents))
     # kind='stable': exact sim ties break toward the lowest cell id,
-    # matching the oracle's ORDER BY sim DESC, cell ASC
-    probe_rows = [
-        (int(r["query_id"]), int(cell))
-        for qi, r in enumerate(q_rows)
-        for cell in np.argsort(-sims[qi], kind="stable")[:top]
-    ]
+    # matching the oracle's ORDER BY sim DESC, cell ASC (row-wise
+    # argsort == the per-row form; pandas feed takes the Arrow path)
+    import pandas as pd
+
+    qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    probe_cells = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+    probes_pdf = pd.DataFrame(
+        {
+            "query_id": np.repeat(qids, top),
+            "cell": probe_cells.ravel().astype(np.int32),
+        }
+    )
     spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int")
+    probes = spark.createDataFrame(probes_pdf, "query_id bigint, cell int")
     lut_df = _query_lut(spark, q_rows, qx, pq_cents)
 
     scored = (
@@ -618,25 +648,42 @@ def ivf_pq_residual_topk(
     sims = qx @ ivf_cents.T
     top = min(nprobe, len(ivf_cents))
     sub = pq_cents.shape[2]
-    probe_rows, lut = [], []
-    for qi, r in enumerate(q_rows):
-        qid = int(r["query_id"])
-        # kind='stable': sim ties break toward the lowest cell id,
-        # matching the oracle's ORDER BY sim DESC, cell ASC
-        for cell in np.argsort(-sims[qi], kind="stable")[:top]:
-            cell = int(cell)
-            probe_rows.append((qid, cell))
-            rq = qx[qi] - means[cell]
-            for j in range(m):
-                block = rq[j * sub : (j + 1) * sub]
-                d = np.round(((block[None, :] - pq_cents[j]) ** 2).sum(-1), 9)
-                lut.extend(
-                    (qid, cell, j, c_, float(d[c_])) for c_ in range(ks)
-                )
+    # r12: batched numpy + Arrow-path pandas createDataFrame instead of
+    # |q|·nprobe·m·ks Python tuple constructions (50k+ per funnel
+    # construction, row-pickled to the JVM). kind='stable' row-wise
+    # argsort keeps the oracle's sim DESC, cell ASC tie order; the
+    # trailing-axis sum reduces each (sub,) slice with the same kernel
+    # as the per-(q, cell, j) loop (verified np.array_equal), so every
+    # baked literal and hash is unchanged.
+    import pandas as pd
+
+    qids = np.array([int(r["query_id"]) for r in q_rows], dtype=np.int64)
+    nq = len(qids)
+    probe_cells = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+    qi_idx = np.repeat(np.arange(nq), top)
+    cells = probe_cells.ravel()
+    n_probes = len(cells)
+    probes_pdf = pd.DataFrame(
+        {"query_id": qids[qi_idx], "cell": cells.astype(np.int32)}
+    )
+    rq = qx[qi_idx] - means[cells]
+    blocks = rq.reshape(n_probes, m, sub)
+    d = np.round(
+        ((blocks[:, :, None, :] - pq_cents[None, :, :, :]) ** 2).sum(-1), 9
+    )
+    lut_pdf = pd.DataFrame(
+        {
+            "query_id": np.repeat(qids[qi_idx], m * ks),
+            "cell": np.repeat(cells, m * ks).astype(np.int32),
+            "j": np.tile(np.repeat(np.arange(m, dtype=np.int32), ks), n_probes),
+            "code": np.tile(np.arange(ks, dtype=np.int32), n_probes * m),
+            "d": d.ravel(),
+        }
+    )
     spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id bigint, cell int")
+    probes = spark.createDataFrame(probes_pdf, "query_id bigint, cell int")
     lut_df = spark.createDataFrame(
-        lut, "query_id bigint, cell int, j int, code int, d double"
+        lut_pdf, "query_id bigint, cell int, j int, code int, d double"
     ).select(
         "query_id", "cell", "j", "code",
         F.col("d").cast("decimal(18,9)").alias("d"),
@@ -698,14 +745,21 @@ def opq_train(
     sub = dim // m
     R = np.eye(dim)
     cents = codebooks_from_vectors(x @ R, m, ks, iters, seed, normalize=False)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _recon_block(xr, recon, j):
+        # independent subspaces, disjoint output column blocks — safe
+        # to thread, bit-identical to the sequential loop
+        block = xr[:, j * sub : (j + 1) * sub]
+        d = ((block[:, None, :] - cents[j][None, :, :]) ** 2).sum(-1)
+        codes = np.round(d, 9).argmin(axis=1)
+        recon[:, j * sub : (j + 1) * sub] = cents[j][codes]
+
     for _ in range(opq_iters):
         xr = x @ R
         recon = np.empty_like(xr)
-        for j in range(m):
-            block = xr[:, j * sub : (j + 1) * sub]
-            d = ((block[:, None, :] - cents[j][None, :, :]) ** 2).sum(-1)
-            codes = np.round(d, 9).argmin(axis=1)
-            recon[:, j * sub : (j + 1) * sub] = cents[j][codes]
+        with ThreadPoolExecutor(max_workers=m) as pool:
+            list(pool.map(lambda j: _recon_block(xr, recon, j), range(m)))
         u, _, vt = np.linalg.svd(x.T @ recon)
         R = u @ vt
         cents = codebooks_from_vectors(
