@@ -275,14 +275,25 @@ def dsir_scores(
         "_lang",
         _md5_token_hash(F.col("_g")).bitwiseAND(F.lit(n_buckets - 1)).alias("b"),
     )
-    # BOTH bag models in ONE hash agg over one explode pass (raw count
-    # + filtered count as sum-of-when), so the stats side costs one
-    # scan; the scoring join below re-derives occ for the second scan
-    # — the same deliberate 2x-linear trade as unigram_cross_entropy
-    qp = occ.groupBy("b").agg(
-        F.count(F.lit(1)).alias("qc"),
+    # r12 optimization (guide §2.3 "aggregate before you shuffle"): the
+    # r9-r11 shape ran the explode + md5 bucket hash TWICE — once into
+    # the stats agg and once into the scoring join (the "deliberate
+    # 2x-linear trade"). Collapse the occurrence stream to per-
+    # (doc, bucket) counts ONCE and persist that narrow relation: both
+    # the bucket-stats agg and the per-doc scoring derive from it, so
+    # the corpus text is tokenized/hashed exactly once. The weight sum
+    # becomes Σ _lw·count — decimal multiply/add are exact, so the
+    # score equals the per-occurrence sum bit-for-bit (oracle
+    # re-verified).
+    from sparklyclean_spark.cache import tracked_persist
+
+    docb = tracked_persist(
+        occ.groupBy("doc_id", "_lang", "b").agg(F.count(F.lit(1)).alias("_n"))
+    )
+    qp = docb.groupBy("b").agg(
+        F.sum("_n").alias("qc"),
         F.sum(
-            F.when(F.col("_lang") == target_lang, F.lit(1)).otherwise(F.lit(0))
+            F.when(F.col("_lang") == target_lang, F.col("_n")).otherwise(F.lit(0))
         ).alias("pc"),
     )
     tot = qp.agg(
@@ -304,11 +315,11 @@ def dsir_scores(
         .alias("_lw"),
     )
     return (
-        occ.join(F.broadcast(wt), "b")
+        docb.join(F.broadcast(wt), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum("_lw").alias("_s"),
+            F.sum("_n").cast("bigint").alias("n_grams"),
+            F.sum(F.col("_lw") * F.col("_n")).alias("_s"),
         )
         .select(
             "doc_id",

@@ -1049,6 +1049,7 @@ def winnowing_overlap_pairs(
     max_fp_df: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tier: str = "arrow",
 ) -> DataFrame:
     """Span-level copy detection BETWEEN documents: pairs sharing
     ≥ ``min_shared`` winnowed fingerprints (each shared fingerprint
@@ -1060,11 +1061,20 @@ def winnowing_overlap_pairs(
     no pair signal and would generate quadratic candidates — dropped
     BEFORE the self-join, so posting-list work stays linear. Output:
     (id1, id2, n_shared), exact integers.
+
+    ``tier`` (r12 optimization): the fingerprint table defaults to the
+    Arrow ``_winnow_fp_table_batch`` pass — BIT-EQUAL to the
+    declarative form by pytest gate (the fp A/B rows' contract), so
+    the oracle hash is unchanged, and it skips the per-character
+    explode + doc-keyed window exchange entirely (measured ~4x on the
+    fp build). Pass ``tier="column"`` for non-integral id columns
+    (the declarative tier is the generic one).
     """
-    # the per-character winnow pipeline feeds the df agg AND both join
-    # sides — materialize once (the _sig_table precedent)
+    # the winnow pipeline feeds the df agg AND both join sides —
+    # materialize once (the _sig_table precedent)
+    tbl = _winnow_fp_table_batch if tier == "arrow" else _winnow_fp_table
     fps = tracked_persist(
-        _winnow_fp_table(docs, k, window, id_col, text_col).select("id", "h")
+        tbl(docs, k, window, id_col, text_col).select("id", "h")
     )
     fps.count()
     df_h = fps.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))

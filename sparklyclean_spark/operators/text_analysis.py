@@ -455,7 +455,19 @@ def kn_bigram_cross_entropy(docs: DataFrame, discount: float = 0.75) -> DataFram
     bg = ws.select("doc_id", F.explode(bg_list).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # r12 optimization (guide §2.3 "aggregate before you shuffle", the
+    # dsir_scores treatment): the occurrence stream fed the model aggs
+    # AND the scoring probe, so the bigram render ran twice. Collapse
+    # to per-(doc, bigram) counts ONCE, persist the narrow relation,
+    # and weight the per-type log-prob by the count — decimal
+    # multiply/add are exact, so per-doc sums are bit-identical to the
+    # per-occurrence form (oracle re-verified, hash unchanged).
+    from sparklyclean_spark.cache import tracked_persist
+
+    bgc = tracked_persist(
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    c2 = bgc.groupBy("w1", "w2").agg(F.sum("_cnt").alias("c2"))
     left = c2.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1l")
     )
@@ -467,18 +479,22 @@ def kn_bigram_cross_entropy(docs: DataFrame, discount: float = 0.75) -> DataFram
         * (F.col("n1r").cast("double") / F.col("_bt").cast("double"))
     )
     lp = (
-        bg.join(c2, ["w1", "w2"])
+        bgc.join(c2, ["w1", "w2"])
         .join(left, "w1")
         .join(right, "w2")
         .join(F.broadcast(types_total))
         .select(
             "doc_id",
+            "_cnt",
             F.round(F.log(p), 6).cast("decimal(18,6)").alias("_lp"),
         )
     )
     return (
         lp.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("_lp").alias("_s"))
+        .agg(
+            F.sum("_cnt").alias("n_bigrams"),
+            F.sum(F.col("_lp") * F.col("_cnt")).alias("_s"),
+        )
         .select(
             "doc_id",
             F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
