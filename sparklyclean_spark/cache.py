@@ -13,14 +13,20 @@ things correct but pressures executor memory unpredictably.
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-# Weak references: a cache whose DataFrame is garbage-collected is
-# unpersistable anyway (the JVM side is freed with the plan).
-_TRACKED: list[weakref.ref[DataFrame]] = []
+# Strong references, deliberately. An earlier weakref design assumed a
+# garbage-collected DataFrame frees its JVM cache with the plan; it
+# does not — persist() registers the analyzed plan in the session's
+# CacheManager, which keeps the blocks (and the plan, which every
+# later query is compared against during cache lookup) alive until an
+# explicit unpersist. Operators' persisted intermediates are locals
+# that die when the operator returns, so under weakrefs
+# release_caches() released nothing and every cache leaked for the
+# life of the session (measured: monotonically growing query walls
+# across a bench session; CacheManager non-empty after release).
+_TRACKED: list[DataFrame] = []
 
 
 def tracked_persist(
@@ -28,20 +34,18 @@ def tracked_persist(
 ) -> DataFrame:
     """persist() + register for a later ``release_caches()``."""
     df.persist(level)
-    _TRACKED.append(weakref.ref(df))
+    _TRACKED.append(df)
     return df
 
 
 def release_caches() -> int:
-    """Unpersist every tracked cache still alive; returns the count."""
+    """Unpersist every tracked cache; returns the count."""
     released = 0
     while _TRACKED:
-        ref = _TRACKED.pop()
-        df = ref()
-        if df is not None:
-            try:
-                df.unpersist()
-                released += 1
-            except Exception:
-                pass  # session already stopped — nothing to free
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:
+            pass  # session already stopped — nothing to free
     return released
