@@ -59,12 +59,27 @@ def _cosine_pd_impl(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.where(den == 0.0, 0.0, num / np.where(den == 0.0, 1.0, den)))
 
 
-def cosine_pandas(a: Column | str, b: Column | str) -> Column:
+def cosine_pandas(
+    a: Column | str, b: Column | str, *, single_eval: bool = False
+) -> Column:
     """Vectorized cosine (Arrow → numpy float64 → BLAS). Use this in
     every hot path; see module docstring for precision notes. The UDF
     is created lazily — decorating at import time requires an active
-    SparkSession and breaks plain imports."""
-    return pandas_udf(_cosine_pd_impl, "double")(_c(a), _c(b))
+    SparkSession and breaks plain imports.
+
+    ``single_eval=True`` marks the UDF nondeterministic (optimization
+    guide §4.4): when a filter references the cosine column, the
+    optimizer otherwise pushes the predicate below the projection and
+    evaluates the UDF TWICE per surviving row (two ArrowEvalPython
+    nodes — measured in lsh_cosine_pairs' plan). The function is pure;
+    the mark only removes the optimizer's license to duplicate it. Use
+    at call sites whose plan shows the duplication — it also blocks
+    pushing OTHER filters past the projection, so it is not a blanket
+    default."""
+    f = pandas_udf(_cosine_pd_impl, "double")
+    if single_eval:
+        f = f.asNondeterministic()
+    return f(_c(a), _c(b))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

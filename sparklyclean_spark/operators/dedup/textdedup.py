@@ -621,7 +621,12 @@ def embedding_cosine_pairs(
     b = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("cos", cosine_pandas(F.col("v1"), F.col("v2")))
+        # single_eval: same §4.4 filter-pushdown duplication as
+        # lsh_cosine_pairs — here it doubles the QUADRATIC pair stream's
+        # cosine pass, the whole cost of this verification-scale path
+        .withColumn(
+            "cos", cosine_pandas(F.col("v1"), F.col("v2"), single_eval=True)
+        )
         .where(F.col("cos") >= threshold)
         .select("id1", "id2", F.round("cos", 4).alias("cos"))
     )

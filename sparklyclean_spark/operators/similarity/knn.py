@@ -321,7 +321,12 @@ def lsh_cosine_pairs(
     verified = (
         passed.join(e.select(F.col("id").alias("id1"), F.col("v").alias("v1")), "id1")
         .join(e.select(F.col("id").alias("id2"), F.col("v").alias("v2")), "id2")
-        .withColumn("cos", cosine_pandas(F.col("v1"), F.col("v2")))
+        # single_eval: the threshold filter otherwise duplicates the
+        # cosine ArrowEvalPython below itself (guide §4.4; measured —
+        # plan nodes 47+50 in the r12 before-plan)
+        .withColumn(
+            "cos", cosine_pandas(F.col("v1"), F.col("v2"), single_eval=True)
+        )
         .where(F.col("cos") >= threshold)
     )
     return verified.select("id1", "id2", F.round("cos", 4).alias("cos"))

@@ -150,7 +150,17 @@ def _encode_udf(cents):
             mdist[:, j] = d.min(axis=1)
         return pd.DataFrame({"codes": list(codes), "mdist": list(mdist)})
 
-    return pandas_udf(impl, "struct<codes: array<int>, mdist: array<double>>")
+    # nondeterministic mark (optimization guide §4.4): every consumer
+    # posexplodes the codes/mdist array, and the optimizer's inferred
+    # size(..)>0 filter on the Generate gets pushed below this Project,
+    # duplicating the full-corpus Arrow encode pass (two identical
+    # ArrowEvalPython nodes in every PQ plan — measured). The function
+    # is pure; the mark only forbids the optimizer from duplicating or
+    # reordering it. Arrays are always length m, so losing the inferred
+    # empty-array filter changes nothing.
+    return pandas_udf(
+        impl, "struct<codes: array<int>, mdist: array<double>>"
+    ).asNondeterministic()
 
 
 def _unit_rows(q_rows, vec_field: str = "qv"):
@@ -552,9 +562,11 @@ def _residual_encode_udf(ivf_cents, sub_points, pq_cents, R=None):
              "mdist": list(mdist)}
         )
 
+    # same §4.4 nondeterministic mark as _encode_udf: stops the
+    # inferred-filter pushdown from duplicating the encode pass
     return pandas_udf(
         impl, "struct<cell: int, codes: array<int>, mdist: array<double>>"
-    )
+    ).asNondeterministic()
 
 
 def ivf_pq_residual_topk(
@@ -795,7 +807,10 @@ def _opq_encode_udf(R, cents):
             mdist[:, j] = d.min(axis=1)
         return pd.DataFrame({"codes": list(codes), "mdist": list(mdist)})
 
-    return pandas_udf(impl, "struct<codes: array<int>, mdist: array<double>>")
+    # same §4.4 nondeterministic mark as _encode_udf
+    return pandas_udf(
+        impl, "struct<codes: array<int>, mdist: array<double>>"
+    ).asNondeterministic()
 
 
 def opq_distortion(

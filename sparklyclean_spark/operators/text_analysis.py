@@ -467,7 +467,20 @@ def kn_bigram_cross_entropy(docs: DataFrame, discount: float = 0.75) -> DataFram
     bgc = tracked_persist(
         bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("_cnt"))
     )
-    c2 = bgc.groupBy("w1", "w2").agg(F.sum("_cnt").alias("c2"))
+    # r12 restructure (guide §2.3 "shuffle fewer bytes" / §3): compose
+    # the FULL model term per bigram TYPE on the vocab²-bounded c2
+    # table (c2 ⋈ left ⋈ right ⋈ 1-row broadcast), then join the
+    # doc-level stream ONCE on (w1,w2). The previous shape joined bgc —
+    # the |corpus|-scale relation — three times on three different keys
+    # ((w1,w2), w1, w2: three full-stream exchanges). p's
+    # parenthesization is unchanged and evaluated from the same exact
+    # BIGINTs, so _lp per (w1,w2) type is bit-identical (oracle
+    # re-verified, hash unchanged). c2 is persisted: three consumers
+    # (left, right, the model join), each previously re-aggregating it
+    # from bgc.
+    c2 = tracked_persist(
+        bgc.groupBy("w1", "w2").agg(F.sum("_cnt").alias("c2"))
+    )
     left = c2.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1l")
     )
@@ -478,17 +491,17 @@ def kn_bigram_cross_entropy(docs: DataFrame, discount: float = 0.75) -> DataFram
         + ((F.lit(d) * F.col("n1l").cast("double")) / F.col("c1").cast("double"))
         * (F.col("n1r").cast("double") / F.col("_bt").cast("double"))
     )
-    lp = (
-        bgc.join(c2, ["w1", "w2"])
-        .join(left, "w1")
+    model = (
+        c2.join(left, "w1")
         .join(right, "w2")
         .join(F.broadcast(types_total))
         .select(
-            "doc_id",
-            "_cnt",
+            "w1",
+            "w2",
             F.round(F.log(p), 6).cast("decimal(18,6)").alias("_lp"),
         )
     )
+    lp = bgc.join(model, ["w1", "w2"]).select("doc_id", "_cnt", "_lp")
     return (
         lp.groupBy("doc_id")
         .agg(
