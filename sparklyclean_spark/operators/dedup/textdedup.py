@@ -179,18 +179,26 @@ def _sig_table(
     feeds both join sides plus verification — persist AND materialize
     (a persist only helps jobs that start after it fills)."""
     sig_udf = _make_shingle_sig_udf(n, num_hashes)
+    # r12 (guide §4.4): the `size(sh) > 0` filter must stay OUT of the
+    # persisted build plan — inside it, the optimizer pushes the filter
+    # below the unpacking projection by DUPLICATING the UDF, and the
+    # r12 before-plans showed two ArrowEvalPython nodes running the
+    # full shingle+minhash pass twice per document. Persist the
+    # unfiltered table (empty-shingle docs are a negligible fraction)
+    # and filter the CACHED relation instead: one UDF evaluation, and
+    # the UDF stays deterministic (an asNondeterministic mark also
+    # fixes the duplication but blocks plan/cache reuse in iterative
+    # consumers — measured 2.4x slower corpus_curation_lsh).
     t = tracked_persist(
         docs.select(
             F.col(id_col).alias("id"),
             sig_udf(
                 F.transform(T.words(text_col), lambda s: F.xxhash64(s))
             ).alias("ss"),
-        )
-        .select("id", F.col("ss.hs").alias("sh"), F.col("ss.sig").alias("sig"))
-        .where(F.size("sh") > 0)
+        ).select("id", F.col("ss.hs").alias("sh"), F.col("ss.sig").alias("sig"))
     )
     t.count()
-    return t
+    return t.where(F.size("sh") > 0)
 
 
 def _band_table(t: DataFrame, bands: int, rows_per_band: int) -> DataFrame:

@@ -103,6 +103,15 @@ def _dispositions_from_pairs(
     funnel — identical contract from identical pair sets): undirected
     neighbor counts, keep-lowest-id dup flag, left join back onto the
     full assignment so singletons keep (0, false) rows."""
+    # r12 (guide §5 caching): both union branches consume ``pairs``,
+    # and without a persist each branch re-runs the ENTIRE upstream
+    # pair pipeline — the within-cell join plus the Arrow cosine (or
+    # ADC prefilter + cosine) pass appeared twice in the physical plan
+    # (two ArrowEvalPython subtrees in the r12 before-plan). The
+    # verified pair set is the bounded near-dup output, far smaller
+    # than the work that produces it — persist it so the quadratic
+    # verify runs once.
+    pairs = tracked_persist(pairs)
     edges = pairs.select(
         F.col("id1").alias("id"), F.col("id2").alias("nb")
     ).unionAll(pairs.select(F.col("id2").alias("id"), F.col("id1").alias("nb")))
