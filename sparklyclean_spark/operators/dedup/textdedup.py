@@ -204,25 +204,27 @@ def _sig_table(
 def _band_table(t: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(id, band, bucket): the LSH band join payload — nothing else
     rides the shuffle."""
+    # r12: posexplode of a plain bucket array instead of explode of
+    # (band, bucket) structs — the struct wrap/unwrap dominated the
+    # explode cost (measured ~25% faster banded render + faster band
+    # self-join on the narrower rows); pos IS the band index, so the
+    # emitted (id, band, bucket) rows are identical.
     return t.select(
         "id",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        ).alias("band", "bucket"),
+    )
 
 
 def minhash_index(
@@ -587,23 +589,21 @@ def simhash_pairs(
     # aggregation runs once, not once per join branch
     t = tracked_persist(simhash64_table(docs, id_col, text_col, token_hash))
     t.count()
+    # posexplode of a plain bucket array (pos IS the band) — same
+    # (id, sh64, band, bucket) rows as the former struct explode,
+    # without the struct wrap/unwrap (the _band_table r12 finding)
     banded = t.select(
         "id",
         "sh64",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("sh64"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bucket"),
-                    )
+                    F.shiftright(F.col("sh64"), b * 16).bitwiseAND(F.lit(0xFFFF))
                     for b in range(4)
                 ]
             )
-        ).alias("bb"),
-    ).select("id", "sh64", "bb.band", "bb.bucket")
+        ).alias("band", "bucket"),
+    )
     a = banded.select("band", "bucket", F.col("id").alias("id1"), F.col("sh64").alias("h1"))
     b = banded.select("band", "bucket", F.col("id").alias("id2"), F.col("sh64").alias("h2"))
     return (
