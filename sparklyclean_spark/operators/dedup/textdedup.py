@@ -821,8 +821,10 @@ def containment_pairs(
         *[F.col(c) for c in block_cols],
         F.array_distinct(T.words(text_col)).alias("toks"),
     )
-    posts = base.select(
-        "id", *block_cols, F.explode("toks").alias("tok")
+    # r12 (guide §5): posts feeds the df agg AND the rare join — a
+    # persist tokenizes/explodes the corpus once instead of twice
+    posts = tracked_persist(
+        base.select("id", *block_cols, F.explode("toks").alias("tok"))
     )
     # df-cap within stratum: hot tokens generate quadratic candidates
     # and carry no identity signal
@@ -835,10 +837,14 @@ def containment_pairs(
     # is deliberately un-broadcast below. AQE may still choose a
     # broadcast when the table is actually small; forcing it here
     # OOMs the driver at corpus scale (r9 review finding).
-    rare = posts.join(
-        df_tok.where(F.col("_df") <= max_token_df),
-        [*block_cols, "tok"],
-    ).select(*block_cols, "tok", "id")
+    # persisted: three consumers (both self-join sides + sizes) each
+    # previously re-ran the posting render and the df-cap join
+    rare = tracked_persist(
+        posts.join(
+            df_tok.where(F.col("_df") <= max_token_df),
+            [*block_cols, "tok"],
+        ).select(*block_cols, "tok", "id")
+    )
     inter = (
         rare.select(*block_cols, "tok", F.col("id").alias("id1"))
         .join(

@@ -693,13 +693,26 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5, top_k: int = 30) -> DataFram
     hash aggs (unigram + bigram vocab), broadcast joins of the
     bounded vocab tables, top-k sorted limit.
     """
-    toks = docs.select(
-        "doc_id", F.posexplode(T.words("text")).alias("pos", "w1")
+    # r12 (guide §2.4 remove shuffles outright): adjacent pairs come
+    # straight from the words ARRAY — the former lead() window paid a
+    # full |tokens| exchange + per-doc sort only to see the next
+    # element of an array the row already held. Same (w1, w2)
+    # multiset, zero exchanges before the count aggs.
+    w = docs.select(T.words("text").alias("ws"))
+    toks = w.select(F.explode("ws").alias("w1"))
+    pairs = (
+        w.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) as w1,"
+                    " element_at(ws, i + 1) as w2))"
+                )
+            ).alias("bb")
+        )
+        .select("bb.w1", "bb.w2")
     )
-    nxt = F.lead("w1").over(
-        Window.partitionBy("doc_id").orderBy("pos")
-    )
-    pairs = toks.select("w1", nxt.alias("w2")).where(F.col("w2").isNotNull())
     uni = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c"))
     tot = uni.agg(F.sum("c").cast("bigint").alias("_T"))
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
