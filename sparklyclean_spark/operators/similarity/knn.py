@@ -402,7 +402,7 @@ def train_ivf_centroids(
     return _spherical_kmeans(x, n_cells, iters, seed)
 
 
-def cell_assign_udf(cents, top: int):
+def cell_assign_udf(cents, top: int, single_eval: bool = False):
     """Arrow-batched coarse-quantizer assignment (extracted from
     ivf_topk): normalize, one matmul against the centroid matrix,
     argmax (top=1, ties -> lowest cell) or the top-``top`` cells by
@@ -425,7 +425,20 @@ def cell_assign_udf(cents, top: int):
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :top].astype(np.int32)
         return pd.Series(list(idx))
 
-    return pandas_udf(impl, "int" if top == 1 else "array<int>")
+    # ``single_eval=True`` marks the UDF nondeterministic (guide
+    # §4.4): consumers that JOIN on the assigned cell get the join's
+    # inferred isnotnull(cell) filter pushed below this projection by
+    # DUPLICATING the UDF — knn_ivf_cosine's plan showed the full
+    # matmul assignment twice on BOTH join sides. The function is
+    # pure; the mark only removes the optimizer's license to copy it.
+    # It must stay False when the OUTPUT IS PERSISTED (semdedup's enc
+    # table): a nondeterministic expression defeats the CacheManager's
+    # sameResult matching, so every consumer of the cached relation
+    # silently recomputes the assignment instead of reading the cache
+    # (measured: semdedup_pq_funnel's plan grew 13 -> 22 Python nodes
+    # with a blanket mark).
+    f = pandas_udf(impl, "int" if top == 1 else "array<int>")
+    return f.asNondeterministic() if single_eval else f
 
 
 def ivf_topk(
@@ -465,10 +478,15 @@ def ivf_topk(
 
     cents = train_ivf_centroids(c, n_cells, sample_mod, sample_cap, iters, seed)
 
-    cc = c.withColumn("cell", cell_assign_udf(cents, 1)(F.col("cv")))
+    # single_eval: both sides join on the assigned cell and nothing
+    # here is persisted — see cell_assign_udf for the trade-off
+    cc = c.withColumn("cell", cell_assign_udf(cents, 1, single_eval=True)(F.col("cv")))
     qq = (
         q.withColumn(
-            "cells", cell_assign_udf(cents, min(nprobe, len(cents)))(F.col("qv"))
+            "cells",
+            cell_assign_udf(cents, min(nprobe, len(cents)), single_eval=True)(
+                F.col("qv")
+            ),
         )
         .select("query_id", "qv", F.explode("cells").alias("cell"))
     )
@@ -589,7 +607,15 @@ def ivf_cell_balance(
         return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
 
     assigned = c.withColumn("cell", pandas_udf(impl, "int")(F.col("v")))
-    per = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    # r12 (guide §5): the total is a 1-row agg OVER the per-cell
+    # counts; without the persist the broadcast-subquery side re-ran
+    # the whole assignment pass (two ArrowEvalPython scans of the
+    # corpus in the plan). n_cells rows — persist is free.
+    from sparklyclean_spark.cache import tracked_persist
+
+    per = tracked_persist(
+        assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
     total = per.agg(F.sum("n_vectors").cast("bigint").alias("_t"))
     return (
         per.join(F.broadcast(total))

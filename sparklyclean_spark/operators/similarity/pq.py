@@ -123,7 +123,7 @@ def train_pq_codebooks(
     return codebooks_from_vectors([r["v"] for r in rows], m, ks, iters, seed)
 
 
-def _encode_udf(cents):
+def _encode_udf(cents, single_eval: bool = True):
     """Arrow-batched encoder: embedding -> struct(codes array<int>,
     mdist array<double>). codes[j] = argmin_c round(||v_j - C_jc||^2, 9)
     (ties -> lowest code, numpy argmin semantics == the oracle's
@@ -150,17 +150,20 @@ def _encode_udf(cents):
             mdist[:, j] = d.min(axis=1)
         return pd.DataFrame({"codes": list(codes), "mdist": list(mdist)})
 
-    # nondeterministic mark (optimization guide §4.4): every consumer
-    # posexplodes the codes/mdist array, and the optimizer's inferred
-    # size(..)>0 filter on the Generate gets pushed below this Project,
+    # ``single_eval=True`` (default) marks the UDF nondeterministic
+    # (optimization guide §4.4): every funnel consumer posexplodes the
+    # codes/mdist array, and the optimizer's inferred size(..)>0
+    # filter on the Generate gets pushed below this Project,
     # duplicating the full-corpus Arrow encode pass (two identical
     # ArrowEvalPython nodes in every PQ plan — measured). The function
     # is pure; the mark only forbids the optimizer from duplicating or
-    # reordering it. Arrays are always length m, so losing the inferred
-    # empty-array filter changes nothing.
-    return pandas_udf(
-        impl, "struct<codes: array<int>, mdist: array<double>>"
-    ).asNondeterministic()
+    # reordering it. Pass ``single_eval=False`` when the OUTPUT IS
+    # PERSISTED (semdedup's enc table): nondeterministic expressions
+    # defeat CacheManager sameResult matching, so consumers of the
+    # cached relation would silently recompute the encode instead of
+    # reading the cache.
+    f = pandas_udf(impl, "struct<codes: array<int>, mdist: array<double>>")
+    return f.asNondeterministic() if single_eval else f
 
 
 def _unit_rows(q_rows, vec_field: str = "qv"):

@@ -82,6 +82,9 @@ def semdedup_dispositions(
     # future assignment-semantics change cannot desynchronize the
     # three (r10 review finding)
     assigned = tracked_persist(
+        # single_eval stays False: this output is PERSISTED, and a
+        # nondeterministic mark would defeat the cache lookup (see
+        # cell_assign_udf)
         c.withColumn("cell", cell_assign_udf(cents, 1)(F.col("v")))
     )
     assigned.count()
@@ -212,8 +215,11 @@ def semdedup_dispositions_pq(
     # inline copy, so the funnel's cells can never diverge from the
     # baseline whose oracle it shares (r10 review finding)
     enc = tracked_persist(
+        # single_eval stays False: this output is PERSISTED, and a
+        # nondeterministic mark would defeat the cache lookup (see
+        # cell_assign_udf)
         c.withColumn("cell", cell_assign_udf(cents, 1)(F.col("v")))
-        .withColumn("_e", _encode_udf(pq_cents)(F.col("v")))
+        .withColumn("_e", _encode_udf(pq_cents, single_eval=False)(F.col("v")))
         .select(
             "id",
             "v",
