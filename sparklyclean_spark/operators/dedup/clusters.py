@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparklyclean_spark.cache import tracked_persist
+from sparklyclean_spark.cache import tracked_checkpoint, tracked_persist
 
 
 def connected_components(
@@ -51,9 +51,9 @@ def connected_components(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
     )
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("comp")
-    ).localCheckpoint()
+    labels = tracked_checkpoint(
+        vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("comp"))
+    )
     # labels only decrease, so label-set equality across a round means
     # converged; the witness is a NULL-safe exact-decimal sum of label
     # HASHES — a direct cast of the label itself yields NULL for
@@ -70,13 +70,13 @@ def connected_components(
             .groupBy("b")
             .agg(F.min("comp").alias("nc"))
         )
-        labels = (
+        labels = tracked_checkpoint(
             labels.join(nbr_min, labels.v == nbr_min.b, "left")
             .select(
                 "v",
                 F.least(F.col("comp"), F.coalesce("nc", F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint()
+            ),
+            replaces=labels,
         )
         cur_sum = labels.agg(F.sum(F.xxhash64(F.col("comp")).cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
@@ -115,12 +115,13 @@ def connected_components_star(
     form).
     """
     # working edge set as directed (u, v); kept deduped and
-    # self-loop-free between rounds
-    e = tracked_persist(
+    # self-loop-free between rounds (an eager checkpoint already stores
+    # the blocks — the earlier persist-on-top was a redundant second
+    # copy of the same data in the CacheManager)
+    e = tracked_checkpoint(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
 
     def _round(cur: DataFrame, large: bool) -> DataFrame:
@@ -144,7 +145,7 @@ def connected_components_star(
     prev_w = None
     for _ in range(max_iter):
         e2 = _round(e, large=True)
-        e3 = _round(e2, large=False).localCheckpoint()
+        e3 = tracked_checkpoint(_round(e2, large=False), replaces=e)
         # (count, endpoint-sum) witness: a distinct edge set can't
         # change without moving one of the two
         cur_w = tuple(

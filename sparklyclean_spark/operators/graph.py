@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparklyclean_spark.cache import tracked_persist
+from sparklyclean_spark.cache import tracked_checkpoint, tracked_persist
 
 
 def pagerank(
@@ -109,12 +109,11 @@ def pagerank(
     # iteration and one vertex-table scan total; every per-row
     # expression, snap, and aggregation below is unchanged, so ranks
     # are bit-identical to the two-checkpoint form.
-    ranks = (
+    ranks = tracked_checkpoint(
         verts.join(deg, verts.v == deg.dv, "left")
         .drop("dv")
         .select("v", "out_deg", F.lit(1.0 / n).alias("rank"))
         .repartition(n_parts, "v")
-        .localCheckpoint()
     )
     for _ in range(iters):
         with_deg = ranks
@@ -148,7 +147,7 @@ def pagerank(
             .groupBy("cv")
             .agg((F.sum("c") / F.lit(1e12)).alias("in_sum"))
         )
-        ranks = (
+        ranks = tracked_checkpoint(
             with_deg.select("v", "out_deg")
             .join(contribs, F.col("v") == contribs.cv, "left")
             .crossJoin(F.broadcast(dangling))
@@ -164,8 +163,11 @@ def pagerank(
             # keep the carried table co-partitioned with sym(a@n_parts)
             # so the next iteration's contribs join reuses both sides'
             # partitioning instead of re-shuffling
-            .repartition(n_parts, "v")
-            .localCheckpoint()
+            .repartition(n_parts, "v"),
+            # the new eager checkpoint supersedes the previous
+            # iteration's — free those blocks now instead of leaking
+            # iters checkpoints per call
+            replaces=with_deg,
         )
     return ranks.select(F.col("v").alias(id_col), "rank")
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sparklyclean_spark.cache import release_checkpoint, tracked_checkpoint
 from sparklyclean_spark.functions import text as T
 from sparklyclean_spark.functions.rounding import ratio4
 
@@ -992,11 +993,10 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         F.sequence(F.lit(1), F.length("tok")),
         lambda i: F.col("tok").substr(i, F.lit(1)),
     )
-    cur = (
+    cur = tracked_checkpoint(
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(chars.alias("syms"), "freq")
-        .localCheckpoint()
     )
     merges = []
     for step in range(1, n_merges + 1):
@@ -1041,7 +1041,12 @@ def bpe_merge_table(docs: DataFrame, n_merges: int = 8) -> DataFrame:
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        cur = cur.select(rewritten.alias("syms"), "freq").localCheckpoint()
+        cur = tracked_checkpoint(
+            cur.select(rewritten.alias("syms"), "freq"), replaces=cur
+        )
+    # the merge table is already driver-side — nothing downstream reads
+    # the final symbol table, so free its blocks before returning
+    release_checkpoint(cur)
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, cnt bigint"
     )
