@@ -252,7 +252,6 @@ def dsir_scores(
     if n_buckets & (n_buckets - 1):
         raise ValueError("n_buckets must be a power of two (low-bits bucketing)")
     from sparklyclean_spark.functions import text as T
-    from sparklyclean_spark.operators.dedup.textdedup import _md5_token_hash
 
     w = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -268,12 +267,24 @@ def dsir_scores(
             " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # bucket = low bits of the 64-bit md5-prefix hash. n_buckets ≤ 2^32
+    # means every masked bit lives in the LOW conv() half (hex chars
+    # 9..16 of the md5), so the hi-half conv + shiftleft + OR of the
+    # full _md5_token_hash recipe is dead work per gram occurrence —
+    # one conv instead of two, bit-identical buckets (r12, guide §1.2
+    # per-task work; the DuckDB twin masks the full UBIGINT, same low
+    # bits).
+    if n_buckets > (1 << 32):
+        raise ValueError("n_buckets exceeds the low-conv-half bucket recipe")
     occ = w.select(
         "doc_id", "_lang", F.explode(F.concat(F.col("w"), bigrams)).alias("_g")
     ).select(
         "doc_id",
         "_lang",
-        _md5_token_hash(F.col("_g")).bitwiseAND(F.lit(n_buckets - 1)).alias("b"),
+        F.conv(F.substring(F.md5("_g"), 9, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(n_buckets - 1))
+        .alias("b"),
     )
     # r12 optimization (guide §2.3 "aggregate before you shuffle"): the
     # r9-r11 shape ran the explode + md5 bucket hash TWICE — once into

@@ -159,11 +159,13 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce("in_sum", F.lit(0.0)) + F.col("_dm") / n)
                 ).alias("rank"),
-            )
-            # keep the carried table co-partitioned with sym(a@n_parts)
-            # so the next iteration's contribs join reuses both sides'
-            # partitioning instead of re-shuffling
-            .repartition(n_parts, "v"),
+            ),
+            # no repartition: the rank join's stream side is the carried
+            # table, already hash(v, n_parts) from the seed checkpoint —
+            # LogicalRDD preserves outputPartitioning, the left join and
+            # broadcast cross join both keep the streamed side's
+            # partitioning, so an explicit repartition(v) here was one
+            # redundant O(V) exchange per iteration (guide §2.4)
             # the new eager checkpoint supersedes the previous
             # iteration's — free those blocks now instead of leaking
             # iters checkpoints per call
