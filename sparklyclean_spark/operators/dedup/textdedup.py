@@ -546,17 +546,36 @@ def simhash64_table(
     from pyspark.sql.functions import pandas_udf
 
     if token_hash == "xxhash64":
-        hash_fn = F.xxhash64
+        hashed = docs.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.array_distinct(T.words(text_col)), lambda s: F.xxhash64(s)
+            ).alias("hs"),
+        ).where(F.size("hs") > 0)
     elif token_hash == "md5":
-        hash_fn = _md5_token_hash
+        # two-step transform so md5 runs ONCE per token: the single
+        # _md5_token_hash lambda embeds F.md5(s) twice (hi + lo conv
+        # halves) and HOF lambdas are interpreted — no codegen CSE —
+        # so the one-lambda form md5-hashes every token twice. The
+        # inner transform materializes the 16-hex prefix array; the
+        # outer one only does conv/shift arithmetic (r12, guide §1.2).
+        hashed = docs.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.array_distinct(T.words(text_col)),
+                lambda s: F.substring(F.md5(s), 1, 16),
+            ).alias("h16"),
+        ).select(
+            "id",
+            F.transform(
+                F.col("h16"),
+                lambda h: F.shiftleft(
+                    F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), 32
+                ).bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("long")),
+            ).alias("hs"),
+        ).where(F.size("hs") > 0)
     else:
         raise ValueError(f"unknown token_hash {token_hash!r}")
-    hashed = docs.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.array_distinct(T.words(text_col)), lambda s: hash_fn(s)
-        ).alias("hs"),
-    ).where(F.size("hs") > 0)
     pack = pandas_udf(_simhash_pack_impl, "long")
     return hashed.select("id", pack(F.col("hs")).alias("sh64"))
 
@@ -606,12 +625,17 @@ def simhash_pairs(
     )
     a = banded.select("band", "bucket", F.col("id").alias("id1"), F.col("sh64").alias("h1"))
     b = banded.select("band", "bucket", F.col("id").alias("id2"), F.col("sh64").alias("h2"))
+    # hamming BEFORE dropDuplicates: it depends only on (h1, h2), which
+    # are identical across a pair's duplicate band rows, so filtering
+    # first is result-identical — and the dedup exchange then carries
+    # only near-dup survivors instead of every banded candidate
+    # (guide §2.3 shuffle fewer bytes; bit_count(xor) is cheap codegen)
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("id1") < F.col("id2"))
-        .dropDuplicates(["id1", "id2"])
         .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id1", "id2"])
         .select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
     )
 
