@@ -53,22 +53,39 @@ def maintain_grouped_sums(
     maintained for rows present (count > 0); a group's sums retract
     to exactly 0 contribution when all its rows leave.
     """
-    # insertion deltas: I and U rows contribute their NEW payload
-    # under the NEW group values
-    ins = feed.where(F.col(op_col).isin("I", "U")).select(
-        *[F.col(g).alias(g) for g in group_cols],
-        F.lit(1).cast("bigint").alias("_dc"),
-        *[F.col(c).cast("decimal(28,6)").alias(f"_ds_{c}") for c in sum_cols],
+    # Each feed row yields 1-2 delta rows: I and U contribute their NEW
+    # payload under the NEW group values, D and U withdraw their OLD
+    # payload under the OLD group values. Emitting both from ONE pass
+    # (conditional structs + explode) instead of a two-branch union
+    # matters because ``feed`` is itself an expensive relation (a
+    # full-outer snapshot join from change_data_feed): the union form
+    # rendered that whole subtree twice per maintenance query. The
+    # delta-row multiset is identical, and BIGINT/decimal sums are
+    # exact and associative, so the maintained values are bit-equal.
+    ins_struct = F.when(
+        F.col(op_col).isin("I", "U"),
+        F.struct(
+            *[F.col(g).alias(g) for g in group_cols],
+            F.lit(1).cast("bigint").alias("_dc"),
+            *[F.col(c).cast("decimal(28,6)").alias(f"_ds_{c}") for c in sum_cols],
+        ),
     )
-    # retraction deltas: D and U rows withdraw their OLD payload
-    # under the OLD group values
-    rets = feed.where(F.col(op_col).isin("D", "U")).select(
-        *[F.col(f"_old_{g}").alias(g) for g in group_cols],
-        F.lit(-1).cast("bigint").alias("_dc"),
-        *[(-F.col(f"_old_{c}").cast("decimal(28,6)")).alias(f"_ds_{c}") for c in sum_cols],
+    ret_struct = F.when(
+        F.col(op_col).isin("D", "U"),
+        F.struct(
+            *[F.col(f"_old_{g}").alias(g) for g in group_cols],
+            F.lit(-1).cast("bigint").alias("_dc"),
+            *[
+                (-F.col(f"_old_{c}").cast("decimal(28,6)")).alias(f"_ds_{c}")
+                for c in sum_cols
+            ],
+        ),
     )
     deltas = (
-        ins.unionByName(rets)
+        feed.select(
+            F.explode(F.array_compact(F.array(ins_struct, ret_struct))).alias("_d")
+        )
+        .select("_d.*")
         .groupBy(*group_cols)
         .agg(
             F.sum("_dc").alias("_dc"),
