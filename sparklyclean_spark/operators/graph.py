@@ -76,6 +76,24 @@ def pagerank(
     the edge twice in the degrees). Near-dup pair generators in this
     repo emit id1 < id2 exactly once over a known corpus, satisfying
     both.
+
+    r12 fast path (``symmetric=True`` only): an undirected graph's
+    dangling vertices are exactly its ISOLATED vertices (out-degree =
+    degree), so they receive no contributions and all carry one shared
+    rank value r_d that follows a scalar recurrence — the per-iteration
+    dangling aggregate + its broadcast build were one full O(V) scan
+    and one extra Spark job per iteration computing a number the driver
+    can produce in closed form (guide §2.4 / §5). The driver replays
+    the IDENTICAL IEEE op sequence the JVM ran (same grid snap, same
+    BIGINT sum = n_d·m, same parenthesization), so every rank — active
+    and dangling — is bit-identical to the general path's (oracle
+    re-verified on ``pagerank_containment_graph``). The iterated table
+    also shrinks to the NON-isolated vertices: isolated rows rode every
+    join + checkpoint for ``iters`` rounds only to keep receiving the
+    closed-form value; they are attached once at the end. Directed
+    graphs (``symmetric=False``) keep the general path: a vertex can
+    have in-edges but no out-edges there, and the shared-value argument
+    collapses.
     """
     sym = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     if symmetric:
@@ -99,6 +117,92 @@ def pagerank(
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("out_deg")).withColumnRenamed(
         "a", "dv"
     )
+    if symmetric:
+        # dangling ⇔ isolated (undirected): closed-form dangling mass,
+        # iterate over edge-endpoint vertices only (docstring, r12).
+        # Two structural consequences make the loop MUCH cheaper than
+        # the general path's checkpoint-per-iteration shape:
+        #  1. nothing forces a per-iteration materialization anymore —
+        #     the old dangling broadcast was an eager barrier; and
+        #  2. every active vertex provably receives ≥1 contribution
+        #     (sym holds both directions, so an endpoint always appears
+        #     as some edge's b), so the next rank table can be derived
+        #     from the STATIC persisted degree table joined to contribs
+        #     (inner), leaving the previous iteration referenced exactly
+        #     once → the unrolled plan grows LINEARLY and the whole
+        #     loop fuses into one AQE query, with a lineage-hygiene
+        #     checkpoint only every few iterations instead of 10
+        #     driver-blocking checkpoint jobs (guide §2.4/§5).
+        # coalesce(in_sum, 0.0) is kept verbatim: with matches
+        # guaranteed it is the identity, so ranks stay bit-identical to
+        # the general path (oracle re-verified).
+        import math
+
+        deg = tracked_persist(deg)
+        n_active = deg.count()
+        n_d = n - n_active
+        # enrich the static edge table with the DESTINATION's degree
+        # once, so each iteration is ONE join + ONE aggregation that
+        # emits the next (v, out_deg, rank) table directly — the old
+        # shape re-joined a degree table every iteration (one more
+        # exchange + AQE stage per round). max(bdeg) over a group is a
+        # constant (one degree per vertex), so rows are identical.
+        symd = tracked_persist(
+            sym.join(deg, sym.b == deg.dv)
+            .select("a", "b", F.col("out_deg").alias("bdeg"))
+            .repartition(n_parts, "a")
+        )
+        ranks = deg.select(
+            F.col("dv").alias("v"), "out_deg", F.lit(1.0 / n).alias("rank")
+        )
+        last_ckpt = None
+        r_d = 1.0 / n
+        for i in range(iters):
+            # the JVM form summed n_d identical grid-snapped terms as
+            # BIGINT then divided: dm = (double)(n_d·⌊r_d·1e12 + 0.5⌋)/1e12.
+            # Python ints are exact and float ops are the same IEEE
+            # doubles, so dm (and r_d below) replay bit-identically.
+            dm = float(n_d * math.floor(r_d * 1e12 + 0.5)) / 1e12
+            e = symd.alias("E")
+            ranks = (
+                ranks.join(e, F.col("v") == F.col("E.a"))
+                .select(
+                    F.col("E.b").alias("_b"),
+                    F.col("E.bdeg").alias("_bdeg"),
+                    F.floor(
+                        (F.col("rank") / F.col("out_deg")) * F.lit(1e12) + F.lit(0.5)
+                    ).alias("c"),
+                )
+                .groupBy("_b")
+                .agg(
+                    F.max("_bdeg").alias("out_deg"),
+                    (F.sum("c") / F.lit(1e12)).alias("in_sum"),
+                )
+                .select(
+                    F.col("_b").alias("v"),
+                    "out_deg",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce("in_sum", F.lit(0.0)) + F.lit(dm) / n)
+                    ).alias("rank"),
+                )
+            )
+            # the dangling row's expression from the general path, with
+            # in_sum = 0.0 (isolated ⇒ never matched by contribs), op
+            # order preserved term by term
+            r_d = (1.0 - damping) / n + damping * (0.0 + dm / n)
+            if (i + 1) % 2 == 0 or (i + 1) == iters:
+                ranks = tracked_checkpoint(ranks, replaces=last_ckpt)
+                last_ckpt = ranks
+        out = ranks.select(F.col("v").alias(id_col), "rank")
+        if n_d:
+            out = out.unionAll(
+                verts.join(deg, verts.v == deg.dv, "left_anti").select(
+                    F.col("v").alias(id_col), F.lit(r_d).alias("rank")
+                )
+            )
+        return out
     # The degree table and the vertex set are STATIC across iterations:
     # fold both into the iterated rank table ONCE. The previous shape
     # joined ranks⋈deg and localCheckpoint'ed the result EVERY
