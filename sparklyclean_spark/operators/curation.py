@@ -301,11 +301,18 @@ def dsir_scores(
     docb = tracked_persist(
         occ.groupBy("doc_id", "_lang", "b").agg(F.count(F.lit(1)).alias("_n"))
     )
-    qp = docb.groupBy("b").agg(
-        F.sum("_n").alias("qc"),
-        F.sum(
-            F.when(F.col("_lang") == target_lang, F.col("_n")).otherwise(F.lit(0))
-        ).alias("pc"),
+    # qp is consumed twice — once under tot's broadcast build and once
+    # as wt's stream side — and each reference re-ran the full bucket
+    # agg over docb. It is EXACTLY n_buckets rows, so persisting it is
+    # free and saves one pass over the per-doc count relation (r12,
+    # guide §5).
+    qp = tracked_persist(
+        docb.groupBy("b").agg(
+            F.sum("_n").alias("qc"),
+            F.sum(
+                F.when(F.col("_lang") == target_lang, F.col("_n")).otherwise(F.lit(0))
+            ).alias("pc"),
+        )
     )
     tot = qp.agg(
         F.sum("qc").cast("bigint").alias("_tq"),
