@@ -51,17 +51,27 @@ def connected_components(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
     )
-    labels = tracked_checkpoint(
-        vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("comp"))
-    )
     # labels only decrease, so label-set equality across a round means
     # converged; the witness is a NULL-safe exact-decimal sum of label
     # HASHES — a direct cast of the label itself yields NULL for
     # string ids under non-ANSI sessions, making prev == cur after one
     # round and silently returning wrong components (r9 review
     # finding; ~2^-64 hash-sum collision odds replace a decreasing-sum
-    # guarantee, an accepted trade for id-type generality)
-    prev_sum = labels.agg(F.sum(F.xxhash64(F.col("comp")).cast("decimal(38,0)"))).collect()[0][0]
+    # guarantee, an accepted trade for id-type generality).
+    # r12 (guide §5): the witness rides the checkpoint materialization
+    # via ``observe`` instead of a separate per-round agg job — the old
+    # shape paid one extra full scan of the fresh label table every
+    # round just to read a number the checkpoint's own action already
+    # streams past. Identical aggregate, identical convergence test.
+    from pyspark.sql import Observation
+
+    _witness = F.sum(F.xxhash64(F.col("comp")).cast("decimal(38,0)")).alias("s")
+    obs0 = Observation()
+    labels = tracked_checkpoint(
+        vertices.select(F.col(id_col).alias("v"), F.col(id_col).alias("comp"))
+        .observe(obs0, _witness)
+    )
+    prev_sum = obs0.get["s"]
     n_rounds = 0
     for _ in range(max_iter):
         n_rounds += 1
@@ -70,15 +80,17 @@ def connected_components(
             .groupBy("b")
             .agg(F.min("comp").alias("nc"))
         )
+        obs = Observation()
         labels = tracked_checkpoint(
             labels.join(nbr_min, labels.v == nbr_min.b, "left")
             .select(
                 "v",
                 F.least(F.col("comp"), F.coalesce("nc", F.col("comp"))).alias("comp"),
-            ),
+            )
+            .observe(obs, _witness),
             replaces=labels,
         )
-        cur_sum = labels.agg(F.sum(F.xxhash64(F.col("comp")).cast("decimal(38,0)"))).collect()[0][0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -142,22 +154,30 @@ def connected_components_star(
             ).unionAll(m.select(F.col("u"), F.col("m").alias("v")))
         return out.where(F.col("u") != F.col("v")).distinct()
 
+    # (count, endpoint-sum) witness: a distinct edge set can't change
+    # without moving one of the two. r12: observed during the checkpoint
+    # materialization instead of a separate per-round agg job (same
+    # treatment as the propagation form's witness).
+    from pyspark.sql import Observation
+
     prev_w = None
     for _ in range(max_iter):
         e2 = _round(e, large=True)
-        e3 = tracked_checkpoint(_round(e2, large=False), replaces=e)
-        # (count, endpoint-sum) witness: a distinct edge set can't
-        # change without moving one of the two
-        cur_w = tuple(
-            e3.agg(
-                F.count(F.lit(1)),
+        obs = Observation()
+        e3 = tracked_checkpoint(
+            _round(e2, large=False).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
                 F.coalesce(
                     F.sum(F.xxhash64(F.col("u")).cast("decimal(38,0)")
                           + F.xxhash64(F.col("v")).cast("decimal(38,0)")),
                     F.lit(0),
-                ),
-            ).collect()[0]
+                ).alias("s"),
+            ),
+            replaces=e,
         )
+        m = obs.get
+        cur_w = (m["n"], m["s"])
         e = e3
         if cur_w == prev_w:
             break
