@@ -40,9 +40,18 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _jaccard(a, b) -> F.Column:
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
-    return F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+    # |a ∪ b| = |a| + |b| − |a ∩ b| for the distinct-element arrays every
+    # caller passes (np.unique'd shingle-hash sets / array_distinct token
+    # sets), so ONE interpreted set build per pair instead of two —
+    # array_intersect/array_union are non-codegen hash-set scans and were
+    # the dominant per-pair cost of the exact verification paths (r12,
+    # guide §1.2 per-task work). Same integers → same doubles → same
+    # quotient: bit-identical, every consuming oracle hash unchanged.
+    inter = F.size(F.array_intersect(a, b))
+    union = (F.size(a) + F.size(b) - inter).cast("double")
+    return F.when(union == 0.0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union
+    )
 
 
 def token_jaccard_pairs(
