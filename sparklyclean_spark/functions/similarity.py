@@ -81,9 +81,13 @@ def jaccard_tokens(a: Column | str, b: Column | str) -> Column:
     """Jaccard similarity of whitespace token sets."""
     ta = F.array_distinct(F.split(F.coalesce(_as_col(a).cast("string"), F.lit("")), r"\s+"))
     tb = F.array_distinct(F.split(F.coalesce(_as_col(b).cast("string"), F.lit("")), r"\s+"))
-    inter = F.size(F.array_intersect(ta, tb)).cast("double")
-    union = F.size(F.array_union(ta, tb)).cast("double")
-    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    # distinct-element inputs ⇒ |ta ∪ tb| = |ta| + |tb| − |ta ∩ tb|:
+    # skips the second non-codegen hash-set build per pair (the
+    # textdedup._jaccard treatment); same integers, same quotient,
+    # bit-identical.
+    inter = F.size(F.array_intersect(ta, tb))
+    union = (F.size(ta) + F.size(tb) - inter).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter.cast("double") / union)
 
 
 def ignore(a: Column | str, b: Column | str) -> Column:
